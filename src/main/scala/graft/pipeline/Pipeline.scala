@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.{Deduplicator, Validator}
+import graft.schemas.{Schemas, TableSpec}
+import graft.sources.{CsvIngest, ParquetTable}
+
+/** End-to-end ETL driver — the in-process equivalent of the reference's
+  * Glue job + Step Functions state machine (reference: src/glue_etl.py:394-541,
+  * stepfunctions/delta-lake.json):
+  *
+  *   ingest CSVs → conform to schema → validate (split valid/rejected) →
+  *   rejected: +metadata, append to rejected sink, summarize → dedup by PK →
+  *   MERGE into the curated table → register `clean_*` views → smoke
+  *   queries → archive processed raw files.
+  *
+  * Datasets run in reference order (products → orders → order_items) so the
+  * two upstream key sets exist for order_items' RI checks
+  * (glue_etl.py:451-514).
+  */
+object Pipeline {
+
+  final case class TableResult(
+      name: String,
+      inputRows: Long,
+      validRows: Long,
+      rejectedRows: Long,
+      mergedRows: Long)
+
+  final case class Config(
+      inputDir: String,       // <inputDir>/products.csv, orders/*.csv, order_items/*.csv
+      outputDir: String,      // curated tables at <outputDir>/clean_<name>
+      rejectedDir: String,    // rejected records at <rejectedDir>/<name>
+      archiveDir: Option[String] = None,
+      jobName: String = "graft-etl")
+
+  def tablePath(cfg: Config, name: String): String = s"${cfg.outputDir}/clean_$name"
+
+  def inputPath(cfg: Config, name: String): String = name match {
+    case "products" => s"${cfg.inputDir}/products.csv"
+    case other => s"${cfg.inputDir}/$other/*.csv" // daily files, implicit UNION ALL
+  }
+
+  def run(spark: SparkSession, cfg: Config): Seq[TableResult] = {
+    val refs = scala.collection.mutable.Map.empty[String, DataFrame]
+    val results = Schemas.all.map { spec =>
+      val res = processDataset(spark, cfg, spec, refs.toMap)
+      refs(spec.name) = ParquetTable.read(spark, tablePath(cfg, spec.name))
+      res
+    }
+    registerViews(spark, cfg)
+    smokeQueries(spark).foreach(_.collect())
+    cfg.archiveDir.foreach(archive(cfg.inputDir, _))
+    results
+  }
+
+  /** One dataset through the full path (reference: src/glue_etl.py:217-320).
+    * The validated frame is persisted before the valid/rejected split reads
+    * it twice (the reference's cache+count at glue_etl.py:228-229 — load-
+    * bearing, not a micro-optimization: without it the CSV scan and
+    * validation joins run twice).
+    */
+  def processDataset(
+      spark: SparkSession,
+      cfg: Config,
+      spec: TableSpec,
+      references: Map[String, DataFrame]): TableResult = {
+    val raw = CsvIngest.readConformed(spark, inputPath(cfg, spec.name), spec)
+    val annotated = Validator.validate(raw, spec, references)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val split = Validator.Result(
+        valid = annotated.filter(org.apache.spark.sql.functions.col(Validator.ErrorsCol).isNull)
+          .select(spec.columnNames.map(org.apache.spark.sql.functions.col): _*),
+        rejected = annotated.filter(org.apache.spark.sql.functions.col(Validator.ErrorsCol).isNotNull))
+      val inputRows = annotated.count()
+      val rejectedRows = writeRejected(split.rejected, cfg, spec)
+      val deduped = Deduplicator.dropDuplicatesByKey(split.valid, spec.primaryKey)
+      ParquetTable.merge(spark, tablePath(cfg, spec.name), deduped,
+        spec.primaryKey, spec.partitionColumns)
+      val mergedRows = ParquetTable.read(spark, tablePath(cfg, spec.name)).count()
+      TableResult(spec.name, inputRows, inputRows - rejectedRows, rejectedRows, mergedRows)
+    } finally annotated.unpersist()
+  }
+
+  private def writeRejected(rejected: DataFrame, cfg: Config, spec: TableSpec): Long = {
+    val n = rejected.count()
+    if (n > 0) {
+      val withMeta = Validator.withRejectionMetadata(rejected, spec.name, cfg.jobName)
+      val parts = spec.partitionColumns.filter(withMeta.columns.contains)
+      ParquetTable.append(withMeta, s"${cfg.rejectedDir}/${spec.name}", parts)
+      Validator.rejectionSummary(rejected).show(false)
+    }
+    n
+  }
+
+  /** The Athena-layer surface: `clean_*` views + `LIMIT 5` smoke queries
+    * (reference: stepfunctions/delta-lake.json:147-215; README.md:247).
+    */
+  def registerViews(spark: SparkSession, cfg: Config): Unit =
+    Seq("products" -> "clean_products", "orders" -> "clean_orders",
+        "order_items" -> "clean_orders_items").foreach { case (t, view) =>
+      ParquetTable.read(spark, tablePath(cfg, t)).createOrReplaceTempView(view)
+    }
+
+  def smokeQueries(spark: SparkSession): Seq[DataFrame] =
+    Seq("clean_products", "clean_orders", "clean_orders_items")
+      .map(v => spark.sql(s"SELECT * FROM $v LIMIT 5"))
+
+  /** Archive step (reference: stepfunctions/lambda_function.py:37-108) as a
+    * local-FS move of processed raw files.
+    */
+  def archive(inputDir: String, archiveDir: String): Unit = {
+    val src = Paths.get(inputDir)
+    if (!Files.exists(src)) return
+    Files.createDirectories(Paths.get(archiveDir))
+    val it = Files.walk(src).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (Files.isRegularFile(p) && p.toString.endsWith(".csv")) {
+        val dest = Paths.get(archiveDir).resolve(src.relativize(p))
+        Files.createDirectories(dest.getParent)
+        Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+}

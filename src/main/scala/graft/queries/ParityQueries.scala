@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Deduplicator, Validator}
+import graft.schemas.{RowRule, TableSpec}
+import graft.sources.ParquetTable
+
+/** Reference-parity operator battery over the harness testdata, each with a
+  * DuckDB oracle (SparkEntry.oracleSql). Every query is deterministic:
+  * doubles are rounded AFTER aggregation, timestamps leave as epoch
+  * seconds/formatted strings, orderings carry a unique tiebreaker.
+  *
+  * Coverage map → SURVEY.md §2: scans+pushdown (S1/P1-P11), joins
+  * (J1/J2/J4/J5), aggregations (A1-A4), sort/top-k (O1-O3), set ops (U1/U2),
+  * scalar functions (F1-F10), window functions (§2.8), validation semantics
+  * (reference: src/etl_utils.py:83-196), MERGE upsert (src/glue_etl.py:
+  * 333-373).
+  */
+object ParityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- q08/q09: validation over deterministically dirtied orders --------
+  // The testdata is clean, so invalidity is injected reproducibly:
+  // o_custkey nulled when o_orderkey%101=0; o_totalprice negated when
+  // o_orderkey%97=0. The Validator then applies v2 semantics.
+  private val dirtyOrdersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType, nullable = false),
+    StructField("o_custkey", LongType, nullable = false),
+    StructField("o_orderstatus", StringType, nullable = true),
+    StructField("o_totalprice", DoubleType, nullable = true)))
+
+  private val dirtyOrdersSpec = TableSpec(
+    name = "orders_t",
+    schema = dirtyOrdersSchema,
+    primaryKey = Seq("o_orderkey"),
+    rules = Seq(RowRule("Invalid o_totalprice: must be > 0",
+      col("o_totalprice").isNotNull && col("o_totalprice") <= 0)))
+
+  private def dirtyOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 101 === 0, lit(null).cast(LongType))
+        .otherwise(col("o_custkey")).as("o_custkey"),
+      col("o_orderstatus"),
+      when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("o_totalprice"))
+
+  private val dirtySql =
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderkey % 101 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+      |       o_orderstatus,
+      |       CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+      |FROM orders""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // A2-style grouped aggregation with arithmetic inside the aggregate —
+    // partial (map-side) agg + final agg, one shuffle on the group keys.
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Projection + predicate — both must reach the parquet scan
+    // (PushedFilters / 4-column ReadSchema in .explain).
+    "q02_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .filter(col("l_quantity") >= 49 && col("l_extendedprice") > 1000)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // 3-way join + agg + engine-side top-k (TakeOrderedAndProject).
+    "q03_topk_join_agg" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(o("o_orderkey"), o("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Dimension chain join — region/nation are tiny: explicit broadcast.
+    "q04_region_revenue" -> ((s, d) => {
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"))
+    }),
+
+    // J1: left-anti equi-join (customers that never ordered).
+    "q05_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Left-semi join (EXISTS).
+    "q06_semi_join" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val l = Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // J2: left-outer flag join-back against a deduplicated key set —
+    // the validator's RI-annotation shape.
+    "q07_flag_joinback" -> ((s, d) => {
+      val keys = Tables.orders(s, d).select(col("o_custkey").as("__k")).distinct()
+      val c = Tables.customer(s, d)
+      c.join(keys, c("c_custkey") === keys("__k"), "left_outer")
+        .select(col("c_custkey"),
+          when(col("__k").isNotNull, lit(1)).otherwise(lit(0)).as("has_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Validator: rejected side, v2 error-accumulator semantics.
+    "q08_validate_rejected" -> ((s, d) => {
+      Validator.split(dirtyOrders(s, d), dirtyOrdersSpec).rejected
+        .select(col("o_orderkey"), col(Validator.ErrorsCol))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Validator: valid side — projects back to the declared schema.
+    "q09_validate_valid" -> ((s, d) => {
+      Validator.split(dirtyOrders(s, d), dirtyOrdersSpec).valid
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // S6/J4/U2: MERGE-by-PK emulation (update-all + insert-all).
+    "q10_merge_upsert" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val modified = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = o.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      val updates = modified.unionByName(inserts)
+      ParquetTable.mergeFrames(o, updates, Seq("o_orderkey"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // A4 made deterministic: keep-first-by-key dedup via row_number.
+    "q11_dedup_keep_first" -> ((s, d) => {
+      Deduplicator.keepFirstByKey(Tables.events(s, d), Seq("user_id"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A2/O1/O2: grouped count, ordered, engine-side top-k.
+    "q12_group_topk" -> ((s, d) => {
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("count"))
+        .orderBy(col("count").desc, col("event_type"))
+        .limit(5)
+    }),
+
+    // Window: rank-1 row per partition.
+    "q13_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Window: running aggregate over an ordered frame.
+    "q14_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), round(sum(col("value")).over(w), 2).as("running"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Time-bucketed aggregation (batch twin of the streaming hourly agg).
+    "q15_hourly_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("hour_epoch"), col("event_type"))
+    }),
+
+    // SQL layer: VALUES row constructor + NOT-EXISTS (the reference's
+    // idempotent-insert corpus, README.md:261-374). Catalyst rewrites the
+    // correlated NOT EXISTS to a left-anti join.
+    "q16_values_not_exists" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+      s.sql(
+        """SELECT v.id, v.note
+          |FROM (VALUES (1, 'existing'), (2, 'existing'), (999999999, 'new')) AS v(id, note)
+          |WHERE NOT EXISTS (SELECT 1 FROM graft_orders_v o WHERE o.o_orderkey = v.id)
+          |ORDER BY v.id""".stripMargin)
+    }),
+
+    // Set ops: UNION (distinct), EXCEPT, INTERSECT.
+    "q17_union_distinct" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey"))
+    }),
+    "q18_except" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+    "q19_intersect" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 49 AND l_extendedprice > 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_topk_join_agg" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q04_region_revenue" ->
+      """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM region, nation, customer, orders
+        |WHERE n_regionkey = r_regionkey AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 48)
+        |ORDER BY p_partkey""".stripMargin,
+    "q07_flag_joinback" ->
+      """SELECT c_custkey,
+        |       CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |            THEN 1 ELSE 0 END AS has_orders
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_validate_rejected" ->
+      s"""WITH dirty AS ($dirtySql)
+         |SELECT o_orderkey,
+         |       concat_ws('; ',
+         |         CASE WHEN o_custkey IS NULL THEN 'Null o_custkey' END,
+         |         CASE WHEN o_totalprice IS NOT NULL AND o_totalprice <= 0
+         |              THEN 'Invalid o_totalprice: must be > 0' END) AS validation_errors
+         |FROM dirty
+         |WHERE o_custkey IS NULL OR (o_totalprice IS NOT NULL AND o_totalprice <= 0)
+         |ORDER BY o_orderkey""".stripMargin,
+    "q09_validate_valid" ->
+      s"""WITH dirty AS ($dirtySql)
+         |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+         |FROM dirty
+         |WHERE o_custkey IS NOT NULL AND NOT (o_totalprice IS NOT NULL AND o_totalprice <= 0)
+         |ORDER BY o_orderkey""".stripMargin,
+    "q10_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |)
+        |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM (
+        |  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT * FROM upd
+        |)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q11_dedup_keep_first" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q12_group_topk" ->
+      """SELECT event_type, count(*) AS count FROM events
+        |GROUP BY event_type
+        |ORDER BY count DESC, event_type
+        |LIMIT 5""".stripMargin,
+    "q13_window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q14_running_sum" ->
+      """SELECT user_id, event_id,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q15_hourly_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q16_values_not_exists" ->
+      """SELECT v.id, v.note
+        |FROM (VALUES (1, 'existing'), (2, 'existing'), (999999999, 'new')) AS v(id, note)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = v.id)
+        |ORDER BY v.id""".stripMargin,
+    "q17_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q18_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q19_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin)
+}
