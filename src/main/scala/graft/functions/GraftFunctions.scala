@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.{VecCosine, VecDot, VecEuclidean}
+
+/** SQL registration of graft's native expressions, two ways:
+  *
+  *   - `GraftFunctions.register(spark)` — imperative, for an existing
+  *     session (tests, notebooks);
+  *   - `spark.sql.extensions=graft.functions.GraftSessionExtensions` —
+  *     declarative injection at session build, the production path.
+  *
+  * After either, `SELECT vec_cosine(a.embedding, b.embedding) ...` works in
+  * plain Spark SQL.
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (args => VecDot(args(0), args(1))),
+    "vec_cosine" -> (args => VecCosine(args(0), args(1))),
+    "vec_euclidean" -> (args => VecEuclidean(args(0), args(1))))
+
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions.expressions", name),
+      builder)
+  }
+
+  def inject(ext: SparkSessionExtensions): Unit = fns.foreach { case (name, builder) =>
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions.expressions", name),
+      builder))
+  }
+}
+
+class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+}

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting. All pure Catalyst `Column` expressions (no UDFs) — they
+  * stay inside whole-stage codegen and run at scan speed; every one is also
+  * expressible in ANSI-ish SQL so the DuckDB oracle can replay it.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and single
+    * punctuation marks each count as one token — the shape of a byte-pair
+    * pre-tokenizer's word-splitting regex.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word n-grams over the token list, joined with single spaces, distinct
+    * (first-occurrence order); empty array when the text is shorter than n.
+    * Native codegen'd expression — see expressions.WordNGrams for why the
+    * HOF formulation (kept below as the executable spec) is disqualifying
+    * at scale.
+    */
+  def wordNGrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.expressions.WordNGrams(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
+  /** Declarative formulation of `wordNGrams` — interpreted and
+    * O(tokens²) per row; for tests/cross-checks only.
+    */
+  def wordNGramsHof(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // guard: sequence(0, negative) counts DOWN in Spark, so short texts
+    // must short-circuit to an empty array instead
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** |A ∩ B| / |A ∪ B| over two DISTINCT element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(a) === 0 && size(b) === 0, lit(1.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+
+  // ---- quality scoring --------------------------------------------------
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Fraction of characters that are letters. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text))
+
+  /** Fraction of characters that are punctuation (not letter/digit/space). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") / length(text))
+
+  /** Fraction of tokens found in `words` (duplicates counted). */
+  def wordListRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+    when(size(toks) === 0, lit(0.0)).otherwise(hits.cast("double") / size(toks))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Composite [0,1] quality heuristic: mostly-alphabetic text, little
+    * punctuation, reasonable length, some stopword glue. Weights are fixed
+    * so the score is deterministic and oracle-replayable.
+    */
+  def qualityScore(text: Column): Column =
+    round(
+      alphaRatio(text) * 0.4
+        + (lit(1.0) - punctRatio(text)) * 0.2
+        + least(tokenCount(text).cast("double") / 50.0, lit(1.0)) * 0.2
+        + least(wordListRatio(text, EnglishStopwords) * 5.0, lit(1.0)) * 0.2,
+      4)
+
+  // ---- language ID ------------------------------------------------------
+
+  /** Marker words per language for the n-gram/stopword-hit heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "est"),
+    "zh" -> Seq("的", "了", "是", "在", "和", "有"))
+
+  /** Language with the most marker-word hits; ties break in the fixed
+    * (alphabetical) marker order; no hits at all → "und".
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(best > 0 && s === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  // ---- fingerprinting ---------------------------------------------------
+
+  val FingerprintMod = 1000000007L
+
+  /** Rolling polynomial hash of the raw text, base 31 mod 1e9+7 — the
+    * classic content fingerprint, computed as a fold over characters inside
+    * codegen. Oracle-replayable (pure integer arithmetic, no engine hash).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (h, c) => (h * 31 + ascii(c)) % FingerprintMod)
+
+  /** Fingerprint of the whitespace-normalized lowercase text — equal for
+    * near-identical docs differing only in case/whitespace.
+    */
+  def normalizedFingerprint(text: Column): Column =
+    fingerprint(normalizeText(text))
+
+  /** Lowercase, trim, collapse internal whitespace. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  *   - `bruteForceTopK`: exact cosine top-k. The query set is broadcast
+  *     (it is small by construction); the corpus streams through one
+  *     codegen'd join stage — no corpus shuffle, linear scale-out. Use as
+  *     the baseline / oracle and whenever |queries| is modest.
+  *   - `lshTopK`: random-hyperplane LSH — corpus and queries are bucketed
+  *     by signature, candidates come from an equi-join on the bucket key,
+  *     then exact cosine ranks within candidates. Sub-linear per query at
+  *     the cost of recall; `probes` > 0 also searches buckets within
+  *     Hamming distance 1 of the query signature (multi-probe) to win
+  *     recall back without more planes.
+  */
+object Ann {
+
+  /** Exact top-k by cosine for each query vector. Output: one row per
+    * (query, rank): query_id, neighbor_id, cosine, rank.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("__cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__cos"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Deterministic Gaussian hyperplane normals (fixed seed). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH top-k: candidates share a signature bucket with the query (or, with
+    * `probes` ≥ 1, a bucket within Hamming distance 1), ranked by exact
+    * cosine within the candidate set.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numPlanes: Int = 12,
+      dim: Int = 64,
+      probes: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val sig = hyperplaneSignature(col(vecCol), planes)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      sig.as("__bucket"))
+    // multi-probe: the query also visits every bucket flipping one bit
+    val probeBuckets =
+      if (probes <= 0) array(sig)
+      else array((sig +: (0 until numPlanes).map(i =>
+        sig.bitwiseXOR(shiftleft(lit(1L), i)))): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(probeBuckets).as("__bucket"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id"))
+    q.join(c, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("__cos"))
+      .distinct() // a pair can meet in several probe buckets
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__cos"), 4).as("cosine"), col("rank"))
+  }
+
+  /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup.
+    * Exact variant blocked by an optional column (e.g. a cluster label);
+    * for unblocked corpora use LSH buckets as the block.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val proj = df.select((col(idCol) +: blockCols.map(col)) :+ col(vecCol).as("__v"): _*)
+    val a = proj.as("a")
+    val b = proj.as("b")
+    val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col(s"a.$idCol") < col(s"b.$idCol"))(_ && _)
+    a.join(b, cond)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        cosine(col("a.__v"), col("b.__v")).as("__cos"))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cosine"))
+  }
+}

@@ -9,6 +9,18 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The testdata ships as one small parquet file per table → Spark scans
+    * it as ONE partition, serializing every downstream expression onto a
+    * single core. Fan out to the session's parallelism when (and only
+    * when) the scan under-partitions — on a real multi-file/100 TB table
+    * the scan already yields thousands of splits and this is a no-op.
+    * Worth it only where per-row compute is heavy (text/vector ops).
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
@@ -27,6 +39,8 @@ object Tables {
     s.read.parquet(s"$d/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    fanOut(apply(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    fanOut(apply(s, d, "embeddings"))
 }

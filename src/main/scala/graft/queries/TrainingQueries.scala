@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.{Ann, TextDedup}
+
+/** Training-data-pipeline operator battery over `documents`/`embeddings`:
+  * text stats, language ID, quality, fingerprinting, four dedup flavors,
+  * and ANN — each oracle-checked where the math is SQL-expressible
+  * (xxhash64-based signatures are engine-specific → rows-only checks, with
+  * ScalaTest recall properties instead).
+  */
+object TrainingQueries {
+  import ParityQueries.Q
+
+  /** documents ∪ shifted copies of every 25th doc — deterministic synthetic
+    * duplicates so dedup queries demonstrably remove rows (the base corpus
+    * has none).
+    */
+  private def docsWithDups(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(
+      docs.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+  }
+
+  private val dupSql =
+    """SELECT * FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |FROM documents WHERE doc_id % 25 = 0""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q20_token_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        charCount(col("text")).as("n_chars_computed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q21_lang_quality" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        langId(col("text")).as("lang_pred"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q22_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        normalizedFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q23_exact_dedup" -> ((s, d) => {
+      TextDedup.exactDedup(docsWithDups(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash+LSH candidates verified by exact Jaccard. The oracle is the
+    // brute-force all-pairs Jaccard — equality holds because at j≥0.5 the
+    // 8-band×4-row LSH miss probability is ~(1-j⁴)⁸ < 1e-3 for the planted
+    // pairs (all at j≈0.97, miss < 1e-8).
+    "q24_minhash_neardup" -> ((s, d) => {
+      TextDedup.minHashDedupPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q25_ngram_jaccard" -> ((s, d) => {
+      TextDedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5, blockCols = Seq("lang"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q26_ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q27_cosine_neardup" -> ((s, d) => {
+      Ann.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.3, blockCols = Seq("label"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // xxhash64-based signatures — not SQL-replayable; rows-only checks.
+    "q28_simhash_neardup" -> ((s, d) => {
+      TextDedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q29_lsh_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, numPlanes = 12, dim = 64, probes = 1)
+        .orderBy(col("query_id"), col("rank"))
+    }))
+
+  private val toksSql = "string_split_regex(lower(text), '\\s+')"
+  private def gramsSql(src: String) =
+    s"""list_distinct(list_transform(range(1, len($toksSql) - 1),
+       |  i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]))""".stripMargin
+      .replace("text", src)
+
+  private val markerSql: Seq[(String, String)] = LangMarkers.map { case (lang, words) =>
+    lang -> words.map(w => s"'$w'").mkString("[", ", ", "]")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q20_token_stats" ->
+      s"""SELECT doc_id,
+         |  len($toksSql) AS n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+         |  length(text) AS n_chars_computed
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q21_lang_quality" -> {
+      val scores = markerSql.map { case (lang, arr) =>
+        s"len(list_filter($toksSql, t -> list_contains($arr, t))) AS s_$lang"
+      }.mkString(",\n    ")
+      val best = markerSql.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val cases = markerSql.map { case (l, _) =>
+        s"WHEN best > 0 AND s_$l = best THEN '$l'"
+      }.mkString(" ")
+      val stop = "['the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'it', 'that']"
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, $scores,
+         |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
+         |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+         |    len($toksSql) AS n_toks,
+         |    len(list_filter($toksSql, t -> list_contains($stop, t))) AS stop_hits
+         |  FROM documents
+         |), b AS (SELECT *, $best AS best FROM scored)
+         |SELECT doc_id,
+         |  CASE $cases ELSE 'und' END AS lang_pred,
+         |  round(alpha_ratio * 0.4 + (1.0 - punct_ratio) * 0.2
+         |    + least(n_toks::DOUBLE / 50.0, 1.0) * 0.2
+         |    + least((stop_hits::DOUBLE / n_toks) * 5.0, 1.0) * 0.2, 4) AS quality
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q22_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(
+        |        string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ''),
+        |        c -> ascii(c)::BIGINT)),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_exact_dedup" ->
+      s"""WITH dup AS ($dupSql),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM dup GROUP BY text)
+         |SELECT d.doc_id, d.n_chars FROM dup d JOIN keep k ON d.doc_id = k.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q24_minhash_neardup" ->
+      s"""WITH g AS (SELECT doc_id, ${gramsSql("text")} AS grams FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.grams, b.grams))::DOUBLE
+         |    / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+         |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q25_ngram_jaccard" ->
+      s"""WITH g AS (SELECT doc_id, lang, ${gramsSql("text")} AS grams FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.grams, b.grams))::DOUBLE
+         |    / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+         |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+         |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q26_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS c,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cosine, rank
+        |FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q27_cosine_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin)
+}

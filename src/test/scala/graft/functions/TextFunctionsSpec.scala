@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(StructField("t", StringType, nullable = true)))
+  private def one(s: String) = frame(schema, Seq(Row(s)))
+  private def eval(s: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Any =
+    one(s).select(c(col("t"))).head().get(0)
+
+  test("tokenCount splits on whitespace runs") {
+    assert(eval("a b  c\td", tokenCount) === 4)
+  }
+
+  test("bpeTokenCount: letter runs, digit runs, single punct") {
+    assert(eval("hello world42, ok!", bpeTokenCount) === 6)
+    // hello | world | 42 | , | ok | !
+  }
+
+  test("wordNGrams: distinct n-grams, short text → empty") {
+    assert(eval("a b c d", wordNGrams(_, 2)) ===
+      Seq("a b", "b c", "c d"))
+    assert(eval("a b a b", wordNGrams(_, 2)) === Seq("a b", "b a")) // distinct
+    assert(eval("a", wordNGrams(_, 3)) === Seq())
+  }
+
+  test("native wordNGrams equals the HOF spec on varied inputs") {
+    val texts = Seq("a b c d e", "a", "", "x  Y\tz x y z x y", "w w w w",
+      "The Quick the quick THE QUICK")
+    val df = frame(schema, texts.map(Row(_)))
+    val out = df.select(
+      wordNGrams(col("t"), 3).as("native"),
+      wordNGramsHof(col("t"), 3).as("hof")).collect()
+    out.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
+  test("jaccard on distinct sets") {
+    val df = frame(StructType(Seq(
+      StructField("a", ArrayType(StringType), nullable = true),
+      StructField("b", ArrayType(StringType), nullable = true))),
+      Seq(Row(Seq("x", "y", "z"), Seq("y", "z", "w"))))
+    assert(df.select(jaccard(col("a"), col("b"))).head().getDouble(0) === 0.5)
+  }
+
+  test("alpha/punct ratios") {
+    assert(eval("ab!?", alphaRatio) === 0.5)
+    assert(eval("ab!?", punctRatio) === 0.5)
+    assert(eval("", alphaRatio) === 0.0)
+  }
+
+  test("langId picks the language with most marker hits, und when none") {
+    assert(eval("the cat is on the mat", langId) === "en")
+    assert(eval("der hund und die katze ist", langId) === "de")
+    assert(eval("el perro y la casa es que", langId) === "es")
+    assert(eval("xyzzy plugh qwerty", langId) === "und")
+  }
+
+  test("fingerprint: deterministic rolling hash; normalization folds variants") {
+    val a = eval("Hello World", normalizedFingerprint)
+    val b = eval("  hello   world ", normalizedFingerprint)
+    val c = eval("hello world!", normalizedFingerprint)
+    assert(a === b)
+    assert(a !== c)
+    // known value: fold of "a" = ascii('a') = 97
+    assert(eval("a", fingerprint) === 97L)
+  }
+
+  test("qualityScore in [0,1], higher for clean english prose") {
+    val clean = eval("the quick brown fox jumps over the lazy dog and runs to the hills",
+      qualityScore).asInstanceOf[Double]
+    val junk = eval("@@@@ #### !!!! %%%% ^^^^", qualityScore).asInstanceOf[Double]
+    assert(clean > junk)
+    assert(clean <= 1.0 && junk >= 0.0)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class AnnSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true)))
+
+  // deterministic corpus: 60 vectors in 3 tight clusters around axes
+  private def corpus() = {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base(i % 3) = 1.0f // cluster direction
+      val v = base.map(x => x + rnd.nextGaussian().toFloat * 0.05f)
+      Row(i.toLong, v.toSeq)
+    }
+    frame(schema, rows)
+  }
+
+  test("bruteForceTopK: neighbors share the query's cluster, ranked by cosine") {
+    val c = corpus()
+    val out = Ann.bruteForceTopK(c, c.filter("vec_id < 3"), "vec_id", "embedding", k = 5)
+      .collect()
+    assert(out.length === 15) // 3 queries × 5
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+      // every neighbor is from the query's own cluster (cosine ≈ 1)
+      rows.foreach(r => assert(r.getLong(1) % 3 === q % 3))
+      // ranks ordered by non-increasing cosine
+      val cos = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshTopK with multi-probe recovers most of the exact top-k") {
+    val c = corpus()
+    val q = c.filter("vec_id < 3")
+    val exact = Ann.bruteForceTopK(c, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(c, q, "vec_id", "embedding", k = 5,
+        numPlanes = 8, dim = 8, probes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low: $approx vs $exact")
+  }
+
+  test("cosineNearDupPairs finds only same-cluster pairs at high threshold") {
+    val pairs = Ann.cosineNearDupPairs(corpus(), "vec_id", "embedding",
+        threshold = 0.9).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) % 3 === r.getLong(1) % 3)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+  }
+
+  test("hyperplane signatures are deterministic across invocations") {
+    val p1 = Ann.hyperplanes(4, 8)
+    val p2 = Ann.hyperplanes(4, 8)
+    assert(p1 === p2)
+  }
+}

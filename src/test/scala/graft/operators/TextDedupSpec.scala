@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class TextDedupSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true),
+    StructField("block", StringType, nullable = true)))
+
+  private def docs(rows: (Long, String, String)*) =
+    frame(schema, rows.map(r => Row(r._1, r._2, r._3)))
+
+  private val corpus = docs(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy cat", "a"), // near-dup of 1
+    (3L, "completely different content about spark engines here", "a"),
+    (4L, "the quick brown fox jumps over the lazy dog", "a"), // exact dup of 1
+    (5L, "THE  QUICK brown fox jumps over the lazy dog", "a"), // normalized dup of 1
+    (6L, "unrelated text talking about large scale data pipelines", "b"))
+
+  test("exactDedup keeps lowest id per exact text") {
+    val out = TextDedup.exactDedup(corpus, "id", "text").select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(out === Seq(1L, 2L, 3L, 5L, 6L)) // 4 removed (exact dup of 1)
+  }
+
+  test("exactDedup with normalization also folds case/whitespace variants") {
+    val out = TextDedup.exactDedup(corpus, "id", "text", normalize = true)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(out === Seq(1L, 2L, 3L, 6L)) // 4 and 5 both fold into 1
+  }
+
+  test("ngramJaccardPairs finds near-dups within blocks only") {
+    val pairs = TextDedup.ngramJaccardPairs(corpus, "id", "text",
+        n = 2, threshold = 0.5, blockCols = Seq("block"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // near-dup pair found
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L)) // other block
+    assert(!pairs.contains((1L, 3L))) // dissimilar
+  }
+
+  test("minHash LSH candidates ⊇ true near-dup pairs (planted high-jaccard)") {
+    val cands = TextDedup.minHashLshPairs(corpus, "id", "text",
+        n = 2, numHashes = 32, bands = 16) // r=2: high recall at low j
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 4L))) // identical text: sig equal, must appear
+    assert(cands.contains((1L, 2L))) // j≈0.78 2-grams: expected with r=2
+  }
+
+  test("minHashDedupPairs = LSH candidates verified by exact jaccard") {
+    val out = TextDedup.minHashDedupPairs(corpus, "id", "text",
+        threshold = 0.99, n = 2, numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 5 tokenizes identically to 1/4 (lowercase + whitespace collapse),
+    // so all three mutual pairs are true jaccard-1.0 duplicates
+    assert(out === Set((1L, 4L), (1L, 5L), (4L, 5L)))
+  }
+
+  test("minHash signature is deterministic and length numHashes") {
+    val s1 = TextDedup.minHashSignatures(corpus, "id", "text", 2, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val s2 = TextDedup.minHashSignatures(corpus, "id", "text", 2, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(s1 === s2)
+    assert(s1(1L).length === 16)
+    assert(s1(1L) === s1(4L)) // identical docs → identical signatures
+  }
+
+  test("simHash: identical docs equal, near-dups within small hamming") {
+    val sigs = TextDedup.simHashes(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+  }
+
+  test("simHashPairs finds exact dup at hamming 0") {
+    val pairs = TextDedup.simHashPairs(corpus, "id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+}

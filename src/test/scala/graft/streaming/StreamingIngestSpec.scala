@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.schemas.Schemas
+import graft.sources.ParquetTable
+
+class StreamingIngestSpec extends SparkSpec {
+
+  test("csvStreamUpsert: AvailableNow batch lands validated rows via MERGE, incrementally") {
+    val root = tmpDir("stream")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    val hdr = "order_num,order_id,user_id,order_timestamp,total_amount,date\n"
+    Files.writeString(Paths.get(in, "day1.csv"),
+      hdr + "1,101,1,2025-04-01 10:00:00,12.5,2025-04-01\n" +
+        "2,102,2,2025-04-01 11:00:00,-3.0,2025-04-01\n") // invalid amount
+
+    val q1 = StreamingIngest.csvStreamUpsert(spark, in, Schemas.ordersSpec,
+      s"$root/table", s"$root/ckpt")
+    q1.awaitTermination()
+    assert(ParquetTable.read(spark, s"$root/table").count() === 1)
+
+    // second trigger: only the NEW file is processed (checkpoint), and the
+    // replayed order 101 update + new 103 both land (MERGE semantics)
+    Files.writeString(Paths.get(in, "day2.csv"),
+      hdr + "1,101,1,2025-04-01 10:00:00,99.0,2025-04-01\n" +
+        "3,103,3,2025-04-02 09:00:00,7.0,2025-04-02\n")
+    val q2 = StreamingIngest.csvStreamUpsert(spark, in, Schemas.ordersSpec,
+      s"$root/table", s"$root/ckpt")
+    q2.awaitTermination()
+    val rows = ParquetTable.read(spark, s"$root/table")
+      .collect().map(r => r.getInt(r.fieldIndex("order_id")) ->
+        r.getDouble(r.fieldIndex("total_amount"))).toMap
+    assert(rows === Map(101 -> 99.0, 103 -> 7.0))
+  }
+
+  test("hourlyEventCounts: watermarked windowed aggregation over a file stream") {
+    val root = tmpDir("stream-agg")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    Files.writeString(Paths.get(in, "events.csv"),
+      "ts,event_type,value\n" +
+        "2025-04-01 10:05:00,click,1.0\n" +
+        "2025-04-01 10:40:00,click,2.0\n" +
+        "2025-04-01 11:10:00,view,5.0\n")
+    val schema = "ts timestamp, event_type string, value double"
+    val stream = spark.readStream.schema(schema).option("header", "true").csv(in)
+    val agg = StreamingIngest.hourlyEventCounts(stream, watermark = "0 seconds")
+    val q = agg.writeStream
+      .format("memory").queryName("hourly_test")
+      .outputMode("complete") // memory sink for assertion; prod uses append
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("hourly_test")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSet === Set(
+      ("2025-04-01 10:00:00.0", "click", 2L, 3.0),
+      ("2025-04-01 11:00:00.0", "view", 1L, 5.0)))
+  }
+
+  test("runningUserActivity: custom mapGroupsWithState counts per user") {
+    val root = tmpDir("stream-state")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    Files.writeString(Paths.get(in, "e.csv"),
+      "user_id,ts\n1,2025-04-01 10:00:00\n1,2025-04-01 11:00:00\n2,2025-04-01 09:00:00\n")
+    val stream = spark.readStream.schema("user_id long, ts timestamp")
+      .option("header", "true").csv(in)
+    val q = StreamingIngest.runningUserActivity(stream).writeStream
+      .format("memory").queryName("activity_test")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("activity_test")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 1L))
+  }
+}
