@@ -22,6 +22,37 @@ import graft.functions.VectorFunctions._
   */
 object Ann {
 
+  /** Rank scored pairs down to k per query via the custom `top_k`
+    * bounded-heap aggregate (graft.functions.expressions.TopKAgg): map-side
+    * partial heaps mean only k rows per query per partition reach the
+    * shuffle, and nothing is globally sorted — unlike the window-rank
+    * formulation, which sorts EVERY scored row (`topKWindow` below, kept
+    * as the executable spec). Tiebreak: cosine DESC, neighbor_id ASC.
+    */
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val tk = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.expressions.TopKAgg(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          struct(col("__cos"), col("neighbor_id"))), k)
+        .toAggregateExpression())
+    scored
+      .groupBy(col("query_id"))
+      .agg(tk.as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        round(col("col.__cos"), 4).as("cosine"), (col("pos") + 1).as("rank"))
+  }
+
+  private[graft] def topKWindow(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__cos"), 4).as("cosine"), col("rank"))
+  }
+
   /** Exact top-k by cosine for each query vector. Output: one row per
     * (query, rank): query_id, neighbor_id, cosine, rank.
     */
@@ -37,13 +68,7 @@ object Ann {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("__cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("__cos"), 4).as("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic Gaussian hyperplane normals (fixed seed). */
@@ -79,17 +104,12 @@ object Ann {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       explode(probeBuckets).as("__bucket"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__cos").desc, col("neighbor_id"))
-    q.join(c, Seq("__bucket"))
+    val scored = q.join(c, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("__cos"))
       .distinct() // a pair can meet in several probe buckets
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("__cos"), 4).as("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup.

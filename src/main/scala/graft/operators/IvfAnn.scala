@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** IVF (inverted-file) approximate nearest neighbor — the classic
+  * clustered-index scale path, complementing `Ann.lshTopK`:
+  *
+  *   1. BUILD (amortized): Lloyd's k-means over the corpus →
+  *      `nCentroids` centroids; every corpus vector is assigned to its
+  *      nearest centroid. The assigned corpus is the "inverted file":
+  *      partitionable and persistable by `centroid_id`.
+  *   2. SEARCH: each query computes its distance to every centroid
+  *      (centroids are a tiny literal table — broadcast by construction),
+  *      keeps the `nProbe` nearest cells, and ranks exact cosine only
+  *      against corpus vectors in those cells — an equi-join on
+  *      `centroid_id`, i.e. ~`nProbe`/`nCentroids` of the corpus per
+  *      query instead of all of it.
+  *
+  * K-means is hand-rolled in DataFrame ops rather than MLlib: assignment
+  * is a codegen'd argmin over centroid literals, the centroid update is
+  * one posexplode + per-dimension avg (only `nCentroids × dim` doubles
+  * ever reach the driver). Deterministic: seeded by the first
+  * `nCentroids` rows in id order, no RNG. (MLlib's KMeans also drags in
+  * Kryo reflection that requires `--add-opens java.base/java.nio` —
+  * a launcher fragility this library should not impose.)
+  *
+  * Ranking uses the bounded-heap `top_k` aggregate (TopKAgg), so nothing
+  * is globally sorted.
+  */
+object IvfAnn {
+
+  final case class Index(centroids: Array[Array[Float]], assigned: DataFrame)
+
+  /** column: argmin over `centroids` of euclidean(vec, centroid). */
+  private def nearestCentroid(vecCol: String, centroids: Array[Array[Float]]) = {
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        VectorFunctions.euclidean(col(vecCol), array(c.map(v => lit(v)): _*)).as("dist"),
+        lit(i).as("centroid_id"))
+    }
+    array_min(array(cells: _*)).getField("centroid_id")
+  }
+
+  /** Fit centroids (Lloyd's iterations) and assign every corpus row to its
+    * nearest one.
+    */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      maxIter: Int = 5): Index = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    var centroids: Array[Array[Float]] = corpus
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+    for (_ <- 1 to maxIter) {
+      // per-dimension mean of each cell; cells × dim values to the driver
+      val means = corpus
+        .select(nearestCentroid(vecCol, centroids).as("__c"),
+          posexplode(col(vecCol)))
+        .groupBy(col("__c"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      centroids = next
+    }
+
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      nearestCentroid(vecCol, centroids).as("centroid_id"))
+    Index(centroids, assigned)
+  }
+
+  /** Top-k by cosine for each query, probing the `nProbe` nearest cells. */
+  def topK(
+      index: Index,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val cells = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        VectorFunctions.euclidean(col(vecCol), array(c.map(v => lit(v)): _*)).as("dist"),
+        lit(i).as("centroid_id"))
+    }
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(slice(array_sort(array(cells: _*)), 1, nProbe)).as("__cell"))
+      .select(col("query_id"), col("__qv"), col("__cell.centroid_id").as("centroid_id"))
+
+    val scored = broadcast(q)
+      .join(index.assigned.withColumnRenamed(idCol, "neighbor_id")
+        .withColumnRenamed(vecCol, "__cv"), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("__qv"), col("__cv")).as("__cos"))
+    Ann.rankTopK(scored, k)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Ann, TextDedup}
+import graft.operators.{Ann, IvfAnn, TextDedup}
 
 /** Training-data-pipeline operator battery over `documents`/`embeddings`:
   * text stats, language ID, quality, fingerprinting, four dedup flavors,
@@ -102,6 +102,19 @@ object TrainingQueries {
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 5, numPlanes = 12, dim = 64, probes = 1)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF index + full-probe search: with nProbe = nCentroids the result
+    // is EXACT regardless of how k-means clustered, so the brute-force SQL
+    // oracle applies; the sub-linear path is the same code with small
+    // nProbe (tested in IvfAnnSpec).
+    "q30_ivf_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = IvfAnn.build(emb, "vec_id", "embedding", nCentroids = 8,
+        maxIter = 2) // index quality is irrelevant to full-probe correctness
+      IvfAnn.topK(idx, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nProbe = 8)
+        .orderBy(col("query_id"), col("rank"))
     }))
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -184,6 +197,18 @@ object TrainingQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q26_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS c,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cosine, rank
+        |FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q30_ivf_ann" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |scored AS (
         |  SELECT q.query_id, e.vec_id AS neighbor_id,
