@@ -115,6 +115,16 @@ object TrainingQueries {
       IvfAnn.topK(idx, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 5, nProbe = 8)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Session windows (batch twin of the streaming sessionizer): events
+    // within 30 min chain into one session per user.
+    "q31_sessions" -> ((s, d) => {
+      graft.streaming.StreamingIngest.userSessions(Tables.events(s, d))
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("session_start_epoch"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("user_id"), col("session_start_epoch"))
     }))
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -219,6 +229,29 @@ object TrainingQueries {
         |SELECT query_id, neighbor_id, round(c, 4) AS cosine, rank
         |FROM scored WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // gaps-and-islands sessionization: break when the gap from the previous
+    // event EXCEEDS 30 min — probed empirically: Spark's session_window
+    // merges an event landing exactly at last_ts + gap (inclusive end), so
+    // the break condition is strictly >. Session id = running sum of breaks.
+    "q31_sessions" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sessions AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM lagged)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM sessions
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_epoch""".stripMargin,
 
     "q27_cosine_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -61,6 +61,19 @@ object StreamingIngest {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Session windows per user: events closer than `gap` chain into one
+    * session (Spark's native `session_window` — works identically over a
+    * stream with a watermark or a batch frame; the batch twin is
+    * oracle-checked as q31_sessions).
+    */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Custom stateful operator: running per-user event count + last-seen
     * timestamp via mapGroupsWithState — the KeyValueGroupedDataset path the
     * built-in aggregates can't express (per-key custom state machines).

@@ -61,6 +61,32 @@ class StreamingIngestSpec extends SparkSpec {
       ("2025-04-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("userSessions: session_window chains events within the gap, over a stream") {
+    val root = tmpDir("stream-sess")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    Files.writeString(Paths.get(in, "e.csv"),
+      "user_id,ts,value\n" +
+        "1,2025-04-01 10:00:00,1.0\n" +
+        "1,2025-04-01 10:10:00,2.0\n" + // same session (10 min gap)
+        "1,2025-04-01 11:30:00,4.0\n" + // new session (80 min gap)
+        "2,2025-04-01 10:05:00,8.0\n")
+    val stream = spark.readStream.schema("user_id long, ts timestamp, value double")
+      .option("header", "true").csv(in)
+    val q = StreamingIngest.userSessions(stream.withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("sessions_test")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(out.toSet === Set(
+      (1L, "2025-04-01 10:00:00.0", 2L, 3.0),
+      (1L, "2025-04-01 11:30:00.0", 1L, 4.0),
+      (2L, "2025-04-01 10:05:00.0", 1L, 8.0)))
+  }
+
   test("runningUserActivity: custom mapGroupsWithState counts per user") {
     val root = tmpDir("stream-state")
     val in = s"$root/in"
