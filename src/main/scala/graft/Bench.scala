@@ -75,6 +75,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // No broadcast deadline: the default 300 s timeout converts this
+      // VM's sticky slow windows into hard job failures (observed: a lazy
+      // broadcast future created during warmup timing out minutes later
+      // and cancelling the then-current job). On a real cluster the
+      // deadline guards against hung executors; single-JVM local has none.
+      .config("spark.sql.broadcastTimeout", "-1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -14,6 +14,8 @@ object Verify {
       // (see Bench.scala scaladoc); results are identical either way.
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      // no broadcast deadline on this VM (see Bench.scala scaladoc)
+      .config("spark.sql.broadcastTimeout", "-1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{VecCosine, VecDot, VecEuclidean}
+import graft.functions.expressions.{PolyHash64, VecCosine, VecDot, VecEuclidean}
 
 /** SQL registration of graft's native expressions, two ways:
   *
@@ -21,7 +21,8 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (args => VecDot(args(0), args(1))),
     "vec_cosine" -> (args => VecCosine(args(0), args(1))),
-    "vec_euclidean" -> (args => VecEuclidean(args(0), args(1))))
+    "vec_euclidean" -> (args => VecEuclidean(args(0), args(1))),
+    "poly_hash64" -> (args => PolyHash64(args(0))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

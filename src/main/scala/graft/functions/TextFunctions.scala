@@ -136,4 +136,26 @@ object TextFunctions {
   /** Lowercase, trim, collapse internal whitespace. */
   def normalizeText(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** SQL-replayable 64-bit string hash (four packed 16-bit polynomial
+    * parts) — see expressions.PolyHash64. Drop-in `baseHash` for the
+    * signature operators when the run must be verifiable by an external
+    * SQL engine; xxhash64 remains the default elsewhere.
+    */
+  def polyHash64(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.expressions.PolyHash64(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  /** Declarative formulation of `polyHash64` (interpreted HOF fold per
+    * part) — tests/cross-checks only.
+    */
+  def polyHash64Hof(text: Column): Column =
+    graft.functions.expressions.PolyHash64.Parts.zipWithIndex.map {
+      case ((base, p), i) =>
+        shiftleft(
+          aggregate(split(text, ""), lit(0L),
+            (h, c) => (h * base + ascii(c)) % p),
+          i * 16)
+    }.reduce(_ bitwiseOR _)
 }

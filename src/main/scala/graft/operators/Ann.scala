@@ -55,6 +55,10 @@ object Ann {
 
   /** Exact top-k by cosine for each query vector. Output: one row per
     * (query, rank): query_id, neighbor_id, cosine, rank.
+    *
+    * The query side is broadcast only while its size ESTIMATE stays small
+    * (Broadcasting.broadcastIfSmall) — a huge query set degrades to a
+    * shuffle nested-loop rather than a driver OOM.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -62,7 +66,7 @@ object Ann {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = broadcast(queries.select(
+    val q = Broadcasting.broadcastIfSmall(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))

@@ -97,7 +97,9 @@ object IvfAnn {
       explode(slice(array_sort(array(cells: _*)), 1, nProbe)).as("__cell"))
       .select(col("query_id"), col("__qv"), col("__cell.centroid_id").as("centroid_id"))
 
-    val scored = broadcast(q)
+    // queries × nProbe rows — broadcast only while the estimate is small;
+    // a big query batch falls back to a shuffle join on centroid_id
+    val scored = Broadcasting.broadcastIfSmall(q)
       .join(index.assigned.withColumnRenamed(idCol, "neighbor_id")
         .withColumnRenamed(vecCol, "__cv"), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -185,15 +185,23 @@ object TextDedup {
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash per document: per bit j, sum +1/-1 across the doc's
-    * token xxhash64s (duplicates weighted by count), bit set iff the sum
+    * token base hashes (duplicates weighted by count), bit set iff the sum
     * is positive. Same explode + single-hash-aggregate shape as MinHash:
     * one codegen'd aggregation with 64 conditional-sum columns, assembled
     * into the signature long afterwards.
+    *
+    * `baseHash` defaults to xxhash64 (full 64-bit mixing); pass
+    * `TextFunctions.polyHash64` when the run must be replayable by an
+    * external SQL engine (same pairs semantics, SQL-expressible hash).
     */
-  def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHashes(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      baseHash: Column => Column = c => xxhash64(c)): DataFrame = {
     val tokRows = df
       .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
+      .withColumn("__h", baseHash(col("__t")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"__b$j")
@@ -217,8 +225,9 @@ object TextDedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simHashes(df, idCol, textCol)
+      maxHamming: Int = 3,
+      baseHash: Column => Column = c => xxhash64(c)): DataFrame = {
+    val sigs = simHashes(df, idCol, textCol, baseHash)
       .withColumnRenamed("simhash", "__sim")
     val chunked = sigs.select(col(idCol), col("__sim"),
       explode(expr("transform(sequence(0, 3), c -> named_struct(" +
@@ -231,7 +240,7 @@ object TextDedup {
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
         bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct: shrink the dedup shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -90,13 +90,19 @@ object TrainingQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // xxhash64-based signatures — not SQL-replayable; rows-only checks.
+    // SimHash under the SQL-replayable polyHash64 base hash (engine
+    // default elsewhere stays xxhash64) — the DuckDB oracle replays the
+    // full signature → hamming pipeline, so this is hash-checked, not
+    // rows-only.
     "q28_simhash_neardup" -> ((s, d) => {
       TextDedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 3)
+        maxHamming = 3, baseHash = polyHash64)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Hyperplane LSH is deterministic (literal Gaussian planes, seed 42):
+    // the oracle inlines the plane constants and replays dot-sign buckets,
+    // multi-probe bit flips, and candidate ranking exactly.
     "q29_lsh_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -137,7 +143,89 @@ object TrainingQueries {
     lang -> words.map(w => s"'$w'").mkString("[", ", ", "]")
   }
 
+  /** Per-part DuckDB replay of expressions.PolyHash64: fold the code
+    * points of `t` through (h·base + cp) mod p.
+    */
+  private def polyPartSql(base: Long, p: Long): String =
+    "list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)), " +
+      s"(h, c) -> (h * $base + c) % $p)"
+
+  /** Replays TextDedup.simHashPairs(polyHash64): token part-hashes → 64
+    * ±1 bit sums per doc → packed signature → all-pairs hamming ≤ 3.
+    * Bit 63 is provably 0 (top prime < 2^15) so the signature sum skips it
+    * and stays in non-negative BIGINT range.
+    */
+  private val simHashOracle: String = {
+    val parts = graft.functions.expressions.PolyHash64.Parts
+    val partCols = parts.zipWithIndex.map { case ((b, p), i) =>
+      s"${polyPartSql(b, p)} AS p$i"
+    }.mkString(",\n    ")
+    val bitCols = (0 until 64).map { j =>
+      s"sum(CASE WHEN (p${j / 16} >> ${j % 16}) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    val sigExpr = (0 until 63).map { j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+       |  FROM documents),
+       |ph AS (
+       |  SELECT doc_id,
+       |    $partCols
+       |  FROM tok),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitCols
+       |  FROM ph GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigExpr AS sim FROM bits)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.sim, b.sim)) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Replays Ann.lshTopK(12 planes, dim 64, 1 probe, seed 42): the plane
+    * constants are inlined as literals; dot products are left-associated
+    * sums over embedding::DOUBLE[], matching VecDot's accumulation order
+    * bit-for-bit, so the sign buckets agree exactly.
+    */
+  private val lshAnnOracle: String = {
+    val planes = graft.operators.Ann.hyperplanes(numPlanes = 12, dim = 64)
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.zipWithIndex.map { case (c, j) => s"v[${j + 1}] * ($c)" }
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1L << i}::BIGINT ELSE 0 END)"
+    }.mkString("\n    + ")
+    val probeList = ("bucket" +: (0 until 12).map(i => s"xor(bucket, ${1L << i})"))
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS (SELECT vec_id, embedding,
+       |    $bucketExpr AS bucket
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, bucket FROM sig WHERE vec_id < 5),
+       |probes AS (SELECT query_id, unnest($probeList) AS bucket FROM q),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+       |  FROM probes p JOIN sig s ON p.bucket = s.bucket AND s.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS cs,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
+       |        c.neighbor_id) AS rank
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, round(cs, 4) AS cosine, rank
+       |FROM scored WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q28_simhash_neardup" -> simHashOracle,
+    "q29_lsh_ann" -> lshAnnOracle,
     "q20_token_stats" ->
       s"""SELECT doc_id,
          |  len($toksSql) AS n_tokens,
