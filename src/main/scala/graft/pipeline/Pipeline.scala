@@ -7,7 +7,7 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.operators.{Deduplicator, Validator}
 import graft.schemas.{Schemas, TableSpec}
-import graft.sources.{CsvIngest, ParquetTable}
+import graft.sources.{Catalog, CsvIngest, ParquetTable}
 
 /** End-to-end ETL driver — the in-process equivalent of the reference's
   * Glue job + Step Functions state machine (reference: src/glue_etl.py:394-541,
@@ -52,7 +52,7 @@ object Pipeline {
       refs(spec.name) = ParquetTable.read(spark, tablePath(cfg, spec.name))
       res
     }
-    registerViews(spark, cfg)
+    registerTables(spark, cfg)
     smokeQueries(spark).foreach(_.collect())
     cfg.archiveDir.foreach(archive(cfg.inputDir, _))
     results
@@ -98,12 +98,28 @@ object Pipeline {
     n
   }
 
-  /** The Athena-layer surface: `clean_*` views + `LIMIT 5` smoke queries
-    * (reference: stepfunctions/delta-lake.json:147-215; README.md:247).
+  private val CatalogNames = Seq(
+    "products" -> "clean_products", "orders" -> "clean_orders",
+    "order_items" -> "clean_orders_items")
+
+  /** The Athena/Glue-catalog surface: persistent external `clean_*` tables
+    * over the curated locations (reference README.md:247-249). Unlike the
+    * temp views below, these accept `INSERT INTO` — the reference's ACID
+    * corpus (AcidInserts) runs against them verbatim.
+    */
+  def registerTables(spark: SparkSession, cfg: Config): Unit =
+    CatalogNames.foreach { case (t, table) =>
+      val spec = Schemas.all.find(_.name == t).get
+      Catalog.registerExternal(spark, table, tablePath(cfg, t),
+        partitioned = spec.partitionColumns.nonEmpty)
+    }
+
+  /** Session-scoped view variant of the same surface — for read-only
+    * consumers that must not touch the shared catalog. NOTE: a temp view
+    * shadows the same-named catalog table in SQL resolution.
     */
   def registerViews(spark: SparkSession, cfg: Config): Unit =
-    Seq("products" -> "clean_products", "orders" -> "clean_orders",
-        "order_items" -> "clean_orders_items").foreach { case (t, view) =>
+    CatalogNames.foreach { case (t, view) =>
       ParquetTable.read(spark, tablePath(cfg, t)).createOrReplaceTempView(view)
     }
 

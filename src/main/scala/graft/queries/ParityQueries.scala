@@ -223,6 +223,37 @@ object ParityQueries {
           |ORDER BY v.id""".stripMargin)
     }),
 
+    // Persistent catalog + the reference's ACID INSERT shape end-to-end
+    // (reference README.md:261-377): CREATE an external parquet table
+    // (CTAS with LOCATION), run the idempotent INSERT INTO … VALUES …
+    // WHERE NOT EXISTS TWICE — the replay must insert nothing — and
+    // return the final table state. The pipeline's production corpus is
+    // pipeline.AcidInserts; this is the same surface on testdata.
+    "q32_catalog_insert" -> ((s, d) => {
+      val loc = java.nio.file.Files.createTempDirectory("graft_q32").toString
+      s.sql("DROP TABLE IF EXISTS q32_clean_orders")
+      s.sql(
+        s"""CREATE TABLE q32_clean_orders USING parquet LOCATION '$loc/data'
+           |AS SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+           |FROM parquet.`$d/orders.parquet` WHERE o_orderkey <= 100""".stripMargin)
+      val insert =
+        """INSERT INTO q32_clean_orders
+          |SELECT * FROM (VALUES
+          |    (900001, 57, 400.25, TIMESTAMP '2025-04-02 18:08:00'),
+          |    (900002, 24, 373.73, TIMESTAMP '2025-04-06 04:17:00'),
+          |    (1, 66, 258.10, TIMESTAMP '2025-04-06 13:06:00')
+          |) AS t(o_orderkey, o_custkey, o_totalprice, o_orderdate)
+          |WHERE NOT EXISTS (
+          |    SELECT 1 FROM q32_clean_orders existing
+          |    WHERE existing.o_orderkey = t.o_orderkey)""".stripMargin
+      s.sql(insert)
+      s.sql(insert) // replay: NOT EXISTS must make this a no-op
+      s.sql(
+        """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_amount,
+          |  unix_timestamp(o_orderdate) AS order_epoch
+          |FROM q32_clean_orders ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // Set ops: UNION (distinct), EXCEPT, INTERSECT.
     "q17_union_distinct" -> ((s, d) => {
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -356,6 +387,25 @@ object ParityQueries {
         |FROM (VALUES (1, 'existing'), (2, 'existing'), (999999999, 'new')) AS v(id, note)
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = v.id)
         |ORDER BY v.id""".stripMargin,
+    // Replays q32's catalog mutation declaratively: the final table state
+    // is seed ∪ (VALUES rows whose key is absent from the seed) — the
+    // second INSERT is a no-op by construction, so one union suffices.
+    "q32_catalog_insert" ->
+      """WITH seed AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey <= 100),
+        |nr AS (
+        |  SELECT * FROM (VALUES
+        |      (900001, 57, 400.25, TIMESTAMP '2025-04-02 18:08:00'),
+        |      (900002, 24, 373.73, TIMESTAMP '2025-04-06 04:17:00'),
+        |      (1, 66, 258.10, TIMESTAMP '2025-04-06 13:06:00'))
+        |    AS t(o_orderkey, o_custkey, o_totalprice, o_orderdate)
+        |  WHERE NOT EXISTS (SELECT 1 FROM seed e WHERE e.o_orderkey = t.o_orderkey)),
+        |u AS (SELECT * FROM seed UNION ALL SELECT * FROM nr)
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_amount,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch
+        |FROM u ORDER BY o_orderkey""".stripMargin,
+
     "q17_union_distinct" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION
