@@ -118,14 +118,33 @@ object Ann {
 
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup.
     * Exact variant blocked by an optional column (e.g. a cluster label);
-    * for unblocked corpora use LSH buckets as the block.
+    * for unblocked corpora use `lshNearDupPairs`.
+    *
+    * Guardrail: the join is quadratic WITHIN a block, so one hot block at
+    * 100× scale silently becomes the whole job. The call fails fast
+    * (one cheap linear count-by-block job at plan-build time) when any
+    * block exceeds `maxBlockRows`, naming the offender and pointing at
+    * `lshNearDupPairs`; raise the cap explicitly to accept the cost.
     */
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      blockCols: Seq[String] = Nil): DataFrame = {
+      blockCols: Seq[String] = Nil,
+      maxBlockRows: Long = 1000000L): DataFrame = {
+    if (maxBlockRows < Long.MaxValue) {
+      val sized =
+        if (blockCols.isEmpty) df.groupBy(lit(1)).agg(count(lit(1)).as("__n"))
+        else df.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      val worst = sized.agg(max(col("__n"))).head()
+      if (!worst.isNullAt(0) && worst.getLong(0) > maxBlockRows)
+        throw new IllegalArgumentException(
+          s"cosineNearDupPairs: largest block has ${worst.getLong(0)} rows " +
+            s"(> $maxBlockRows); the within-block join would do ~n² comparisons. " +
+            "Use finer blockCols or lshNearDupPairs, or raise maxBlockRows to " +
+            "accept the cost.")
+    }
     val proj = df.select((col(idCol) +: blockCols.map(col)) :+ col(vecCol).as("__v"): _*)
     val a = proj.as("a")
     val b = proj.as("b")
@@ -136,5 +155,47 @@ object Ann {
         cosine(col("a.__v"), col("b.__v")).as("__cos"))
       .filter(col("__cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cosine"))
+  }
+
+  /** Near-dup pairs via hyperplane-LSH buckets — the scale path for
+    * UNBLOCKED corpora: candidates are pairs sharing a signature bucket
+    * (multi-probe widens each row to buckets within Hamming distance 1 for
+    * recall), verified by exact cosine. Expected bucket population is
+    * n/2^numPlanes — tune numPlanes so buckets stay small; candidate
+    * generation is an equi-join on the bucket key, never a cross product.
+    * Approximate: a pair hashing into disjoint probe sets is missed;
+    * P(all planes agree) ≥ 1 - numPlanes·θ/π for angle θ, so recall is
+    * high precisely for the high-similarity pairs dedup cares about.
+    */
+  def lshNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int = 12,
+      dim: Int = 64,
+      probes: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val sig = hyperplaneSignature(col(vecCol), planes)
+    val probeBuckets =
+      if (probes <= 0) array(sig)
+      else array((sig +: (0 until numPlanes).map(i =>
+        sig.bitwiseXOR(shiftleft(lit(1L), i)))): _*)
+    val rows = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      sig.as("__home"), explode(probeBuckets).as("__bucket"))
+    val l = rows.as("l")
+    val r = rows.as("r")
+    l.join(r,
+        col("l.__bucket") === col("r.__bucket") && col("l.__id") < col("r.__id") &&
+          // count each candidate pair once: in the bucket that is one
+          // side's HOME bucket (dedups the probe×probe multiplicity
+          // before cosine, instead of a distinct() after)
+          (col("l.__home") === col("l.__bucket") || col("r.__home") === col("r.__bucket")))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        cosine(col("l.__v"), col("r.__v")).as("__cos"))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cosine"))
+      .distinct()
   }
 }

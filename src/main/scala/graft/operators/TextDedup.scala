@@ -45,9 +45,17 @@ object TextDedup {
     * pairwise-array formulation was measured minutes-slow at 5k docs while
     * this runs in seconds, and only index-sharing docs ever meet.
     * Skew note for 100 TB: a stop-gram appearing in most docs makes its
-    * posting list quadratic; AQE skew-join splitting handles moderate skew,
-    * and truly ubiquitous grams should be length-filtered upstream. For
-    * unblocked corpora at high thresholds prefer `minHashLshPairs`.
+    * posting list — and this join — quadratic in that gram's document
+    * frequency. `maxGramDf` is the guardrail: grams seen in more than
+    * `maxGramDf` docs (within a block) are dropped BEFORE the self-join,
+    * bounding per-gram join cost at maxGramDf². The result is then exact
+    * Jaccard over the DF-FILTERED gram space (a documented contract
+    * change: a ubiquitous gram carries ~no pair-discriminating signal, so
+    * high-threshold results are unaffected in practice, but scores can
+    * shift; pass None to keep unfiltered semantics). Docs whose every
+    * gram is dropped leave the filtered space and pair with nothing.
+    * AQE skew-join splitting still handles moderate skew below the cap.
+    * For unblocked corpora at high thresholds prefer `minHashLshPairs`.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -55,12 +63,28 @@ object TextDedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      blockCols: Seq[String]): DataFrame = {
+      blockCols: Seq[String],
+      maxGramDf: Option[Long] = None): DataFrame = {
     val grams = df.select(
       (col(idCol) +: blockCols.map(col)) :+ wordNGrams(col(textCol), n).as("__grams"): _*)
-    val sizes = grams.select(col(idCol).as("__sid"), size(col("__grams")).as("__sz"))
-    val posting = grams.select(
+    val posting0 = grams.select(
       (col(idCol) +: blockCols.map(col)) :+ explode(col("__grams")).as("__gram"): _*)
+    val posting = maxGramDf match {
+      case Some(cap) =>
+        // df per (gram, block) via a window count — partitioned on the
+        // same keys the self-join shuffles on, so the exchange is reused
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy((col("__gram") +: blockCols.map(col)): _*)
+        posting0
+          .withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= cap)
+          .drop("__df")
+      case None => posting0
+    }
+    // per-doc gram counts over the SAME (possibly df-filtered) gram space
+    // the intersection counts, so |A∪B| = |A|+|B|-|A∩B| stays consistent
+    val sizes = posting.groupBy(col(idCol).as("__sid"))
+      .agg(count(lit(1)).as("__sz"))
     val a = posting.as("a")
     val b = posting.as("b")
     val joinKeys = (col("a.__gram") === col("b.__gram")) +:

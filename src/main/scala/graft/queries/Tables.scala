@@ -18,7 +18,14 @@ object Tables {
     */
   private def fanOut(df: DataFrame): DataFrame = {
     val dp = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+    // Metadata-only probe: inputFiles + the optimizer's size estimate.
+    // (df.rdd.getNumPartitions would force an RDD conversion of the scan
+    // plan on every load.) Only a single SMALL file can under-partition —
+    // multi-file tables get one split per file and large single files are
+    // split by spark.sql.files.maxPartitionBytes.
+    val singleSmallFile = df.inputFiles.length == 1 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes < (256L << 20)
+    if (singleSmallFile) df.repartition(dp) else df
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
