@@ -11,11 +11,18 @@ import org.apache.spark.sql.types._
   * feature-extraction runs per-partition in batch (the Scala equivalent of
   * a `mapInPandas` iterator-of-batches UDF: one function call per
   * partition, amortizing any per-model/per-codec setup across rows, never
-  * a per-row UDF). Partitioning, schema, and batch plumbing here are real
-  * and tested; the byte-level decoders are DETERMINISTIC STUBS (no
-  * image/audio codecs exist in this environment) marked `STUB:` — swapping
-  * in a real JNI/Java decoder changes only the function body, not the
-  * plan shape.
+  * a per-row UDF).
+  *
+  * Decoders, by tier:
+  *   - `decodeImages` / `decodeWav` — REAL pure-JVM decodes (javax.imageio
+  *     and javax.sound.sampled ship with the JDK: PNG/BMP/GIF/JPEG and
+  *     PCM WAV), emitting true width/height/sample-rate metadata and
+  *     deterministic content features.
+  *   - `extractFeatures` / `resizeStub` / `frameSampleStub` — DETERMINISTIC
+  *     STUBS marked `STUB:` for the modalities that need codecs absent
+  *     from a bare JVM (video, compressed audio). They keep the exact plan
+  *     shape (narrow per-partition map, no shuffle); swapping in a real
+  *     JNI/Java decoder changes only the function body.
   */
 object Multimodal {
 
@@ -41,6 +48,140 @@ object Multimodal {
         lit(modality).as("modality"),
         col("content"),
         lit(null).cast(mediaSchema("meta").dataType).as("meta"))
+
+  /** REAL image decode via `javax.imageio.ImageIO` (PNG/BMP/GIF/JPEG —
+    * readers bundled with the JDK, no external codecs): stamps
+    * meta.width/height from the decoded raster and extracts a
+    * `thumb`×`thumb` grayscale thumbnail as the feature vector
+    * (block-mean luminance, row-major, in [0,1] — deterministic
+    * arithmetic, no platform-dependent resampler). Per-partition iterator
+    * shape: reader lookup and scratch buffers amortize across the batch.
+    * Rows whose bytes no bundled reader accepts get null meta/features
+    * instead of failing the partition.
+    */
+  def decodeImages(df: DataFrame, thumb: Int = 8): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true))
+    val contentIdx = df.schema.fieldIndex("content")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
+        val img =
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null } // corrupt payload
+        if (img == null) Row.fromSeq(r.toSeq :+ null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val feats = new Array[Float](thumb * thumb)
+          var ty = 0
+          while (ty < thumb) {
+            val y0 = ty * h / thumb
+            val y1 = math.max((ty + 1) * h / thumb, y0 + 1)
+            var tx = 0
+            while (tx < thumb) {
+              val x0 = tx * w / thumb
+              val x1 = math.max((tx + 1) * w / thumb, x0 + 1)
+              var s = 0.0
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  s += 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              feats(ty * thumb + tx) = (s / ((y1 - y0) * (x1 - x0)) / 255.0).toFloat
+              tx += 1
+            }
+            ty += 1
+          }
+          val meta = Row(w, h, null, null)
+          Row.fromSeq(r.toSeq.updated(metaIdx, meta) :+ feats.toSeq)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** REAL WAV decode via `javax.sound.sampled.AudioSystem` (the JDK's
+    * built-in WAVE reader): stamps meta.sample_rate/n_frames from the
+    * format header and extracts RMS amplitude (in [0,1]) over `windows`
+    * equal time slices of the channel-mixed 16-bit PCM signal. Rows that
+    * are not WAV, or not 16-bit PCM, get null features.
+    */
+  def decodeWav(df: DataFrame, windows: Int = 16): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true))
+    val contentIdx = df.schema.fieldIndex("content")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
+        val decoded =
+          if (bytes == null) None
+          else
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val fmt = ais.getFormat
+                if (fmt.getEncoding !=
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                  fmt.getSampleSizeInBits != 16) None
+                else {
+                  val data = ais.readAllBytes()
+                  val ch = fmt.getChannels
+                  val n = data.length / (2 * ch)
+                  // channel-mixed samples, normalized to [-1, 1]
+                  val mono = new Array[Double](n)
+                  var i = 0
+                  while (i < n) {
+                    var s = 0.0
+                    var c = 0
+                    while (c < ch) {
+                      val o = (i * ch + c) * 2
+                      val v =
+                        if (fmt.isBigEndian) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
+                        else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+                      s += v / 32768.0
+                      c += 1
+                    }
+                    mono(i) = s / ch
+                    i += 1
+                  }
+                  val feats = new Array[Float](windows)
+                  var wi = 0
+                  while (wi < windows) {
+                    val a = wi * n / windows
+                    val b = math.max((wi + 1) * n / windows, a + 1)
+                    var sq = 0.0
+                    var j = a
+                    while (j < math.min(b, n)) { sq += mono(j) * mono(j); j += 1 }
+                    feats(wi) = math.sqrt(sq / math.max(math.min(b, n) - a, 1)).toFloat
+                    wi += 1
+                  }
+                  Some((fmt.getSampleRate.toInt, n, feats))
+                }
+              } finally ais.close()
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+        decoded match {
+          case Some((rate, n, feats)) =>
+            val meta = Row(null, null, rate, n)
+            Row.fromSeq(r.toSeq.updated(metaIdx, meta) :+ feats.toSeq)
+          case None => Row.fromSeq(r.toSeq :+ null)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
 
   /** STUB: deterministic fake "decode + feature extraction" — folds the
     * bytes into `dim` float accumulators (byte i lands in lane i % dim).

@@ -42,6 +42,91 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.count() === 1) // one pair from two media files
   }
 
+  // ---- real pure-JVM decoders -------------------------------------------
+
+  /** PNG bytes: left half black, right half white. */
+  private def halfToneImage(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Mono 16-bit PCM WAV: first half silent, second half a ±amp square
+    * wave (RMS exactly amp).
+    */
+  private def halfToneWav(rate: Int, frames: Int, amp: Double): Array[Byte] = {
+    val raw = new Array[Byte](frames * 2)
+    for (i <- frames / 2 until frames) {
+      val v = (if (i % 2 == 0) amp else -amp) * 32767.0
+      val s = v.toInt.toShort
+      raw(i * 2) = (s & 0xff).toByte        // little-endian
+      raw(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def mediaFrame(name: String, bytes: Array[Byte], modality: String) = {
+    val dir = tmpDir("real_media")
+    Files.write(Paths.get(dir, name), bytes)
+    Multimodal.readBinaryDir(spark, dir, modality)
+  }
+
+  test("decodeImages: real PNG decode — true dimensions, luminance features") {
+    val out = Multimodal.decodeImages(mediaFrame("ht.png", halfToneImage(32, 16), "image"))
+      .selectExpr("meta.width", "meta.height", "features").head()
+    assert(out.getInt(0) === 32 && out.getInt(1) === 16)
+    val f = out.getSeq[Float](2)
+    assert(f.length === 64)
+    // row-major 8×8 thumbnail: left 4 columns black, right 4 white
+    for (ty <- 0 until 8) {
+      for (tx <- 0 until 4) assert(f(ty * 8 + tx) < 0.05)
+      for (tx <- 4 until 8) assert(f(ty * 8 + tx) > 0.95)
+    }
+  }
+
+  test("decodeImages: undecodable bytes yield null features, no failure") {
+    val out = Multimodal.decodeImages(mediaFrame("junk.png",
+      Array.tabulate[Byte](100)(_.toByte), "image"))
+    assert(out.count() === 1)
+    assert(out.selectExpr("features").head().isNullAt(0))
+  }
+
+  test("decodeWav: real WAV decode — header meta, per-window RMS") {
+    val rate = 8000
+    val frames = 4096
+    val out = Multimodal.decodeWav(
+      mediaFrame("sq.wav", halfToneWav(rate, frames, amp = 0.5), "audio"),
+      windows = 4)
+      .selectExpr("meta.sample_rate", "meta.n_frames", "features").head()
+    assert(out.getInt(0) === rate && out.getInt(1) === frames)
+    val f = out.getSeq[Float](2)
+    assert(f.length === 4)
+    assert(f(0) < 0.01f && f(1) < 0.01f)          // silent half
+    assert(f(2) > 0.49f && f(2) < 0.51f)          // square wave: RMS = amp
+    assert(f(3) > 0.49f && f(3) < 0.51f)
+  }
+
+  test("decoded image features flow into ANN ops (near-dup on real pixels)") {
+    val dir = tmpDir("img_dup")
+    Files.write(Paths.get(dir, "a.png"), halfToneImage(32, 16))
+    Files.write(Paths.get(dir, "b.png"), halfToneImage(64, 32)) // same content, resized
+    Files.write(Paths.get(dir, "c.png"), halfToneImage(16, 16).reverse.reverse) // distinct file, same pattern
+    val feats = Multimodal.decodeImages(Multimodal.readBinaryDir(spark, dir, "image"))
+      .selectExpr("media_id AS vec_id", "features AS embedding")
+    val pairs = Ann.cosineNearDupPairs(feats, "vec_id", "embedding", threshold = 0.999)
+    assert(pairs.count() === 3) // all three decode to the same thumbnail
+  }
+
   test("resizeStub truncates content and stamps meta") {
     val df = Multimodal.readBinaryDir(spark, writeMedia(), "image")
     val out = Multimodal.resizeStub(df, targetBytes = 100, w = 10, h = 10)
