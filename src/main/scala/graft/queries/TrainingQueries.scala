@@ -123,6 +123,27 @@ object TrainingQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Backward as-of join via the custom LogicalPlan/Strategy/SparkPlan
+    // operator (graft.plans.AsOfJoin): every event picks the user's
+    // latest purchase at or before it. The right side is deduped per
+    // (user, ts) so tie order cannot differ between engines; DuckDB's
+    // native ASOF LEFT JOIN replays the semantics exactly.
+    "q33_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("purchase_value"))
+      graft.plans.AsOfJoin.asof(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, Seq("user_id"), "ts", "purchase_ts")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("event_epoch"),
+          unix_timestamp(col("purchase_ts")).as("purchase_epoch"),
+          round(col("purchase_value"), 2).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Session windows (batch twin of the streaming sessionizer): events
     // within 30 min chain into one session per user.
     "q31_sessions" -> ((s, d) => {
@@ -226,6 +247,18 @@ object TrainingQueries {
   val oracles: Map[String, String] = Map(
     "q28_simhash_neardup" -> simHashOracle,
     "q29_lsh_ann" -> lshAnnOracle,
+
+    "q33_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events),
+        |r AS (SELECT user_id, ts AS purchase_ts, max(value) AS purchase_value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id,
+        |  CAST(floor(epoch(l.ts)) AS BIGINT) AS event_epoch,
+        |  CAST(floor(epoch(r.purchase_ts)) AS BIGINT) AS purchase_epoch,
+        |  round(r.purchase_value, 2) AS purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.purchase_ts
+        |ORDER BY l.event_id""".stripMargin,
     "q20_token_stats" ->
       s"""SELECT doc_id,
          |  len($toksSql) AS n_tokens,

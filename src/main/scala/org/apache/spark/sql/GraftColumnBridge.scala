@@ -1,13 +1,29 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.SparkStrategy
 
-/** Bridge into the sql package-private Column↔Expression converters
-  * (`org.apache.spark.sql.classic.ExpressionUtils`), so graft's native
-  * Catalyst expressions can surface as `Column`s in the public DSL — the
-  * classic extension-library pattern.
+/** Bridge into the sql package-private surface, so graft's native
+  * Catalyst expressions and custom logical plans can ride the public DSL —
+  * the classic extension-library pattern:
+  *
+  *   - Column ↔ Expression (`classic.ExpressionUtils`);
+  *   - LogicalPlan → DataFrame (`classic.Dataset.ofRows`);
+  *   - imperative planner-strategy registration (`experimental`), for
+  *     sessions built without `GraftSessionExtensions`.
   */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to an existing session. */
+  def addStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
 }

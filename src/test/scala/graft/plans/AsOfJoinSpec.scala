@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** The custom sort-merge as-of operator vs the compositional window
+  * formulation: identical results on randomized data, correct backward /
+  * inclusive / no-match semantics on crafted cases, and the plan shape a
+  * 100 TB run needs (AsOfJoinExec present, one exchange per side).
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private val lSchema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("lv", StringType, nullable = true)))
+  private val rSchema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("rts", LongType, nullable = false),
+    StructField("rv", DoubleType, nullable = true)))
+
+  private def ldf(rows: (Long, Long, String)*) =
+    frame(lSchema, rows.map(r => Row(r._1, r._2, r._3)))
+  private def rdf(rows: (Long, Long, Double)*) =
+    frame(rSchema, rows.map(r => Row(r._1, r._2, r._3)))
+
+  test("backward semantics: latest right ≤ left ts, per key, inclusive") {
+    val left = ldf((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "early"),
+      (2L, 10L, "c"), (3L, 10L, "lonely"))
+    val right = rdf((1L, 10L, 1.0), (1L, 15L, 2.0), (1L, 99L, 9.0),
+      (2L, 1L, 5.0), (4L, 1L, 7.0))
+    val out = AsOfJoin.asof(left, right, Seq("k"), "ts", "rts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out((1L, 10L)) === Some(1.0))  // inclusive: rts == ts matches
+    assert(out((1L, 20L)) === Some(2.0))  // latest of {10, 15}
+    assert(out((1L, 5L)) === None)        // nothing at or before 5
+    assert(out((2L, 10L)) === Some(5.0))
+    assert(out((3L, 10L)) === None)       // key absent on the right
+  }
+
+  test("custom exec ≡ window formulation on randomized data") {
+    val rnd = new scala.util.Random(17)
+    val left = ldf(Seq.fill(400)((rnd.nextInt(20).toLong,
+      rnd.nextInt(1000).toLong, "L" + rnd.nextInt(5))): _*)
+    // distinct right (k, ts) so tie-order can't differ between impls
+    val right = rdf(Seq.fill(300)((rnd.nextInt(25).toLong,
+      rnd.nextInt(1000).toLong, rnd.nextInt(100) / 10.0))
+      .distinctBy(r => (r._1, r._2)): _*)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))).sorted.toSeq
+    val viaExec = canon(AsOfJoin.asof(left, right, Seq("k"), "ts", "rts"))
+    val viaWindow = canon(AsOfJoin.asofViaWindow(left, right, Seq("k"), "ts", "rts"))
+    assert(viaExec.size === 400)
+    assert(viaExec === viaWindow)
+  }
+
+  test("self as-of (shared scan) binds correctly despite duplicate exprIds") {
+    val events = ldf((1L, 10L, "x"), (1L, 20L, "y"), (1L, 30L, "z"))
+    val prior = events.selectExpr("k", "ts AS rts", "lv AS prior_lv")
+      .filter("rts <= 20")
+    val out = AsOfJoin.asof(events, prior, Seq("k"), "ts", "rts")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(4)) null else r.getString(4))).toMap
+    assert(out === Map(10L -> "x", 20L -> "y", 30L -> "y"))
+  }
+
+  test("plan shape: AsOfJoinExec with one exchange + sort per side") {
+    val left = ldf((1L, 10L, "a"))
+    val right = rdf((1L, 5L, 1.0))
+    val plan = AsOfJoin.asof(left, right, Seq("k"), "ts", "rts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin")) // SparkPlan.nodeName strips the Exec suffix
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2)
+    assert("\\bSort\\b".r.findAllIn(plan).size === 2)
+  }
+
+  test("empty right side leaves every left row unmatched") {
+    val left = ldf((1L, 10L, "a"), (2L, 20L, "b"))
+    val out = AsOfJoin.asof(left, rdf(), Seq("k"), "ts", "rts").collect()
+    assert(out.length === 2)
+    assert(out.forall(_.isNullAt(4)))
+  }
+
+  test("missing column names fail fast with a helpful message") {
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(ldf((1L, 1L, "a")), rdf((1L, 1L, 1.0)), Seq("nope"), "ts", "rts")
+    }
+    assert(e.getMessage.contains("'nope'") && e.getMessage.contains("left"))
+  }
+}
