@@ -113,7 +113,95 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ex = extras(spark, sfDir)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$ex,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Supplementary scale measurements, reported beside (not inside) the
+    * query battery:
+    *
+    *   - x_ivf_build_sec / x_ivf_search_sec / x_ivf_search_probe2_sec:
+    *     q30's time includes the k-means index build; these split the
+    *     amortized build from the per-query search (full-probe = exact,
+    *     probe-2 = the sub-linear path).
+    *   - x_stream_upsert_sec / x_stream_upsert_rows: AvailableNow CSV →
+    *     validate → dedup → MERGE end-to-end at bench scale (CSV
+    *     generation excluded); rows/s = rows / sec. Single-run (a
+    *     checkpoint replay would measure a no-op) — and the time is
+    *     dominated by the DATE-partitioned layout fanning ~150k rows into
+    *     ~2,400 tiny partitions at this SF; at production scale the same
+    *     ~2,400 partitions each hold real volume, so the per-partition
+    *     overhead amortizes away.
+    *
+    * IVF entries are min-of-2 (the VM's slow windows hit single runs
+    * hard — see the retry-pass note above). Failures degrade to a -1
+    * entry rather than killing the bench line.
+    */
+  private def extras(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val out = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def timed(name: String, reps: Int = 2)(body: => Unit): Unit = {
+      var best = Double.MaxValue
+      try {
+        (1 to reps).foreach { _ =>
+          val t0 = System.nanoTime()
+          body
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        out += name -> best
+      } catch {
+        case _: Throwable =>
+          out += name -> (if (best == Double.MaxValue) -1.0 else best)
+      }
+    }
+    try {
+      val emb = graft.queries.Tables.embeddings(spark, sfDir)
+      var idx: graft.operators.IvfAnn.Index = null
+      timed("x_ivf_build_sec") {
+        if (idx != null) idx.assigned.unpersist()
+        idx = graft.operators.IvfAnn.build(emb, "vec_id", "embedding",
+          nCentroids = 8, maxIter = 2) // q30's parameters
+        idx = idx.copy(assigned =
+          idx.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        idx.assigned.count() // materialize the inverted file
+      }
+      val queries = emb.filter(col("vec_id") < 5)
+      timed("x_ivf_search_sec") {
+        graft.operators.IvfAnn.topK(idx, queries, "vec_id", "embedding",
+          k = 5, nProbe = 8).count()
+      }
+      timed("x_ivf_search_probe2_sec") {
+        graft.operators.IvfAnn.topK(idx, queries, "vec_id", "embedding",
+          k = 5, nProbe = 2).count()
+      }
+      idx.assigned.unpersist()
+    } catch { case _: Throwable => out += "x_ivf_build_sec" -> -1.0 }
+
+    try {
+      // bench-scale streaming ingest: TPC-H orders reshaped to the curated
+      // e-commerce schema, split into 8 "daily" CSV files
+      val root = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
+      val n = {
+        val src = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(
+            (col("o_orderkey") % 100000).cast("int").as("order_num"),
+            col("o_orderkey").cast("int").as("order_id"),
+            col("o_custkey").cast("int").as("user_id"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_timestamp"),
+            col("o_totalprice").as("total_amount"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"))
+        src.repartition(8).write.option("header", "true").csv(s"$root/in")
+        src.count()
+      }
+      out += "x_stream_upsert_rows" -> n.toDouble
+      timed("x_stream_upsert_sec", reps = 1) {
+        graft.streaming.StreamingIngest.csvStreamUpsert(spark, s"$root/in",
+          graft.schemas.Schemas.ordersSpec, s"$root/table", s"$root/ckpt")
+          .awaitTermination()
+      }
+    } catch { case _: Throwable => out += "x_stream_upsert_sec" -> -1.0 }
+    out.toSeq
   }
 }

@@ -36,7 +36,11 @@ object Pipeline {
       outputDir: String,      // curated tables at <outputDir>/clean_<name>
       rejectedDir: String,    // rejected records at <rejectedDir>/<name>
       archiveDir: Option[String] = None,
-      jobName: String = "graft-etl")
+      jobName: String = "graft-etl",
+      // post-merge full-table recount for TableResult.mergedRows — exact
+      // observability at reference scale, a full extra scan at 100 TB;
+      // disable there and read counts from the parquet footers instead
+      countAfterMerge: Boolean = true)
 
   def tablePath(cfg: Config, name: String): String = s"${cfg.outputDir}/clean_$name"
 
@@ -82,7 +86,9 @@ object Pipeline {
       val deduped = Deduplicator.dropDuplicatesByKey(split.valid, spec.primaryKey)
       ParquetTable.merge(spark, tablePath(cfg, spec.name), deduped,
         spec.primaryKey, spec.partitionColumns)
-      val mergedRows = ParquetTable.read(spark, tablePath(cfg, spec.name)).count()
+      val mergedRows =
+        if (cfg.countAfterMerge) ParquetTable.read(spark, tablePath(cfg, spec.name)).count()
+        else -1L
       TableResult(spec.name, inputRows, inputRows - rejectedRows, rejectedRows, mergedRows)
     } finally annotated.unpersist()
   }
