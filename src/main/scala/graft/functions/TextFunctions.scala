@@ -137,6 +137,37 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
+  // ---- chunking / normalization -----------------------------------------
+
+  /** Overlapping fixed-size token chunks — the LLM pre-training document
+    * splitter: chunk i covers tokens [i·stride, i·stride + chunkSize);
+    * ceil(n/stride) chunks, the last possibly short. Returns
+    * array<struct<chunk_idx, chunk_text, n_tokens>> — explode for one row
+    * per chunk. Narrow map, no shuffle; at 100 TB chunking is a scan.
+    */
+  def tokenChunks(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      "tokenChunks: need 1 <= stride <= chunkSize (stride > chunkSize drops tokens)")
+    val toks = tokens(text)
+    val nChunks = ceil(size(toks).cast("double") / stride).cast("int")
+    transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1), i =>
+      struct(
+        i.cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))).as("chunk_text"),
+        least(size(toks) - i * stride, lit(chunkSize)).as("n_tokens")))
+  }
+
+  /** Tokens with immediate repeats collapsed ("the the" → "the") — cheap
+    * stutter/boilerplate normalization ahead of dedup.
+    */
+  def collapsedTokens(text: Column): Column = {
+    val toks = tokens(text)
+    filter(toks, (t, i) => i === 0 || t =!= element_at(toks, i))
+  }
+
+  def collapseRepeats(text: Column): Column =
+    concat_ws(" ", collapsedTokens(text))
+
   /** SQL-replayable 64-bit string hash (four packed 16-bit polynomial
     * parts) — see expressions.PolyHash64. Drop-in `baseHash` for the
     * signature operators when the run must be verifiable by an external

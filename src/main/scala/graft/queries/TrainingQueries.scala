@@ -144,6 +144,43 @@ object TrainingQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Pre-training document chunking: overlapping 32-token windows at
+    // stride 24, one row per chunk.
+    "q34_token_chunks" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(tokenChunks(col("text"), chunkSize = 32, stride = 24)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"),
+          col("c.n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Stutter/boilerplate normalization: collapse immediate token repeats;
+    // the collapsed text's fingerprint proves content (not just count)
+    // parity with the oracle.
+    "q35_collapse_repeats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(collapsedTokens(col("text"))).as("n_collapsed"),
+        fingerprint(collapseRepeats(col("text"))).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repetition/spam signal: share of tokens taken by the single most
+    // frequent token.
+    "q36_top_token_ratio" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("__t"))
+        .groupBy(col("doc_id"), col("__t"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("__c")).as("top_token_count"), sum(col("__c")).as("n_tokens"))
+        .withColumn("top_token_ratio",
+          round(col("top_token_count").cast("double") / col("n_tokens"), 4))
+        .orderBy(col("doc_id"))
+    }),
+
     // Session windows (batch twin of the streaming sessionizer): events
     // within 30 min chain into one session per user.
     "q31_sessions" -> ((s, d) => {
@@ -247,6 +284,38 @@ object TrainingQueries {
   val oracles: Map[String, String] = Map(
     "q28_simhash_neardup" -> simHashOracle,
     "q29_lsh_ann" -> lshAnnOracle,
+
+    "q34_token_chunks" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |  unnest(range(0, greatest(CAST(ceil(len(toks)::DOUBLE / 24) AS INT), 1))) AS chunk_idx
+         |  FROM tok)
+         |SELECT doc_id, chunk_idx,
+         |  array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ') AS chunk_text,
+         |  len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS n_tokens
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q35_collapse_repeats" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  list_filter(toks, (x, i) -> i = 1 OR x <> toks[i-1]) AS ctoks
+         |  FROM t)
+         |SELECT doc_id, n_tokens, len(ctoks) AS n_collapsed,
+         |  list_reduce(
+         |    list_prepend(0::BIGINT,
+         |      list_transform(string_split(array_to_string(ctoks, ' '), ''), ch -> ascii(ch)::BIGINT)),
+         |    (h, ch) -> (h * 31 + ch) % 1000000007) AS fp
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q36_top_token_ratio" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t)
+        |SELECT doc_id, max(c) AS top_token_count,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(max(c)::DOUBLE / sum(c), 4) AS top_token_ratio
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q33_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events),

@@ -78,4 +78,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(clean > junk)
     assert(clean <= 1.0 && junk >= 0.0)
   }
+
+  test("tokenChunks: stride overlap, short tail, single-chunk doc") {
+    // 7 tokens, size 4, stride 2 → ceil(7/2) = 4 chunks
+    val chunks = eval("a b c d e f g", t => tokenChunks(t, 4, 2))
+      .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(chunks === Seq(
+      (0L, "a b c d", 4), (1L, "c d e f", 4), (2L, "e f g", 3), (3L, "g", 1)))
+    val one = eval("tiny doc", t => tokenChunks(t, 32, 24))
+      .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+    assert(one.size === 1 && one.head.getString(1) === "tiny doc")
+  }
+
+  test("collapseRepeats folds immediate repeats only") {
+    assert(eval("the the cat cat cat sat the", collapseRepeats) === "the cat sat the")
+    assert(eval("a b a b", collapseRepeats) === "a b a b") // non-adjacent kept
+  }
 }
