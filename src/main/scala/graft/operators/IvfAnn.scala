@@ -79,6 +79,33 @@ object IvfAnn {
     Index(centroids, assigned)
   }
 
+  /** Persist the index: centroids as a tiny parquet (centroid_id +
+    * vector), the assigned corpus PARTITIONED BY centroid_id — so a
+    * search that probes nProbe cells prunes to exactly those partition
+    * directories at scan time. This is what makes the build amortizable:
+    * build once per corpus version, serve searches from the layout.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, index: Index, dir: String): Unit = {
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"$dir/assigned")
+  }
+
+  /** Reload a saved index. The assigned side comes back partition-pruned:
+    * `topK`'s centroid_id equi-join lets Spark skip every unprobed cell
+    * directory.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("centroid_id")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    Index(centroids, spark.read.parquet(s"$dir/assigned"))
+  }
+
   /** Top-k by cosine for each query, probing the `nProbe` nearest cells. */
   def topK(
       index: Index,

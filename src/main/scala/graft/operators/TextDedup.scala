@@ -101,6 +101,32 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
   }
 
+  /** Incremental exact dedup for a continuously-ingested corpus: dedup
+    * the new batch against itself (keep lowest id per normalized
+    * fingerprint) AND against the persistent fingerprint `store` (one
+    * `fp` long column — ~8 bytes/doc, billions of rows stay joinable).
+    * Returns (novel rows to append to the corpus, their fingerprints to
+    * append to the store). Both joins are fp-key shuffles: linear,
+    * broadcastable when the batch is small relative to the store since
+    * the batch side can be the build side of either join.
+    */
+  def incrementalExactDedup(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      store: DataFrame): (DataFrame, DataFrame) = {
+    val fpCol = store.columns.head
+    val withFp = batch.withColumn("__fp", normalizedFingerprint(col(textCol)))
+    val keepIds = withFp
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .join(store, col("__fp") === col(fpCol), "left_anti")
+      .select(col(idCol))
+    val novel = withFp.join(keepIds, Seq(idCol), "left_semi")
+    (novel.drop("__fp"),
+      novel.select(col("__fp").as(fpCol)).distinct())
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** 2^31-1: permutation hashes stay in [0, p); a*x+b never overflows a

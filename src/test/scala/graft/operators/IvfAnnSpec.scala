@@ -54,4 +54,21 @@ class IvfAnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(ivf === exact)
   }
+
+  test("save/load round-trip: persisted index serves identical searches") {
+    val c = corpus()
+    val idx = IvfAnn.build(c, "vec_id", "embedding", nCentroids = 3)
+    val dir = tmpDir("ivf_idx") + "/index"
+    IvfAnn.save(spark, idx, dir)
+    val loaded = IvfAnn.load(spark, dir)
+    assert(loaded.centroids.length === 3)
+    assert(loaded.centroids.zip(idx.centroids).forall { case (a, b) => a.sameElements(b) })
+    val q = c.filter("vec_id < 3")
+    def res(i: IvfAnn.Index) =
+      IvfAnn.topK(i, q, "vec_id", "embedding", k = 3, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(res(loaded) === res(idx))
+    // the inverted file landed partitioned by cell → probe-time pruning
+    assert(new java.io.File(s"$dir/assigned/centroid_id=0").exists())
+  }
 }

@@ -35,6 +35,24 @@ class TextDedupSpec extends SparkSpec {
     assert(out === Seq(1L, 2L, 3L, 6L)) // 4 and 5 both fold into 1
   }
 
+  test("incrementalExactDedup: batch-internal + store dedup, store growth") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType => LT, StructField => SF, StructType => ST}
+    val emptyStore = frame(ST(Seq(SF("fp", LT, nullable = false))), Seq.empty)
+    // batch 1: doc 4 duplicates doc 1, doc 5 is a normalized variant of 1
+    val (novel1, fps1) = TextDedup.incrementalExactDedup(corpus, "id", "text", emptyStore)
+    assert(novel1.select("id").collect().map(_.getLong(0)).sorted === Seq(1L, 2L, 3L, 6L))
+    val store1 = emptyStore.unionByName(fps1)
+    assert(store1.count() === 4)
+    // batch 2: one replay of doc 2's text (new id) + one genuinely new doc
+    val batch2 = docs(
+      (10L, "the quick brown fox jumps over the lazy cat", "a"), // dup of stored 2
+      (11L, "fresh unseen content in the second batch", "b"))
+    val (novel2, fps2) = TextDedup.incrementalExactDedup(batch2, "id", "text", store1)
+    assert(novel2.select("id").collect().map(_.getLong(0)).toSeq === Seq(11L))
+    assert(store1.unionByName(fps2).count() === 5)
+  }
+
   test("ngramJaccardPairs finds near-dups within blocks only") {
     val pairs = TextDedup.ngramJaccardPairs(corpus, "id", "text",
         n = 2, threshold = 0.5, blockCols = Seq("block"))
