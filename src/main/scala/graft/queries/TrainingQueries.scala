@@ -181,6 +181,21 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Skew-salted fact⋈dim join: salting must leave the join RESULT
+    // bit-identical (the oracle is the plain join), only the shuffle
+    // layout changes.
+    "q37_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+      graft.operators.Skew.saltedEquiJoin(li, ord, Seq("okey"), saltFactor = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Session windows (batch twin of the streaming sessionizer): events
     // within 30 min chain into one session per user.
     "q31_sessions" -> ((s, d) => {
@@ -316,6 +331,13 @@ object TrainingQueries {
         |  CAST(sum(c) AS BIGINT) AS n_tokens,
         |  round(max(c)::DOUBLE / sum(c), 4) AS top_token_ratio
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q37_salted_join" ->
+      """SELECT o.o_orderstatus, count(*) AS n,
+        |  round(sum(l.l_extendedprice), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderstatus
+        |ORDER BY o.o_orderstatus""".stripMargin,
 
     "q33_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events),
