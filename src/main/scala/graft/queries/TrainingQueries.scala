@@ -196,6 +196,20 @@ object TrainingQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Semi-structured columns: schema-full JSON parse of the events
+    // props payload (from_json with an explicit struct, not a string
+    // path probe), aggregated on the extracted field.
+    "q38_json_extract" -> ((s, d) => {
+      val propsType = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))
+      Tables.events(s, d)
+        .select(from_json(col("props"), propsType).getField("k").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_mod"))
+    }),
+
     // Session windows (batch twin of the streaming sessionizer): events
     // within 30 min chain into one session per user.
     "q31_sessions" -> ((s, d) => {
@@ -331,6 +345,11 @@ object TrainingQueries {
         |  CAST(sum(c) AS BIGINT) AS n_tokens,
         |  round(max(c)::DOUBLE / sum(c), 4) AS top_token_ratio
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q38_json_extract" ->
+      """SELECT (props->>'$.k')::INT % 10 AS k_mod, count(*) AS n,
+        |  CAST(sum((props->>'$.k')::INT) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q37_salted_join" ->
       """SELECT o.o_orderstatus, count(*) AS n,
