@@ -11,6 +11,14 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType,
+  ShortType, TimestampNTZType, TimestampType}
+
+/** Match direction for the as-of join (pandas `merge_asof` vocabulary). */
+sealed trait AsOfDirection extends Serializable
+case object AsOfBackward extends AsOfDirection // greatest right ts ≤ left ts
+case object AsOfForward extends AsOfDirection  // least right ts ≥ left ts
+case object AsOfNearest extends AsOfDirection  // closer of the two; tie → backward
 
 /** Backward as-of join — the time-series operator Spark has no native
   * relational form for: each left row (keys, ts) picks the single right
@@ -43,7 +51,9 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Attribute],
     rightKeys: Seq[Attribute],
     leftTs: Attribute,
-    rightTs: Attribute) extends BinaryNode {
+    rightTs: Attribute,
+    direction: AsOfDirection = AsOfBackward,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   /** Right key columns are redundant with the left ones on a match and
     * dropped (merge_asof convention); right ts rides along as payload.
@@ -63,7 +73,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
-        p.leftKeys, p.rightKeys, p.leftTs, p.rightTs, p.rightPayload) :: Nil
+        p.leftKeys, p.rightKeys, p.leftTs, p.rightTs, p.rightPayload,
+        p.direction, p.tolerance) :: Nil
     case _ => Nil
   }
 }
@@ -75,7 +86,9 @@ case class AsOfJoinExec(
     rightKeys: Seq[Attribute],
     leftTs: Attribute,
     rightTs: Attribute,
-    rightPayload: Seq[Attribute]) extends BinaryExecNode {
+    rightPayload: Seq[Attribute],
+    direction: AsOfDirection = AsOfBackward,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
@@ -106,6 +119,11 @@ case class AsOfJoinExec(
     val lTs = leftTs
     val rTs = rightTs
     val outAttrs = output
+    val dir = direction
+    val tol = tolerance
+    // Nearest + tolerance need numeric ts arithmetic, not just ordering.
+    val needsNumericTs = dir == AsOfNearest || tol.isDefined
+    if (needsNumericTs) AsOfJoin.requireIntegralTs(lTs.dataType)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
@@ -113,14 +131,17 @@ case class AsOfJoinExec(
       val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTs.dataType))
+      val tsGet: InternalRow => Long =
+        if (needsNumericTs) AsOfJoin.integralTsGetter(lTs.dataType) else null
       val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
 
       new Iterator[InternalRow] {
         private var pendingRight: InternalRow = _ // peeked, not yet consumed
-        private var heldRight: InternalRow = _    // copy: last right row taken
+        private var heldRight: InternalRow = _    // copy: last right row ≤ ts
         private var heldKey: InternalRow = _      // copy of its key
+        private var heldTsVal: Long = _           // its numeric ts (if needed)
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -137,15 +158,46 @@ case class AsOfJoinExec(
               val keyCmp = keyOrd.compare(rKey, lKey)
               if (keyCmp < 0) pendingRight = null // behind: discard, keep scanning
               else if (keyCmp > 0) advancing = false // ahead: leave peeked
-              else if (tsOrd.compare(rTsProj(pendingRight), lTsRow) <= 0) {
-                heldRight = pendingRight.copy() // newest right ≤ this left ts
-                heldKey = rKey.copy()
-                pendingRight = null
-              } else advancing = false // same key, future ts: leave peeked
+              else {
+                val cmp = tsOrd.compare(rTsProj(pendingRight), lTsRow)
+                if (dir == AsOfForward) {
+                  // rows strictly before this left ts can never match a later
+                  // left either (lefts arrive ts-ascending) — discard
+                  if (cmp < 0) pendingRight = null else advancing = false
+                } else if (cmp <= 0) {
+                  heldRight = pendingRight.copy() // newest right ≤ this left ts
+                  heldKey = rKey.copy()
+                  if (needsNumericTs) heldTsVal = tsGet(rTsProj(heldRight))
+                  pendingRight = null
+                } else advancing = false // same key, future ts: leave peeked
+              }
             }
           }
-          val matched = heldRight != null && keyOrd.compare(heldKey, lKey) == 0
-          resultProj(joined(l, if (matched) heldRight else nullRight))
+          val lTsVal = if (needsNumericTs) tsGet(lTsRow) else 0L
+          val heldOk = heldRight != null && keyOrd.compare(heldKey, lKey) == 0 &&
+            tol.forall(t => lTsVal - heldTsVal <= t)
+          // pending is the first same-key right with ts beyond the left ts
+          // (or ≥ it, for forward); never consumed — later lefts may reuse it
+          lazy val pendTsVal = tsGet(rTsProj(pendingRight))
+          val pendOk = dir != AsOfBackward && pendingRight != null &&
+            keyOrd.compare(rKeyProj(pendingRight), lKey) == 0 &&
+            tol.forall(t => pendTsVal - lTsVal <= t)
+          val matchRow = dir match {
+            case AsOfBackward => if (heldOk) heldRight else null
+            case AsOfForward =>
+              // forward ignores held state; the advance loop guarantees a
+              // same-key pending row already sits at ts ≥ left ts
+              if (pendOk) pendingRight else null
+            case AsOfNearest =>
+              if (heldOk && pendOk) {
+                // tie on |Δts| resolves backward, like pandas merge_asof
+                if (lTsVal - heldTsVal <= pendTsVal - lTsVal) heldRight
+                else pendingRight
+              } else if (heldOk) heldRight
+              else if (pendOk) pendingRight
+              else null
+          }
+          resultProj(joined(l, if (matchRow != null) matchRow else nullRight))
         }
       }
     }
@@ -158,19 +210,54 @@ case class AsOfJoinExec(
 
 object AsOfJoin {
 
-  /** Backward as-of join via the custom operator. `on` are the equality
-    * keys (right's copies are dropped from the output); every other right
+  /** ts types whose internal representation is an integral value — required
+    * for `nearest` and `tolerance`, which subtract timestamps rather than
+    * just ordering them. TimestampType's internal unit is MICROSECONDS
+    * (so a 2-day tolerance is `2L*86400*1000000`); DateType's is days.
+    */
+  private[plans] def requireIntegralTs(dt: DataType): Unit = dt match {
+    case LongType | TimestampType | TimestampNTZType | IntegerType |
+         DateType | ShortType => ()
+    case other => throw new IllegalArgumentException(
+      s"asof nearest/tolerance needs an integral or timestamp ts column, got $other")
+  }
+
+  private[plans] def integralTsGetter(dt: DataType): InternalRow => Long =
+    dt match {
+      case LongType | TimestampType | TimestampNTZType => _.getLong(0)
+      case IntegerType | DateType => _.getInt(0).toLong
+      case ShortType => _.getShort(0).toLong
+      case other => throw new IllegalArgumentException(
+        s"asof: unsupported ts type $other")
+    }
+
+  private def parseDirection(s: String): AsOfDirection = s match {
+    case "backward" => AsOfBackward
+    case "forward" => AsOfForward
+    case "nearest" => AsOfNearest
+    case other => throw new IllegalArgumentException(
+      s"asof direction must be backward|forward|nearest, got '$other'")
+  }
+
+  /** As-of join via the custom operator. `on` are the equality keys
+    * (right's copies are dropped from the output); every other right
     * column — including `rightTsCol` — joins the output, null when no
-    * right row precedes the left timestamp. Rename right columns that
-    * would collide with left names before calling. Registers
-    * `AsOfJoinStrategy` in the session if absent.
+    * right row qualifies. `direction`: "backward" (greatest right ts ≤
+    * left ts — the default), "forward" (least right ts ≥ left ts), or
+    * "nearest" (closer of the two, ties backward). `tolerance` bounds
+    * |left ts − right ts| in the ts type's INTERNAL unit (µs for
+    * timestamps, days for dates). Rename right columns that would collide
+    * with left names before calling. Registers `AsOfJoinStrategy` in the
+    * session if absent.
     */
   def asof(
       left: DataFrame,
       right: DataFrame,
       on: Seq[String],
       leftTsCol: String,
-      rightTsCol: String): DataFrame = {
+      rightTsCol: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     GraftColumnBridge.addStrategy(spark, AsOfJoinStrategy)
     // fresh exprIds on the right: both sides may share a scan (self as-of),
@@ -182,9 +269,13 @@ object AsOfJoin {
       plan.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"asof: column '$n' not found on the $side side " +
           s"(have: ${plan.output.map(_.name).mkString(", ")})"))
+    val dir = parseDirection(direction)
+    val lTsAtt = att(lPlan, leftTsCol, "left")
+    if (dir == AsOfNearest || tolerance.isDefined) requireIntegralTs(lTsAtt.dataType)
+    require(tolerance.forall(_ >= 0), "asof tolerance must be ≥ 0")
     GraftColumnBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       on.map(att(lPlan, _, "left")), on.map(att(rPlan, _, "right")),
-      att(lPlan, leftTsCol, "left"), att(rPlan, rightTsCol, "right")))
+      lTsAtt, att(rPlan, rightTsCol, "right"), dir, tolerance))
   }
 
   /** Compositional formulation (executable spec): union both sides tagged,

@@ -210,6 +210,44 @@ object TrainingQueries {
         .orderBy(col("k_mod"))
     }),
 
+    // Forward as-of with tolerance: each event picks the NEXT purchase by
+    // the same user within 2 days (time-to-conversion shape). Exercises
+    // AsOfForward + the tolerance bound in the custom sort-merge operator.
+    "q39_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("purchase_value"))
+      graft.plans.AsOfJoin.asof(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, Seq("user_id"), "ts", "purchase_ts",
+          direction = "forward", tolerance = Some(2L * 86400 * 1000000)) // 2 d in µs
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("event_epoch"),
+          unix_timestamp(col("purchase_ts")).as("purchase_epoch"),
+          round(col("purchase_value"), 2).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Nearest as-of: closest purchase in either direction, ties backward.
+    "q40_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("purchase_value"))
+      graft.plans.AsOfJoin.asof(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, Seq("user_id"), "ts", "purchase_ts",
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("event_epoch"),
+          unix_timestamp(col("purchase_ts")).as("purchase_epoch"),
+          round(col("purchase_value"), 2).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Session windows (batch twin of the streaming sessionizer): events
     // within 30 min chain into one session per user.
     "q31_sessions" -> ((s, d) => {
@@ -369,6 +407,45 @@ object TrainingQueries {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.purchase_ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // Forward ASOF picks the least purchase_ts ≥ ts; the 2-day tolerance
+    // replays as a post-hoc NULL-out (µs arithmetic = the engine's
+    // internal TimestampType unit, exact on this µs-aligned data).
+    "q39_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events),
+        |r AS (SELECT user_id, ts AS purchase_ts, max(value) AS purchase_value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id,
+        |  CAST(floor(epoch(l.ts)) AS BIGINT) AS event_epoch,
+        |  CASE WHEN epoch_us(r.purchase_ts) - epoch_us(l.ts) <= 172800000000
+        |       THEN CAST(floor(epoch(r.purchase_ts)) AS BIGINT) END AS purchase_epoch,
+        |  CASE WHEN epoch_us(r.purchase_ts) - epoch_us(l.ts) <= 172800000000
+        |       THEN round(r.purchase_value, 2) END AS purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts <= r.purchase_ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // Nearest = closer of the backward and forward ASOF matches, ties
+    // backward — composed from two directional ASOF joins re-joined on the
+    // unique event_id.
+    "q40_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events),
+        |r AS (SELECT user_id, ts AS purchase_ts, max(value) AS purchase_value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |b AS (SELECT l.event_id, r.purchase_ts AS pts, r.purchase_value AS pval
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.purchase_ts),
+        |f AS (SELECT l.event_id, r.purchase_ts AS pts, r.purchase_value AS pval
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.purchase_ts)
+        |SELECT l.event_id, l.user_id,
+        |  CAST(floor(epoch(l.ts)) AS BIGINT) AS event_epoch,
+        |  CAST(floor(epoch(CASE WHEN b.pts IS NOT NULL AND (f.pts IS NULL
+        |        OR epoch_us(l.ts) - epoch_us(b.pts) <= epoch_us(f.pts) - epoch_us(l.ts))
+        |      THEN b.pts ELSE f.pts END)) AS BIGINT) AS purchase_epoch,
+        |  round(CASE WHEN b.pts IS NOT NULL AND (f.pts IS NULL
+        |        OR epoch_us(l.ts) - epoch_us(b.pts) <= epoch_us(f.pts) - epoch_us(l.ts))
+        |      THEN b.pval ELSE f.pval END, 2) AS purchase_value
+        |FROM l LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin,
     "q20_token_stats" ->
       s"""SELECT doc_id,
          |  len($toksSql) AS n_tokens,

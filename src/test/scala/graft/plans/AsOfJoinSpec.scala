@@ -92,4 +92,97 @@ class AsOfJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("'nope'") && e.getMessage.contains("left"))
   }
+
+  private def matches(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Option[Double]] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+
+  test("forward semantics: earliest right ≥ left ts, inclusive, per key") {
+    val left = ldf((1L, 10L, "a"), (1L, 16L, "b"), (1L, 100L, "late"),
+      (2L, 10L, "c"))
+    val right = rdf((1L, 10L, 1.0), (1L, 15L, 2.0), (1L, 99L, 9.0),
+      (2L, 1L, 5.0))
+    val out = matches(AsOfJoin.asof(left, right, Seq("k"), "ts", "rts",
+      direction = "forward"))
+    assert(out((1L, 10L)) === Some(1.0))  // inclusive: rts == ts matches
+    assert(out((1L, 16L)) === Some(9.0))  // earliest of {99}
+    assert(out((1L, 100L)) === None)      // nothing at or after 100
+    assert(out((2L, 10L)) === None)       // only past rows for key 2
+  }
+
+  test("forward: consecutive lefts can reuse one pending right row") {
+    val left = ldf((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"))
+    val right = rdf((1L, 50L, 7.0))
+    val out = matches(AsOfJoin.asof(left, right, Seq("k"), "ts", "rts",
+      direction = "forward"))
+    assert(out.values.toSeq === Seq(Some(7.0), Some(7.0), Some(7.0)))
+  }
+
+  test("nearest semantics: closer side wins, ties go backward") {
+    val left = ldf((1L, 10L, "a"), (1L, 20L, "tie"), (1L, 40L, "c"))
+    val right = rdf((1L, 15L, 1.0), (1L, 25L, 2.0), (1L, 90L, 9.0))
+    val out = matches(AsOfJoin.asof(left, right, Seq("k"), "ts", "rts",
+      direction = "nearest"))
+    assert(out((1L, 10L)) === Some(1.0))  // only forward candidate (Δ5)
+    assert(out((1L, 20L)) === Some(1.0))  // Δ5 both ways → backward wins
+    assert(out((1L, 40L)) === Some(2.0))  // Δ15 back vs Δ50 fwd
+  }
+
+  test("tolerance bounds the match distance in every direction") {
+    val left = ldf((1L, 100L, "a"))
+    val right = rdf((1L, 80L, 1.0), (1L, 130L, 2.0))
+    def run(dir: String, tol: Long) = matches(AsOfJoin.asof(
+      left, right, Seq("k"), "ts", "rts", dir, Some(tol)))((1L, 100L))
+    assert(run("backward", 20L) === Some(1.0))
+    assert(run("backward", 19L) === None)
+    assert(run("forward", 30L) === Some(2.0))
+    assert(run("forward", 29L) === None)
+    assert(run("nearest", 50L) === Some(1.0))  // Δ20 back beats Δ30 fwd
+    assert(run("nearest", 25L) === Some(1.0))  // fwd out of tolerance
+    assert(run("nearest", 19L) === None)       // both out of tolerance
+  }
+
+  test("all directions ≡ brute force on randomized data, with tolerance") {
+    val rnd = new scala.util.Random(29)
+    val lRows = Seq.fill(300)((rnd.nextInt(15).toLong,
+      rnd.nextInt(500).toLong, "L"))
+    val rRows = Seq.fill(200)((rnd.nextInt(18).toLong,
+      rnd.nextInt(500).toLong, rnd.nextInt(1000) / 10.0))
+      .distinctBy(r => (r._1, r._2))
+    val left = ldf(lRows: _*)
+    val right = rdf(rRows: _*)
+    val byKey = rRows.groupBy(_._1)
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(40L))) {
+      val got = matches(AsOfJoin.asof(left, right, Seq("k"), "ts", "rts",
+        dir, tol))
+      lRows.foreach { case (k, ts, _) =>
+        val cands = byKey.getOrElse(k, Nil)
+        val back = cands.filter(r => r._2 <= ts && tol.forall(ts - r._2 <= _))
+          .sortBy(_._2).lastOption
+        val fwd = cands.filter(r => r._2 >= ts && tol.forall(r._2 - ts <= _))
+          .sortBy(_._2).headOption
+        val want = dir match {
+          case "backward" => back
+          case "forward" => fwd
+          case "nearest" => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (ts - b._2 <= f._2 - ts) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        assert(got((k, ts)) === want.map(_._3),
+          s"dir=$dir tol=$tol key=$k ts=$ts")
+      }
+    }
+  }
+
+  test("nearest on a non-integral ts type fails fast") {
+    val l = ldf((1L, 1L, "a")).selectExpr("k", "CAST(ts AS STRING) AS ts", "lv")
+    val r = rdf((1L, 1L, 1.0)).selectExpr("k", "CAST(rts AS STRING) AS rts", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, Seq("k"), "ts", "rts", direction = "nearest")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
