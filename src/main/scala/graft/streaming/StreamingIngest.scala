@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-import graft.operators.{Deduplicator, Validator}
+import graft.operators.{Deduplicator, TextDedup, Validator}
 import graft.schemas.TableSpec
 import graft.sources.{CsvIngest, ParquetTable}
 
@@ -45,6 +45,62 @@ object StreamingIngest {
         val deduped = Deduplicator.dropDuplicatesByKey(valid, spec.primaryKey)
         ParquetTable.merge(batch.sparkSession, tablePath, deduped,
           spec.primaryKey, spec.partitionColumns)
+      }
+      .start()
+  }
+
+  /** The persistent fingerprint store backing `streamDedupIngest`: one
+    * `fp` long column (~8 bytes/doc — billions of rows stay joinable).
+    * Appends may leave duplicate fingerprints after a replay; the
+    * left-anti membership probe is insensitive to them, so no distinct
+    * here (a periodic offline compaction can shrink the store).
+    */
+  def fingerprintStore(spark: SparkSession, storePath: String): DataFrame =
+    if (ParquetTable.exists(spark, storePath))
+      spark.read.parquet(storePath).select(col("fp"))
+    else {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    }
+
+  /** Streaming corpus dedup: stream document files from `inputDir`,
+    * drop every row whose normalized-text fingerprint was already seen —
+    * in this batch or any earlier one — then upsert survivors into the
+    * corpus at `outPath` (by `idCol`) and append their fingerprints to
+    * the store at `storePath`.
+    *
+    * Failure contract: docs are MERGEd (idempotent) BEFORE fingerprints
+    * are appended. A replayed batch therefore re-upserts the same docs
+    * (no-op) and at worst re-appends fingerprints (harmless, see
+    * `fingerprintStore`). The reverse order could lose documents: a
+    * crash between a store append and the doc write would make the
+    * replay see its own fingerprints as "already ingested".
+    */
+  def streamDedupIngest(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      textCol: String,
+      outPath: String,
+      storePath: String,
+      checkpointDir: String): StreamingQuery = {
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val (novel, fps) = TextDedup.incrementalExactDedup(
+          batch, idCol, textCol, fingerprintStore(s, storePath))
+        val cached = novel.cache() // two consumers: merge + fingerprints
+        try {
+          ParquetTable.merge(s, outPath, cached, Seq(idCol))
+          fps.write.mode("append").parquet(storePath)
+        } finally cached.unpersist()
       }
       .start()
   }

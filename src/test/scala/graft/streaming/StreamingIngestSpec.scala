@@ -36,6 +36,37 @@ class StreamingIngestSpec extends SparkSpec {
     assert(rows === Map(101 -> 99.0, 103 -> 7.0))
   }
 
+  test("streamDedupIngest: cross-batch dedup through the fingerprint store") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = tmpDir("stream-dedup")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    def write(name: String, rows: (Long, String)*): Unit =
+      frame(schema, rows.map(r => org.apache.spark.sql.Row(r._1, r._2)))
+        .coalesce(1).write.parquet(s"$in/$name")
+
+    // batch 1: 3 and a whitespace/case variant of 1 → 1,2 survive
+    write("b1", 1L -> "the quick brown fox", 2L -> "something else entirely",
+      3L -> "  The QUICK  brown fox ")
+    StreamingIngest.streamDedupIngest(spark, s"$in/*", schema, "doc_id", "text",
+      s"$root/corpus", s"$root/fps", s"$root/ckpt").awaitTermination()
+    val got1 = ParquetTable.read(spark, s"$root/corpus")
+      .collect().map(_.getLong(0)).sorted
+    assert(got1 === Seq(1L, 2L))
+
+    // batch 2: replay of 2's text under a new id + genuinely new doc
+    write("b2", 10L -> "something  ELSE entirely", 11L -> "fresh batch-two content")
+    StreamingIngest.streamDedupIngest(spark, s"$in/*", schema, "doc_id", "text",
+      s"$root/corpus", s"$root/fps", s"$root/ckpt").awaitTermination()
+    val got2 = ParquetTable.read(spark, s"$root/corpus")
+      .collect().map(_.getLong(0)).sorted
+    assert(got2 === Seq(1L, 2L, 11L))
+    assert(spark.read.parquet(s"$root/fps").select("fp").distinct().count() === 3)
+  }
+
   test("hourlyEventCounts: watermarked windowed aggregation over a file stream") {
     val root = tmpDir("stream-agg")
     val in = s"$root/in"
