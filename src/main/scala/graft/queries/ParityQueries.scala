@@ -270,6 +270,61 @@ object ParityQueries {
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
         .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
         .orderBy(col("nationkey"))
+    }),
+
+    // Multi-level aggregation: ROLLUP produces (flag, status), (flag) and
+    // grand-total rows in ONE pass — partial-agg friendly, no extra scans
+    // vs unioning three groupBys.
+    "q41_rollup_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Pivot with an EXPLICIT value list — no driver-side distinct scan to
+    // discover columns, so the plan is a single groupBy with conditional
+    // aggregates (exactly the oracle's CASE formulation).
+    "q42_pivot_status" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .withColumnsRenamed(Map(
+          "O" -> "total_open", "F" -> "total_filled", "P" -> "total_partial"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Range-band join: non-equi join against a tiny literal band table.
+    // The dim side is broadcast (nested-loop with 3 rows — constant work
+    // per probe row; the big side never shuffles).
+    "q43_range_band_join" -> ((s, d) => {
+      val bands = s.createDataFrame(Seq(
+        ("budget", 0.0, 930.0),
+        ("mid", 930.0, 965.0),
+        ("premium", 965.0, Double.MaxValue))).toDF("band", "lo", "hi")
+      Tables.part(s, d)
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(avg(col("p_retailprice")), 2).as("avg_price"))
+        .orderBy(col("band"))
+    }),
+
+    // Exact interpolated percentiles per group (percentile_cont
+    // semantics) — one pass, no global sort.
+    "q44_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .orderBy(col("l_returnflag"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -420,5 +475,39 @@ object ParityQueries {
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT
         |SELECT s_nationkey FROM supplier
-        |ORDER BY nationkey""".stripMargin)
+        |ORDER BY nationkey""".stripMargin,
+
+    "q41_rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q42_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_open,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_filled,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_partial
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q43_range_band_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('budget', 0.0, 930.0),
+        |  ('mid', 930.0, 965.0),
+        |  ('premium', 965.0, 1.7976931348623157e308))
+        |SELECT band, count(*) AS n_parts,
+        |       round(avg(p_retailprice), 2) AS avg_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q44_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
 }

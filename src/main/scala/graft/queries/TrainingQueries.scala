@@ -248,6 +248,41 @@ object TrainingQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Deterministic stratified sampling: per-stratum keep-rates via a
+    // replayable multiplicative hash of the row id — no RNG, so the
+    // sample is stable across retries/replays and cluster layouts (the
+    // property that makes train/eval splits reproducible at 100 TB).
+    "q45_stratified_sample" -> ((s, d) => {
+      val p = lit(1000000007L)
+      val h = ((col("event_id") % p) * lit(654435747L) + lit(12345L)) % p % 100
+      val rate = when(col("event_type").isin("purchase", "signup"), 100)
+        .when(col("event_type") === "click", 10)
+        .when(col("event_type") === "view", 5)
+        .otherwise(20)
+      Tables.events(s, d)
+        .filter(h < rate)
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Fuzzy near-dup tier below the fingerprint methods: exact edit
+    // distance on a normalized prefix, all-pairs WITHIN (lang, source)
+    // blocks only (the guarded-quadratic "verify" tier, like q25/q27).
+    "q46_levenshtein_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          substring(lower(col("text")), 1, 30).as("prefix"))
+      val a = docs.select(docs.columns.map(c => col(c).as(c)): _*).as("a")
+      val b = docs.select(docs.columns.map(c => col(c).as(s"${c}_b")): _*).as("b")
+      a.join(b, col("lang") === col("lang_b") &&
+          col("source") === col("source_b") &&
+          col("doc_id") < col("doc_id_b"))
+        .withColumn("dist", levenshtein(col("prefix"), col("prefix_b")))
+        .filter(col("dist") <= 12)
+        .select(col("doc_id").as("id_a"), col("doc_id_b").as("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Session windows (batch twin of the streaming sessionizer): events
     // within 30 min chain into one session per user.
     "q31_sessions" -> ((s, d) => {
@@ -446,6 +481,25 @@ object TrainingQueries {
         |      THEN b.pval ELSE f.pval END, 2) AS purchase_value
         |FROM l LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
         |ORDER BY event_id""".stripMargin,
+    "q45_stratified_sample" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE ((event_id % 1000000007) * 654435747 + 12345) % 1000000007 % 100 <
+        |  CASE WHEN event_type IN ('purchase', 'signup') THEN 100
+        |       WHEN event_type = 'click' THEN 10
+        |       WHEN event_type = 'view' THEN 5
+        |       ELSE 20 END
+        |ORDER BY event_id""".stripMargin,
+
+    "q46_levenshtein_pairs" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |             substr(lower(text), 1, 30) AS prefix FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       levenshtein(a.prefix, b.prefix) AS dist
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 12
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q20_token_stats" ->
       s"""SELECT doc_id,
          |  len($toksSql) AS n_tokens,
