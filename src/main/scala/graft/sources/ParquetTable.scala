@@ -32,9 +32,15 @@ import org.apache.spark.sql.functions._
   * to completion. `readAt` gives "query as of version N"; `vacuum` retires
   * old versions. The rename is atomic on HDFS/local FS — an object store
   * deployment needs a CAS'd log commit instead (same caveat as Delta's
-  * LogStore). The partitioned merge delegates to Spark's dynamic partition
-  * overwrite, which commits per-partition; versioning partitioned tables
-  * needs a per-partition log and stays out of scope. The pipeline's
+  * LogStore). PARTITIONED tables version through the same manifest with
+  * per-partition entries (`createVersioned`/`mergeVersioned`): each merge
+  * writes only the affected partitions into a fresh uniquely-named data
+  * dir and atomically publishes a manifest re-pointing just those
+  * entries — untouched partitions get zero I/O, old manifests keep
+  * resolving their old dirs (snapshot isolation + time travel), and
+  * `vacuum` is reference-aware. Plain (unversioned) partitioned layouts
+  * still merge via Spark's dynamic partition overwrite, which commits
+  * per-partition without cross-partition atomicity. The pipeline's
   * idempotency (MERGE replay, reference README.md:102-105) additionally
   * survives because merge-by-PK is idempotent.
   */
@@ -53,7 +59,7 @@ object ParquetTable {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     currentVersion(spark, path) match {
-      case Some(v) => spark.read.parquet(new Path(path, dataDirName(v)).toString)
+      case Some(v) => readVersion(spark, path, v)
       case None => spark.read.parquet(path)
     }
 
@@ -62,7 +68,7 @@ object ParquetTable {
     require(versions(spark, path).contains(version),
       s"readAt: version $version not present at $path " +
         s"(have: ${versions(spark, path).mkString(", ")})")
-    spark.read.parquet(new Path(path, dataDirName(version)).toString)
+    readVersion(spark, path, version)
   }
 
   /** Overwrite-create. Partitioned layouts stay plain (hive-style dirs at
@@ -110,6 +116,15 @@ object ParquetTable {
       create(updates.dropDuplicates(pk), path, partitionColumns)
       return
     }
+    // a partitioned VERSIONED table (manifest with partition entries)
+    // always merges through the manifest, regardless of how it was opened
+    if (currentVersion(spark, path)
+        .exists(v => partitionEntries(spark, path, v).isDefined)) {
+      require(partitionColumns.nonEmpty,
+        s"merge: $path is a partitioned versioned table; pass its partition columns")
+      mergeVersioned(spark, path, updates, pk, partitionColumns)
+      return
+    }
     val target = read(spark, path)
     if (partitionColumns.nonEmpty) {
       // Partition-scoped merge: read ONLY the affected partitions (partition
@@ -142,6 +157,14 @@ object ParquetTable {
 
   private def dataDirName(version: Long) = f"_v$version%020d"
 
+  /** Unique data-dir name for partitioned versioned writes — unlike the
+    * version-numbered unpartitioned dirs, two racing writers can never
+    * target the same directory; the manifest, not the name, binds a dir
+    * into a version.
+    */
+  private def freshDataDirName() =
+    s"_d${System.currentTimeMillis()}_${System.nanoTime() % 1000000}"
+
   /** Committed versions at `path`, ascending; empty for plain layouts. */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val md = manifestDir(path)
@@ -154,20 +177,167 @@ object ParquetTable {
   def currentVersion(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
-  /** Publish `version` → its data dir with one atomic rename of a manifest
-    * file. Returns false when another writer committed it first.
+  /** Publish `version` with one atomic rename of a manifest file holding
+    * `content`. Returns false when another writer committed it first.
     */
-  private def commitVersion(spark: SparkSession, path: String, version: Long): Boolean = {
+  private def commitVersion(
+      spark: SparkSession, path: String, version: Long, content: String): Boolean = {
     val md = manifestDir(path)
     val fs = hadoopFs(spark, md)
     fs.mkdirs(md)
     val tmp = new Path(md, s".tmp_commit_${System.nanoTime()}")
     val out = fs.create(tmp, false)
-    try out.write(dataDirName(version).getBytes("UTF-8"))
+    try out.write(content.getBytes("UTF-8"))
     finally out.close()
     val target = new Path(md, f"v$version%020d")
     if (fs.rename(tmp, target)) true
     else { fs.delete(tmp, false); false }
+  }
+
+  // ---- partitioned versioned layout --------------------------------------
+  // Manifest file content formats:
+  //   unpartitioned:  one line, the version's data dir name ("_v<N>")
+  //   partitioned:    one line per partition, "partitionDir\tdataDir"
+  //                   (e.g. "date=2024-01-01\t_d1712000000000_123")
+  // A partitioned version references MANY data dirs — each merge writes the
+  // changed partitions into one fresh dir and re-points only those entries,
+  // so untouched partitions are never rewritten (and old manifests keep
+  // seeing their old dirs: snapshot isolation + time travel).
+
+  private def manifestContent(spark: SparkSession, path: String, version: Long): String = {
+    val f = new Path(manifestDir(path), f"v$version%020d")
+    val fs = hadoopFs(spark, f)
+    val buf = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+    val in = fs.open(f)
+    try in.readFully(0, buf)
+    finally in.close()
+    new String(buf, "UTF-8")
+  }
+
+  /** Partition entries of `version`: Some(partitionDir → dataDir) for
+    * partitioned manifests, None for unpartitioned ones.
+    */
+  def partitionEntries(
+      spark: SparkSession, path: String, version: Long): Option[Seq[(String, String)]] = {
+    val content = manifestContent(spark, path, version).trim
+    if (!content.contains('\t')) None
+    else Some(content.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(p, d) = line.split('\t')
+      (p, d)
+    }.toSeq)
+  }
+
+  private def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
+    partitionEntries(spark, path, version) match {
+      case None =>
+        spark.read.parquet(new Path(path, dataDirName(version)).toString)
+      case Some(entries) =>
+        // one read per data dir (basePath recovers the partition columns
+        // from the hive-style subdirs), unioned; partition pruning still
+        // applies inside each read
+        entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dataDir, es) =>
+          val base = new Path(path, dataDir).toString
+          spark.read.option("basePath", base)
+            .parquet(es.map(e => s"$base/${e._1}"): _*)
+        }.reduce(_.unionByName(_))
+    }
+
+  /** Hive-style partition dir for one row of partition values (already
+    * rendered as strings) — same escaping as Spark's own partitioned
+    * writer, so manifest entries match the dirs `partitionBy` lays down.
+    */
+  private def partitionDir(cols: Seq[String], values: Seq[String]): String =
+    cols.zip(values).map { case (c, v) =>
+      require(v != null, s"versioned tables need non-null partition values ($c)")
+      s"$c=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)}"
+    }.mkString("/")
+
+  /** Distinct partition dirs present in `df`, rendered exactly as the
+    * parquet writer will name them. Bounded collect: one row per partition
+    * in the WRITE SET (not the table).
+    */
+  private def partitionDirsOf(df: DataFrame, partitionColumns: Seq[String]): Seq[String] =
+    df.select(partitionColumns.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => partitionDir(partitionColumns, partitionColumns.indices.map(r.getString)))
+      .toSeq.sorted
+
+  /** Create (or fully replace) a PARTITIONED versioned table: the image
+    * lands in one fresh data dir; the manifest maps every partition to it.
+    */
+  def createVersioned(df: DataFrame, path: String, partitionColumns: Seq[String]): Unit = {
+    require(partitionColumns.nonEmpty,
+      "createVersioned is for partitioned tables; use create for unpartitioned")
+    val spark = df.sparkSession
+    val dataDir = freshDataDirName()
+    writePlain(df, new Path(path, dataDir).toString, partitionColumns)
+    val entries = partitionDirsOf(df, partitionColumns)
+      .map(p => s"$p\t$dataDir").mkString("\n")
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      attempts += 1
+      require(attempts <= 10, s"createVersioned: lost the version race at $path")
+      val v = currentVersion(spark, path).getOrElse(0L) + 1
+      committed = commitVersion(spark, path, v, entries)
+    }
+  }
+
+  /** Upsert into a partitioned VERSIONED table: reads only the affected
+    * partitions (through the current manifest), writes the merged rows of
+    * those partitions into one fresh data dir, and publishes a manifest
+    * that re-points just those entries. Untouched partitions: zero I/O.
+    * Concurrent writers to disjoint partitions both succeed (the loser
+    * re-reads the winner's manifest and retries); same-partition races are
+    * last-writer-wins, as in Delta.
+    */
+  def mergeVersioned(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      pk: Seq[String],
+      partitionColumns: Seq[String]): Unit = {
+    require(partitionColumns.nonEmpty, "mergeVersioned needs partition columns")
+    val upd = updates.dropDuplicates(pk)
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      attempts += 1
+      require(attempts <= 10, s"mergeVersioned: lost the version race at $path")
+      currentVersion(spark, path) match {
+        case None =>
+          createVersioned(upd, path, partitionColumns)
+          committed = true
+        case Some(v) =>
+          val entries = partitionEntries(spark, path, v).getOrElse(
+            throw new IllegalStateException(
+              s"mergeVersioned: $path holds an UNPARTITIONED versioned table"))
+          val entryMap = entries.toMap
+          val affected = partitionDirsOf(upd, partitionColumns)
+          val existing = affected.filter(entryMap.contains)
+          val target =
+            if (existing.isEmpty) None
+            else Some(existing.groupBy(entryMap).toSeq.sortBy(_._1).map {
+              case (dataDir, parts) =>
+                val base = new Path(path, dataDir).toString
+                spark.read.option("basePath", base)
+                  .parquet(parts.map(p => s"$base/$p"): _*)
+            }.reduce(_.unionByName(_)))
+          val merged = target match {
+            case Some(t) => mergeFrames(t, upd, pk)
+            case None => upd
+          }
+          val dataDir = freshDataDirName()
+          writePlain(merged, new Path(path, dataDir).toString, partitionColumns)
+          val newEntries = (entryMap ++ affected.map(_ -> dataDir)).toSeq.sorted
+            .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
+          committed = commitVersion(spark, path, v + 1, newEntries)
+          if (!committed) {
+            val dd = new Path(path, dataDir)
+            hadoopFs(spark, dd).delete(dd, true)
+          }
+      }
+    }
   }
 
   /** Write the full new table image as the NEXT manifest version: data
@@ -191,28 +361,56 @@ object ParquetTable {
       val v = currentVersion(spark, path).getOrElse(0L) + 1
       val dataDir = new Path(path, dataDirName(v))
       writePlain(df, dataDir.toString, partitionColumns)
-      committed = commitVersion(spark, path, v)
+      committed = commitVersion(spark, path, v, dataDirName(v))
       if (!committed) hadoopFs(spark, dataDir).delete(dataDir, true)
     }
   }
 
   /** Retire history: keep the newest `keepLast` versions, delete older
-    * data dirs + manifests, and — once a manifest exists — any parquet
-    * files still sitting at the path ROOT (the pre-manifest plain layout a
-    * migrated table leaves behind for its legacy readers).
+    * manifests and every data dir (or partition subdir) no kept manifest
+    * references, and — once a manifest exists — any parquet files still
+    * sitting at the path ROOT (the pre-manifest plain layout a migrated
+    * table leaves behind for its legacy readers).
+    *
+    * Reference-aware: a partitioned manifest may point untouched
+    * partitions at data dirs written MANY versions ago, so "older than
+    * keepLast" alone can't justify deletion — only unreferenced dirs go.
     */
   def vacuum(spark: SparkSession, path: String, keepLast: Int = 2): Unit = {
     require(keepLast >= 1, "vacuum must keep at least the current version")
     val vs = versions(spark, path)
     if (vs.isEmpty) return
     val fs = hadoopFs(spark, new Path(path))
+    val kept = vs.takeRight(keepLast)
+    // (dataDir, Some(partDir)) for partitioned refs, (dataDir, None) full
+    val refs: Seq[(String, Option[String])] = kept.flatMap { v =>
+      partitionEntries(spark, path, v) match {
+        case Some(es) => es.map { case (p, dd) => (dd, Some(p)) }
+        case None => Seq((dataDirName(v), None))
+      }
+    }
+    val referencedDirs = refs.map(_._1).toSet
     vs.dropRight(keepLast).foreach { v =>
-      fs.delete(new Path(path, dataDirName(v)), true)
       fs.delete(new Path(manifestDir(path), f"v$v%020d"), false)
     }
     fs.listStatus(new Path(path)).foreach { st =>
-      if (st.isFile && !st.getPath.getName.startsWith("_"))
-        fs.delete(st.getPath, false)
+      val name = st.getPath.getName
+      if (st.isDirectory && (name.startsWith("_v") || name.startsWith("_d"))) {
+        if (!referencedDirs.contains(name)) fs.delete(st.getPath, true)
+        else {
+          // partially-referenced partitioned dir: drop stale partition
+          // subdirs no kept manifest points at (full refs keep everything)
+          val keptParts = refs.collect { case (`name`, Some(p)) => p }.toSet
+          val fullyRef = refs.exists { case (d, po) => d == name && po.isEmpty }
+          if (!fullyRef && keptParts.nonEmpty)
+            fs.listStatus(st.getPath).foreach { sub =>
+              val subName = sub.getPath.getName
+              if (sub.isDirectory && subName.contains("=") &&
+                  !keptParts.exists(p => p == subName || p.startsWith(s"$subName/")))
+                fs.delete(sub.getPath, true)
+            }
+        }
+      } else if (st.isFile && !name.startsWith("_")) fs.delete(st.getPath, false)
     }
   }
 

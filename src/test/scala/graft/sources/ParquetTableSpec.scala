@@ -140,4 +140,89 @@ class ParquetTableSpec extends SparkSpec {
     val names = new java.io.File(path).list().toSeq
     assert(names.forall(_.startsWith("_")))
   }
+
+  // ---- partitioned versioned tables --------------------------------------
+
+  private def dataDirs(path: String): Seq[String] =
+    new java.io.File(path).list().toSeq.filter(_.startsWith("_d")).sorted
+
+  private def rowsOf(frame: org.apache.spark.sql.DataFrame): Map[Int, (String, String)] =
+    frame.collect().map(r => r.getInt(r.fieldIndex("id")) ->
+      (r.getString(r.fieldIndex("v")), r.getString(r.fieldIndex("day")))).toMap
+
+  test("partitioned versioned merge rewrites only affected partitions") {
+    val path = tmpDir("pv-merge") + "/t"
+    ParquetTable.createVersioned(
+      df(Row(1, "a", "d1"), Row(2, "b", "d2"), Row(3, "c", "d3")), path, Seq("day"))
+    assert(ParquetTable.versions(spark, path) === Seq(1L))
+    val dirsV1 = dataDirs(path)
+    assert(dirsV1.size === 1)
+
+    // merge touches d2 (update) and d4 (new partition) — NOT d1/d3
+    ParquetTable.merge(spark, path,
+      df(Row(2, "B", "d2"), Row(4, "d", "d4")), Seq("id"), Seq("day"))
+    assert(ParquetTable.versions(spark, path) === Seq(1L, 2L))
+    val newDirs = dataDirs(path).diff(dirsV1)
+    assert(newDirs.size === 1) // exactly one fresh data dir
+    // the fresh dir holds ONLY the affected partitions
+    assert(new java.io.File(s"$path/${newDirs.head}").list().toSeq
+      .filter(_.contains("=")).sorted === Seq("day=d2", "day=d4"))
+    // untouched partitions still resolve from the ORIGINAL dir
+    val entries = ParquetTable.partitionEntries(spark, path, 2L).get.toMap
+    assert(entries("day=d1") === dirsV1.head)
+    assert(entries("day=d2") === newDirs.head)
+
+    assert(rowsOf(ParquetTable.read(spark, path)) === Map(
+      1 -> ("a", "d1"), 2 -> ("B", "d2"), 3 -> ("c", "d3"), 4 -> ("d", "d4")))
+  }
+
+  test("partitioned versioned table time-travels across merges") {
+    val path = tmpDir("pv-tt") + "/t"
+    ParquetTable.createVersioned(df(Row(1, "a", "d1"), Row(2, "b", "d2")), path, Seq("day"))
+    ParquetTable.mergeVersioned(spark, path, df(Row(2, "B", "d2")), Seq("id"), Seq("day"))
+    ParquetTable.mergeVersioned(spark, path, df(Row(1, "A", "d1")), Seq("id"), Seq("day"))
+    assert(rowsOf(ParquetTable.readAt(spark, path, 1)) ===
+      Map(1 -> ("a", "d1"), 2 -> ("b", "d2")))
+    assert(rowsOf(ParquetTable.readAt(spark, path, 2)) ===
+      Map(1 -> ("a", "d1"), 2 -> ("B", "d2")))
+    assert(rowsOf(ParquetTable.readAt(spark, path, 3)) ===
+      Map(1 -> ("A", "d1"), 2 -> ("B", "d2")))
+  }
+
+  test("partitioned versioned merge is idempotent on replay") {
+    val path = tmpDir("pv-idem") + "/t"
+    val batch = df(Row(1, "a", "d1"), Row(2, "b", "d2"))
+    ParquetTable.mergeVersioned(spark, path, batch, Seq("id"), Seq("day")) // creates
+    ParquetTable.mergeVersioned(spark, path, batch, Seq("id"), Seq("day"))
+    assert(ParquetTable.read(spark, path).count() === 2)
+  }
+
+  test("vacuum on a partitioned versioned table keeps referenced old dirs") {
+    val path = tmpDir("pv-vacuum") + "/t"
+    ParquetTable.createVersioned(
+      df(Row(1, "a", "d1"), Row(2, "b", "d2"), Row(3, "c", "d3")), path, Seq("day"))
+    val origDir = dataDirs(path).head
+    ParquetTable.mergeVersioned(spark, path, df(Row(2, "B", "d2")), Seq("id"), Seq("day"))
+    ParquetTable.mergeVersioned(spark, path, df(Row(2, "BB", "d2")), Seq("id"), Seq("day"))
+    ParquetTable.vacuum(spark, path, keepLast = 1)
+    assert(ParquetTable.versions(spark, path) === Seq(3L))
+    // v1's dir survives (still referenced for d1/d3) minus the stale d2
+    assert(dataDirs(path).contains(origDir))
+    assert(!new java.io.File(s"$path/$origDir/day=d2").exists())
+    assert(new java.io.File(s"$path/$origDir/day=d1").exists())
+    // v2's intermediate d2-only dir is gone (referenced by nothing kept)
+    assert(dataDirs(path).size === 2)
+    assert(rowsOf(ParquetTable.read(spark, path)) === Map(
+      1 -> ("a", "d1"), 2 -> ("BB", "d2"), 3 -> ("c", "d3")))
+  }
+
+  test("partition values with special characters roundtrip through escaping") {
+    val path = tmpDir("pv-esc") + "/t"
+    ParquetTable.createVersioned(
+      df(Row(1, "a", "d 1/x:y"), Row(2, "b", "plain")), path, Seq("day"))
+    ParquetTable.mergeVersioned(spark, path,
+      df(Row(1, "A", "d 1/x:y")), Seq("id"), Seq("day"))
+    assert(rowsOf(ParquetTable.read(spark, path)) ===
+      Map(1 -> ("A", "d 1/x:y"), 2 -> ("b", "plain")))
+  }
 }
