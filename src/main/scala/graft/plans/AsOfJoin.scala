@@ -69,6 +69,34 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Column pruning through the custom operator: the built-in
+  * `ColumnPruning` rule doesn't know `AsOfJoinPlan`, so without this a
+  * `select` above an as-of join reads EVERY column of both scans. For
+  * `Project(AsOfJoinPlan)` it narrows each child to the columns the
+  * projection references plus the join keys/timestamps — the insert'd
+  * child Projects then ride the built-in pruning all the way into the
+  * parquet `ReadSchema`. Registered by `GraftSessionExtensions` or
+  * imperatively by `AsOfJoin.asof`. Reaches a fixed point after one
+  * rewrite (pruned children have no droppable columns left).
+  */
+object AsOfJoinPruning extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, j: AsOfJoinPlan) =>
+      val required = AttributeSet(
+        p.references.toSeq ++ j.leftKeys ++ j.rightKeys :+ j.leftTs :+ j.rightTs)
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val kept = child.output.filter(required.contains)
+        if (kept.size == child.output.size) child else Project(kept, child)
+      }
+      val (nl, nr) = (prune(j.left), prune(j.right))
+      if ((nl eq j.left) && (nr eq j.right)) p
+      else p.copy(child = j.copy(left = nl, right = nr))
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
@@ -260,6 +288,7 @@ object AsOfJoin {
       tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     GraftColumnBridge.addStrategy(spark, AsOfJoinStrategy)
+    GraftColumnBridge.addOptimization(spark, AsOfJoinPruning)
     // fresh exprIds on the right: both sides may share a scan (self as-of),
     // and duplicate ids would mis-bind the output projection
     val realiased = right.select(right.columns.map(c => right(c).as(c)): _*)

@@ -177,6 +177,29 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("column pruning reaches the parquet scans under an as-of join") {
+    import org.apache.spark.sql.functions.lit
+    val root = tmpDir("asof-prune")
+    ldf((1L, 10L, "a")).withColumn("l_unused", lit("x" * 100))
+      .write.parquet(s"$root/l")
+    rdf((1L, 5L, 1.0)).withColumn("r_unused", lit("y" * 100))
+      .write.parquet(s"$root/r")
+    val out = AsOfJoin.asof(
+        spark.read.parquet(s"$root/l"), spark.read.parquet(s"$root/r"),
+        Seq("k"), "ts", "rts")
+      .select("k", "ts", "rv") // touches neither *_unused column
+    assert(out.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+      Seq((1L, 1.0)))
+    // post-execution plan (through AQE): the scans' ReadSchema must not
+    // contain the untouched payload columns
+    val plan = out.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.size >= 2, s"expected file scans in:\n$plan")
+    assert(readSchemas.forall(s => !s.contains("l_unused") &&
+      !s.contains("r_unused") && !s.contains("lv")),
+      s"unpruned scan columns: $readSchemas")
+  }
+
   test("nearest on a non-integral ts type fails fast") {
     val l = ldf((1L, 1L, "a")).selectExpr("k", "CAST(ts AS STRING) AS ts", "lv")
     val r = rdf((1L, 1L, 1.0)).selectExpr("k", "CAST(rts AS STRING) AS rts", "rv")
