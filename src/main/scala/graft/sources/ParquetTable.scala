@@ -366,6 +366,25 @@ object ParquetTable {
     }
   }
 
+  /** Rewrite the CURRENT version of a partitioned versioned table into a
+    * single fresh data dir and publish it as the next version. Two jobs at
+    * 100 TB scale: (a) bounds the union fan-out of `read` (a long merge
+    * history otherwise leaves the current version scattered over many data
+    * dirs — one relation each), and (b) re-buckets the many small files
+    * that per-batch merges of hot partitions accumulate. History is
+    * untouched — run `vacuum` afterwards to reclaim it.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"compact: no versioned table at $path"))
+    val entries = partitionEntries(spark, path, v).getOrElse(
+      throw new IllegalStateException(
+        s"compact: $path is unpartitioned (every version is already one dir)"))
+    // recover the partition columns from the entry paths: "a=1/b=2" → a,b
+    val partitionColumns = entries.head._1.split('/').toSeq.map(_.split('=')(0))
+    createVersioned(readVersion(spark, path, v), path, partitionColumns)
+  }
+
   /** Retire history: keep the newest `keepLast` versions, delete older
     * manifests and every data dir (or partition subdir) no kept manifest
     * references, and — once a manifest exists — any parquet files still

@@ -216,6 +216,24 @@ class ParquetTableSpec extends SparkSpec {
       1 -> ("a", "d1"), 2 -> ("BB", "d2"), 3 -> ("c", "d3")))
   }
 
+  test("compact folds a scattered current version into one dir") {
+    val path = tmpDir("pv-compact") + "/t"
+    ParquetTable.createVersioned(
+      df(Row(1, "a", "d1"), Row(2, "b", "d2")), path, Seq("day"))
+    ParquetTable.mergeVersioned(spark, path, df(Row(2, "B", "d2")), Seq("id"), Seq("day"))
+    ParquetTable.mergeVersioned(spark, path, df(Row(3, "c", "d3")), Seq("id"), Seq("day"))
+    // current version references 3 data dirs before compaction
+    assert(ParquetTable.partitionEntries(spark, path, 3L).get.map(_._2).distinct.size === 3)
+    ParquetTable.compact(spark, path)
+    assert(ParquetTable.partitionEntries(spark, path, 4L).get.map(_._2).distinct.size === 1)
+    assert(rowsOf(ParquetTable.read(spark, path)) === Map(
+      1 -> ("a", "d1"), 2 -> ("B", "d2"), 3 -> ("c", "d3")))
+    ParquetTable.vacuum(spark, path, keepLast = 1)
+    assert(dataDirs(path).size === 1)
+    assert(rowsOf(ParquetTable.read(spark, path)) === Map(
+      1 -> ("a", "d1"), 2 -> ("B", "d2"), 3 -> ("c", "d3")))
+  }
+
   test("partition values with special characters roundtrip through escaping") {
     val path = tmpDir("pv-esc") + "/t"
     ParquetTable.createVersioned(
