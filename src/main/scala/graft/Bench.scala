@@ -129,11 +129,11 @@ object Bench {
     *   - x_stream_upsert_sec / x_stream_upsert_rows: AvailableNow CSV →
     *     validate → dedup → MERGE end-to-end at bench scale (CSV
     *     generation excluded); rows/s = rows / sec. Single-run (a
-    *     checkpoint replay would measure a no-op) — and the time is
-    *     dominated by the DATE-partitioned layout fanning ~150k rows into
-    *     ~2,400 tiny partitions at this SF; at production scale the same
-    *     ~2,400 partitions each hold real volume, so the per-partition
-    *     overhead amortizes away.
+    *     checkpoint replay would measure a no-op). The write clusters rows
+    *     onto their DATE partitions first (ParquetTable.clusterByPartitions)
+    *     so ~2,400 partition dirs get one file each, not one per task each
+    *     (unclustered this same ingest scattered ~19k files and took ~18×
+    *     longer).
     *
     * IVF entries are min-of-2 (the VM's slow windows hit single runs
     * hard — see the retry-pass note above). Failures degrade to a -1

@@ -91,7 +91,10 @@ object IvfAnn {
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("centroid_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    index.assigned.write.mode("overwrite")
+    // cluster rows onto their cells first: one file per cell per shuffle
+    // partition instead of every task writing into every cell directory
+    index.assigned.repartition(col("centroid_id"))
+      .write.mode("overwrite")
       .partitionBy("centroid_id").parquet(s"$dir/assigned")
   }
 

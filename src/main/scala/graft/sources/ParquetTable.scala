@@ -80,14 +80,42 @@ object ParquetTable {
     if (partitionColumns.nonEmpty) writePlain(df, path, partitionColumns)
     else atomicReplace(df.sparkSession, path, df, Nil)
 
-  private def writePlain(df: DataFrame, path: String, partitionColumns: Seq[String]): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+  /** Cluster rows onto their target partitions before a `partitionBy`
+    * write. Without this every write task opens a writer for every
+    * partition value it happens to hold, so a W-task write into P
+    * partitions emits up to W×P files (measured: a 150k-row
+    * date-partitioned ingest at sf0.1 scattered ~19k tiny files and spent
+    * ~200 s mostly opening/closing writers; clustered it is one file per
+    * partition). A hot partition bigger than one task's share can ask for
+    * `filesPerPartition > 1`: a deterministic row-hash salt splits it into
+    * that many files (deterministic so task retries re-produce the same
+    * assignment — no rand()).
+    */
+  private def clusterByPartitions(
+      df: DataFrame, partitionColumns: Seq[String], filesPerPartition: Int): DataFrame =
+    if (partitionColumns.isEmpty) df
+    else {
+      val keys = partitionColumns.map(col)
+      val exprs =
+        if (filesPerPartition <= 1) keys
+        else keys :+ pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(filesPerPartition))
+      df.repartition(exprs: _*)
+    }
+
+  private def writePlain(
+      df: DataFrame, path: String, partitionColumns: Seq[String],
+      filesPerPartition: Int = 1): Unit = {
+    val w = clusterByPartitions(df, partitionColumns, filesPerPartition)
+      .write.mode(SaveMode.Overwrite)
     (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
       .parquet(path)
   }
 
-  def append(df: DataFrame, path: String, partitionColumns: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Append)
+  def append(
+      df: DataFrame, path: String, partitionColumns: Seq[String] = Nil,
+      filesPerPartition: Int = 1): Unit = {
+    val w = clusterByPartitions(df, partitionColumns, filesPerPartition)
+      .write.mode(SaveMode.Append)
     (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
       .parquet(path)
   }
@@ -136,7 +164,8 @@ object ParquetTable {
       val affected = target.join(parts, partitionColumns.toSeq, "left_semi")
       val merged = mergeFrames(affected, upd, pk)
       withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
-        merged.write.mode(SaveMode.Overwrite)
+        clusterByPartitions(merged, partitionColumns, filesPerPartition = 1)
+          .write.mode(SaveMode.Overwrite)
           .partitionBy(partitionColumns: _*)
           .parquet(path)
       }
