@@ -137,6 +137,35 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
+  // ---- PII scrubbing ------------------------------------------------------
+  // Patterns stay inside the Java-regex ∩ RE2 common subset (no lookaround,
+  // no backreferences) so the same literal replays in other engines, and
+  // the scrub remains a codegen'd narrow map — at 100 TB, scrubbing is a
+  // scan, never a shuffle.
+
+  /** Email addresses (conservative RFC-ish shape). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-like digit runs: ≥7 chars of digits/hyphens, optional +. */
+  val PhonePattern = "\\+?[0-9][0-9-]{5,}[0-9]"
+
+  /** Redact emails first (their local parts contain digits a phone pattern
+    * could eat), then phone-like runs. Counting redactions must follow the
+    * same order: emails on the raw text, phones on the email-scrubbed text.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+      lit(PhonePattern), lit("<PHONE>"))
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(
+      regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+      lit(PhonePattern), lit(0)))
+
   // ---- chunking / normalization -----------------------------------------
 
   /** Overlapping fixed-size token chunks — the LLM pre-training document

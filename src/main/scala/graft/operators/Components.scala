@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the step that turns near-dup
+  * PAIRS (MinHash/SimHash/cosine/edit-distance candidates, TextDedup/Ann)
+  * into dedup CLUSTERS so one canonical representative survives per
+  * cluster. The reference has no graph step (its dedup is exact-PK MERGE);
+  * this is the standard scale-out closure over the fuzzy tiers.
+  *
+  * Algorithm: min-label propagation with path halving.
+  * Each round:
+  *   1. propagate — every node takes the min label among itself and its
+  *      neighbors (edges ⋈ labels on src, groupBy dst, min);
+  *   2. halve — labels chase their parent's label (labels ⋈ labels), so a
+  *      length-L pointer chain collapses in O(log L) rounds instead of
+  *      O(L) pure-propagation rounds.
+  * Every step is a hash-shuffled equi-join/agg on node id: no driver-side
+  * graph state, no per-node memory beyond one (id, label) row, so the edge
+  * list can be arbitrarily large. Convergence is a changed-row probe per
+  * round (`limit(1).count`), rounds capped by `maxRounds` (components of
+  * diameter > 2^maxRounds would need more — for dedup graphs, diameters
+  * are tiny).
+  *
+  * Each round ends in `localCheckpoint(eager = true)`: the round's plan
+  * embeds the previous round's plan TWICE (propagate join + halving
+  * self-join), so without lineage truncation the logical plan doubles per
+  * round and the driver dies planning round ~15 regardless of data size.
+  * Checkpointing keeps the per-round plan constant — the same trick
+  * GraphX/GraphFrames use for iterative graph algorithms.
+  */
+object Components {
+
+  /** (id, component) for every node appearing in `pairs`; component = the
+    * minimum node id reachable from the node.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val propagated = labels.unionByName(viaNeighbors)
+        .groupBy("id").agg(min("label").as("label"))
+      // path halving: replace each label by that label's own label
+      val parents = propagated
+        .select(col("id").as("__pid"), col("label").as("__plabel"))
+      val next = propagated
+        .join(parents, propagated("label") === parents("__pid"), "left")
+        .select(col("id"), coalesce(col("__plabel"), col("label")).as("label"))
+        .localCheckpoint(true) // materialize + truncate lineage (see scaladoc)
+      val changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    require(converged, s"connectedComponents: not converged after $maxRounds rounds")
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Dedup closure: every row of `df` labeled with its cluster id
+    * (`component` = min id in the cluster; rows in no pair are their own
+    * singleton cluster) plus `is_canonical` — keep the rows where it is
+    * true and the corpus is near-dup-free under whatever pair generator
+    * produced `pairs`.
+    */
+  def dedupClusters(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    df.join(comps, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol).cast("long")))
+      .withColumn("is_canonical", col("component") === col(idCol).cast("long"))
+  }
+}

@@ -325,6 +325,56 @@ object ParityQueries {
           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Change-data feed over the versioned table layer (Delta CDF parity):
+    // v1 = customers, v2 = a full replace that deletes every 97th key,
+    // bumps the balance of every 10th, and inserts a shifted copy of every
+    // 100th — `ParquetTable.changes(1, 2)` must emit exactly those rows
+    // tagged insert/update/delete. The construction is deterministic, so
+    // the whole feed replays as plain SQL over the source table.
+    "q48_table_changes" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+      val cust = Tables.customer(s, d)
+      graft.sources.ParquetTable.create(cust, s"$tmp/t")
+      val v2 = cust.filter(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(cust.filter(col("c_custkey") % 100 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 10000000L))
+      graft.sources.ParquetTable.create(v2, s"$tmp/t")
+      graft.sources.ParquetTable.changes(s, s"$tmp/t", 1L, 2L, Seq("c_custkey"))
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"),
+          col("_change_type"))
+        .orderBy(col("c_custkey"), col("_change_type"))
+    }),
+
+    // CUBE: all four grouping combinations in one pass; grouping_id
+    // disambiguates real NULLs from subtotal rows.
+    "q51_cube_agg" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Trailing 7-row moving average over the daily revenue series — the
+    // agg shrinks 1.5M rows to ~2.4k days BEFORE the window, so the sort
+    // inside the window is trivial at any scale.
+    "q52_moving_avg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice")).as("revenue"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily.select(col("day").cast("string").as("day"),
+          round(col("revenue"), 2).as("revenue"),
+          round(avg(col("revenue")).over(w), 2).as("ma7"))
+        .orderBy(col("day"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -509,5 +559,38 @@ object ParityQueries {
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
         |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // replays q48's deterministic v1→v2 construction: updates are keys
+    // %10=0 that survived the delete (%97≠0), deletes are %97=0 (old
+    // image), inserts are the shifted %100=0 copies
+    "q48_table_changes" ->
+      """SELECT c_custkey, round(c_acctbal + 100, 2) AS c_acctbal,
+        |       'update' AS _change_type
+        |FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 97 <> 0
+        |UNION ALL
+        |SELECT c_custkey, round(c_acctbal, 2), 'delete'
+        |FROM customer WHERE c_custkey % 97 = 0
+        |UNION ALL
+        |SELECT c_custkey + 10000000, round(c_acctbal, 2), 'insert'
+        |FROM customer WHERE c_custkey % 100 = 0
+        |ORDER BY c_custkey, _change_type""".stripMargin,
+
+    "q51_cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q52_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         sum(o_totalprice) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(day AS VARCHAR) AS day, round(revenue, 2) AS revenue,
+        |  round(avg(revenue) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+        |FROM daily ORDER BY day""".stripMargin)
 }

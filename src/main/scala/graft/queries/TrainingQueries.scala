@@ -283,6 +283,76 @@ object TrainingQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Connected components over the union of two pair generators
+    // (exact-fingerprint matches + prefix-edit-distance pairs): the
+    // closure step that turns near-dup PAIRS into dedup CLUSTERS.
+    // Multi-hop merges are real here: a shifted copy equals its original
+    // by fingerprint while the original pairs with a different doc by
+    // edit distance — one cluster. component = min reachable doc_id;
+    // the canonical row is the one whose id IS the component.
+    "q47_dedup_clusters" -> ((s, d) => {
+      val dup = docsWithDups(s, d)
+      val fp = dup.select(col("doc_id"), normalizedFingerprint(col("text")).as("fp"))
+      val fpB = fp.select(col("doc_id").as("doc_id_b"), col("fp").as("fp_b"))
+      val e1 = fp.join(fpB,
+          col("fp") === col("fp_b") && col("doc_id") < col("doc_id_b"))
+        .select(col("doc_id").as("id_a"), col("doc_id_b").as("id_b"))
+      val pre = dup.select(col("doc_id"), col("lang"), col("source"),
+        substring(lower(col("text")), 1, 30).as("prefix"))
+      val preB = pre.select(pre.columns.map(c => col(c).as(s"${c}_b")): _*)
+      val e2 = pre.join(preB,
+          col("lang") === col("lang_b") && col("source") === col("source_b") &&
+            col("doc_id") < col("doc_id_b") &&
+            levenshtein(col("prefix"), col("prefix_b")) <= 12)
+        .select(col("doc_id").as("id_a"), col("doc_id_b").as("id_b"))
+      graft.operators.Components
+        .dedupClusters(dup, "doc_id", e1.unionByName(e2), "id_a", "id_b")
+        .select(col("doc_id"), col("component"), col("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus TF-IDF: top-3 terms per document. The RANKING key is the
+    // integer triple (tf desc, df asc, term asc) — deterministic across
+    // engines, no float comparisons deciding rank — with the float tf·idf
+    // score carried as output.
+    "q49_tfidf_topterms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count() // scalar; one metadata-cheap action
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(dfreq, "term")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4).as("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // PII scrubbing: deterministic planted emails/phones (so redactions
+    // provably happen), scrub + per-doc redaction counts; the scrubbed
+    // text's fingerprint proves content parity with the oracle.
+    "q50_pii_scrub" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(".")).as("text"))
+      planted.select(
+          col("doc_id"),
+          emailCount(col("text")).as("n_emails"),
+          phoneCount(col("text")).as("n_phones"),
+          length(scrubPii(col("text"))).as("n_clean_chars"),
+          fingerprint(scrubPii(col("text"))).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Session windows (batch twin of the streaming sessionizer): events
     // within 30 min chain into one session per user.
     "q31_sessions" -> ((s, d) => {
@@ -383,9 +453,79 @@ object TrainingQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of TextFunctions.fingerprint over an arbitrary string
+    * expression: fold code points through h·31 + cp mod 1e9+7.
+    */
+  private def polyFoldSql(src: String): String =
+    "list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      s"string_split($src, ''), c -> ascii(c)::BIGINT)), " +
+      "(h, c) -> (h * 31 + c) % 1000000007)"
+
+  private def normFpSql(src: String): String =
+    polyFoldSql(s"regexp_replace(trim(lower($src)), '\\s+', ' ', 'g')")
+
+  /** Replays q47: both pair generators, symmetrized edges, then the
+    * transitive closure as a recursive CTE — component = min reachable id.
+    */
+  private val componentsOracle: String =
+    s"""WITH RECURSIVE dup AS ($dupSql),
+       |fp AS (SELECT doc_id, ${normFpSql("text")} AS fp FROM dup),
+       |e1 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |p AS (SELECT doc_id, lang, source, substr(lower(text), 1, 30) AS prefix FROM dup),
+       |e2 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |       FROM p a JOIN p b ON a.lang = b.lang AND a.source = b.source
+       |         AND a.doc_id < b.doc_id AND levenshtein(a.prefix, b.prefix) <= 12),
+       |edges AS (
+       |  SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1
+       |  UNION SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM dup
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r)
+       |SELECT id AS doc_id, min(r) AS component, min(r) = id AS is_canonical
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q28_simhash_neardup" -> simHashOracle,
     "q29_lsh_ann" -> lshAnnOracle,
+    "q47_dedup_clusters" -> componentsOracle,
+
+    "q49_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |r AS (SELECT t.doc_id, t.term, t.tf, d.df,
+        |        row_number() OVER (PARTITION BY t.doc_id
+        |          ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rank
+        |      FROM tf t JOIN dfq d USING (term))
+        |SELECT doc_id, rank, term, tf, df,
+        |  round(tf * ln((SELECT n FROM nd)::DOUBLE / df), 4) AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q50_pii_scrub" -> {
+      val email = graft.functions.TextFunctions.EmailPattern
+      val phone = graft.functions.TextFunctions.PhonePattern
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id::VARCHAR || '@example.com or +1-555-' ||
+         |      lpad((doc_id % 10000)::VARCHAR, 4, '0') || '.' AS t
+         |  FROM documents),
+         |e AS (SELECT doc_id,
+         |    len(regexp_extract_all(t, '$email')) AS n_emails,
+         |    regexp_replace(t, '$email', '<EMAIL>', 'g') AS t1
+         |  FROM planted),
+         |s AS (SELECT doc_id, n_emails,
+         |    len(regexp_extract_all(t1, '$phone')) AS n_phones,
+         |    regexp_replace(t1, '$phone', '<PHONE>', 'g') AS clean
+         |  FROM e)
+         |SELECT doc_id, n_emails, n_phones, length(clean) AS n_clean_chars,
+         |  ${polyFoldSql("clean")} AS fp
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     "q34_token_chunks" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -395,6 +395,36 @@ object ParquetTable {
     }
   }
 
+  /** Change-data feed between two committed versions — the Delta CDF
+    * (`table_changes`) equivalent, computed from the immutable snapshots
+    * rather than per-commit change files: a PK full-outer join of the two
+    * versions. Emits one row per changed key with `_change_type` ∈
+    * insert | update | delete; insert/update rows carry the NEW image,
+    * delete rows the OLD one. Cost is a scan of both snapshots + one
+    * shuffle on the PK — at scale, partition pruning inside each snapshot
+    * read still applies, and unchanged rows never leave the join.
+    */
+  def changes(
+      spark: SparkSession,
+      path: String,
+      fromVersion: Long,
+      toVersion: Long,
+      pk: Seq[String]): DataFrame = {
+    val before = readAt(spark, path, fromVersion)
+    val cols = before.columns.toSeq
+    def packed(df: DataFrame, alias: String) =
+      df.select(pk.map(col) :+ struct(cols.map(col): _*).as(alias): _*)
+    val j = packed(before, "__old")
+      .join(packed(readAt(spark, path, toVersion), "__new"), pk, "full_outer")
+    val img = when(col("__new").isNull, col("__old")).otherwise(col("__new"))
+    j.filter(col("__old").isNull || col("__new").isNull ||
+        !(col("__old") <=> col("__new")))
+      .select(cols.map(c => img.getField(c).as(c)) :+
+        when(col("__old").isNull, lit("insert"))
+          .when(col("__new").isNull, lit("delete"))
+          .otherwise(lit("update")).as("_change_type"): _*)
+  }
+
   /** Rewrite the CURRENT version of a partitioned versioned table into a
     * single fresh data dir and publish it as the next version. Two jobs at
     * 100 TB scale: (a) bounds the union fan-out of `read` (a long merge

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("disjoint pairs form separate components") {
+    val got = components(Seq((1L, 2L), (3L, 4L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("transitive chain collapses to one component (multi-hop)") {
+    // 5-4, 4-3, 3-2, 2-1: diameter 4, needs pointer-halving rounds
+    val got = components(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("long chain converges within the round cap (log-diameter halving)") {
+    val n = 200L // pure propagation would need ~200 rounds; halving ~O(log)
+    val chain = (1L until n).map(i => (i, i + 1))
+    val got = components(chain)
+    assert(got.size === n.toInt)
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("cycles and redundant edges are harmless") {
+    val got = components(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 2L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("empty pair list yields empty components") {
+    assert(components(Seq.empty).isEmpty)
+  }
+
+  test("dedupClusters labels singletons as their own canonical cluster") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L)).toDF("id_a", "id_b")
+    val got = Components.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      .select(col("doc_id"), col("component"), col("is_canonical"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, true), (3L, 1L, false), // clustered: min id is canonical
+      (2L, 2L, true), (9L, 9L, true))) // singletons
+  }
+}
