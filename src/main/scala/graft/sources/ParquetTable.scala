@@ -74,10 +74,15 @@ object ParquetTable {
   /** Overwrite-create. Partitioned layouts stay plain (hive-style dirs at
     * `path`, catalog-registrable via LOCATION); unpartitioned tables are
     * created as manifest version 1 (or the next version if the path
-    * already holds a versioned table).
+    * already holds a versioned table). `filesPerPartition > 1` splits each
+    * hot partition's write across that many files/tasks (see
+    * clusterByPartitions).
     */
-  def create(df: DataFrame, path: String, partitionColumns: Seq[String] = Nil): Unit =
-    if (partitionColumns.nonEmpty) writePlain(df, path, partitionColumns)
+  def create(
+      df: DataFrame, path: String, partitionColumns: Seq[String] = Nil,
+      filesPerPartition: Int = 1): Unit =
+    if (partitionColumns.nonEmpty)
+      writePlain(df, path, partitionColumns, filesPerPartition)
     else atomicReplace(df.sparkSession, path, df, Nil)
 
   /** Cluster rows onto their target partitions before a `partitionBy`
@@ -139,9 +144,10 @@ object ParquetTable {
       path: String,
       updates: DataFrame,
       pk: Seq[String],
-      partitionColumns: Seq[String] = Nil): Unit = {
+      partitionColumns: Seq[String] = Nil,
+      filesPerPartition: Int = 1): Unit = {
     if (!exists(spark, path)) {
-      create(updates.dropDuplicates(pk), path, partitionColumns)
+      create(updates.dropDuplicates(pk), path, partitionColumns, filesPerPartition)
       return
     }
     // a partitioned VERSIONED table (manifest with partition entries)
@@ -150,7 +156,7 @@ object ParquetTable {
         .exists(v => partitionEntries(spark, path, v).isDefined)) {
       require(partitionColumns.nonEmpty,
         s"merge: $path is a partitioned versioned table; pass its partition columns")
-      mergeVersioned(spark, path, updates, pk, partitionColumns)
+      mergeVersioned(spark, path, updates, pk, partitionColumns, filesPerPartition)
       return
     }
     val target = read(spark, path)
@@ -164,7 +170,7 @@ object ParquetTable {
       val affected = target.join(parts, partitionColumns.toSeq, "left_semi")
       val merged = mergeFrames(affected, upd, pk)
       withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
-        clusterByPartitions(merged, partitionColumns, filesPerPartition = 1)
+        clusterByPartitions(merged, partitionColumns, filesPerPartition)
           .write.mode(SaveMode.Overwrite)
           .partitionBy(partitionColumns: _*)
           .parquet(path)
@@ -294,12 +300,14 @@ object ParquetTable {
   /** Create (or fully replace) a PARTITIONED versioned table: the image
     * lands in one fresh data dir; the manifest maps every partition to it.
     */
-  def createVersioned(df: DataFrame, path: String, partitionColumns: Seq[String]): Unit = {
+  def createVersioned(
+      df: DataFrame, path: String, partitionColumns: Seq[String],
+      filesPerPartition: Int = 1): Unit = {
     require(partitionColumns.nonEmpty,
       "createVersioned is for partitioned tables; use create for unpartitioned")
     val spark = df.sparkSession
     val dataDir = freshDataDirName()
-    writePlain(df, new Path(path, dataDir).toString, partitionColumns)
+    writePlain(df, new Path(path, dataDir).toString, partitionColumns, filesPerPartition)
     val entries = partitionDirsOf(df, partitionColumns)
       .map(p => s"$p\t$dataDir").mkString("\n")
     var committed = false
@@ -325,7 +333,8 @@ object ParquetTable {
       path: String,
       updates: DataFrame,
       pk: Seq[String],
-      partitionColumns: Seq[String]): Unit = {
+      partitionColumns: Seq[String],
+      filesPerPartition: Int = 1): Unit = {
     require(partitionColumns.nonEmpty, "mergeVersioned needs partition columns")
     val upd = updates.dropDuplicates(pk)
     var committed = false
@@ -335,7 +344,7 @@ object ParquetTable {
       require(attempts <= 10, s"mergeVersioned: lost the version race at $path")
       currentVersion(spark, path) match {
         case None =>
-          createVersioned(upd, path, partitionColumns)
+          createVersioned(upd, path, partitionColumns, filesPerPartition)
           committed = true
         case Some(v) =>
           val entries = partitionEntries(spark, path, v).getOrElse(
@@ -357,7 +366,8 @@ object ParquetTable {
             case None => upd
           }
           val dataDir = freshDataDirName()
-          writePlain(merged, new Path(path, dataDir).toString, partitionColumns)
+          writePlain(merged, new Path(path, dataDir).toString, partitionColumns,
+            filesPerPartition)
           val newEntries = (entryMap ++ affected.map(_ -> dataDir)).toSeq.sorted
             .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
           committed = commitVersion(spark, path, v + 1, newEntries)
