@@ -17,14 +17,15 @@ import org.apache.spark.sql.SparkSession
   *     a plain `java graft.Bench` regardless of launcher flags.
   *   - Warmup pass at sf0.001 per query (codegen compile, classloading,
   *     parquet footer caching).
-  *   - retry pass: this environment exhibits sticky ~30-60 s windows in
-  *     which ALL JVM work runs 10-50× slow (verified environmental: same
-  *     plans, same JVM, stable pure-CPU baseline; pattern survives AQE
-  *     off, 2 GiB code cache, tmpfs shuffle dirs, reduced thread counts).
-  *     Back-to-back reps can both land inside one window, so instead of
-  *     min-of-2 the bench runs one full pass, then re-measures anomalously
-  *     slow queries in later passes (windows decorrelate across passes)
-  *     and reports per-query minima — steady-state plan time.
+  *   - min-of-2 + retry pass: this environment exhibits sticky ~30-60 s
+  *     windows in which ALL JVM work runs 10-50× slow (verified
+  *     environmental: same plans, same JVM, stable pure-CPU baseline;
+  *     pattern survives AQE off, 2 GiB code cache, tmpfs shuffle dirs,
+  *     reduced thread counts). The bench runs TWO full passes and keeps
+  *     per-query minima (passes decorrelate from the windows, so
+  *     consecutive same-code runs now agree per query), then re-measures
+  *     any still-anomalous stragglers in further passes — steady-state
+  *     plan time.
   *   - AQE off (override: SPARK_GRAFT_AQE=true): on these tiny local
   *     shuffles AQE's runtime replanning intermittently demoted plans to
   *     10-50× fallbacks; at real scale (large shuffles, skew) AQE is the
@@ -101,9 +102,14 @@ object Bench {
 
     val best = scala.collection.mutable.Map[String, Double]()
     names.foreach(n => best(n) = once(n))
-    // retry passes: anything slower than max(4 s, 3× the pass minimum) is
-    // suspected environmental; re-measure it in a later window, keep min.
-    (1 until math.max(reps, 2)).foreach { _ =>
+    // full second pass over EVERY query, keep per-query min: makes
+    // consecutive same-code bench runs agree (per-query variance from the
+    // VM's slow windows and query-order JIT effects otherwise dominated
+    // small deltas and made round-over-round comparison unattributable)
+    names.foreach(n => best(n) = math.min(best(n), once(n)))
+    // extra retry passes: anything still slower than max(4 s, 3× the pass
+    // minimum) is suspected environmental; re-measure in a later window.
+    (2 until math.max(reps, 3)).foreach { _ =>
       val floor = math.max(4.0, best.values.filter(_ != Double.MaxValue).min * 3)
       names.filter(n => best(n) > floor)
         .foreach(n => best(n) = math.min(best(n), once(n)))

@@ -146,8 +146,20 @@ object TextFunctions {
   /** Email addresses (conservative RFC-ish shape). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** Phone-like digit runs: ≥7 chars of digits/hyphens, optional +. */
-  val PhonePattern = "\\+?[0-9][0-9-]{5,}[0-9]"
+  /** Phone-like shapes only — either an international undelimited run
+    * (`+` then 7–15 digits; the leading `+` is the phone signal) or a
+    * GROUPED number: 1–3 digit prefix, two to three separator-delimited
+    * groups (`-` or space). Requiring the grouping is what keeps ISO
+    * dates (2024-01-01: the trailing date group has 2 digits, the
+    * pattern's last group demands 3–4), bare order/tracking ids
+    * (12345678: no separators), and long integers out of the redaction —
+    * the cost is that an UNDELIMITED domestic number ("5551234567") is
+    * indistinguishable from an order id and is deliberately left alone.
+    * Non-capturing group keeps regexp_extract_all(…, 0) = the full match
+    * in both Java regex and RE2.
+    */
+  val PhonePattern =
+    "\\+[0-9]{7,15}|\\+?[0-9]{1,3}[- ][0-9]{2,4}[- ][0-9]{3,4}(?:[- ][0-9]{1,4})?"
 
   /** Redact emails first (their local parts contain digits a phone pattern
     * could eat), then phone-like runs. Counting redactions must follow the

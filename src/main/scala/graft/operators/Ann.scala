@@ -133,18 +133,8 @@ object Ann {
       threshold: Double,
       blockCols: Seq[String] = Nil,
       maxBlockRows: Long = 1000000L): DataFrame = {
-    if (maxBlockRows < Long.MaxValue) {
-      val sized =
-        if (blockCols.isEmpty) df.groupBy(lit(1)).agg(count(lit(1)).as("__n"))
-        else df.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("__n"))
-      val worst = sized.agg(max(col("__n"))).head()
-      if (!worst.isNullAt(0) && worst.getLong(0) > maxBlockRows)
-        throw new IllegalArgumentException(
-          s"cosineNearDupPairs: largest block has ${worst.getLong(0)} rows " +
-            s"(> $maxBlockRows); the within-block join would do ~n² comparisons. " +
-            "Use finer blockCols or lshNearDupPairs, or raise maxBlockRows to " +
-            "accept the cost.")
-    }
+    BlockGuard.check("cosineNearDupPairs", df, blockCols, maxBlockRows,
+      "lshNearDupPairs")
     val proj = df.select((col(idCol) +: blockCols.map(col)) :+ col(vecCol).as("__v"): _*)
     val a = proj.as("a")
     val b = proj.as("b")

@@ -23,31 +23,48 @@ import org.apache.spark.sql.functions._
   * diameter > 2^maxRounds would need more — for dedup graphs, diameters
   * are tiny).
   *
-  * Each round ends in `localCheckpoint(eager = true)`: the round's plan
-  * embeds the previous round's plan TWICE (propagate join + halving
-  * self-join), so without lineage truncation the logical plan doubles per
-  * round and the driver dies planning round ~15 regardless of data size.
-  * Checkpointing keeps the per-round plan constant — the same trick
-  * GraphX/GraphFrames use for iterative graph algorithms.
+  * Each round ends in an eager checkpoint: the round's plan embeds the
+  * previous round's plan TWICE (propagate join + halving self-join), so
+  * without lineage truncation the logical plan doubles per round and the
+  * driver dies planning round ~15 regardless of data size. Checkpointing
+  * keeps the per-round plan constant — the same trick GraphX/GraphFrames
+  * use for iterative graph algorithms.
+  *
+  * Fault tolerance: by default the truncation is `localCheckpoint` —
+  * blocks live on executor-local storage with lineage GONE, so losing any
+  * executor mid-iteration makes the labels unrecomputable and fails the
+  * job. Cheap and fine on local mode or short runs; for a long-running
+  * 1000-executor job pass `checkpointDir` (an HDFS/object-store path) and
+  * every round lands in a RELIABLE `df.checkpoint` instead — executor
+  * loss costs a re-read, not the job. Checkpoint files persist until the
+  * dir is cleaned (or `spark.cleaner.referenceTracking.cleanCheckpoints`
+  * reclaims them); budget one labels-table copy per round.
   */
 object Components {
 
   /** (id, component) for every node appearing in `pairs`; component = the
-    * minimum node id reachable from the node.
+    * minimum node id reachable from the node. Pass `checkpointDir` to use
+    * reliable checkpoints (executor-loss-safe) instead of local ones —
+    * see the object scaladoc for the tradeoff.
     */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 20): DataFrame = {
-    val edges = pairs
+      maxRounds: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
+    val edges = ckpt(pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
 
     var round = 0
     var converged = edges.isEmpty
@@ -60,10 +77,10 @@ object Components {
       // path halving: replace each label by that label's own label
       val parents = propagated
         .select(col("id").as("__pid"), col("label").as("__plabel"))
-      val next = propagated
+      val next = ckpt(propagated
         .join(parents, propagated("label") === parents("__pid"), "left")
-        .select(col("id"), coalesce(col("__plabel"), col("label")).as("label"))
-        .localCheckpoint(true) // materialize + truncate lineage (see scaladoc)
+        .select(col("id"), coalesce(col("__plabel"), col("label")).as("label")))
+      // materialized + lineage truncated (see scaladoc)
       val changed = next.as("n")
         .join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label"))
@@ -89,8 +106,9 @@ object Components {
       idCol: String,
       pairs: DataFrame,
       aCol: String,
-      bCol: String): DataFrame = {
-    val comps = connectedComponents(pairs, aCol, bCol)
+      bCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, checkpointDir = checkpointDir)
       .withColumnRenamed("id", idCol)
     df.join(comps, Seq(idCol), "left")
       .withColumn("component", coalesce(col("component"), col(idCol).cast("long")))

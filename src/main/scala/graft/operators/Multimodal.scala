@@ -14,15 +14,17 @@ import org.apache.spark.sql.types._
   * a per-row UDF).
   *
   * Decoders, by tier:
-  *   - `decodeImages` / `decodeWav` — REAL pure-JVM decodes (javax.imageio
-  *     and javax.sound.sampled ship with the JDK: PNG/BMP/GIF/JPEG and
-  *     PCM WAV), emitting true width/height/sample-rate metadata and
-  *     deterministic content features.
-  *   - `extractFeatures` / `resizeStub` / `frameSampleStub` — DETERMINISTIC
-  *     STUBS marked `STUB:` for the modalities that need codecs absent
-  *     from a bare JVM (video, compressed audio). They keep the exact plan
-  *     shape (narrow per-partition map, no shuffle); swapping in a real
-  *     JNI/Java decoder changes only the function body.
+  *   - `decodeImages` / `decodeWav` / `decodeY4m` — REAL pure-JVM decodes
+  *     (javax.imageio and javax.sound.sampled ship with the JDK:
+  *     PNG/BMP/GIF/JPEG and PCM WAV; YUV4MPEG2 video is an uncompressed
+  *     container parseable with no codec at all), emitting true
+  *     width/height/sample-rate/frame-count metadata and deterministic
+  *     content features.
+  *   - `extractFeatures` / `resizeStub` — DETERMINISTIC STUBS marked
+  *     `STUB:` for the modalities that need codecs absent from a bare JVM
+  *     (compressed video/audio). They keep the exact plan shape (narrow
+  *     per-partition map, no shuffle); swapping in a real JNI/Java decoder
+  *     changes only the function body.
   */
 object Multimodal {
 
@@ -224,15 +226,116 @@ object Multimodal {
         lit(null).cast(IntegerType).as("sample_rate"),
         lit(null).cast(IntegerType).as("n_frames")))
 
-  /** STUB: sample `n` evenly-spaced fixed-size "frames" from the payload —
-    * the video-frame-sampling plan shape (one row in, `n` array elements
-    * out; explode downstream if per-frame rows are needed).
+  /** REAL video decode for the uncompressed YUV4MPEG2 (.y4m) container —
+    * the one video format parseable without codecs (a plain-text header
+    * `YUV4MPEG2 W<w> H<h> F<n>:<d> [C<colorspace>]\n`, then per frame a
+    * `FRAME…\n` marker followed by raw planar YCbCr). Stamps
+    * meta.width/height/n_frames (true frame count from the stream) and
+    * extracts, for up to `sampleFrames` evenly-spaced frames, a
+    * `thumb`×`thumb` block-mean LUMINANCE thumbnail from the Y plane
+    * (row-major, in [0,1]; frames concatenated, so features.length =
+    * sampledFrames·thumb²) — same deterministic arithmetic as
+    * `decodeImages`. Supports C420*, C422, C444 and Cmono chroma layouts
+    * (only the Y-plane size depends on them). Rows that are not Y4M, or
+    * whose stream is truncated mid-frame, get null meta/features instead
+    * of failing the partition. Per-partition iterator shape, no shuffle —
+    * at 100 TB, frame sampling is a scan.
     */
-  def frameSampleStub(df: DataFrame, n: Int, frameBytes: Int): DataFrame = {
-    val len = length(col("content"))
-    val frames = transform(sequence(lit(0), lit(n - 1)), i =>
-      // placeholder byte-slice: a real impl seeks via the codec instead
-      col("content").substr(i * greatest(len / n, lit(1)) + 1, lit(frameBytes)))
-    df.withColumn("frames", frames)
+  def decodeY4m(df: DataFrame, sampleFrames: Int = 4, thumb: Int = 8): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true))
+    val contentIdx = df.schema.fieldIndex("content")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
+        parseY4m(bytes, sampleFrames, thumb) match {
+          case Some((w, h, nFrames, feats)) =>
+            val meta = Row(w, h, null, nFrames)
+            Row.fromSeq(r.toSeq.updated(metaIdx, meta) :+ feats.toSeq)
+          case None => Row.fromSeq(r.toSeq :+ null)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** (width, height, frameCount, sampled thumbnail features) — None when
+    * `bytes` is not a well-formed YUV4MPEG2 stream.
+    */
+  private def parseY4m(
+      bytes: Array[Byte], sampleFrames: Int, thumb: Int): Option[(Int, Int, Int, Array[Float])] = {
+    if (bytes == null) return None
+    val headerEnd = bytes.indexOf('\n'.toByte)
+    if (headerEnd < 0) return None
+    val header = new String(bytes, 0, headerEnd, "US-ASCII")
+    val tokens = header.split(' ')
+    if (tokens.isEmpty || tokens(0) != "YUV4MPEG2") return None
+    def param(prefix: Char): Option[String] =
+      tokens.drop(1).find(t => t.nonEmpty && t.head == prefix).map(_.tail)
+    val (w, h) =
+      try (param('W').map(_.toInt), param('H').map(_.toInt)) match {
+        case (Some(pw), Some(ph)) if pw > 0 && ph > 0 => (pw, ph)
+        case _ => return None
+      } catch { case _: NumberFormatException => return None }
+    val ySize = w * h
+    // chroma planes per frame, as a fraction of the luma plane
+    val chroma = param('C').getOrElse("420jpeg") match {
+      case cs if cs.startsWith("420") => ySize / 2 // two (w/2)×(h/2) planes
+      case cs if cs.startsWith("422") => ySize // two (w/2)×h planes
+      case cs if cs.startsWith("444") => 2 * ySize // two full planes
+      case cs if cs.startsWith("mono") => 0
+      case _ => return None
+    }
+    val frameSize = ySize + chroma
+
+    // index the frame payload offsets (Y plane starts)
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    var pos = headerEnd + 1
+    while (pos < bytes.length) {
+      // each frame opens with "FRAME[ params]\n"
+      if (pos + 5 > bytes.length ||
+          new String(bytes, pos, 5, "US-ASCII") != "FRAME") return None
+      var nl = pos + 5
+      while (nl < bytes.length && bytes(nl) != '\n'.toByte) nl += 1
+      if (nl >= bytes.length) return None // truncated frame header
+      val dataStart = nl + 1
+      if (dataStart + frameSize > bytes.length) return None // truncated frame
+      offsets += dataStart
+      pos = dataStart + frameSize
+    }
+    val nFrames = offsets.length
+
+    val take = math.min(sampleFrames, nFrames)
+    val feats = new Array[Float](take * thumb * thumb)
+    var k = 0
+    while (k < take) {
+      val off = offsets(k * nFrames / math.max(take, 1)) // evenly spaced
+      var ty = 0
+      while (ty < thumb) {
+        val y0 = ty * h / thumb
+        val y1 = math.max((ty + 1) * h / thumb, y0 + 1)
+        var tx = 0
+        while (tx < thumb) {
+          val x0 = tx * w / thumb
+          val x1 = math.max((tx + 1) * w / thumb, x0 + 1)
+          var s = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              s += (bytes(off + y * w + x) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          feats(k * thumb * thumb + ty * thumb + tx) =
+            (s / ((y1 - y0) * (x1 - x0)) / 255.0).toFloat
+          tx += 1
+        }
+        ty += 1
+      }
+      k += 1
+    }
+    Some((w, h, nFrames, feats))
   }
 }

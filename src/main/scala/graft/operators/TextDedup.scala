@@ -101,6 +101,46 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
   }
 
+  /** All pairs (idA < idB) within the same `blockCols` whose Levenshtein
+    * distance over the normalized (lowercased) length-`prefixLen` text
+    * prefix is ≤ `maxDist` — the exact fuzzy tier below the fingerprint
+    * methods (MinHash/SimHash), for catching small edits the signature
+    * methods blur over.
+    *
+    * Guardrail: edit distance has no sub-quadratic index, so the join is
+    * all-pairs WITHIN a block and one hot block at 100× scale silently
+    * becomes the whole job — and each comparison is O(prefixLen²), far
+    * pricier than a cosine. The call fails fast (one linear
+    * count-by-block probe at plan-build time) when any block exceeds
+    * `maxBlockRows`, naming the offender and pointing at the signature
+    * operators; raise the cap explicitly to accept the cost. A cheap
+    * necessary condition — |len(a) − len(b)| ≤ maxDist on the prefixes —
+    * is folded into the join predicate so non-candidates are discarded
+    * before the levenshtein evaluates.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int,
+      blockCols: Seq[String] = Nil,
+      prefixLen: Int = 30,
+      maxBlockRows: Long = 100000L): DataFrame = {
+    BlockGuard.check("editDistancePairs", df, blockCols, maxBlockRows,
+      "minHashLshPairs/simHashPairs")
+    val proj = df.select((col(idCol) +: blockCols.map(col)) :+
+      substring(lower(col(textCol)), 1, prefixLen).as("__prefix"): _*)
+    val a = proj.as("a")
+    val b = proj.as("b")
+    val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col(s"a.$idCol") < col(s"b.$idCol"))(_ && _) &&
+      abs(length(col("a.__prefix")) - length(col("b.__prefix"))) <= maxDist
+    a.join(b, cond)
+      .withColumn("dist", levenshtein(col("a.__prefix"), col("b.__prefix")))
+      .filter(col("dist") <= maxDist)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("dist"))
+  }
+
   /** Incremental exact dedup for a continuously-ingested corpus: dedup
     * the new batch against itself (keep lowest id per normalized
     * fingerprint) AND against the persistent fingerprint `store` (one

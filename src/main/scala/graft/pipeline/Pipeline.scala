@@ -93,16 +93,18 @@ object Pipeline {
     } finally annotated.unpersist()
   }
 
-  private def writeRejected(rejected: DataFrame, cfg: Config, spec: TableSpec): Long = {
-    val n = rejected.count()
-    if (n > 0) {
+  private def writeRejected(rejected: DataFrame, cfg: Config, spec: TableSpec): Long =
+    // isEmpty short-circuits at the first surviving row (the reference's
+    // `.isEmpty()` probe, etl_utils.py:72) — the clean-input fast path
+    // never pays a full count
+    if (rejected.isEmpty) 0L
+    else {
       val withMeta = Validator.withRejectionMetadata(rejected, spec.name, cfg.jobName)
       val parts = spec.partitionColumns.filter(withMeta.columns.contains)
       ParquetTable.append(withMeta, s"${cfg.rejectedDir}/${spec.name}", parts)
       Validator.rejectionSummary(rejected).show(false)
+      rejected.count()
     }
-    n
-  }
 
   private val CatalogNames = Seq(
     "products" -> "clean_products", "orders" -> "clean_orders",

@@ -23,6 +23,24 @@ import graft.sources.ParquetTable
 object ParityQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Temp workspace for queries that must land a table on disk (q32, q48).
+    * Registered for recursive removal at JVM exit so repeated
+    * correctness/bench runs leave /tmp flat — the result frame stays lazy
+    * (it reads from the workspace), so eager deletion isn't an option.
+    */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   // ---- q08/q09: validation over deterministically dirtied orders --------
   // The testdata is clean, so invalidity is injected reproducibly:
   // o_custkey nulled when o_orderkey%101=0; o_totalprice negated when
@@ -230,7 +248,7 @@ object ParityQueries {
     // return the final table state. The pipeline's production corpus is
     // pipeline.AcidInserts; this is the same surface on testdata.
     "q32_catalog_insert" -> ((s, d) => {
-      val loc = java.nio.file.Files.createTempDirectory("graft_q32").toString
+      val loc = scratchDir("graft_q32")
       s.sql("DROP TABLE IF EXISTS q32_clean_orders")
       s.sql(
         s"""CREATE TABLE q32_clean_orders USING parquet LOCATION '$loc/data'
@@ -334,7 +352,7 @@ object ParityQueries {
     // tagged insert/update/delete. The construction is deterministic, so
     // the whole feed replays as plain SQL over the source table.
     "q48_table_changes" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+      val tmp = scratchDir("graft_cdc")
       val cust = Tables.customer(s, d)
       graft.sources.ParquetTable.create(cust, s"$tmp/t")
       val v2 = cust.filter(col("c_custkey") % 97 =!= 0)

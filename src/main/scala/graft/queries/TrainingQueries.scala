@@ -266,20 +266,13 @@ object TrainingQueries {
     }),
 
     // Fuzzy near-dup tier below the fingerprint methods: exact edit
-    // distance on a normalized prefix, all-pairs WITHIN (lang, source)
-    // blocks only (the guarded-quadratic "verify" tier, like q25/q27).
+    // distance on a normalized prefix via the GUARDED library operator —
+    // all-pairs WITHIN (lang, source) blocks only, and the call fails
+    // fast if any block outgrows maxBlockRows (the quadratic-block
+    // discipline q25/q27 already have).
     "q46_levenshtein_pairs" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"),
-          substring(lower(col("text")), 1, 30).as("prefix"))
-      val a = docs.select(docs.columns.map(c => col(c).as(c)): _*).as("a")
-      val b = docs.select(docs.columns.map(c => col(c).as(s"${c}_b")): _*).as("b")
-      a.join(b, col("lang") === col("lang_b") &&
-          col("source") === col("source_b") &&
-          col("doc_id") < col("doc_id_b"))
-        .withColumn("dist", levenshtein(col("prefix"), col("prefix_b")))
-        .filter(col("dist") <= 12)
-        .select(col("doc_id").as("id_a"), col("doc_id_b").as("id_b"), col("dist"))
+      TextDedup.editDistancePairs(Tables.documents(s, d), "doc_id", "text",
+        maxDist = 12, blockCols = Seq("lang", "source"), prefixLen = 30)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -297,14 +290,9 @@ object TrainingQueries {
       val e1 = fp.join(fpB,
           col("fp") === col("fp_b") && col("doc_id") < col("doc_id_b"))
         .select(col("doc_id").as("id_a"), col("doc_id_b").as("id_b"))
-      val pre = dup.select(col("doc_id"), col("lang"), col("source"),
-        substring(lower(col("text")), 1, 30).as("prefix"))
-      val preB = pre.select(pre.columns.map(c => col(c).as(s"${c}_b")): _*)
-      val e2 = pre.join(preB,
-          col("lang") === col("lang_b") && col("source") === col("source_b") &&
-            col("doc_id") < col("doc_id_b") &&
-            levenshtein(col("prefix"), col("prefix_b")) <= 12)
-        .select(col("doc_id").as("id_a"), col("doc_id_b").as("id_b"))
+      val e2 = TextDedup.editDistancePairs(dup, "doc_id", "text",
+          maxDist = 12, blockCols = Seq("lang", "source"), prefixLen = 30)
+        .select(col("id_a"), col("id_b"))
       graft.operators.Components
         .dedupClusters(dup, "doc_id", e1.unionByName(e2), "id_a", "id_b")
         .select(col("doc_id"), col("component"), col("is_canonical"))

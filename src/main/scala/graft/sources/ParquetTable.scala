@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   * a reader sees version N or N+1, never a half-written or missing dir,
   * and an already-resolved plan keeps reading its (still-present) old dir
   * to completion. `readAt` gives "query as of version N"; `vacuum` retires
-  * old versions. The rename is atomic on HDFS/local FS — an object store
-  * deployment needs a CAS'd log commit instead (same caveat as Delta's
-  * LogStore). PARTITIONED tables version through the same manifest with
+  * old versions. Every publish goes through the pluggable [[LogCommitter]]
+  * seam (`logCommitter`): the default rename committer is atomic on
+  * HDFS/local FS; an object-store deployment swaps in a CAS committer
+  * (same factoring as Delta's LogStore) without touching this layer.
+  * PARTITIONED tables version through the same manifest with
   * per-partition entries (`createVersioned`/`mergeVersioned`): each merge
   * writes only the affected partitions into a fresh uniquely-named data
   * dir and atomically publishes a manifest re-pointing just those
@@ -212,21 +214,22 @@ object ParquetTable {
   def currentVersion(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
-  /** Publish `version` with one atomic rename of a manifest file holding
-    * `content`. Returns false when another writer committed it first.
+  /** The commit primitive every version publish goes through — pluggable
+    * so an object-store deployment can swap in a CAS committer (see
+    * [[LogCommitter]]). Defaults to the rename committer, which is correct
+    * on HDFS/local FS.
+    */
+  @volatile var logCommitter: LogCommitter = RenameCommitter
+
+  /** Publish `version` by committing a manifest file holding `content`
+    * through the configured [[LogCommitter]]. Returns false when another
+    * writer committed that version first.
     */
   private def commitVersion(
       spark: SparkSession, path: String, version: Long, content: String): Boolean = {
     val md = manifestDir(path)
-    val fs = hadoopFs(spark, md)
-    fs.mkdirs(md)
-    val tmp = new Path(md, s".tmp_commit_${System.nanoTime()}")
-    val out = fs.create(tmp, false)
-    try out.write(content.getBytes("UTF-8"))
-    finally out.close()
     val target = new Path(md, f"v$version%020d")
-    if (fs.rename(tmp, target)) true
-    else { fs.delete(tmp, false); false }
+    logCommitter.commit(hadoopFs(spark, md), target, content.getBytes("UTF-8"))
   }
 
   // ---- partitioned versioned layout --------------------------------------
@@ -405,12 +408,26 @@ object ParquetTable {
     }
   }
 
-  /** Change-data feed between two committed versions — the Delta CDF
-    * (`table_changes`) equivalent, computed from the immutable snapshots
-    * rather than per-commit change files: a PK full-outer join of the two
-    * versions. Emits one row per changed key with `_change_type` ∈
-    * insert | update | delete; insert/update rows carry the NEW image,
-    * delete rows the OLD one. Cost is a scan of both snapshots + one
+  /** SNAPSHOT-DIFF change feed between two committed versions — close to,
+    * but deliberately weaker than, Delta CDF (`table_changes`), because it
+    * is computed from the immutable snapshots rather than per-commit
+    * change files. The deviations, explicitly:
+    *
+    *   - NET diff only: a range spanning several commits collapses them —
+    *     a row changed in v2 and reverted in v3 does NOT appear in
+    *     changes(1, 3); per-commit history needs per-commit calls.
+    *   - No `update_preimage`: an update emits ONE row with the NEW image
+    *     (deletes carry the old image). Delta emits pre+post rows.
+    *   - No `_commit_version`/`_commit_timestamp` columns — the caller
+    *     already names both endpoints.
+    *   - PK uniqueness is a PRECONDITION: duplicate keys would fan out the
+    *     full-outer join into spurious change rows, so the call fails fast
+    *     (one linear key-count job) naming a duplicated key rather than
+    *     returning wrong data. Dedup the table (e.g. dropDuplicates(pk))
+    *     before versioning if keys can repeat.
+    *
+    * Emits one row per changed key with `_change_type` ∈
+    * insert | update | delete. Cost is a scan of both snapshots + one
     * shuffle on the PK — at scale, partition pruning inside each snapshot
     * read still applies, and unchanged rows never leave the join.
     */
@@ -421,11 +438,15 @@ object ParquetTable {
       toVersion: Long,
       pk: Seq[String]): DataFrame = {
     val before = readAt(spark, path, fromVersion)
+    val after = readAt(spark, path, toVersion)
+    requireUniquePk(
+      Seq(s"v$fromVersion" -> before, s"v$toVersion" -> after), pk,
+      s"changes($fromVersion, $toVersion) at $path")
     val cols = before.columns.toSeq
     def packed(df: DataFrame, alias: String) =
       df.select(pk.map(col) :+ struct(cols.map(col): _*).as(alias): _*)
     val j = packed(before, "__old")
-      .join(packed(readAt(spark, path, toVersion), "__new"), pk, "full_outer")
+      .join(packed(after, "__new"), pk, "full_outer")
     val img = when(col("__new").isNull, col("__old")).otherwise(col("__new"))
     j.filter(col("__old").isNull || col("__new").isNull ||
         !(col("__old") <=> col("__new")))
@@ -499,6 +520,28 @@ object ParquetTable {
             }
         }
       } else if (st.isFile && !name.startsWith("_")) fs.delete(st.getPath, false)
+    }
+  }
+
+  /** Fail fast (one linear key-count job across all snapshots) when any
+    * snapshot holds a duplicated PK — see `changes` for why spurious
+    * fan-out is worse than the probe's cost.
+    */
+  private def requireUniquePk(
+      snapshots: Seq[(String, DataFrame)], pk: Seq[String], ctx: String): Unit = {
+    val dup = snapshots.map { case (tag, df) =>
+      df.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+        .select((lit(tag).as("__snap") +: pk.map(c => col(c).cast("string"))): _*)
+    }.reduce(_.unionByName(_)).limit(1).collect()
+    if (dup.nonEmpty) {
+      val r = dup.head
+      val key = pk.zipWithIndex.map { case (c, i) => s"$c=${r.get(i + 1)}" }
+        .mkString(", ")
+      throw new IllegalArgumentException(
+        s"$ctx: snapshot ${r.getString(0)} holds duplicate primary key ($key); " +
+          "a PK-duplicated snapshot fans the full-outer join into spurious " +
+          "change rows. Deduplicate (dropDuplicates) before versioning.")
     }
   }
 

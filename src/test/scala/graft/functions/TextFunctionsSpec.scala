@@ -95,4 +95,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(eval("the the cat cat cat sat the", collapseRepeats) === "the cat sat the")
     assert(eval("a b a b", collapseRepeats) === "a b a b") // non-adjacent kept
   }
+
+  test("scrubPii redacts phones and emails, counts match") {
+    val t = "mail bob.smith+x@corp.example.org or call +1-555-0042 today"
+    assert(eval(t, scrubPii) === "mail <EMAIL> or call <PHONE> today")
+    assert(eval(t, emailCount) === 1)
+    assert(eval(t, phoneCount) === 1)
+    // grouped without +, and international undelimited, both redact
+    assert(eval("call 020-7946-0958 now", phoneCount) === 1)
+    assert(eval("call +442079460958 now", phoneCount) === 1)
+  }
+
+  test("scrubPii leaves dates, order ids, and long integers alone") {
+    // the round-2 pattern redacted all of these (any 7+ digit/hyphen run)
+    val negatives = Seq(
+      "shipped on 2024-01-01 and 1999-12-31",  // ISO dates
+      "order 12345678 confirmed",              // 8-digit order id
+      "tracking 4711081526171 in transit",     // long integer
+      "ref 123-45 short groups")               // too few digits
+    negatives.foreach { t =>
+      assert(eval(t, scrubPii) === t, s"corrupted: $t")
+      assert(eval(t, phoneCount) === 0, s"counted a phone in: $t")
+    }
+  }
 }

@@ -39,6 +39,20 @@ class ComponentsSpec extends SparkSpec {
     assert(components(Seq.empty).isEmpty)
   }
 
+  test("reliable checkpointing (checkpointDir) computes the same labels") {
+    val dir = tmpDir("graft_ckpt")
+    // multi-hop chain so several checkpointed rounds actually run
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("a", "b")
+    val got = Components
+      .connectedComponents(pairs, "a", "b", checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // the rounds really went through the reliable dir, not local blocks
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0)
+  }
+
   test("dedupClusters labels singletons as their own canonical cluster") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z"))
       .toDF("doc_id", "text")

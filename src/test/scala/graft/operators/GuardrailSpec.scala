@@ -91,6 +91,62 @@ class GuardrailSpec extends SparkSpec {
       blockCols = Seq("label")).count() === 1)
   }
 
+  // ---- editDistancePairs block guard -------------------------------------
+
+  /** One hot (en, web) block of 12 docs + a cold (de, web) block of 2 —
+    * the exact shape the guard exists for: at scale the hot block is most
+    * of the corpus and the within-block join goes quadratic in it.
+    */
+  private val blockedDocsSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("text", StringType, nullable = true)))
+
+  private val blockedDocs = frame(blockedDocsSchema,
+    (1L to 12L).map(i => Row(i, "en", "web", s"shared hot block doc $i")) ++
+      Seq(Row(100L, "de", "web", "kalte kopie eins"),
+        Row(101L, "de", "web", "kalte kopie zwei")))
+
+  test("editDistancePairs fails fast on a hot block, naming it and the fix") {
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.editDistancePairs(blockedDocs, "id", "text", maxDist = 5,
+        blockCols = Seq("lang", "source"), maxBlockRows = 10L)
+    }
+    assert(e.getMessage.contains("lang=en")) // the offender is named
+    assert(e.getMessage.contains("minHashLshPairs")) // and the alternative
+    // under the default cap the same data plans and pairs correctly:
+    // every hot-block prefix differs only in its trailing counter
+    val pairs = TextDedup.editDistancePairs(blockedDocs, "id", "text",
+      maxDist = 5, blockCols = Seq("lang", "source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.length === 12 * 11 / 2 + 1) // hot-block pairs + the cold pair
+    assert(pairs.forall { case (a, b, d) => a < b && d <= 5 })
+  }
+
+  test("editDistancePairs matches a driver-side Levenshtein oracle") {
+    val rows = blockedDocs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, la, sa, ta) <- rows
+      (ib, lb, sb, tb) <- rows
+      if ia < ib && la == lb && sa == sb
+      d = lev(ta.toLowerCase.take(30), tb.toLowerCase.take(30))
+      if d <= 5
+    } yield (ia, ib, d)).toSet
+    val got = TextDedup.editDistancePairs(blockedDocs, "id", "text",
+      maxDist = 5, blockCols = Seq("lang", "source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+  }
+
   test("lshNearDupPairs finds the planted pair without any block column") {
     val exact = Ann.cosineNearDupPairs(vecs, "id", "v", threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -135,9 +135,56 @@ class MultimodalSpec extends SparkSpec {
     assert(r.forall(_.getInt(1) === 10))
   }
 
-  test("frameSampleStub emits n frames per row") {
-    val df = Multimodal.readBinaryDir(spark, writeMedia(), "video")
-    val out = Multimodal.frameSampleStub(df, n = 4, frameBytes = 32)
-    assert(out.selectExpr("size(frames)").collect().forall(_.getInt(0) === 4))
+  /** Y4M stream, C420: `nFrames` frames of `w`×`h`, frame i's Y plane a
+    * constant `lumas(i)`, chroma planes zeroed.
+    */
+  private def y4mStream(w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    lumas.foreach { l =>
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      val y = new Array[Byte](w * h)
+      java.util.Arrays.fill(y, l.toByte)
+      bos.write(y)
+      bos.write(new Array[Byte](w * h / 2)) // Cb + Cr at quarter size each
+    }
+    bos.toByteArray
+  }
+
+  test("decodeY4m: real Y4M decode — true dims, frame count, per-frame luma") {
+    val lumas = Seq(0, 128, 255)
+    val out = Multimodal.decodeY4m(
+      mediaFrame("clip.y4m", y4mStream(16, 8, lumas), "video"),
+      sampleFrames = 3, thumb = 2)
+      .selectExpr("meta.width", "meta.height", "meta.n_frames", "features").head()
+    assert(out.getInt(0) === 16 && out.getInt(1) === 8)
+    assert(out.getInt(2) === 3)
+    val f = out.getSeq[Float](3)
+    assert(f.length === 3 * 2 * 2) // 3 sampled frames × 2×2 thumbnail
+    // constant-luma frames: every thumbnail cell equals the frame's level
+    for (c <- 0 until 4) assert(f(c) === 0.0f)
+    for (c <- 4 until 8) assert(math.abs(f(c) - 128f / 255f) < 1e-4)
+    for (c <- 8 until 12) assert(f(c) === 1.0f)
+  }
+
+  test("decodeY4m: sampling caps at sampleFrames, evenly spaced") {
+    // 6 frames with distinct lumas; ask for 3 → frames 0, 2, 4
+    val out = Multimodal.decodeY4m(
+      mediaFrame("six.y4m", y4mStream(8, 8, Seq(10, 60, 110, 160, 210, 250)), "video"),
+      sampleFrames = 3, thumb = 1)
+      .selectExpr("meta.n_frames", "features").head()
+    assert(out.getInt(0) === 6)
+    val f = out.getSeq[Float](1)
+    assert(f.length === 3)
+    val expect = Seq(10, 110, 210).map(_ / 255.0f)
+    f.zip(expect).foreach { case (got, e) => assert(math.abs(got - e) < 1e-4) }
+  }
+
+  test("decodeY4m: non-Y4M and truncated streams yield null, no failure") {
+    val junk = mediaFrame("junk.y4m", Array.tabulate[Byte](64)(_.toByte), "video")
+    assert(Multimodal.decodeY4m(junk).selectExpr("features").head().isNullAt(0))
+    val truncated = y4mStream(16, 8, Seq(128)).dropRight(10)
+    val t = mediaFrame("trunc.y4m", truncated, "video")
+    assert(Multimodal.decodeY4m(t).selectExpr("features").head().isNullAt(0))
   }
 }

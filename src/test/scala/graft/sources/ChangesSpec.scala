@@ -48,6 +48,34 @@ class ChangesSpec extends SparkSpec {
     assert(ParquetTable.changes(spark, path, 1L, 2L, Seq("id")).isEmpty)
   }
 
+  test("duplicate PKs in a snapshot fail fast, naming the key") {
+    val path = tmpDir("chgd") + "/t"
+    ParquetTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), path)
+    // v2 duplicates id=2 — a fan-out trap for the full-outer join
+    ParquetTable.create(Seq((1L, "a"), (2L, "b"), (2L, "B"))
+      .toDF("id", "name"), path)
+    val e = intercept[IllegalArgumentException] {
+      ParquetTable.changes(spark, path, 1L, 2L, Seq("id")).collect()
+    }
+    assert(e.getMessage.contains("id=2"))
+    assert(e.getMessage.contains("v2"))
+  }
+
+  test("net-diff across a multi-commit range: changed-then-reverted vanishes") {
+    val path = tmpDir("chgr") + "/t"
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal")
+    ParquetTable.create(base, path) // v1
+    ParquetTable.create(Seq((1L, 99.0), (2L, 20.0)).toDF("id", "bal"), path) // v2
+    ParquetTable.create(base, path) // v3 reverts v2
+    // documented deviation from per-commit CDF: the 1→99→10 round trip
+    // is invisible to the v1..v3 net diff
+    assert(ParquetTable.changes(spark, path, 1L, 3L, Seq("id")).isEmpty)
+    // per-commit calls still see each leg
+    val leg = ParquetTable.changes(spark, path, 1L, 2L, Seq("id"))
+      .select(col("id"), col("_change_type")).as[(Long, String)].collect().toSet
+    assert(leg === Set((1L, "update")))
+  }
+
   test("null-valued columns compare null-safely (no phantom updates)") {
     val path = tmpDir("chgn") + "/t"
     val df = Seq((1L, Option.empty[String]), (2L, Some("x")))

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
@@ -242,5 +244,53 @@ class ParquetTableSpec extends SparkSpec {
       df(Row(1, "A", "d 1/x:y")), Seq("id"), Seq("day"))
     assert(rowsOf(ParquetTable.read(spark, path)) ===
       Map(1 -> ("A", "d 1/x:y"), 2 -> ("b", "plain")))
+  }
+
+  test("every version publish flows through the injected LogCommitter") {
+    val path = tmpDir("committer") + "/t"
+    val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val counting = new LogCommitter {
+      override def commit(fs: org.apache.hadoop.fs.FileSystem,
+          target: org.apache.hadoop.fs.Path, content: Array[Byte]): Boolean = {
+        committed.add(target.getName)
+        RenameCommitter.commit(fs, target, content)
+      }
+    }
+    val prev = ParquetTable.logCommitter
+    ParquetTable.logCommitter = counting
+    try {
+      ParquetTable.create(df(Row(1, "a", "d1")), path) // v1
+      ParquetTable.merge(spark, path, df(Row(1, "A", "d1")), Seq("id")) // v2
+      assert(ParquetTable.versions(spark, path) === Seq(1L, 2L))
+      assert(rowsOf(ParquetTable.read(spark, path)) === Map(1 -> ("A", "d1")))
+      // both manifests were published by the injected committer
+      assert(committed.size === 2)
+      assert(committed.asScala.forall(_.matches("v\\d+")))
+    } finally ParquetTable.logCommitter = prev
+  }
+
+  /** A committer that loses its first `failures` races (returns false
+    * without writing) — the retry loop must roll the version forward.
+    */
+  test("a committer losing races forces version-number retry, not corruption") {
+    val path = tmpDir("committer-race") + "/t"
+    val losses = new java.util.concurrent.atomic.AtomicInteger(2)
+    val flaky = new LogCommitter {
+      override def commit(fs: org.apache.hadoop.fs.FileSystem,
+          target: org.apache.hadoop.fs.Path, content: Array[Byte]): Boolean =
+        if (losses.getAndDecrement() > 0) {
+          // simulate a racing winner: publish a manifest at that version
+          RenameCommitter.commit(fs, target, content)
+          false // but tell OUR writer it lost
+        } else RenameCommitter.commit(fs, target, content)
+    }
+    val prev = ParquetTable.logCommitter
+    ParquetTable.logCommitter = flaky
+    try {
+      ParquetTable.create(df(Row(1, "a", "d1")), path)
+      // lost v1 and v2 "races", landed on v3; table reads correctly
+      assert(ParquetTable.currentVersion(spark, path) === Some(3L))
+      assert(rowsOf(ParquetTable.read(spark, path)) === Map(1 -> ("a", "d1")))
+    } finally ParquetTable.logCommitter = prev
   }
 }
