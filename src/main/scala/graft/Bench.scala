@@ -24,8 +24,9 @@ import org.apache.spark.sql.SparkSession
   *     reduced thread counts). The bench runs TWO full passes and keeps
   *     per-query minima (passes decorrelate from the windows, so
   *     consecutive same-code runs now agree per query), then re-measures
-  *     any still-anomalous stragglers in further passes — steady-state
-  *     plan time.
+  *     any still-anomalous stragglers in further passes, sleeping ~20 s
+  *     first so the retry escapes the window instead of re-sampling it —
+  *     steady-state plan time.
   *   - AQE off (override: SPARK_GRAFT_AQE=true): on these tiny local
   *     shuffles AQE's runtime replanning intermittently demoted plans to
   *     10-50× fallbacks; at real scale (large shuffles, skew) AQE is the
@@ -69,7 +70,7 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -108,11 +109,16 @@ object Bench {
     // small deltas and made round-over-round comparison unattributable)
     names.foreach(n => best(n) = math.min(best(n), once(n)))
     // extra retry passes: anything still slower than max(4 s, 3× the pass
-    // minimum) is suspected environmental; re-measure in a later window.
+    // minimum) is suspected environmental. The slow windows run 30-60 s,
+    // so re-measuring IMMEDIATELY tends to land in the same window — each
+    // retry pass first sleeps the window out (cheap: only suspects rerun).
     (2 until math.max(reps, 3)).foreach { _ =>
       val floor = math.max(4.0, best.values.filter(_ != Double.MaxValue).min * 3)
-      names.filter(n => best(n) > floor)
-        .foreach(n => best(n) = math.min(best(n), once(n)))
+      val suspects = names.filter(n => best(n) > floor)
+      if (suspects.nonEmpty) {
+        Thread.sleep(20000)
+        suspects.foreach(n => best(n) = math.min(best(n), once(n)))
+      }
     }
     val results = names.map(n =>
       n -> (if (best(n) == Double.MaxValue) -1.0 else best(n)))
@@ -134,8 +140,9 @@ object Bench {
     *     probe-2 = the sub-linear path).
     *   - x_stream_upsert_sec / x_stream_upsert_rows: AvailableNow CSV →
     *     validate → dedup → MERGE end-to-end at bench scale (CSV
-    *     generation excluded); rows/s = rows / sec. Single-run (a
-    *     checkpoint replay would measure a no-op). The write clusters rows
+    *     generation excluded); rows/s = rows / sec. Min-of-2 with fresh
+    *     table/checkpoint dirs per rep (a checkpoint REPLAY would measure
+    *     a no-op). The write clusters rows
     *     onto their DATE partitions first (ParquetTable.clusterByPartitions)
     *     so ~2,400 partition dirs get one file each, not one per task each
     *     (unclustered this same ingest scattered ~19k files and took ~18×
@@ -202,9 +209,15 @@ object Bench {
         src.count()
       }
       out += "x_stream_upsert_rows" -> n.toDouble
-      timed("x_stream_upsert_sec", reps = 1) {
+      // min-of-2 like the other extras — but a checkpoint replay would
+      // measure a no-op, so each rep ingests into FRESH table/checkpoint
+      // dirs (the shared CSV input is already generated above)
+      var streamRep = 0
+      timed("x_stream_upsert_sec", reps = 2) {
+        streamRep += 1
         graft.streaming.StreamingIngest.csvStreamUpsert(spark, s"$root/in",
-          graft.schemas.Schemas.ordersSpec, s"$root/table", s"$root/ckpt")
+          graft.schemas.Schemas.ordersSpec, s"$root/table$streamRep",
+          s"$root/ckpt$streamRep")
           .awaitTermination()
       }
     } catch { case _: Throwable => out += "x_stream_upsert_sec" -> -1.0 }

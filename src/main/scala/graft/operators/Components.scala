@@ -59,9 +59,15 @@ object Components {
         df => df.checkpoint(true)
       case None => df => df.localCheckpoint(true)
     }
+    // symmetrize in ONE pass over `pairs` (explode to both directions):
+    // a union of two selects would evaluate the pair-generator plan —
+    // often an expensive join — twice
     val edges = ckpt(pairs
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct())
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
