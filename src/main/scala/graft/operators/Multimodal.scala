@@ -16,15 +16,16 @@ import org.apache.spark.sql.types._
   * Decoders, by tier:
   *   - `decodeImages` / `decodeWav` / `decodeY4m` — REAL pure-JVM decodes
   *     (javax.imageio and javax.sound.sampled ship with the JDK:
-  *     PNG/BMP/GIF/JPEG and PCM WAV; YUV4MPEG2 video is an uncompressed
-  *     container parseable with no codec at all), emitting true
+  *     PNG/BMP/GIF/JPEG, PCM WAV plus the G.711 μ-law/a-law compressed
+  *     telephony codecs; YUV4MPEG2 video is an uncompressed container
+  *     parseable with no codec at all), emitting true
   *     width/height/sample-rate/frame-count metadata and deterministic
   *     content features.
   *   - `extractFeatures` / `resizeStub` — DETERMINISTIC STUBS marked
   *     `STUB:` for the modalities that need codecs absent from a bare JVM
-  *     (compressed video/audio). They keep the exact plan shape (narrow
-  *     per-partition map, no shuffle); swapping in a real JNI/Java decoder
-  *     changes only the function body.
+  *     (compressed video, perceptual audio like MP3/AAC). They keep the
+  *     exact plan shape (narrow per-partition map, no shuffle); swapping
+  *     in a real JNI/Java decoder changes only the function body.
   */
 object Multimodal {
 
@@ -114,8 +115,10 @@ object Multimodal {
   /** REAL WAV decode via `javax.sound.sampled.AudioSystem` (the JDK's
     * built-in WAVE reader): stamps meta.sample_rate/n_frames from the
     * format header and extracts RMS amplitude (in [0,1]) over `windows`
-    * equal time slices of the channel-mixed 16-bit PCM signal. Rows that
-    * are not WAV, or not 16-bit PCM, get null features.
+    * equal time slices of the channel-mixed 16-bit PCM signal.
+    * COMPRESSED telephony audio — G.711 μ-law/a-law, the encodings the
+    * JDK ships codecs for — is transcoded to 16-bit PCM in-stream before
+    * feature extraction. Rows in any other encoding get null features.
     */
   def decodeWav(df: DataFrame, windows: Int = 16): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
@@ -123,14 +126,22 @@ object Multimodal {
     val contentIdx = df.schema.fieldIndex("content")
     val metaIdx = df.schema.fieldIndex("meta")
     df.mapPartitions { rows =>
+      import javax.sound.sampled.AudioFormat.Encoding
       rows.map { r =>
         val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
         val decoded =
           if (bytes == null) None
           else
             try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
                 new java.io.ByteArrayInputStream(bytes))
+              // G.711 compressed payloads: JDK codecs convert to PCM16
+              val ais =
+                if (raw.getFormat.getEncoding == Encoding.ULAW ||
+                  raw.getFormat.getEncoding == Encoding.ALAW)
+                  javax.sound.sampled.AudioSystem.getAudioInputStream(
+                    Encoding.PCM_SIGNED, raw)
+                else raw
               try {
                 val fmt = ais.getFormat
                 if (fmt.getEncoding !=

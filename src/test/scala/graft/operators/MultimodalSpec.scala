@@ -116,6 +116,29 @@ class MultimodalSpec extends SparkSpec {
     assert(f(3) > 0.49f && f(3) < 0.51f)
   }
 
+  test("decodeWav: G.711 u-law compressed audio transcodes and decodes") {
+    val rate = 8000
+    val frames = 4096
+    // PCM16 square wave → JDK codec → ULAW wav bytes
+    val pcmBytes = halfToneWav(rate, frames, amp = 0.5)
+    val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(pcmBytes))
+    val ulaw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, pcm)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ulaw,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val out = Multimodal.decodeWav(
+      mediaFrame("sq_ulaw.wav", bos.toByteArray, "audio"), windows = 4)
+      .selectExpr("meta.sample_rate", "meta.n_frames", "features").head()
+    assert(out.getInt(0) === rate && out.getInt(1) === frames)
+    val f = out.getSeq[Float](2)
+    assert(f(0) < 0.01f && f(1) < 0.01f) // silent half
+    // G.711 is lossy (~0.3% quantization at this level): loose tolerance
+    assert(f(2) > 0.47f && f(2) < 0.53f)
+    assert(f(3) > 0.47f && f(3) < 0.53f)
+  }
+
   test("decoded image features flow into ANN ops (near-dup on real pixels)") {
     val dir = tmpDir("img_dup")
     Files.write(Paths.get(dir, "a.png"), halfToneImage(32, 16))
