@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   *      O(L) pure-propagation rounds.
   * Every step is a hash-shuffled equi-join/agg on node id: no driver-side
   * graph state, no per-node memory beyond one (id, label) row, so the edge
-  * list can be arbitrarily large. Convergence is a changed-row probe per
-  * round (`limit(1).count`), rounds capped by `maxRounds` (components of
-  * diameter > 2^maxRounds would need more — for dedup graphs, diameters
-  * are tiny).
+  * list can be arbitrarily large. Convergence costs one aggregation per
+  * round, not a join: min-propagation only ever DECREASES labels, so the
+  * label sum (exact, decimal — no long overflow at any scale) is strictly
+  * decreasing until the fixed point, and an unchanged sum proves no label
+  * moved. Rounds are capped by `maxRounds` (components of diameter >
+  * 2^maxRounds would need more — for dedup graphs, diameters are tiny).
   *
   * Each round ends in an eager checkpoint: the round's plan embeds the
   * previous round's plan TWICE (propagate join + halving self-join), so
@@ -69,11 +71,21 @@ object Components {
         struct(col("b").as("src"), col("a").as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct())
-    var labels = ckpt(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+    // round-1 propagation folded into the init: label₀ = min(id, neighbors)
+    // (identical to one propagate over label=id, one groupBy cheaper)
+    var labels = ckpt(edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("__minn"))
+      .select(col("dst").as("id"),
+        least(col("__minn"), col("dst")).as("label")))
+
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
 
     var round = 0
     var converged = edges.isEmpty
+    var prevSum = if (converged) java.math.BigDecimal.ZERO else labelSum(labels)
     while (!converged && round < maxRounds) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
@@ -87,13 +99,11 @@ object Components {
         .join(parents, propagated("label") === parents("__pid"), "left")
         .select(col("id"), coalesce(col("__plabel"), col("label")).as("label")))
       // materialized + lineage truncated (see scaladoc)
-      val changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0 // labels only decrease
+      prevSum = nextSum
       round += 1
     }
     edges.unpersist()
