@@ -225,9 +225,73 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
-  /** STUB: "resize" — truncate/pad the payload to `targetBytes` and stamp
-    * meta.width/height. Stands in for a real resample keeping the plan
-    * shape (narrow map, no shuffle).
+  /** REAL image resize: ImageIO decode → deterministic block-mean box
+    * resample per RGB channel (integer block bounds, no platform-dependent
+    * resampler — the same arithmetic as `decodeImages`' thumbnail) → PNG
+    * re-encode. Content is replaced by the resized PNG bytes and
+    * meta.width/height stamped; rows no bundled reader accepts keep their
+    * original content with null meta. Per-partition iterator shape —
+    * resizing is a scan, never a shuffle.
+    */
+  def resizeImages(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val contentIdx = df.schema.fieldIndex("content")
+    val metaIdx = df.schema.fieldIndex("meta")
+    val schema = df.schema
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
+        val img =
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null) r
+        else {
+          val sw = img.getWidth
+          val sh = img.getHeight
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var ty = 0
+          while (ty < h) {
+            val y0 = ty * sh / h
+            val y1 = math.max((ty + 1) * sh / h, y0 + 1)
+            var tx = 0
+            while (tx < w) {
+              val x0 = tx * sw / w
+              val x1 = math.max((tx + 1) * sw / w, x0 + 1)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (y1 - y0).toLong * (x1 - x0)
+              out.setRGB(tx, ty,
+                (((sr / n).toInt << 16) | ((sg / n).toInt << 8) | (sb / n).toInt))
+              tx += 1
+            }
+            ty += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val meta = Row(w, h, null, null)
+          Row.fromSeq(r.toSeq
+            .updated(contentIdx, bos.toByteArray)
+            .updated(metaIdx, meta))
+        }
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+
+  /** STUB: "resize" for payloads with no JVM decoder — truncate/pad the
+    * payload to `targetBytes` and stamp meta.width/height. Stands in for a
+    * real resample keeping the plan shape (narrow map, no shuffle); for
+    * images use `resizeImages`, which is real.
     */
   def resizeStub(df: DataFrame, targetBytes: Int, w: Int, h: Int): DataFrame =
     df.withColumn("content",

@@ -150,6 +150,29 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.count() === 3) // all three decode to the same thumbnail
   }
 
+  test("resizeImages: real resample — decodable output, content preserved") {
+    val out = Multimodal.resizeImages(
+      mediaFrame("big.png", halfToneImage(64, 32), "image"), w = 8, h = 8)
+      .selectExpr("content", "meta.width", "meta.height").head()
+    assert(out.getInt(1) === 8 && out.getInt(2) === 8)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]](0)))
+    assert(img.getWidth === 8 && img.getHeight === 8)
+    // box resample of the half-tone: left 4 columns black, right 4 white
+    for (y <- 0 until 8) {
+      assert((img.getRGB(0, y) & 0xff) === 0)
+      assert((img.getRGB(7, y) & 0xff) === 255)
+    }
+  }
+
+  test("resizeImages: undecodable rows keep content, null meta") {
+    val out = Multimodal.resizeImages(
+      mediaFrame("junk2.png", Array.tabulate[Byte](64)(_.toByte), "image"), 8, 8)
+      .selectExpr("length(content)", "meta").head()
+    assert(out.getInt(0) === 64) // original bytes untouched
+    assert(out.isNullAt(1))
+  }
+
   test("resizeStub truncates content and stamps meta") {
     val df = Multimodal.readBinaryDir(spark, writeMedia(), "image")
     val out = Multimodal.resizeStub(df, targetBytes = 100, w = 10, h = 10)
