@@ -393,6 +393,37 @@ object ParityQueries {
           round(col("revenue"), 2).as("revenue"),
           round(avg(col("revenue")).over(w), 2).as("ma7"))
         .orderBy(col("day"))
+    }),
+
+    // JSON-lines source: declared-schema PERMISSIVE parse (no inference
+    // pass — at 100 TB inference is a full extra scan), corrupt lines
+    // quarantined into _corrupt_record instead of failing the scan.
+    // documents round-trips through NDJSON in a scratch dir with three
+    // planted garbage lines; the parse must drop EXACTLY the garbage
+    // (surfaced as the zz_corrupt row), so the per-lang aggregate equals
+    // the direct-over-parquet oracle.
+    "q53_json_ingest" -> ((s, d) => {
+      val dir = scratchDir("graft_q53")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .coalesce(4)
+        .write.mode("overwrite").json(s"$dir/docs")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/docs/corrupt.txt"),
+        "### not json\ngarbage{]\n{unquoted: nope\n".getBytes("UTF-8"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      val (parsed, corrupt) =
+        graft.sources.JsonIngest.readSplit(s, s"$dir/docs", schema)
+      val nCorrupt = corrupt.count()
+      parsed.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .unionByName(s.sql(
+          s"SELECT 'zz_corrupt' AS lang, CAST($nCorrupt AS BIGINT) AS n_docs, " +
+            "CAST(0 AS BIGINT) AS sum_chars"))
+        .orderBy(col("lang"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -610,5 +641,14 @@ object ParityQueries {
         |SELECT CAST(day AS VARCHAR) AS day, round(revenue, 2) AS revenue,
         |  round(avg(revenue) OVER (ORDER BY day
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
-        |FROM daily ORDER BY day""".stripMargin)
+        |FROM daily ORDER BY day""".stripMargin,
+
+    // the NDJSON round-trip is lossless for the selected columns and the
+    // parse must quarantine exactly the 3 planted garbage lines
+    "q53_json_ingest" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT 'zz_corrupt' AS lang, CAST(3 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS sum_chars
+        |ORDER BY lang""".stripMargin)
 }
