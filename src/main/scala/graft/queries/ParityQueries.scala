@@ -424,6 +424,42 @@ object ParityQueries {
           s"SELECT 'zz_corrupt' AS lang, CAST($nCorrupt AS BIGINT) AS n_docs, " +
             "CAST(0 AS BIGINT) AS sum_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // ORC interchange: the columnar format warehouses hand over when not
+    // parquet. Lossless round-trip of a supplier projection through ORC
+    // (predicate pushdown + column pruning work the same as parquet), so
+    // the post-round-trip aggregate equals the direct-over-parquet oracle.
+    "q54_orc_roundtrip" -> ((s, d) => {
+      val dir = scratchDir("graft_q54")
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        .write.mode("overwrite").orc(s"$dir/supp")
+      s.read.orc(s"$dir/supp")
+        .filter(col("s_acctbal") > 0)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // Window-function breadth beyond rank/sum (q13/q14): lag, lead,
+    // ntile and first_value over each user's event timeline. Epochs (not
+    // timestamps) keep the compare engine-neutral; ORDER BY includes the
+    // unique event_id so ties cannot reorder between engines.
+    "q55_window_lag_lead" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") % 100 === 0) // a readable slice, many users
+        .select(
+          col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"),
+          unix_timestamp(lag(col("ts"), 1).over(w)).as("prev_epoch"),
+          unix_timestamp(lead(col("ts"), 1).over(w)).as("next_epoch"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first(col("event_id")).over(w).as("first_event"))
+        .orderBy(col("user_id"), col("ts_epoch"), col("event_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -650,5 +686,23 @@ object ParityQueries {
         |FROM documents GROUP BY lang
         |UNION ALL
         |SELECT 'zz_corrupt' AS lang, CAST(3 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS sum_chars
-        |ORDER BY lang""".stripMargin)
+        |ORDER BY lang""".stripMargin,
+
+    // the ORC round-trip is lossless, so the oracle queries the source
+    "q54_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+        |FROM supplier WHERE s_acctbal > 0
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q55_window_lag_lead" ->
+      """WITH e AS (SELECT * FROM events WHERE user_id % 100 = 0)
+        |SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+        |  CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) AS prev_epoch,
+        |  CAST(floor(epoch(lead(ts, 1) OVER w)) AS BIGINT) AS next_epoch,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  first_value(event_id) OVER w AS first_event
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts_epoch, event_id""".stripMargin)
 }
