@@ -17,16 +17,17 @@ import org.apache.spark.sql.SparkSession
   *     a plain `java graft.Bench` regardless of launcher flags.
   *   - Warmup pass at sf0.001 per query (codegen compile, classloading,
   *     parquet footer caching).
-  *   - min-of-2 + retry pass: this environment exhibits sticky ~30-60 s
-  *     windows in which ALL JVM work runs 10-50× slow (verified
-  *     environmental: same plans, same JVM, stable pure-CPU baseline;
-  *     pattern survives AQE off, 2 GiB code cache, tmpfs shuffle dirs,
-  *     reduced thread counts). The bench runs TWO full passes and keeps
-  *     per-query minima (passes decorrelate from the windows, so
-  *     consecutive same-code runs now agree per query), then re-measures
-  *     any still-anomalous stragglers in further passes, sleeping ~20 s
-  *     first so the retry escapes the window instead of re-sampling it —
-  *     steady-state plan time.
+  *   - min-of-2 + agreement-based retries: this environment exhibits
+  *     sticky ~30-60 s windows in which ALL JVM work runs 10-50× slow
+  *     (verified environmental: same plans, same JVM, stable pure-CPU
+  *     baseline; pattern survives AQE off, 2 GiB code cache, tmpfs
+  *     shuffle dirs, reduced thread counts). The bench runs TWO full
+  *     passes keeping per-query minima, then retries only UNSETTLED
+  *     queries — ones without two samples agreeing within 2× of their
+  *     min — sleeping ~20 s before each retry pass so it escapes the
+  *     window instead of re-sampling it. Settled-by-agreement means a
+  *     genuinely-slow query is not re-measured forever, and consecutive
+  *     same-code runs agree per query — steady-state plan time.
   *   - AQE off (override: SPARK_GRAFT_AQE=true): on these tiny local
   *     shuffles AQE's runtime replanning intermittently demoted plans to
   *     10-50× fallbacks; at real scale (large shuffles, skew) AQE is the
@@ -101,27 +102,33 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
     }
 
-    val best = scala.collection.mutable.Map[String, Double]()
-    names.foreach(n => best(n) = once(n))
-    // full second pass over EVERY query, keep per-query min: makes
-    // consecutive same-code bench runs agree (per-query variance from the
-    // VM's slow windows and query-order JIT effects otherwise dominated
-    // small deltas and made round-over-round comparison unattributable)
-    names.foreach(n => best(n) = math.min(best(n), once(n)))
-    // extra retry passes: anything still slower than max(4 s, 3× the pass
-    // minimum) is suspected environmental. The slow windows run 30-60 s,
-    // so re-measuring IMMEDIATELY tends to land in the same window — each
-    // retry pass first sleeps the window out (cheap: only suspects rerun).
+    // Two full passes over every query, then targeted retries. A query is
+    // SETTLED once two samples agree within 2× of its minimum: the slow
+    // windows inflate 10-50×, so agreement means both samples were clean —
+    // magnitude alone is not suspicion (a genuinely-5 s query must not be
+    // re-measured on every healthy run). Unsettled queries retry in later
+    // passes, each preceded by a ~20 s sleep: the windows run 30-60 s, so
+    // an IMMEDIATE retry tends to land back inside the one it is fleeing.
+    val samples = scala.collection.mutable.Map[String, List[Double]](
+      names.map(n => n -> List.empty[Double]): _*)
+    def measure(n: String): Unit = samples(n) = once(n) :: samples(n)
+    def settled(n: String): Boolean = {
+      val ok = samples(n).filter(_ != Double.MaxValue)
+      ok.nonEmpty && ok.count(_ <= ok.min * 2) >= 2
+    }
+    names.foreach(measure)
+    names.foreach(measure)
     (2 until math.max(reps, 3)).foreach { _ =>
-      val floor = math.max(4.0, best.values.filter(_ != Double.MaxValue).min * 3)
-      val suspects = names.filter(n => best(n) > floor)
-      if (suspects.nonEmpty) {
+      val unsettled = names.filterNot(settled)
+      if (unsettled.nonEmpty) {
         Thread.sleep(20000)
-        suspects.foreach(n => best(n) = math.min(best(n), once(n)))
+        unsettled.foreach(measure)
       }
     }
-    val results = names.map(n =>
-      n -> (if (best(n) == Double.MaxValue) -1.0 else best(n)))
+    val results = names.map { n =>
+      val ok = samples(n).filter(_ != Double.MaxValue)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
