@@ -460,6 +460,23 @@ object ParityQueries {
           ntile(4).over(w).cast("long").as("quartile"),
           first(col("event_id")).over(w).as("first_event"))
         .orderBy(col("user_id"), col("ts_epoch"), col("event_id"))
+    }),
+
+    // Reshape primitives: wide → long via unpivot (melt), here closing a
+    // pivot → unpivot round-trip. Cells the pivot never saw come back as
+    // NULL and are dropped, so the trip is lossless and the oracle is the
+    // plain two-key group-by.
+    "q56_unpivot" -> ((s, d) => {
+      val wide = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+      wide.unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")),
+          "o_orderstatus", "n")
+        .filter(col("n").isNotNull)
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -704,5 +721,12 @@ object ParityQueries {
         |  first_value(event_id) OVER w AS first_event
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, ts_epoch, event_id""".stripMargin)
+        |ORDER BY user_id, ts_epoch, event_id""".stripMargin,
+
+    // the pivot→unpivot round-trip is lossless, so the oracle is the
+    // direct two-key aggregate
+    "q56_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)
 }
