@@ -24,16 +24,19 @@ import org.apache.spark.sql.functions._
   *
   * Atomicity & versioning: Delta gets both from its transaction log. Here,
   * UNPARTITIONED tables use a minimal manifest: each full rewrite lands in
-  * a fresh `_v<N>` data dir (underscore-prefixed — invisible to plain
-  * parquet listings) and is published by ONE atomic rename of a manifest
-  * file under `_graft_manifest/`. `read` resolves the newest manifest, so
+  * a fresh uniquely-named data dir (underscore-prefixed — invisible to
+  * plain parquet listings; unique so two racing writers can never collide
+  * in one staging dir) and is published by ONE atomic manifest commit
+  * under `_graft_manifest/` recording that dir. `read` resolves the newest
+  * manifest, so
   * a reader sees version N or N+1, never a half-written or missing dir,
   * and an already-resolved plan keeps reading its (still-present) old dir
   * to completion. `readAt` gives "query as of version N"; `vacuum` retires
   * old versions. Every publish goes through the pluggable [[LogCommitter]]
-  * seam (`logCommitter`): the default rename committer is atomic on
-  * HDFS/local FS; an object-store deployment swaps in a CAS committer
-  * (same factoring as Delta's LogStore) without touching this layer.
+  * seam (`logCommitter`): the default dispatches to a hard-link CAS on
+  * local FS and an atomic no-replace rename on HDFS; an object-store
+  * deployment swaps in a conditional-PUT/CAS committer (same factoring as
+  * Delta's LogStore) without touching this layer.
   * PARTITIONED tables version through the same manifest with
   * per-partition entries (`createVersioned`/`mergeVersioned`): each merge
   * writes only the affected partitions into a fresh uniquely-named data
@@ -192,12 +195,9 @@ object ParquetTable {
 
   private def manifestDir(path: String) = new Path(path, ManifestDirName)
 
-  private def dataDirName(version: Long) = f"_v$version%020d"
-
-  /** Unique data-dir name for partitioned versioned writes — unlike the
-    * version-numbered unpartitioned dirs, two racing writers can never
-    * target the same directory; the manifest, not the name, binds a dir
-    * into a version.
+  /** Unique data-dir name for every versioned write — two racing writers
+    * can never target the same directory; the manifest, not the name,
+    * binds a dir into a version.
     */
   private def freshDataDirName() =
     s"_d${System.currentTimeMillis()}_${System.nanoTime() % 1000000}"
@@ -216,10 +216,10 @@ object ParquetTable {
 
   /** The commit primitive every version publish goes through — pluggable
     * so an object-store deployment can swap in a CAS committer (see
-    * [[LogCommitter]]). Defaults to the rename committer, which is correct
-    * on HDFS/local FS.
+    * [[LogCommitter]]). Defaults to [[DefaultCommitter]]: hard-link
+    * put-if-absent on local FS, no-replace rename on HDFS.
     */
-  @volatile var logCommitter: LogCommitter = RenameCommitter
+  @volatile var logCommitter: LogCommitter = DefaultCommitter
 
   /** Publish `version` by committing a manifest file holding `content`
     * through the configured [[LogCommitter]]. Returns false when another
@@ -234,7 +234,7 @@ object ParquetTable {
 
   // ---- partitioned versioned layout --------------------------------------
   // Manifest file content formats:
-  //   unpartitioned:  one line, the version's data dir name ("_v<N>")
+  //   unpartitioned:  one line, the version's data dir name
   //   partitioned:    one line per partition, "partitionDir\tdataDir"
   //                   (e.g. "date=2024-01-01\t_d1712000000000_123")
   // A partitioned version references MANY data dirs — each merge writes the
@@ -268,7 +268,9 @@ object ParquetTable {
   private def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
     partitionEntries(spark, path, version) match {
       case None =>
-        spark.read.parquet(new Path(path, dataDirName(version)).toString)
+        // unpartitioned: the manifest body IS the (unique) data dir name
+        val dir = manifestContent(spark, path, version).trim
+        spark.read.parquet(new Path(path, dir).toString)
       case Some(entries) =>
         // one read per data dir (basePath recovers the partition columns
         // from the hive-style subdirs), unioned; partition pruning still
@@ -383,9 +385,10 @@ object ParquetTable {
   }
 
   /** Write the full new table image as the NEXT manifest version: data
-    * lands in a fresh `_v<N+1>` dir, one atomic manifest rename publishes
-    * it. Loses against a concurrent committer of the same version and
-    * retries onto the next number, so last-writer-wins is explicit. Old
+    * lands ONCE in a fresh uniquely-named dir, then one atomic manifest
+    * commit publishes it. Losing the version race costs only a manifest
+    * retry onto the next number (the data dir is reused, not rewritten),
+    * so last-writer-wins is explicit and race recovery is O(manifest). Old
     * versions stay intact (and readable via `readAt`) until `vacuum`.
     */
   def atomicReplace(
@@ -393,18 +396,20 @@ object ParquetTable {
       path: String,
       df: DataFrame,
       partitionColumns: Seq[String]): Unit = {
+    val dataDir = freshDataDirName()
+    writePlain(df, new Path(path, dataDir).toString, partitionColumns)
     var attempts = 0
     var committed = false
     while (!committed) {
       attempts += 1
-      if (attempts > 10)
+      if (attempts > 10) {
+        val dd = new Path(path, dataDir)
+        hadoopFs(spark, dd).delete(dd, true)
         throw new java.io.IOException(
           s"atomicReplace: lost the version race at $path $attempts times; giving up")
+      }
       val v = currentVersion(spark, path).getOrElse(0L) + 1
-      val dataDir = new Path(path, dataDirName(v))
-      writePlain(df, dataDir.toString, partitionColumns)
-      committed = commitVersion(spark, path, v, dataDirName(v))
-      if (!committed) hadoopFs(spark, dataDir).delete(dataDir, true)
+      committed = commitVersion(spark, path, v, dataDir)
     }
   }
 
@@ -495,7 +500,7 @@ object ParquetTable {
     val refs: Seq[(String, Option[String])] = kept.flatMap { v =>
       partitionEntries(spark, path, v) match {
         case Some(es) => es.map { case (p, dd) => (dd, Some(p)) }
-        case None => Seq((dataDirName(v), None))
+        case None => Seq((manifestContent(spark, path, v).trim, None))
       }
     }
     val referencedDirs = refs.map(_._1).toSet
