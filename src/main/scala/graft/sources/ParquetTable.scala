@@ -143,14 +143,19 @@ object ParquetTable {
     target.join(updKeys, pk, "left_anti").unionByName(upd)
   }
 
-  /** Upsert `updates` into the table at `path` (creating it if absent). */
+  /** Upsert `updates` into the table at `path` (creating it if absent).
+    * `cdf = true` additionally captures this commit's change rows into a
+    * per-commit change manifest (see [[tableChanges]]) — one extra join
+    * over the affected slice at merge time, Delta-CDF-style opt-in.
+    */
   def merge(
       spark: SparkSession,
       path: String,
       updates: DataFrame,
       pk: Seq[String],
       partitionColumns: Seq[String] = Nil,
-      filesPerPartition: Int = 1): Unit = {
+      filesPerPartition: Int = 1,
+      cdf: Boolean = false): Unit = {
     if (!exists(spark, path)) {
       create(updates.dropDuplicates(pk), path, partitionColumns, filesPerPartition)
       return
@@ -161,11 +166,13 @@ object ParquetTable {
         .exists(v => partitionEntries(spark, path, v).isDefined)) {
       require(partitionColumns.nonEmpty,
         s"merge: $path is a partitioned versioned table; pass its partition columns")
-      mergeVersioned(spark, path, updates, pk, partitionColumns, filesPerPartition)
+      mergeVersioned(spark, path, updates, pk, partitionColumns, filesPerPartition, cdf)
       return
     }
     val target = read(spark, path)
     if (partitionColumns.nonEmpty) {
+      require(!cdf, s"merge: cdf capture needs a versioned table; $path is a " +
+        "plain partitioned layout (use createVersioned/mergeVersioned)")
       // Partition-scoped merge: read ONLY the affected partitions (partition
       // pruning via a dynamic IN-filter on collected partition values — the
       // partition-value set is small by construction: one row per partition
@@ -181,8 +188,11 @@ object ParquetTable {
           .parquet(path)
       }
     } else {
-      val merged = mergeFrames(target, updates, pk)
-      atomicReplace(spark, path, merged, Nil)
+      val upd = updates.dropDuplicates(pk).select(target.columns.map(col).toSeq: _*)
+      val merged = mergeFrames(target, upd, pk)
+      val v = atomicReplace(spark, path, merged, Nil)
+      if (cdf) writeChangeManifest(spark, path, v,
+        changeRowsBetween(target, upd, pk, "right_outer"))
     }
   }
 
@@ -339,7 +349,8 @@ object ParquetTable {
       updates: DataFrame,
       pk: Seq[String],
       partitionColumns: Seq[String],
-      filesPerPartition: Int = 1): Unit = {
+      filesPerPartition: Int = 1,
+      cdf: Boolean = false): Unit = {
     require(partitionColumns.nonEmpty, "mergeVersioned needs partition columns")
     val upd = updates.dropDuplicates(pk)
     var committed = false
@@ -379,6 +390,12 @@ object ParquetTable {
           if (!committed) {
             val dd = new Path(path, dataDir)
             hadoopFs(spark, dd).delete(dd, true)
+          } else if (cdf) {
+            // the v-snapshot dirs the change plan reads remain on disk
+            // (vacuum hasn't run), so capture is safe after the commit
+            val before = target.getOrElse(upd.filter(lit(false)))
+            writeChangeManifest(spark, path, v + 1,
+              changeRowsBetween(before, upd, pk, "right_outer"))
           }
       }
     }
@@ -390,17 +407,18 @@ object ParquetTable {
     * retry onto the next number (the data dir is reused, not rewritten),
     * so last-writer-wins is explicit and race recovery is O(manifest). Old
     * versions stay intact (and readable via `readAt`) until `vacuum`.
+    * Returns the committed version number.
     */
   def atomicReplace(
       spark: SparkSession,
       path: String,
       df: DataFrame,
-      partitionColumns: Seq[String]): Unit = {
+      partitionColumns: Seq[String]): Long = {
     val dataDir = freshDataDirName()
     writePlain(df, new Path(path, dataDir).toString, partitionColumns)
     var attempts = 0
-    var committed = false
-    while (!committed) {
+    var committed = -1L
+    while (committed < 0) {
       attempts += 1
       if (attempts > 10) {
         val dd = new Path(path, dataDir)
@@ -409,20 +427,20 @@ object ParquetTable {
           s"atomicReplace: lost the version race at $path $attempts times; giving up")
       }
       val v = currentVersion(spark, path).getOrElse(0L) + 1
-      committed = commitVersion(spark, path, v, dataDir)
+      if (commitVersion(spark, path, v, dataDir)) committed = v
     }
+    committed
   }
 
-  /** SNAPSHOT-DIFF change feed between two committed versions — close to,
-    * but deliberately weaker than, Delta CDF (`table_changes`), because it
-    * is computed from the immutable snapshots rather than per-commit
-    * change files. The deviations, explicitly:
+  /** SNAPSHOT-DIFF change feed between two committed versions — the NET
+    * tier; [[tableChanges]] is the per-commit Delta-`table_changes` tier.
+    * The deviations from Delta CDF, explicitly:
     *
     *   - NET diff only: a range spanning several commits collapses them —
     *     a row changed in v2 and reverted in v3 does NOT appear in
-    *     changes(1, 3); per-commit history needs per-commit calls.
+    *     changes(1, 3); use [[tableChanges]] for per-commit history.
     *   - No `update_preimage`: an update emits ONE row with the NEW image
-    *     (deletes carry the old image). Delta emits pre+post rows.
+    *     (deletes carry the old image). [[tableChanges]] emits pre+post.
     *   - No `_commit_version`/`_commit_timestamp` columns — the caller
     *     already names both endpoints.
     *   - PK uniqueness is a PRECONDITION: duplicate keys would fan out the
@@ -459,6 +477,110 @@ object ParquetTable {
         when(col("__old").isNull, lit("insert"))
           .when(col("__new").isNull, lit("delete"))
           .otherwise(lit("update")).as("_change_type"): _*)
+  }
+
+  // ---- per-commit change data feed ---------------------------------------
+
+  private def changesDir(path: String) = new Path(path, "_graft_changes")
+
+  private def changeManifestPath(path: String, version: Long) =
+    new Path(changesDir(path), f"v$version%020d")
+
+  /** Change rows between two keyed images of a table: `_change_type` ∈
+    * insert | delete | update_preimage | update_postimage, one row per
+    * image. `joinType = "right_outer"` is the MERGE-capture shape (keys
+    * absent from `after` are unchanged, not deleted — merge never
+    * deletes); `"full_outer"` is the snapshot-diff shape (absent keys ARE
+    * deletes). Identical rows never leave the join, so the result is
+    * changed-rows-sized, not table-sized.
+    */
+  private def changeRowsBetween(
+      before: DataFrame, after: DataFrame, pk: Seq[String],
+      joinType: String): DataFrame = {
+    val cols = before.columns.toSeq
+    // align the update side to the table's column order AND types (a
+    // partitioned read infers partition-column types, e.g. day → DATE,
+    // that an update batch may still carry as strings)
+    val aligned = after.select(
+      cols.map(c => col(c).cast(before.schema(c).dataType).as(c)): _*)
+    def packed(df: DataFrame, a: String) =
+      df.select(pk.map(col) :+ struct(cols.map(col): _*).as(a): _*)
+    val j = packed(before, "__old").join(packed(aligned, "__new"), pk, joinType)
+    def image(side: String, changeType: String) =
+      cols.map(c => col(side).getField(c).as(c)) :+ lit(changeType).as("_change_type")
+    val ins = j.filter(col("__old").isNull).select(image("__new", "insert"): _*)
+    val del = j.filter(col("__new").isNull).select(image("__old", "delete"): _*)
+    val diff = j.filter(col("__old").isNotNull && col("__new").isNotNull &&
+      !(col("__old") <=> col("__new")))
+    val pre = diff.select(image("__old", "update_preimage"): _*)
+    val post = diff.select(image("__new", "update_postimage"): _*)
+    ins.unionByName(del).unionByName(pre).unionByName(post)
+  }
+
+  /** Persist one commit's change rows (written by the commit WINNER only,
+    * after the manifest commit — the pre-commit snapshot dirs the change
+    * plan reads are still on disk, and a crash in between just means this
+    * commit falls back to the snapshot-diff path of [[tableChanges]]).
+    */
+  private def writeChangeManifest(
+      spark: SparkSession, path: String, version: Long, changeRows: DataFrame): Unit =
+    changeRows.write.mode(SaveMode.Overwrite)
+      .parquet(changeManifestPath(path, version).toString)
+
+  /** Per-commit change data feed — the Delta `table_changes` tier that the
+    * net snapshot-diff [[changes]] deliberately is not. Emits each commit
+    * in `[fromVersion, toVersion]` separately with `_commit_version` and
+    * `_change_type` ∈ insert | delete | update_preimage | update_postimage,
+    * so a key changed in one commit and reverted in a later one appears in
+    * BOTH (nothing collapses), and updates carry pre- AND post-images.
+    *
+    * Per commit, the source is (in order):
+    *   1. the change manifest captured at merge time (`cdf = true` — only
+    *      changed rows are read, never the table); else
+    *   2. a snapshot diff of `v-1 → v` (both snapshots must still exist;
+    *      cost: one scan of each + a PK shuffle, plus the duplicate-PK
+    *      fail-fast probe of [[changes]]); else
+    *   3. for the initial commit (v = 1), every row is an insert.
+    * A commit with neither a change manifest nor surviving snapshots
+    * (vacuumed) fails fast — capture with `cdf = true` if the feed must
+    * outlive snapshot retention (`vacuum` never deletes change manifests).
+    *
+    * No `_commit_timestamp` column: manifest file mtimes are not part of
+    * the committed state (they don't survive a copy), so rather than emit
+    * an unstable column the timestamp is left to the caller.
+    */
+  def tableChanges(
+      spark: SparkSession,
+      path: String,
+      fromVersion: Long,
+      toVersion: Long,
+      pk: Seq[String]): DataFrame = {
+    require(fromVersion >= 1 && fromVersion <= toVersion,
+      s"tableChanges: bad version range [$fromVersion, $toVersion]")
+    val have = versions(spark, path).toSet
+    require(have.nonEmpty, s"tableChanges: no versioned table at $path")
+    require(toVersion <= have.max,
+      s"tableChanges: version $toVersion not committed yet at $path")
+    val perCommit = (fromVersion to toVersion).map { v =>
+      val cf = changeManifestPath(path, v)
+      val base =
+        if (hadoopFs(spark, cf).exists(cf)) spark.read.parquet(cf.toString)
+        else if (v == 1L && have.contains(1L))
+          readVersion(spark, path, 1L).withColumn("_change_type", lit("insert"))
+        else if (have.contains(v) && have.contains(v - 1)) {
+          val before = readVersion(spark, path, v - 1)
+          val after = readVersion(spark, path, v)
+          requireUniquePk(
+            Seq(s"v${v - 1}" -> before, s"v$v" -> after), pk,
+            s"tableChanges commit $v at $path")
+          changeRowsBetween(before, after, pk, "full_outer")
+        } else throw new IllegalStateException(
+          s"tableChanges: commit $v at $path has no change manifest and its " +
+            "snapshots are gone (vacuumed); merge with cdf = true to keep a " +
+            "change feed beyond snapshot retention")
+      base.withColumn("_commit_version", lit(v))
+    }
+    perCommit.reduce(_.unionByName(_))
   }
 
   /** Rewrite the CURRENT version of a partitioned versioned table into a
