@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.GraftColumnBridge
 
-import graft.functions.expressions.{VecCosine, VecDot, VecEuclidean}
+import graft.functions.expressions.{NearestCells, VecCosine, VecDot, VecEuclidean}
 
 /** Dense-vector math over `array<float>`/`array<double>` embedding columns.
   *
@@ -30,6 +30,14 @@ object VectorFunctions {
 
   def euclidean(a: Column, b: Column): Column =
     GraftColumnBridge.column(VecEuclidean(e(a), e(b)))
+
+  /** Ids of the `nProbe` centroids nearest to `v` (euclidean, nearest
+    * first). The matrix rides into codegen as ONE reference object, so the
+    * plan stays O(1) in the number of centroids — see
+    * [[expressions.NearestCells]].
+    */
+  def nearestCells(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+    GraftColumnBridge.column(NearestCells(e(v), centroids, nProbe))
 
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (s, v) => s + v)

@@ -12,20 +12,24 @@ import graft.functions.VectorFunctions
   *      `nCentroids` centroids; every corpus vector is assigned to its
   *      nearest centroid. The assigned corpus is the "inverted file":
   *      partitionable and persistable by `centroid_id`.
-  *   2. SEARCH: each query computes its distance to every centroid
-  *      (centroids are a tiny literal table — broadcast by construction),
+  *   2. SEARCH: each query computes its distance to every centroid (the
+  *      matrix ships to executors once, as a plan reference object),
   *      keeps the `nProbe` nearest cells, and ranks exact cosine only
   *      against corpus vectors in those cells — an equi-join on
   *      `centroid_id`, i.e. ~`nProbe`/`nCentroids` of the corpus per
   *      query instead of all of it.
   *
   * K-means is hand-rolled in DataFrame ops rather than MLlib: assignment
-  * is a codegen'd argmin over centroid literals, the centroid update is
-  * one posexplode + per-dimension avg (only `nCentroids × dim` doubles
-  * ever reach the driver). Deterministic: seeded by the first
-  * `nCentroids` rows in id order, no RNG. (MLlib's KMeans also drags in
-  * Kryo reflection that requires `--add-opens java.base/java.nio` —
-  * a launcher fragility this library should not impose.)
+  * is the native `NearestCells` expression — the centroid matrix is ONE
+  * codegen reference object, so plan size is O(1) in `nCentroids` and the
+  * index can use the thousands of cells a real inverted file needs
+  * (per-centroid literal expressions would blow Janino limits at ~10²·dim
+  * nodes). The centroid update is one posexplode + per-dimension avg
+  * (only `nCentroids × dim` doubles ever reach the driver).
+  * Deterministic: seeded by the first `nCentroids` rows in id order, no
+  * RNG. (MLlib's KMeans also drags in Kryo reflection that requires
+  * `--add-opens java.base/java.nio` — a launcher fragility this library
+  * should not impose.)
   *
   * Ranking uses the bounded-heap `top_k` aggregate (TopKAgg), so nothing
   * is globally sorted.
@@ -34,15 +38,9 @@ object IvfAnn {
 
   final case class Index(centroids: Array[Array[Float]], assigned: DataFrame)
 
-  /** column: argmin over `centroids` of euclidean(vec, centroid). */
-  private def nearestCentroid(vecCol: String, centroids: Array[Array[Float]]) = {
-    val cells = centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        VectorFunctions.euclidean(col(vecCol), array(c.map(v => lit(v)): _*)).as("dist"),
-        lit(i).as("centroid_id"))
-    }
-    array_min(array(cells: _*)).getField("centroid_id")
-  }
+  /** column: id of the centroid nearest to `vecCol`. */
+  private def nearestCentroid(vecCol: String, centroids: Array[Array[Float]]) =
+    element_at(VectorFunctions.nearestCells(col(vecCol), centroids, 1), 1)
 
   /** Fit centroids (Lloyd's iterations) and assign every corpus row to its
     * nearest one.
@@ -117,15 +115,10 @@ object IvfAnn {
       vecCol: String,
       k: Int,
       nProbe: Int): DataFrame = {
-    val cells = index.centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        VectorFunctions.euclidean(col(vecCol), array(c.map(v => lit(v)): _*)).as("dist"),
-        lit(i).as("centroid_id"))
-    }
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      explode(slice(array_sort(array(cells: _*)), 1, nProbe)).as("__cell"))
-      .select(col("query_id"), col("__qv"), col("__cell.centroid_id").as("centroid_id"))
+      explode(VectorFunctions.nearestCells(col(vecCol), index.centroids, nProbe))
+        .as("centroid_id"))
 
     // queries × nProbe rows — broadcast only while the estimate is small;
     // a big query batch falls back to a shuffle join on centroid_id

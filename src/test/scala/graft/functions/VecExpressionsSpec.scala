@@ -56,4 +56,33 @@ class VecExpressionsSpec extends SparkSpec {
     assert(out(0).isNullAt(0))
     assert(out(1).getDouble(0) === 3.0)
   }
+
+  test("nearestCells matches the per-centroid-literal argmin, including ties") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val nCentroids = 64
+    val dim = 16
+    val centroids = Array.fill(nCentroids)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    // duplicated centroid → every vector ties between ids 7 and 23; the
+    // lexicographic struct(dist, id) order keeps the smaller id
+    centroids(23) = centroids(7).clone()
+    val df = vecs(100, dim)
+    def literalRanking(k: Int) = {
+      val cells = centroids.zipWithIndex.map { case (c, i) =>
+        struct(
+          VectorFunctions.euclidean(col("a"), array(c.map(v => lit(v)).toSeq: _*)).as("dist"),
+          lit(i).as("centroid_id"))
+      }
+      transform(slice(array_sort(array(cells.toSeq: _*)), 1, k),
+        s => s.getField("centroid_id"))
+    }
+    for (k <- Seq(1, 4, nCentroids)) {
+      val out = df.select(
+        VectorFunctions.nearestCells(col("a"), centroids, k).as("fast"),
+        literalRanking(k).as("ref")).collect()
+      out.foreach { r =>
+        assert(r.getSeq[Int](0) === r.getSeq[Int](1), s"k=$k")
+      }
+    }
+  }
 }

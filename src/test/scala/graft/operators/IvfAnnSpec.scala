@@ -55,6 +55,33 @@ class IvfAnnSpec extends SparkSpec {
     assert(ivf === exact)
   }
 
+  test("256 centroids x 64 dims: realistic cell count builds and searches") {
+    // the old per-centroid-literal argmin blew codegen limits around here;
+    // the NearestCells reference-object expression must not care
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val schema64 = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    val rows = (0 until 640).map { i =>
+      Row(i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    val c = frame(schema64, rows)
+    val idx = IvfAnn.build(c, "vec_id", "embedding", nCentroids = 256, maxIter = 2)
+    assert(idx.centroids.length === 256)
+    assert(idx.assigned.count() === 640)
+    // every cell id is a valid centroid index
+    val ids = idx.assigned.selectExpr("min(centroid_id)", "max(centroid_id)").head()
+    assert(ids.getInt(0) >= 0 && ids.getInt(1) < 256)
+    // full probe = exact, even at this cell count
+    val q = c.filter("vec_id < 2")
+    val ivf = IvfAnn.topK(idx, q, "vec_id", "embedding", k = 5, nProbe = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Ann.bruteForceTopK(c, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf === exact)
+  }
+
   test("save/load round-trip: persisted index serves identical searches") {
     val c = corpus()
     val idx = IvfAnn.build(c, "vec_id", "embedding", nCentroids = 3)
