@@ -23,6 +23,23 @@ import graft.sources.ParquetTable
 object ParityQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The 100 TB tier of q44: `approx_percentile` (t-digest) — per-group
+    * state is bounded by `accuracy`, partials merge map-side, and no
+    * group ever buffers its full value list (exact `percentile` does; see
+    * the q44 memory contract). Not DuckDB-replayable (its t-digest
+    * differs), so the correctness contract is PercentileSpec: observed
+    * error vs the exact tier at the bench SF, with a hard bound.
+    */
+  def approxPercentiles(s: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr(s"approx_percentile(l_extendedprice, 0.25, $accuracy)"), 4).as("p25"),
+        round(expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)"), 4).as("p50"),
+        round(expr(s"approx_percentile(l_extendedprice, 0.75, $accuracy)"), 4).as("p75"),
+        round(expr(s"approx_percentile(l_extendedprice, 0.95, $accuracy)"), 4).as("p95"))
+      .orderBy(col("l_returnflag"))
+
   /** Temp workspace for queries that must land a table on disk (q32, q48).
     * Registered for recursive removal at JVM exit so repeated
     * correctness/bench runs leave /tmp flat — the result frame stays lazy
@@ -333,7 +350,16 @@ object ParityQueries {
     }),
 
     // Exact interpolated percentiles per group (percentile_cont
-    // semantics) — one pass, no global sort.
+    // semantics) — one pass, no global sort. MEMORY CONTRACT: exact
+    // `percentile` is an ObjectHashAggregate whose per-group buffer holds
+    // EVERY value of the group, so final-stage memory is O(largest group)
+    // — with 3 return-flag groups that is the whole column at 100 TB, an
+    // executor OOM by construction. This exact tier is therefore bench-SF
+    // only; the scale default is `approxPercentiles` below (t-digest:
+    // bounded state, mergeable map-side, error ≤ 1/accuracy quantile
+    // units — PercentileSpec pins the observed error against this exact
+    // tier at sf0.1). Same discipline as TextDedup.editDistancePairs: the
+    // quadratic/unbounded tier exists, labeled, behind a documented guard.
     "q44_percentiles" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
