@@ -32,6 +32,20 @@ import org.apache.spark.sql.functions._
   * keeps the per-round plan constant — the same trick GraphX/GraphFrames
   * use for iterative graph algorithms.
   *
+  * Skew: a corpus that is mostly ONE duplicate cluster concentrates a hot
+  * key — after a round or two nearly every row's `label` is the cluster
+  * minimum, so the halving join (labels ⋈ labels on `label`) funnels the
+  * giant cluster's rows at a single join key, and the propagate
+  * `groupBy(dst)` inherits the hub's degree wherever the pair generator
+  * emitted a star. Neither is a round-count problem (the giant-cluster
+  * spec case pins rounds at O(log diameter) regardless of cluster mass) —
+  * it is a per-task memory/runtime concentration, and both shapes are
+  * covered by Spark's standard machinery at scale: partial aggregation
+  * combines the min() map-side before the shuffle, and AQE skew-join
+  * splitting (`spark.sql.adaptive.skewJoin.enabled`, on by default)
+  * splits the hot label's oversized partitions across tasks. Keep AQE on
+  * for mono-duplicate corpora; no salting layer is needed here.
+  *
   * Fault tolerance: by default the truncation is `localCheckpoint` —
   * blocks live on executor-local storage with lineage GONE, so losing any
   * executor mid-iteration makes the labels unrecomputable and fails the

@@ -53,6 +53,19 @@ class ComponentsSpec extends SparkSpec {
     assert(wrote > 0)
   }
 
+  test("one giant cluster (hot label) stays within log-diameter rounds") {
+    // mostly-duplicate corpus: 2000 nodes, ONE cluster, built as a hub
+    // star + a 100-node chain tail — the worst label-concentration shape
+    // (every row converges onto label 0) plus real multi-hop diameter.
+    // maxRounds stays at the default 20: if the hot label inflated the
+    // round count rather than per-task work, this would blow the cap.
+    val star = (1L until 1900L).map(i => (0L, i))
+    val chain = (1900L until 2000L).map(i => (i - 1, i))
+    val got = components(star ++ chain)
+    assert(got.size === 2000)
+    assert(got.values.toSet === Set(0L))
+  }
+
   test("dedupClusters labels singletons as their own canonical cluster") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z"))
       .toDF("doc_id", "text")
