@@ -146,20 +146,31 @@ object TextFunctions {
   /** Email addresses (conservative RFC-ish shape). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** Phone-like shapes only — either an international undelimited run
-    * (`+` then 7–15 digits; the leading `+` is the phone signal) or a
-    * GROUPED number: 1–3 digit prefix, two to three separator-delimited
-    * groups (`-` or space). Requiring the grouping is what keeps ISO
-    * dates (2024-01-01: the trailing date group has 2 digits, the
-    * pattern's last group demands 3–4), bare order/tracking ids
-    * (12345678: no separators), and long integers out of the redaction —
-    * the cost is that an UNDELIMITED domestic number ("5551234567") is
-    * indistinguishable from an order id and is deliberately left alone.
-    * Non-capturing group keeps regexp_extract_all(…, 0) = the full match
+  /** Phone-like shapes only, three alternatives:
+    *   1. international undelimited (`+` then 7–15 digits — the `+` is
+    *      the phone signal);
+    *   2. `+`-prefixed GROUPED (`+49 30 901820`) — the `+` again carries
+    *      the signal, so the group shapes stay permissive;
+    *   3. bare grouped: 1–3 digit prefix then `-`/space-delimited groups
+    *      where the MIDDLE group needs 3–4 digits. That middle-group
+    *      floor is what keeps every day-of-month date shape out: ISO
+    *      dates (2024-01-01) already failed the old pattern, but US-style
+    *      MM-DD-YYYY (12-31-2024) matched it — days never exceed 2
+    *      digits, so demanding 3+ in the middle rejects 12-31-2024 while
+    *      keeping 555-123-4567 and 1-234-5678. (No lookahead allowed in
+    *      the Java∩RE2 subset, so the alternative fix — "final 4-digit
+    *      group only with more groups" — can't be expressed without
+    *      partial-match artifacts.) Bare order ids (12345678: no
+    *      separators) stay out; the cost, as before, is that undelimited
+    *      domestic numbers ("5551234567") and short-grouped numbers with
+    *      a 2-digit middle ("12 34 567") are deliberately left alone.
+    * Non-capturing groups keep regexp_extract_all(…, 0) = the full match
     * in both Java regex and RE2.
     */
   val PhonePattern =
-    "\\+[0-9]{7,15}|\\+?[0-9]{1,3}[- ][0-9]{2,4}[- ][0-9]{3,4}(?:[- ][0-9]{1,4})?"
+    "\\+[0-9]{7,15}" +
+      "|\\+[0-9]{1,3}[- ][0-9]{2,4}[- ][0-9]{1,6}(?:[- ][0-9]{1,4})?" +
+      "|[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{3,4}(?:[- ][0-9]{1,4})?"
 
   /** Redact emails first (their local parts contain digits a phone pattern
     * could eat), then phone-like runs. Counting redactions must follow the

@@ -56,9 +56,17 @@ object JsonIngest {
   }
 
   /** Declared-schema read conformed through the same coercion as CSV
-    * (timestamps, casts, missing columns → typed NULLs).
+    * (timestamps, casts, missing columns → typed NULLs). Malformed lines
+    * are DROPPED here — without the filter each corrupt line would
+    * survive as an all-NULL ghost row that only a non-nullable rule
+    * downstream could catch. Callers that need the quarantined lines use
+    * `readSplit`. (No cache needed: unlike readSplit's corrupt-only
+    * branch, this projection reads real fields, so SPARK-21610 doesn't
+    * bite.)
     */
-  def readConformed(spark: SparkSession, path: String, spec: TableSpec): DataFrame =
+  def readConformed(spark: SparkSession, path: String, spec: TableSpec): DataFrame = {
+    val raw = readWithSchema(spark, path, spec.schema)
     CsvIngest.conform(
-      readWithSchema(spark, path, spec.schema).drop(CorruptCol), spec.schema)
+      raw.filter(raw(CorruptCol).isNull).drop(CorruptCol), spec.schema)
+  }
 }

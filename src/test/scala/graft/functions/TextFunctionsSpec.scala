@@ -112,10 +112,17 @@ class TextFunctionsSpec extends SparkSpec {
       "shipped on 2024-01-01 and 1999-12-31",  // ISO dates
       "order 12345678 confirmed",              // 8-digit order id
       "tracking 4711081526171 in transit",     // long integer
-      "ref 123-45 short groups")               // too few digits
+      "ref 123-45 short groups",               // too few digits
+      // US-style dates: the round-4 pattern ate these (day-of-month is
+      // ≤ 2 digits; the middle-group ≥ 3 floor now rejects them)
+      "due 12-31-2024 or 1-5-2024",
+      "born 07-04-1976, see 3-15-99 note")     // 2-digit year too
     negatives.foreach { t =>
       assert(eval(t, scrubPii) === t, s"corrupted: $t")
       assert(eval(t, phoneCount) === 0, s"counted a phone in: $t")
     }
+    // tightening must not lose the canonical grouped shapes
+    assert(eval("call 555-123-4567 or 1-234-5678", phoneCount) === 2)
+    assert(eval("call +49 30 901820 now", phoneCount) === 1)
   }
 }

@@ -53,6 +53,18 @@ class JsonIngestSpec extends SparkSpec {
     assert(corrupt.count() === 1)
   }
 
+  test("readConformed drops corrupt lines instead of passing all-NULL ghosts") {
+    val dir = writeLines(
+      """{"id": 1, "name": "ok", "score": 1.0}""",
+      "### not json at all")
+    val spec = TableSpec(name = "t", schema = schema,
+      primaryKey = Seq("id"), rules = Seq.empty)
+    val rows = JsonIngest.readConformed(spark, dir, spec).collect()
+    // without the corrupt filter the bad line survived as (null,null,null)
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 1L)
+  }
+
   test("readConformed: missing declared column becomes a typed NULL") {
     val dir = writeLines("""{"id": 7, "score": 3.5}""")
     val spec = TableSpec(name = "t", schema = schema,
