@@ -44,5 +44,6 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.inject(ext)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
+    ext.injectParser((_, parser) => new graft.sql.GraftSqlParser(parser))
   }
 }

@@ -503,6 +503,33 @@ object ParityQueries {
           "o_orderstatus", "n")
         .filter(col("n").isNotNull)
         .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+    }),
+
+    // SQL MERGE INTO surface (graft.sql.GraftSql / GraftSqlParser) over
+    // the versioned table layer — same semantics and oracle as q10, but
+    // driven by the statement the reference's Delta MERGE corresponds to
+    // (glue_etl.py:338-349). The statement runs TWICE: replay must be a
+    // no-op (the reference's MERGE idempotency guarantee, README:102-105),
+    // so the oracle of a single merge still matches.
+    "q57_sql_merge" -> ((s, d) => {
+      val tmp = scratchDir("graft_q57")
+      val o = Tables.orders(s, d)
+      ParquetTable.create(o, s"$tmp/t") // versioned v1
+      o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(o.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+        .createOrReplaceTempView("q57_updates")
+      val stmt =
+        s"""MERGE INTO graft.`$tmp/t` AS t USING q57_updates AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+      graft.sql.GraftSql.merge(s, stmt)
+      graft.sql.GraftSql.merge(s, stmt) // replay: must change nothing
+      ParquetTable.read(s, s"$tmp/t")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -754,5 +781,24 @@ object ParityQueries {
     "q56_unpivot" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n
         |FROM orders GROUP BY o_orderpriority, o_orderstatus
-        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    // identical to q10's oracle: the SQL MERGE runs twice, and replay
+    // must be invisible (idempotent upsert-by-PK)
+    "q57_sql_merge" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |)
+        |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM (
+        |  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT * FROM upd
+        |)
+        |ORDER BY o_orderkey""".stripMargin)
 }

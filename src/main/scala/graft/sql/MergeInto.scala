@@ -1,0 +1,174 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.sources.ParquetTable
+
+/** SQL `MERGE INTO` for graft versioned tables — the reference's core
+  * lakehouse verb (reference: src/glue_etl.py:338-349,
+  * `whenMatchedUpdateAll.whenNotMatchedInsertAll` on the primary key),
+  * which until now existed only as the `ParquetTable.merge` API.
+  *
+  * Spark's own parser already understands the statement (it builds a
+  * `MergeIntoTable` plan); what plain parquet lacks is an executor for
+  * it. [[GraftSqlParser]] intercepts the parsed plan when the target is
+  * the path-based `graft.`/table/path`` identifier and rewrites it to a
+  * runnable command over `ParquetTable.merge` — grammar, quoting, and
+  * comments stay 100% Spark.
+  *
+  * Two entry points:
+  *   - declarative: `spark.sql.extensions=graft.functions.GraftSessionExtensions`
+  *     (or `GraftColumnBridge.sessionWithExtensions`), then
+  *     `spark.sql("MERGE INTO graft.`/p` AS t USING updates AS s ON t.id = s.id
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")`;
+  *   - imperative: [[GraftSql.merge]] on any existing session.
+  *
+  * Supported shape = exactly the reference's: equi-conjunction ON
+  * condition (the primary key), `WHEN MATCHED THEN UPDATE SET *`,
+  * `WHEN NOT MATCHED THEN INSERT *`. Anything else on a graft target
+  * fails fast at parse time with the reason — better than Spark's
+  * downstream "table does not support row-level operations".
+  *
+  * MERGE semantics are `ParquetTable.merge`'s: idempotent upsert-by-PK
+  * (replaying the same batch is a no-op — the reference's Delta MERGE
+  * replay guarantee), update = full-row replace, partitioned versioned
+  * targets rewrite only affected partitions. Partition columns are
+  * recovered from the current manifest, so the statement needs no
+  * partition clause.
+  */
+object GraftSql {
+
+  /** Parse and execute one `MERGE INTO graft.`path`` statement on an
+    * existing session (no extension registration needed).
+    */
+  def merge(spark: SparkSession, sqlText: String): Unit =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case m: MergeIntoTable =>
+        rewrite(m).getOrElse(throw new IllegalArgumentException(
+          "GraftSql.merge: not a graft-target MERGE (target must be " +
+            "graft.`/table/path`)")).run(spark)
+      case other => throw new IllegalArgumentException(
+        s"GraftSql.merge expects a MERGE INTO statement, parsed ${other.nodeName}")
+    }
+
+  /** `MergeIntoTable` → [[GraftMergeCommand]] when the target is
+    * `graft.`path``; None when the statement belongs to someone else.
+    * Unsupported clause shapes on a graft target throw, naming the clause.
+    */
+  private[sql] def rewrite(m: MergeIntoTable): Option[GraftMergeCommand] =
+    targetPath(m.targetTable).map { path =>
+      def fail(what: String): Nothing = throw new IllegalArgumentException(
+        s"MERGE INTO graft.`$path`: $what (supported shape: ON pk equality " +
+          "conjunction, WHEN MATCHED THEN UPDATE SET *, " +
+          "WHEN NOT MATCHED THEN INSERT *)")
+      val pk = pkColumns(m.mergeCondition).getOrElse(
+        fail(s"ON condition must be a conjunction of t.col = s.col " +
+          s"equalities on same-named columns, got: ${m.mergeCondition.sql}"))
+      m.matchedActions match {
+        case Seq(UpdateStarAction(None)) => ()
+        case other => fail(s"matched clause must be exactly " +
+          s"'WHEN MATCHED THEN UPDATE SET *', got: $other")
+      }
+      m.notMatchedActions match {
+        case Seq(InsertStarAction(None)) => ()
+        case other => fail(s"not-matched clause must be exactly " +
+          s"'WHEN NOT MATCHED THEN INSERT *', got: $other")
+      }
+      if (m.notMatchedBySourceActions.nonEmpty)
+        fail("WHEN NOT MATCHED BY SOURCE is not supported (merge never deletes)")
+      if (m.withSchemaEvolution) fail("WITH SCHEMA EVOLUTION is not supported")
+      GraftMergeCommand(path, m.sourceTable, pk)
+    }
+
+  private def targetPath(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => targetPath(child)
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+      Some(u.multipartIdentifier(1))
+    case _ => None
+  }
+
+  /** `t.k1 = s.k1 AND t.k2 = s.k2 …` → Some(Seq(k1, k2…)); anything else
+    * (inequalities, functions, differing column names) → None.
+    */
+  private def pkColumns(cond: Expression): Option[Seq[String]] = cond match {
+    case And(l, r) =>
+      for (a <- pkColumns(l); b <- pkColumns(r)) yield a ++ b
+    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+        if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+      Some(Seq(a.nameParts.last))
+    case EqualTo(a: Attribute, b: Attribute)
+        if a.name.equalsIgnoreCase(b.name) =>
+      Some(Seq(a.name))
+    case _ => None
+  }
+}
+
+/** The runnable side of a graft `MERGE INTO`: resolves the (still
+  * unresolved) source plan against the session at run time, recovers
+  * partition columns from the target's current manifest, and delegates
+  * to `ParquetTable.merge`.
+  */
+case class GraftMergeCommand(
+    path: String,
+    source: LogicalPlan,
+    pk: Seq[String]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val updates = GraftColumnBridge.ofRows(session, source)
+    val partitionColumns = ParquetTable.currentVersion(session, path)
+      .flatMap(v => ParquetTable.partitionEntries(session, path, v))
+      .map(_.head._1.split('/').toSeq.map(_.split('=')(0)))
+      .getOrElse(Nil)
+    ParquetTable.merge(session, path, updates, pk, partitionColumns)
+    Seq.empty
+  }
+}
+
+/** Delegating parser that owns exactly one statement shape: MERGE INTO a
+  * `graft.`path`` target (rewritten via [[GraftSql.rewrite]]); every
+  * other string — and every other parsed plan — passes through untouched.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(sqlText) match {
+      case m: MergeIntoTable => GraftSql.rewrite(m).getOrElse(m)
+      case other => other
+    }
+
+  override def parsePlanWithParameters(
+      sqlText: String, ctx: ParameterContext): LogicalPlan =
+    delegate.parsePlanWithParameters(sqlText, ctx) match {
+      case m: MergeIntoTable => GraftSql.rewrite(m).getOrElse(m)
+      case other => other
+    }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

@@ -20,6 +20,29 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** A sibling session over the same SparkContext with `f`'s extensions
+    * applied — the imperative twin of `spark.sql.extensions` for JVMs
+    * whose shared session was built without them (tests, notebooks).
+    * State (catalog, temp views, conf) starts fresh; the cluster is
+    * shared.
+    */
+  def sessionWithExtensions(
+      spark: SparkSession, f: SparkSessionExtensions => Unit): SparkSession = {
+    val prevDefault = classic.SparkSession.getDefaultSession
+    val prevActive = classic.SparkSession.getActiveSession
+    try {
+      // a cleared default forces the builder to construct a NEW session
+      // (over the existing SparkContext) instead of returning the shared
+      // one — the only public route to a second, extension-bearing session
+      classic.SparkSession.clearDefaultSession()
+      classic.SparkSession.clearActiveSession()
+      classic.SparkSession.builder().withExtensions(f).getOrCreate()
+    } finally {
+      prevDefault.foreach(classic.SparkSession.setDefaultSession)
+      prevActive.foreach(classic.SparkSession.setActiveSession)
+    }
+  }
+
   /** Idempotently add a planner strategy to an existing session. */
   def addStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental

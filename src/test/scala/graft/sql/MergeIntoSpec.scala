@@ -1,0 +1,91 @@
+package graft.sql
+
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.ParquetTable
+
+/** The SQL MERGE INTO surface (reference: glue_etl.py:338-349 — Delta's
+  * whenMatchedUpdateAll/whenNotMatchedInsertAll verb): statement-level
+  * idempotency, partition recovery, fail-fast on unsupported shapes, and
+  * the declarative parser injection.
+  */
+class MergeIntoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mergeStmt(path: String, src: String) =
+    s"""MERGE INTO graft.`$path` AS t USING $src AS s
+       |ON t.id = s.id
+       |WHEN MATCHED THEN UPDATE SET *
+       |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+
+  test("MERGE INTO upserts and replaying the statement is a no-op") {
+    val path = tmpDir("sqlmerge") + "/t"
+    ParquetTable.create(Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("id", "name", "bal"), path)
+    Seq((2L, "B", 99.0), (3L, "c", 30.0)).toDF("id", "name", "bal")
+      .createOrReplaceTempView("merge_upd")
+    GraftSql.merge(spark, mergeStmt(path, "merge_upd"))
+    val after = ParquetTable.read(spark, path)
+      .as[(Long, String, Double)].collect().toSet
+    assert(after === Set((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0)))
+    GraftSql.merge(spark, mergeStmt(path, "merge_upd")) // replay
+    assert(ParquetTable.read(spark, path)
+      .as[(Long, String, Double)].collect().toSet === after)
+  }
+
+  test("partitioned versioned target: partition columns recovered from manifest") {
+    val path = tmpDir("sqlmerge-part") + "/t"
+    ParquetTable.createVersioned(
+      Seq((1L, "d1", 1.0), (2L, "d2", 2.0)).toDF("id", "day", "v"),
+      path, Seq("day"))
+    Seq((2L, "d2", 20.0), (3L, "d2", 3.0)).toDF("id", "day", "v")
+      .createOrReplaceTempView("merge_upd_part")
+    GraftSql.merge(spark, mergeStmt(path, "merge_upd_part"))
+    val got = ParquetTable.read(spark, path)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(got === Set((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+  }
+
+  test("declarative path: spark.sql on a session with GraftSessionExtensions") {
+    val ext = GraftColumnBridge.sessionWithExtensions(
+      spark, new graft.functions.GraftSessionExtensions()(_))
+    val path = tmpDir("sqlmerge-ext") + "/t"
+    import ext.implicits._
+    ParquetTable.create(Seq((1L, 1.0)).toDF("id", "v"), path)
+    Seq((1L, 9.0), (2L, 2.0)).toDF("id", "v").createOrReplaceTempView("ext_upd")
+    ext.sql(mergeStmt(path, "ext_upd")) // plain SQL, no GraftSql call
+    assert(ParquetTable.read(ext, path).as[(Long, Double)].collect().toSet ===
+      Set((1L, 9.0), (2L, 2.0)))
+  }
+
+  test("unsupported clause shapes fail fast, naming the clause") {
+    val path = tmpDir("sqlmerge-bad") + "/t"
+    ParquetTable.create(Seq((1L, 1.0)).toDF("id", "v"), path)
+    Seq((1L, 2.0)).toDF("id", "v").createOrReplaceTempView("bad_upd")
+    val del = intercept[IllegalArgumentException] {
+      GraftSql.merge(spark,
+        s"""MERGE INTO graft.`$path` AS t USING bad_upd AS s ON t.id = s.id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(del.getMessage.contains("matched clause"))
+    val cond = intercept[IllegalArgumentException] {
+      GraftSql.merge(spark,
+        s"""MERGE INTO graft.`$path` AS t USING bad_upd AS s ON t.id < s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(cond.getMessage.contains("ON condition"))
+  }
+
+  test("non-graft targets are not intercepted") {
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.merge(spark,
+        """MERGE INTO some_catalog_table AS t USING bad_upd AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("not a graft-target"))
+  }
+}
