@@ -14,18 +14,22 @@ import org.apache.spark.sql.types._
   * a per-row UDF).
   *
   * Decoders, by tier:
-  *   - `decodeImages` / `decodeWav` / `decodeY4m` — REAL pure-JVM decodes
-  *     (javax.imageio and javax.sound.sampled ship with the JDK:
-  *     PNG/BMP/GIF/JPEG, PCM WAV plus the G.711 μ-law/a-law compressed
-  *     telephony codecs; YUV4MPEG2 video is an uncompressed container
-  *     parseable with no codec at all), emitting true
-  *     width/height/sample-rate/frame-count metadata and deterministic
-  *     content features.
+  *   - `decodeImages` / `decodeWav` / `decodeY4m` / `decodeGif` — REAL
+  *     pure-JVM decodes (javax.imageio and javax.sound.sampled ship with
+  *     the JDK: PNG/BMP/GIF/JPEG, PCM WAV plus the G.711 μ-law/a-law
+  *     compressed telephony codecs; YUV4MPEG2 video is an uncompressed
+  *     container parseable with no codec at all; animated GIF is a REAL
+  *     compressed video container the JDK's bundled reader decodes
+  *     frame-by-frame), emitting true width/height/sample-rate/
+  *     frame-count metadata and deterministic content features. A failed
+  *     decode nulls BOTH meta and features — no stale upstream meta
+  *     survives a row this decoder could not read.
   *   - `extractFeatures` / `resizeStub` — DETERMINISTIC STUBS marked
   *     `STUB:` for the modalities that need codecs absent from a bare JVM
-  *     (compressed video, perceptual audio like MP3/AAC). They keep the
-  *     exact plan shape (narrow per-partition map, no shuffle); swapping
-  *     in a real JNI/Java decoder changes only the function body.
+  *     (interframe-coded video like H.26x, perceptual audio like
+  *     MP3/AAC). They keep the exact plan shape (narrow per-partition
+  *     map, no shuffle); swapping in a real JNI/Java decoder changes only
+  *     the function body.
   */
 object Multimodal {
 
@@ -59,11 +63,15 @@ object Multimodal {
     * (block-mean luminance, row-major, in [0,1] — deterministic
     * arithmetic, no platform-dependent resampler). Per-partition iterator
     * shape: reader lookup and scratch buffers amortize across the batch.
-    * Rows whose bytes no bundled reader accepts get null meta/features
-    * instead of failing the partition.
+    * Rows whose bytes no bundled reader accepts get null meta AND null
+    * features (incoming meta is cleared — a failed decode leaves no stale
+    * claims) instead of failing the partition.
     */
   def decodeImages(df: DataFrame, thumb: Int = 8): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+
+    // meta forced nullable: the failure contract (null meta + features)
+    // must hold even when the incoming frame declared meta non-null
+    val outSchema = StructType(df.schema.fields
+      .map(f => if (f.name == "meta") f.copy(nullable = true) else f) :+
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = true))
     val contentIdx = df.schema.fieldIndex("content")
     val metaIdx = df.schema.fieldIndex("meta")
@@ -75,41 +83,52 @@ object Multimodal {
           else
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             catch { case _: java.io.IOException => null } // corrupt payload
-        if (img == null) Row.fromSeq(r.toSeq :+ null)
+        if (img == null) Row.fromSeq(r.toSeq.updated(metaIdx, null) :+ null)
         else {
-          val w = img.getWidth
-          val h = img.getHeight
-          val feats = new Array[Float](thumb * thumb)
-          var ty = 0
-          while (ty < thumb) {
-            val y0 = ty * h / thumb
-            val y1 = math.max((ty + 1) * h / thumb, y0 + 1)
-            var tx = 0
-            while (tx < thumb) {
-              val x0 = tx * w / thumb
-              val x1 = math.max((tx + 1) * w / thumb, x0 + 1)
-              var s = 0.0
-              var y = y0
-              while (y < y1) {
-                var x = x0
-                while (x < x1) {
-                  val rgb = img.getRGB(x, y)
-                  s += 0.299 * ((rgb >> 16) & 0xff) +
-                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                  x += 1
-                }
-                y += 1
-              }
-              feats(ty * thumb + tx) = (s / ((y1 - y0) * (x1 - x0)) / 255.0).toFloat
-              tx += 1
-            }
-            ty += 1
-          }
-          val meta = Row(w, h, null, null)
-          Row.fromSeq(r.toSeq.updated(metaIdx, meta) :+ feats.toSeq)
+          val meta = Row(img.getWidth, img.getHeight, null, null)
+          Row.fromSeq(r.toSeq.updated(metaIdx, meta) :+
+            lumaThumb(img, thumb).toSeq)
         }
       }
     }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** `thumb`×`thumb` block-mean luminance (Rec.601 weights) thumbnail of
+    * an image, row-major, in [0,1] — integer block bounds, left-to-right
+    * double accumulation: deterministic on every JVM, no
+    * platform-dependent resampler. Shared by the image, GIF-video, and
+    * resize paths.
+    */
+  private def lumaThumb(img: java.awt.image.BufferedImage, thumb: Int): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val feats = new Array[Float](thumb * thumb)
+    var ty = 0
+    while (ty < thumb) {
+      val y0 = ty * h / thumb
+      val y1 = math.max((ty + 1) * h / thumb, y0 + 1)
+      var tx = 0
+      while (tx < thumb) {
+        val x0 = tx * w / thumb
+        val x1 = math.max((tx + 1) * w / thumb, x0 + 1)
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        feats(ty * thumb + tx) = (s / ((y1 - y0) * (x1 - x0)) / 255.0).toFloat
+        tx += 1
+      }
+      ty += 1
+    }
+    feats
   }
 
   /** REAL WAV decode via `javax.sound.sampled.AudioSystem` (the JDK's
@@ -118,10 +137,14 @@ object Multimodal {
     * equal time slices of the channel-mixed 16-bit PCM signal.
     * COMPRESSED telephony audio — G.711 μ-law/a-law, the encodings the
     * JDK ships codecs for — is transcoded to 16-bit PCM in-stream before
-    * feature extraction. Rows in any other encoding get null features.
+    * feature extraction. Rows in any other encoding get null meta and
+    * null features (incoming meta is cleared).
     */
   def decodeWav(df: DataFrame, windows: Int = 16): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+
+    // meta forced nullable: the failure contract (null meta + features)
+    // must hold even when the incoming frame declared meta non-null
+    val outSchema = StructType(df.schema.fields
+      .map(f => if (f.name == "meta") f.copy(nullable = true) else f) :+
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = true))
     val contentIdx = df.schema.fieldIndex("content")
     val metaIdx = df.schema.fieldIndex("meta")
@@ -190,7 +213,7 @@ object Multimodal {
           case Some((rate, n, feats)) =>
             val meta = Row(null, null, rate, n)
             Row.fromSeq(r.toSeq.updated(metaIdx, meta) :+ feats.toSeq)
-          case None => Row.fromSeq(r.toSeq :+ null)
+          case None => Row.fromSeq(r.toSeq.updated(metaIdx, null) :+ null)
         }
       }
     }(RowEncoder.encoderFor(outSchema))
@@ -202,7 +225,10 @@ object Multimodal {
     * with an iterator (mapInPandas-equivalent batching).
     */
   def extractFeatures(df: DataFrame, dim: Int): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+
+    // meta forced nullable: the failure contract (null meta + features)
+    // must hold even when the incoming frame declared meta non-null
+    val outSchema = StructType(df.schema.fields
+      .map(f => if (f.name == "meta") f.copy(nullable = true) else f) :+
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = true))
     val contentIdx = df.schema.fieldIndex("content")
     df.mapPartitions { rows =>
@@ -312,12 +338,16 @@ object Multimodal {
     * sampledFrames·thumb²) — same deterministic arithmetic as
     * `decodeImages`. Supports C420*, C422, C444 and Cmono chroma layouts
     * (only the Y-plane size depends on them). Rows that are not Y4M, or
-    * whose stream is truncated mid-frame, get null meta/features instead
-    * of failing the partition. Per-partition iterator shape, no shuffle —
-    * at 100 TB, frame sampling is a scan.
+    * whose stream is truncated mid-frame, get null meta AND null features
+    * (incoming meta is cleared) instead of failing the partition.
+    * Per-partition iterator shape, no shuffle — at 100 TB, frame sampling
+    * is a scan.
     */
   def decodeY4m(df: DataFrame, sampleFrames: Int = 4, thumb: Int = 8): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+
+    // meta forced nullable: the failure contract (null meta + features)
+    // must hold even when the incoming frame declared meta non-null
+    val outSchema = StructType(df.schema.fields
+      .map(f => if (f.name == "meta") f.copy(nullable = true) else f) :+
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = true))
     val contentIdx = df.schema.fieldIndex("content")
     val metaIdx = df.schema.fieldIndex("meta")
@@ -328,7 +358,7 @@ object Multimodal {
           case Some((w, h, nFrames, feats)) =>
             val meta = Row(w, h, null, nFrames)
             Row.fromSeq(r.toSeq.updated(metaIdx, meta) :+ feats.toSeq)
-          case None => Row.fromSeq(r.toSeq :+ null)
+          case None => Row.fromSeq(r.toSeq.updated(metaIdx, null) :+ null)
         }
       }
     }(RowEncoder.encoderFor(outSchema))
@@ -413,4 +443,116 @@ object Multimodal {
     }
     Some((w, h, nFrames, feats))
   }
+
+  /** REAL compressed-video decode: animated GIF through the JDK's bundled
+    * GIF `ImageReader` — LZW decompression, palette resolution, and
+    * frame-by-frame access with no external codec, retiring the video
+    * stub for one genuinely compressed container (H.26x-class interframe
+    * codecs remain stubbed; a bare JVM has no decoder for them). Stamps
+    * meta.width/height (logical screen) and n_frames (true frame count),
+    * and extracts the same `thumb`×`thumb` block-mean luminance thumbnail
+    * as `decodeImages`/`decodeY4m` for up to `sampleFrames` evenly-spaced
+    * frames, COMPOSITED cumulatively: GIF frames are often partial
+    * rectangles at an (left, top) offset over the previous canvas, so
+    * every frame up to the last sampled index is drawn in order
+    * (do-not-dispose semantics; the restore-to-background/previous
+    * disposal modes are approximated by the cumulative canvas —
+    * deterministic, and exact for the overwhelmingly common disposal
+    * mode). Not-a-GIF / truncated / zero-frame rows get null meta AND
+    * null features (incoming meta is cleared) instead of failing the
+    * partition.
+    *
+    * Per-partition amortization is real here: ONE reader instance per
+    * partition (codec lookup is not per-row), reset per payload — the
+    * pattern a JNI video codec would need too.
+    */
+  def decodeGif(df: DataFrame, sampleFrames: Int = 4, thumb: Int = 8): DataFrame = {
+    // meta forced nullable: the failure contract (null meta + features)
+    // must hold even when the incoming frame declared meta non-null
+    val outSchema = StructType(df.schema.fields
+      .map(f => if (f.name == "meta") f.copy(nullable = true) else f) :+
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true))
+    val contentIdx = df.schema.fieldIndex("content")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rows.map { r =>
+        val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
+        decodeGifBytes(reader, bytes, sampleFrames, thumb) match {
+          case Some((w, h, nFrames, feats)) =>
+            val meta = Row(w, h, null, nFrames)
+            Row.fromSeq(r.toSeq.updated(metaIdx, meta) :+ feats.toSeq)
+          case None => Row.fromSeq(r.toSeq.updated(metaIdx, null) :+ null)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** (logical width, logical height, frameCount, sampled composited
+    * thumbnails) — None when `bytes` is not a decodable GIF.
+    */
+  private def decodeGifBytes(
+      reader: javax.imageio.ImageReader, bytes: Array[Byte],
+      sampleFrames: Int, thumb: Int): Option[(Int, Int, Int, Array[Float])] = {
+    if (bytes == null) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, false, false) // keep metadata: frame offsets
+        val nFrames = reader.getNumImages(true)
+        if (nFrames <= 0) return None
+        // logical screen from stream metadata; frame 0 as fallback
+        val (w, h) = {
+          val lsd = Option(reader.getStreamMetadata).map(
+            _.getAsTree("javax_imageio_gif_stream_1.0"))
+            .flatMap(t => childNamed(t, "LogicalScreenDescriptor"))
+          (lsd.flatMap(attr(_, "logicalScreenWidth")),
+            lsd.flatMap(attr(_, "logicalScreenHeight"))) match {
+            case (Some(sw), Some(sh)) if sw > 0 && sh > 0 => (sw, sh)
+            case _ => (reader.getWidth(0), reader.getHeight(0))
+          }
+        }
+        val take = math.min(sampleFrames, nFrames)
+        val sampled = (0 until take).map(k => k * nFrames / take).toSet
+        val canvas = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        val feats = new Array[Float](take * thumb * thumb)
+        try {
+          var fi = 0
+          var out = 0
+          val last = sampled.max
+          while (fi <= last) {
+            val frame = reader.read(fi)
+            val desc = Option(reader.getImageMetadata(fi))
+              .map(_.getAsTree("javax_imageio_gif_image_1.0"))
+              .flatMap(t => childNamed(t, "ImageDescriptor"))
+            val left = desc.flatMap(attr(_, "imageLeftPosition")).getOrElse(0)
+            val top = desc.flatMap(attr(_, "imageTopPosition")).getOrElse(0)
+            g.drawImage(frame, left, top, null)
+            if (sampled.contains(fi)) {
+              System.arraycopy(lumaThumb(canvas, thumb), 0,
+                feats, out * thumb * thumb, thumb * thumb)
+              out += 1
+            }
+            fi += 1
+          }
+        } finally g.dispose()
+        Some((w, h, nFrames, feats))
+      } finally iis.close()
+    } catch {
+      case _: java.io.IOException => None
+      case _: IndexOutOfBoundsException => None // truncated stream
+    }
+  }
+
+  private def childNamed(n: org.w3c.dom.Node, name: String): Option[org.w3c.dom.Node] = {
+    val kids = n.getChildNodes
+    (0 until kids.getLength).map(kids.item).find(_.getNodeName == name)
+  }
+
+  private def attr(n: org.w3c.dom.Node, name: String): Option[Int] =
+    Option(n.getAttributes.getNamedItem(name))
+      .flatMap(a => scala.util.Try(a.getNodeValue.toInt).toOption)
 }

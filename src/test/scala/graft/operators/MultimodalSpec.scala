@@ -233,4 +233,70 @@ class MultimodalSpec extends SparkSpec {
     val t = mediaFrame("trunc.y4m", truncated, "video")
     assert(Multimodal.decodeY4m(t).selectExpr("features").head().isNullAt(0))
   }
+
+  /** Animated GIF of solid gray frames via the JDK's GIF writer — a real
+    * LZW-compressed multi-frame container, not a synthetic byte layout.
+    */
+  private def animatedGif(w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    lumas.foreach { l =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(l, l, l))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("decodeGif: real compressed video decode — frame count, per-frame luma") {
+    val lumas = Seq(0, 128, 255)
+    val out = Multimodal.decodeGif(
+      mediaFrame("clip.gif", animatedGif(16, 8, lumas), "video"),
+      sampleFrames = 3, thumb = 2)
+      .selectExpr("meta.width", "meta.height", "meta.n_frames", "features").head()
+    assert(out.getInt(0) === 16 && out.getInt(1) === 8)
+    assert(out.getInt(2) === 3)
+    val f = out.getSeq[Float](3)
+    assert(f.length === 3 * 2 * 2) // 3 sampled frames × 2×2 thumbnail
+    // full-canvas frames: each sample is its own frame's solid gray
+    // (palette quantization tolerance)
+    for (c <- 0 until 4) assert(f(c) < 0.02, s"frame0 cell $c = ${f(c)}")
+    for (c <- 4 until 8) assert(math.abs(f(c) - 128f / 255f) < 0.02)
+    for (c <- 8 until 12) assert(f(c) > 0.98)
+  }
+
+  test("decodeGif: six frames sampled to three, evenly spaced") {
+    val out = Multimodal.decodeGif(
+      mediaFrame("six.gif", animatedGif(8, 8, Seq(10, 60, 110, 160, 210, 250)), "video"),
+      sampleFrames = 3, thumb = 1)
+      .selectExpr("meta.n_frames", "features").head()
+    assert(out.getInt(0) === 6)
+    val f = out.getSeq[Float](1)
+    assert(f.length === 3)
+    val expect = Seq(10, 110, 210).map(_ / 255.0f)
+    f.zip(expect).foreach { case (got, e) =>
+      assert(math.abs(got - e) < 0.02, s"$got vs $e") }
+  }
+
+  test("decodeGif: corrupt input clears stale meta and yields null features") {
+    val junk = mediaFrame("junk.gif", Array.tabulate[Byte](80)(_.toByte), "video")
+      // plant an upstream meta: a failed decode must CLEAR it, not keep it
+      // (if() keeps the column nullable despite the literal struct)
+      .withColumn("meta", org.apache.spark.sql.functions.expr(
+        "if(content is not null, named_struct('width', 9, 'height', 9, " +
+          "'sample_rate', cast(null as int), 'n_frames', cast(null as int)), null)"))
+    val out = Multimodal.decodeGif(junk).selectExpr("meta", "features").head()
+    assert(out.isNullAt(0), "stale meta survived a failed decode")
+    assert(out.isNullAt(1))
+  }
 }
