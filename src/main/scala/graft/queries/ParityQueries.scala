@@ -30,6 +30,21 @@ object ParityQueries {
     * differs), so the correctness contract is PercentileSpec: observed
     * error vs the exact tier at the bench SF, with a hard bound.
     */
+  /** The 100 TB tier of q59: `approx_count_distinct` (HyperLogLog++) —
+    * per-group state is a bounded sketch (relative sd `rsd`), partials
+    * merge map-side, nothing expands per distinct value. Not
+    * DuckDB-replayable (different HLL), so the contract is
+    * DistinctCountSpec's error bound vs the exact tier.
+    */
+  def approxDistinct(s: SparkSession, dir: String, rsd: Double = 0.01): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd).as("n_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   def approxPercentiles(s: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
@@ -530,6 +545,48 @@ object ParityQueries {
       ParquetTable.read(s, s"$tmp/t")
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // PER-COMMIT change data feed (tableChanges — Delta table_changes
+    // parity tier) with commit-time capture: v2 bumps every 10th key's
+    // balance (+ inserts a shifted copy of every 100th), v3 REVERTS the
+    // bump for every 20th key. The feed over commits 2..3 must show the
+    // %20 keys TWICE (changed then reverted — the net-diff q48 tier would
+    // collapse them to nothing) with pre- AND post-images, stamped with
+    // _commit_version. Deterministic construction → the whole per-commit
+    // feed replays as plain SQL over the source table.
+    "q58_cdf_percommit" -> ((s, d) => {
+      val tmp = scratchDir("graft_q58")
+      val cust = Tables.customer(s, d)
+      ParquetTable.create(cust, s"$tmp/t") // v1
+      val upd2 = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .unionByName(cust.filter(col("c_custkey") % 100 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 10000000L))
+      ParquetTable.merge(s, s"$tmp/t", upd2, Seq("c_custkey"), cdf = true) // v2
+      val upd3 = cust.filter(col("c_custkey") % 20 === 0) // original rows
+      ParquetTable.merge(s, s"$tmp/t", upd3, Seq("c_custkey"), cdf = true) // v3
+      ParquetTable.tableChanges(s, s"$tmp/t", 2L, 3L, Seq("c_custkey"))
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy(col("_commit_version"), col("c_custkey"), col("_change_type"))
+    }),
+
+    // Exact grouped distinct counts — the oracle-checked tier. At 100 TB
+    // exact count(DISTINCT) over a high-cardinality key is a full
+    // per-group shuffle of the distinct key set (expand + two-phase agg);
+    // the scale default is approxDistinct below (HyperLogLog++: bounded
+    // mergeable sketches, one narrow shuffle), whose correctness contract
+    // is DistinctCountSpec's relative-error bound vs THIS query — same
+    // two-tier discipline as q44/approxPercentiles.
+    "q59_distinct_counts" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_distinct(col("l_partkey")).as("n_parts"),
+          count_distinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -800,5 +857,39 @@ object ParityQueries {
         |  UNION ALL
         |  SELECT * FROM upd
         |)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    // per-commit CDF reconstructed from the deterministic construction:
+    // commit 2 = +100 on every 10th key (pre+post) and shifted inserts of
+    // every 100th; commit 3 = the revert of every 20th key (pre+post).
+    "q58_cdf_percommit" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal,
+        |         'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, round(c_acctbal + 100.0, 2),
+        |         'update_postimage', CAST(2 AS BIGINT)
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, round(c_acctbal, 2),
+        |         'insert', CAST(2 AS BIGINT)
+        |  FROM customer WHERE c_custkey % 100 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, round(c_acctbal + 100.0, 2),
+        |         'update_preimage', CAST(3 AS BIGINT)
+        |  FROM customer WHERE c_custkey % 20 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, round(c_acctbal, 2),
+        |         'update_postimage', CAST(3 AS BIGINT)
+        |  FROM customer WHERE c_custkey % 20 = 0
+        |)
+        |ORDER BY _commit_version, c_custkey, _change_type""".stripMargin,
+    "q59_distinct_counts" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
 }
