@@ -1,9 +1,9 @@
 package graft.sql
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction}
@@ -28,8 +28,11 @@ import graft.sources.ParquetTable
   *   - declarative: `spark.sql.extensions=graft.functions.GraftSessionExtensions`
   *     (or `GraftColumnBridge.sessionWithExtensions`), then
   *     `spark.sql("MERGE INTO graft.`/p` AS t USING updates AS s ON t.id = s.id
-  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")`;
-  *   - imperative: [[GraftSql.merge]] on any existing session.
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")` —
+  *     and plain reads: `spark.sql("SELECT … FROM graft.`/p`")`, with
+  *     `VERSION AS OF n` time travel;
+  *   - imperative: [[GraftSql.merge]] / [[GraftSql.sql]] on any existing
+  *     session.
   *
   * Supported shape = exactly the reference's: equi-conjunction ON
   * condition (the primary key), `WHEN MATCHED THEN UPDATE SET *`,
@@ -47,7 +50,8 @@ import graft.sources.ParquetTable
 object GraftSql {
 
   /** Parse and execute one `MERGE INTO graft.`path`` statement on an
-    * existing session (no extension registration needed).
+    * existing session (no extension registration needed). The source may
+    * itself read `graft.`path`` tables.
     */
   def merge(spark: SparkSession, sqlText: String): Unit =
     spark.sessionState.sqlParser.parsePlan(sqlText) match {
@@ -58,6 +62,53 @@ object GraftSql {
       case other => throw new IllegalArgumentException(
         s"GraftSql.merge expects a MERGE INTO statement, parsed ${other.nodeName}")
     }
+
+  /** Run one SELECT-shaped statement that may read `graft.`path`` tables
+    * (optionally `VERSION AS OF n`) on an existing session — the
+    * imperative twin of querying through [[GraftSqlParser]].
+    */
+  def sql(spark: SparkSession, sqlText: String): DataFrame =
+    GraftColumnBridge.ofRows(spark,
+      rewriteRelations(spark.sessionState.sqlParser.parsePlan(sqlText)))
+
+  /** Substitute every `graft.`path`` relation in `plan` with the
+    * versioned-table read it names: bare references read the CURRENT
+    * manifest version, `VERSION AS OF n` time-travels via `readAt`.
+    * `TIMESTAMP AS OF` is rejected — commit timestamps are deliberately
+    * not part of the manifest contract (see `tableChanges`), versions are
+    * the table clock. Non-graft relations pass through for the catalog to
+    * resolve. Needs an active session (the substituted subtree is the
+    * resolved read plan, so the manifest is consulted at parse time —
+    * exactly when `spark.sql` runs this parser).
+    */
+  private[sql] def rewriteRelations(plan: LogicalPlan): LogicalPlan = {
+    def readPlan(path: String, version: Option[String]): LogicalPlan = {
+      val spark = SparkSession.getActiveSession.getOrElse(
+        throw new IllegalStateException(
+          s"graft.`$path`: no active SparkSession to resolve the read"))
+      val df = version match {
+        case Some(v) =>
+          val ver = try v.toLong catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"graft.`$path` VERSION AS OF $v: graft versions are integers")
+          }
+          ParquetTable.readAt(spark, path, ver)
+        case None => ParquetTable.read(spark, path)
+      }
+      df.queryExecution.logical
+    }
+    plan.transformUpWithSubqueries {
+      case RelationTimeTravel(u: UnresolvedRelation, ts, version)
+          if targetPath(u).isDefined =>
+        val path = targetPath(u).get
+        if (ts.nonEmpty) throw new IllegalArgumentException(
+          s"graft.`$path`: TIMESTAMP AS OF is not supported (manifest mtimes " +
+            "are not committed state); use VERSION AS OF")
+        readPlan(path, version)
+      case u: UnresolvedRelation if targetPath(u).isDefined =>
+        readPlan(targetPath(u).get, None)
+    }
+  }
 
   /** `MergeIntoTable` → [[GraftMergeCommand]] when the target is
     * `graft.`path``; None when the statement belongs to someone else.
@@ -136,24 +187,29 @@ case class GraftMergeCommand(
   }
 }
 
-/** Delegating parser that owns exactly one statement shape: MERGE INTO a
-  * `graft.`path`` target (rewritten via [[GraftSql.rewrite]]); every
-  * other string — and every other parsed plan — passes through untouched.
+/** Delegating parser that owns exactly one namespace: `graft.`path``.
+  * MERGE INTO a graft target becomes a runnable merge command
+  * ([[GraftSql.rewrite]]); graft relations anywhere else — SELECT/JOIN
+  * sources, merge sources, subqueries, optionally `VERSION AS OF n` —
+  * become versioned-table reads ([[GraftSql.rewriteRelations]]). Every
+  * other string and plan passes through untouched.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(sqlText) match {
-      case m: MergeIntoTable => GraftSql.rewrite(m).getOrElse(m)
-      case other => other
+  private def dispatch(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable => GraftSql.rewrite(m) match {
+      case Some(cmd) => cmd.copy(source = GraftSql.rewriteRelations(cmd.source))
+      case None => GraftSql.rewriteRelations(m) // non-graft target; graft sources still read
     }
+    case other => GraftSql.rewriteRelations(other)
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    dispatch(delegate.parsePlan(sqlText))
 
   override def parsePlanWithParameters(
       sqlText: String, ctx: ParameterContext): LogicalPlan =
-    delegate.parsePlanWithParameters(sqlText, ctx) match {
-      case m: MergeIntoTable => GraftSql.rewrite(m).getOrElse(m)
-      case other => other
-    }
+    dispatch(delegate.parsePlanWithParameters(sqlText, ctx))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

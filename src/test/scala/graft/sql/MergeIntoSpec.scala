@@ -79,6 +79,44 @@ class MergeIntoSpec extends SparkSpec {
     assert(cond.getMessage.contains("ON condition"))
   }
 
+  test("SELECT over graft tables, including VERSION AS OF time travel") {
+    val path = tmpDir("sqlread") + "/t"
+    ParquetTable.create(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), path) // v1
+    ParquetTable.merge(spark, path, Seq((2L, 99.0), (3L, 30.0)).toDF("id", "bal"),
+      Seq("id")) // v2
+    // imperative twin (no extensions): current version
+    val cur = GraftSql.sql(spark, s"SELECT id, bal FROM graft.`$path` ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(cur === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+    // time travel reads the v1 image
+    val v1 = GraftSql.sql(spark,
+      s"SELECT id, bal FROM graft.`$path` VERSION AS OF 1 ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(v1 === Seq((1L, 10.0), (2L, 20.0)))
+    // graft relations join with ordinary views; aggregates work above them
+    Seq((1L, "a"), (3L, "c")).toDF("id", "tag").createOrReplaceTempView("tags")
+    val joined = GraftSql.sql(spark,
+      s"""SELECT t.tag, sum(g.bal) AS s FROM graft.`$path` g
+         |JOIN tags t ON g.id = t.id GROUP BY t.tag ORDER BY t.tag""".stripMargin)
+      .as[(String, Double)].collect().toSeq
+    assert(joined === Seq(("a", 10.0), ("c", 30.0)))
+    // TIMESTAMP AS OF names the documented gap
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"SELECT * FROM graft.`$path` TIMESTAMP AS OF '2024-01-01'")
+    }
+    assert(e.getMessage.contains("VERSION AS OF"))
+  }
+
+  test("declarative SELECT via spark.sql on an extensions session") {
+    val ext = GraftColumnBridge.sessionWithExtensions(
+      spark, new graft.functions.GraftSessionExtensions()(_))
+    val path = tmpDir("sqlread-ext") + "/t"
+    ParquetTable.create(Seq((1L, 5.0)).toDF("id", "v"), path)
+    val n = ext.sql(s"SELECT count(*) AS n FROM graft.`$path`").head().getLong(0)
+    assert(n === 1L)
+  }
+
   test("non-graft targets are not intercepted") {
     val e = intercept[IllegalArgumentException] {
       GraftSql.merge(spark,
