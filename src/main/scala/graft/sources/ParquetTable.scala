@@ -583,6 +583,53 @@ object ParquetTable {
     perCommit.reduce(_.unionByName(_))
   }
 
+  /** DESCRIBE-HISTORY tier: one row per committed version, newest first —
+    * version, whether the manifest is partitioned, how many partition
+    * entries and distinct data dirs it references, whether a per-commit
+    * change manifest was captured, and the manifest file's modification
+    * time (surfaced as `manifest_mtime` for operators; NOT part of the
+    * committed state — see `tableChanges` — which is why no oracle query
+    * depends on it). Driver-side listing of the manifest dir only: one
+    * tiny file stat per version, no data I/O.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = hadoopFs(spark, manifestDir(path))
+    versions(spark, path).sorted(Ordering[Long].reverse).map { v =>
+      val entries = partitionEntries(spark, path, v)
+      val mtime = fs.getFileStatus(new Path(manifestDir(path), f"v$v%020d"))
+        .getModificationTime
+      val cf = changeManifestPath(path, v)
+      (v, entries.isDefined, entries.map(_.size).getOrElse(1),
+        entries.map(_.map(_._2).distinct.size).getOrElse(1),
+        hadoopFs(spark, cf).exists(cf), new java.sql.Timestamp(mtime))
+    }.toDF("version", "partitioned", "n_entries", "n_data_dirs",
+      "has_change_manifest", "manifest_mtime")
+  }
+
+  /** RESTORE-TABLE tier: republish the image of `version` as the NEXT
+    * version — a metadata-only commit (the manifest body is re-pointed at
+    * the old version's data dirs; zero data I/O, any table size). History
+    * is untouched: the rolled-back versions stay readable via `readAt`
+    * until `vacuum`, exactly Delta's RESTORE semantics. The restored
+    * version's dirs must still exist, so restore what `vacuum` has kept.
+    * Returns the new version number.
+    */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    require(versions(spark, path).contains(version),
+      s"restore: version $version not present at $path " +
+        s"(have: ${versions(spark, path).mkString(", ")})")
+    val content = manifestContent(spark, path, version)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10, s"restore: lost the version race at $path")
+      val v = currentVersion(spark, path).getOrElse(0L) + 1
+      if (commitVersion(spark, path, v, content)) return v
+    }
+    -1L // unreachable
+  }
+
   /** Rewrite the CURRENT version of a partitioned versioned table into a
     * single fresh data dir and publish it as the next version. Two jobs at
     * 100 TB scale: (a) bounds the union fan-out of `read` (a long merge

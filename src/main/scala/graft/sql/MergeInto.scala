@@ -63,13 +63,42 @@ object GraftSql {
         s"GraftSql.merge expects a MERGE INTO statement, parsed ${other.nodeName}")
     }
 
-  /** Run one SELECT-shaped statement that may read `graft.`path`` tables
-    * (optionally `VERSION AS OF n`) on an existing session — the
-    * imperative twin of querying through [[GraftSqlParser]].
+  /** Run one graft-aware statement on an existing session — the
+    * imperative twin of querying through [[GraftSqlParser]]: SELECTs over
+    * `graft.`path`` (optionally `VERSION AS OF n`), graft-target MERGE,
+    * and `RESTORE TABLE graft.`path` TO VERSION AS OF n`.
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame =
     GraftColumnBridge.ofRows(spark,
-      rewriteRelations(spark.sessionState.sqlParser.parsePlan(sqlText)))
+      parseRestore(sqlText).getOrElse(
+        dispatch(spark.sessionState.sqlParser.parsePlan(sqlText))))
+
+  /** Shared statement dispatch (used by both the injected parser and
+    * [[sql]]): graft-target MERGE → runnable command (its source's graft
+    * relations rewritten too); everything else → graft relations
+    * substituted wherever they appear.
+    */
+  private[sql] def dispatch(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable => rewrite(m) match {
+      case Some(cmd) => cmd.copy(source = rewriteRelations(cmd.source))
+      case None => rewriteRelations(m) // non-graft target; graft sources still read
+    }
+    case other => rewriteRelations(other)
+  }
+
+  /** `RESTORE TABLE graft.`path` TO VERSION AS OF n` — a statement shape
+    * Spark's grammar does not have (Delta adds it via its own parser
+    * extension; here a pre-parse match does), so it is recognized on the
+    * raw text before delegation.
+    */
+  private val RestoreStmt =
+    """(?is)\s*RESTORE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+
+  private[sql] def parseRestore(sqlText: String): Option[GraftRestoreCommand] =
+    sqlText match {
+      case RestoreStmt(path, v) => Some(GraftRestoreCommand(path, v.toLong))
+      case _ => None
+    }
 
   /** Substitute every `graft.`path`` relation in `plan` with the
     * versioned-table read it names: bare references read the CURRENT
@@ -187,29 +216,41 @@ case class GraftMergeCommand(
   }
 }
 
+/** `RESTORE TABLE graft.`path` TO VERSION AS OF n`: republishes the old
+  * image as the next version — metadata-only (see `ParquetTable.restore`).
+  * Returns one row with the newly committed version.
+  */
+case class GraftRestoreCommand(path: String, version: Long)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "restored_to_version", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(ParquetTable.restore(session, path, version)))
+}
+
 /** Delegating parser that owns exactly one namespace: `graft.`path``.
   * MERGE INTO a graft target becomes a runnable merge command
   * ([[GraftSql.rewrite]]); graft relations anywhere else — SELECT/JOIN
   * sources, merge sources, subqueries, optionally `VERSION AS OF n` —
-  * become versioned-table reads ([[GraftSql.rewriteRelations]]). Every
-  * other string and plan passes through untouched.
+  * become versioned-table reads ([[GraftSql.rewriteRelations]]); and
+  * `RESTORE TABLE graft.`path` TO VERSION AS OF n` (a statement Spark's
+  * grammar lacks) is matched pre-parse. Every other string and plan
+  * passes through untouched.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  private def dispatch(plan: LogicalPlan): LogicalPlan = plan match {
-    case m: MergeIntoTable => GraftSql.rewrite(m) match {
-      case Some(cmd) => cmd.copy(source = GraftSql.rewriteRelations(cmd.source))
-      case None => GraftSql.rewriteRelations(m) // non-graft target; graft sources still read
-    }
-    case other => GraftSql.rewriteRelations(other)
-  }
-
   override def parsePlan(sqlText: String): LogicalPlan =
-    dispatch(delegate.parsePlan(sqlText))
+    GraftSql.parseRestore(sqlText).getOrElse(
+      GraftSql.dispatch(delegate.parsePlan(sqlText)))
 
   override def parsePlanWithParameters(
       sqlText: String, ctx: ParameterContext): LogicalPlan =
-    dispatch(delegate.parsePlanWithParameters(sqlText, ctx))
+    GraftSql.parseRestore(sqlText).getOrElse(
+      GraftSql.dispatch(delegate.parsePlanWithParameters(sqlText, ctx)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

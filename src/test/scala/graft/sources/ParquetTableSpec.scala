@@ -246,6 +246,51 @@ class ParquetTableSpec extends SparkSpec {
       Map(1 -> ("A", "d 1/x:y"), 2 -> ("b", "plain")))
   }
 
+  test("restore republishes an old image as a new version, history intact") {
+    val path = tmpDir("restore") + "/t"
+    ParquetTable.create(df(Row(1, "a", "d1")), path) // v1
+    ParquetTable.merge(spark, path, df(Row(1, "A", "d1"), Row(2, "b", "d1")),
+      Seq("id"), cdf = true) // v2
+    val v3 = ParquetTable.restore(spark, path, 1L)
+    assert(v3 === 3L)
+    // current = the v1 image, via a metadata-only commit
+    assert(ParquetTable.read(spark, path).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap === Map(1 -> "a"))
+    // rolled-back version stays readable (Delta RESTORE semantics)
+    assert(ParquetTable.readAt(spark, path, 2L).count() === 2)
+    // restoring a partitioned versioned table re-points partition entries
+    val p2 = tmpDir("restore-part") + "/t"
+    ParquetTable.createVersioned(df(Row(1, "a", "d1"), Row(2, "b", "d2")),
+      p2, Seq("day")) // v1
+    ParquetTable.mergeVersioned(spark, p2, df(Row(2, "B", "d2")),
+      Seq("id"), Seq("day")) // v2
+    ParquetTable.restore(spark, p2, 1L) // v3 = v1 image
+    assert(ParquetTable.read(spark, p2).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap === Map(1 -> "a", 2 -> "b"))
+    val e = intercept[IllegalArgumentException] {
+      ParquetTable.restore(spark, p2, 9L)
+    }
+    assert(e.getMessage.contains("version 9"))
+  }
+
+  test("history lists versions newest-first with manifest shape + CDF flag") {
+    val path = tmpDir("history") + "/t"
+    ParquetTable.create(df(Row(1, "a", "d1")), path) // v1, no change manifest
+    ParquetTable.merge(spark, path, df(Row(1, "A", "d1")),
+      Seq("id"), cdf = true) // v2, captured
+    val h = ParquetTable.history(spark, path)
+      .select("version", "partitioned", "n_data_dirs", "has_change_manifest")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2), r.getBoolean(3)))
+    assert(h.toSeq === Seq((2L, false, 1, true), (1L, false, 1, false)))
+    // partitioned table: entry counts reflect the manifest
+    val p2 = tmpDir("history-part") + "/t"
+    ParquetTable.createVersioned(df(Row(1, "a", "d1"), Row(2, "b", "d2")),
+      p2, Seq("day"))
+    val hp = ParquetTable.history(spark, p2)
+      .select("partitioned", "n_entries", "n_data_dirs").head()
+    assert(hp.getBoolean(0) && hp.getInt(1) === 2 && hp.getInt(2) === 1)
+  }
+
   test("every version publish flows through the injected LogCommitter") {
     val path = tmpDir("committer") + "/t"
     val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

@@ -108,6 +108,21 @@ class MergeIntoSpec extends SparkSpec {
     assert(e.getMessage.contains("VERSION AS OF"))
   }
 
+  test("RESTORE TABLE ... TO VERSION AS OF rolls the table back, metadata-only") {
+    val path = tmpDir("sqlrestore") + "/t"
+    ParquetTable.create(Seq((1L, 10.0)).toDF("id", "bal"), path) // v1
+    ParquetTable.merge(spark, path, Seq((1L, 99.0), (2L, 20.0)).toDF("id", "bal"),
+      Seq("id")) // v2
+    val restored = GraftSql.sql(spark,
+      s"RESTORE TABLE graft.`$path` TO VERSION AS OF 1").head().getLong(0)
+    assert(restored === 3L)
+    assert(GraftSql.sql(spark, s"SELECT id, bal FROM graft.`$path`")
+      .as[(Long, Double)].collect().toSeq === Seq((1L, 10.0)))
+    // the rolled-back v2 stays readable via time travel
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM graft.`$path` VERSION AS OF 2").head().getLong(0) === 2L)
+  }
+
   test("declarative SELECT via spark.sql on an extensions session") {
     val ext = GraftColumnBridge.sessionWithExtensions(
       spark, new graft.functions.GraftSessionExtensions()(_))
