@@ -270,6 +270,18 @@ object Bench {
           out += name -> (if (best == Double.MaxValue) -1.0 else best)
       }
     }
+    // the two-tier aggregates: the approx (100 TB) tier beside its exact
+    // oracle-checked twin — the delta is what bounded mergeable state
+    // buys at bench scale (and the approx tier must never be slower)
+    try {
+      timed("x_approx_percentile_sec") {
+        graft.queries.ParityQueries.approxPercentiles(spark, sfDir).count()
+      }
+      timed("x_approx_distinct_sec") {
+        graft.queries.ParityQueries.approxDistinct(spark, sfDir).count()
+      }
+    } catch { case _: Throwable => out += "x_approx_percentile_sec" -> -1.0 }
+
     try {
       val emb = graft.queries.Tables.embeddings(spark, sfDir)
       var idx: graft.operators.IvfAnn.Index = null

@@ -82,6 +82,35 @@ class LogCommitterSpec extends SparkSpec {
     } finally ParquetTable.logCommitter = prev
   }
 
+  test("concurrent mergeVersioned to DISJOINT partitions: both land, no lost update") {
+    // the scaladoc claim under real exclusivity: the loser re-reads the
+    // winner's manifest and retries, so BOTH partition updates survive
+    val pschema = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType),
+      StructField("day", StringType)))
+    val path = tmpDir("cas-disjoint") + "/t"
+    ParquetTable.createVersioned(
+      frame(pschema, Seq(Row(1, "a", "d1"), Row(2, "b", "d2"))), path, Seq("day"))
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val barrier = new CyclicBarrier(2)
+      val futures = Seq(("d1", 1, "A1"), ("d2", 2, "B2")).map { case (day, id, v) =>
+        pool.submit(new Callable[Unit] {
+          override def call(): Unit = {
+            barrier.await(10, TimeUnit.SECONDS)
+            ParquetTable.mergeVersioned(spark, path,
+              frame(pschema, Seq(Row(id, v, day))), Seq("id"), Seq("day"))
+          }
+        })
+      }
+      futures.foreach(_.get(120, TimeUnit.SECONDS))
+      assert(ParquetTable.versions(spark, path) === Seq(1L, 2L, 3L))
+      val got = ParquetTable.read(spark, path).collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(got === Map(1 -> "A1", 2 -> "B2"), "a racing update was lost")
+    } finally pool.shutdown()
+  }
+
   test("concurrent atomicReplace writers both land, on distinct versions") {
     val path = tmpDir("cas-concurrent") + "/t"
     ParquetTable.create(frame(schema, Seq(Row(0, "seed"))), path) // v1

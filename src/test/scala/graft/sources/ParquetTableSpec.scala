@@ -273,6 +273,18 @@ class ParquetTableSpec extends SparkSpec {
     assert(e.getMessage.contains("version 9"))
   }
 
+  test("vacuum after restore keeps the restored version's data dirs alive") {
+    val path = tmpDir("restore-vacuum") + "/t"
+    ParquetTable.create(df(Row(1, "a", "d1")), path) // v1
+    ParquetTable.merge(spark, path, df(Row(1, "X", "d1")), Seq("id")) // v2
+    ParquetTable.restore(spark, path, 1L) // v3 points at v1's data dir
+    ParquetTable.vacuum(spark, path, keepLast = 1) // keeps only v3
+    // reference-aware vacuum must NOT delete v1's dir: v3 references it
+    assert(ParquetTable.read(spark, path).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap === Map(1 -> "a"))
+    assert(ParquetTable.versions(spark, path) === Seq(3L))
+  }
+
   test("history lists versions newest-first with manifest shape + CDF flag") {
     val path = tmpDir("history") + "/t"
     ParquetTable.create(df(Row(1, "a", "d1")), path) // v1, no change manifest
