@@ -49,6 +49,35 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming consumer of a versioned table's CAPTURED change feed (the
+    * Delta `readChangeFeed` streaming tier): the per-commit change
+    * manifests that `ParquetTable.merge(cdf = true)` writes under
+    * `_graft_changes/v<N>/` are append-only parquet dirs — exactly what
+    * the file stream source incrementally tracks — so a CDC consumer is
+    * a plain `readStream` with `_commit_version` recovered from each
+    * file's manifest dir name. Rows carry the table schema +
+    * `_change_type` (insert | delete | update_preimage |
+    * update_postimage). Only CAPTURED commits stream (cdf = true);
+    * snapshot-diff fallbacks are a batch-only tier — `tableChanges`
+    * documents the difference. `schema` = the TABLE schema (change
+    * columns are appended here).
+    */
+  def changeFeedStream(
+      spark: SparkSession,
+      tablePath: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withType = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true)) :+
+        org.apache.spark.sql.types.StructField(
+          "_change_type", org.apache.spark.sql.types.StringType, nullable = true))
+    spark.readStream
+      .schema(withType)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$tablePath/_graft_changes/v*")
+      .withColumn("_commit_version",
+        regexp_extract(input_file_name(), "/v(\\d+)/", 1).cast("long"))
+  }
+
   /** The persistent fingerprint store backing `streamDedupIngest`: one
     * `fp` long column (~8 bytes/doc — billions of rows stay joinable).
     * Appends may leave duplicate fingerprints after a replay; the

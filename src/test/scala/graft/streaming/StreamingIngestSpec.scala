@@ -92,6 +92,33 @@ class StreamingIngestSpec extends SparkSpec {
       ("2025-04-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("changeFeedStream: captured per-commit CDF rows stream with versions") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("bal", DoubleType, nullable = true)))
+    def df(rows: Row*) = frame(schema, rows)
+    val path = tmpDir("cdf-stream") + "/t"
+    graft.sources.ParquetTable.create(df(Row(1L, 10.0), Row(2L, 20.0)), path) // v1
+    graft.sources.ParquetTable.merge(spark, path, df(Row(1L, 99.0)),
+      Seq("id"), cdf = true) // v2: update
+    graft.sources.ParquetTable.merge(spark, path, df(Row(3L, 30.0)),
+      Seq("id"), cdf = true) // v3: insert
+    val q = StreamingIngest.changeFeedStream(spark, path, schema)
+      .writeStream.format("memory").queryName("cdf_stream_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("cdf_stream_test")
+      .select("_commit_version", "id", "bal", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(out.toSet === Set(
+      (2L, 1L, 10.0, "update_preimage"),
+      (2L, 1L, 99.0, "update_postimage"),
+      (3L, 3L, 30.0, "insert")))
+  }
+
   test("userSessions: session_window chains events within the gap, over a stream") {
     val root = tmpDir("stream-sess")
     val in = s"$root/in"
