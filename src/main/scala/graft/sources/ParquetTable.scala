@@ -135,18 +135,47 @@ object ParquetTable {
     * `updates` is PK-deduplicated first (MERGE requires a unique source key).
     * One anti-join + union — AQE broadcasts the deduplicated update keys
     * when they are small.
+    *
+    * `evolveSchema = false` (default): updates must carry the target's
+    * columns; extras are dropped (Delta's default strictness lives in the
+    * select, which fails on a MISSING column). `evolveSchema = true` is
+    * Delta `mergeSchema` parity: columns new in `updates` are appended to
+    * the table schema (existing rows read NULL there), and update rows
+    * missing target columns carry typed NULLs.
     */
-  def mergeFrames(target: DataFrame, updates: DataFrame, pk: Seq[String]): DataFrame = {
-    val cols = target.columns.toSeq
-    val upd = updates.dropDuplicates(pk).select(cols.map(col): _*)
-    val updKeys = upd.select(pk.map(col): _*).distinct()
-    target.join(updKeys, pk, "left_anti").unionByName(upd)
-  }
+  def mergeFrames(
+      target: DataFrame, updates: DataFrame, pk: Seq[String],
+      evolveSchema: Boolean = false): DataFrame =
+    if (!evolveSchema) {
+      val cols = target.columns.toSeq
+      val upd = updates.dropDuplicates(pk).select(cols.map(col): _*)
+      val updKeys = upd.select(pk.map(col): _*).distinct()
+      target.join(updKeys, pk, "left_anti").unionByName(upd)
+    } else {
+      val extra = updates.columns
+        .filterNot(c => target.columns.exists(_.equalsIgnoreCase(c)))
+      val widenedTarget = extra.foldLeft(target)((df, c) =>
+        df.withColumn(c, lit(null).cast(
+          updates.schema.find(_.name.equalsIgnoreCase(c)).get.dataType)))
+      val missing = target.columns
+        .filterNot(c => updates.columns.exists(_.equalsIgnoreCase(c)))
+      val upd = missing.foldLeft(updates.dropDuplicates(pk))((df, c) =>
+        df.withColumn(c, lit(null).cast(target.schema(c).dataType)))
+        .select(widenedTarget.columns.map(col).toSeq: _*)
+      val updKeys = upd.select(pk.map(col): _*).distinct()
+      widenedTarget.join(updKeys, pk, "left_anti").unionByName(upd)
+    }
 
   /** Upsert `updates` into the table at `path` (creating it if absent).
     * `cdf = true` additionally captures this commit's change rows into a
     * per-commit change manifest (see [[tableChanges]]) — one extra join
     * over the affected slice at merge time, Delta-CDF-style opt-in.
+    * `evolveSchema = true` (unpartitioned versioned tables; Delta
+    * `mergeSchema` parity) appends columns new in `updates` to the table
+    * schema — see [[mergeFrames]]; time travel keeps showing each
+    * version's own schema. Not combinable with `cdf` in one call (a
+    * change feed cannot straddle two schemas in one commit): evolve
+    * first, capture from the next merge.
     */
   def merge(
       spark: SparkSession,
@@ -155,7 +184,11 @@ object ParquetTable {
       pk: Seq[String],
       partitionColumns: Seq[String] = Nil,
       filesPerPartition: Int = 1,
-      cdf: Boolean = false): Unit = {
+      cdf: Boolean = false,
+      evolveSchema: Boolean = false): Unit = {
+    require(!(cdf && evolveSchema),
+      "merge: cdf capture and schema evolution cannot share a commit; " +
+        "evolve first, then capture from the next merge")
     if (!exists(spark, path)) {
       create(updates.dropDuplicates(pk), path, partitionColumns, filesPerPartition)
       return
@@ -166,6 +199,9 @@ object ParquetTable {
         .exists(v => partitionEntries(spark, path, v).isDefined)) {
       require(partitionColumns.nonEmpty,
         s"merge: $path is a partitioned versioned table; pass its partition columns")
+      require(!evolveSchema, s"merge: schema evolution is unpartitioned-only " +
+        "(partitioned versions union many data dirs; a widened dir set needs " +
+        "allowMissingColumns semantics the read contract keeps strict)")
       mergeVersioned(spark, path, updates, pk, partitionColumns, filesPerPartition, cdf)
       return
     }
@@ -173,6 +209,8 @@ object ParquetTable {
     if (partitionColumns.nonEmpty) {
       require(!cdf, s"merge: cdf capture needs a versioned table; $path is a " +
         "plain partitioned layout (use createVersioned/mergeVersioned)")
+      require(!evolveSchema, s"merge: schema evolution needs a versioned table; " +
+        s"$path is a plain partitioned layout")
       // Partition-scoped merge: read ONLY the affected partitions (partition
       // pruning via a dynamic IN-filter on collected partition values — the
       // partition-value set is small by construction: one row per partition
@@ -187,6 +225,9 @@ object ParquetTable {
           .partitionBy(partitionColumns: _*)
           .parquet(path)
       }
+    } else if (evolveSchema) {
+      atomicReplace(spark, path,
+        mergeFrames(target, updates, pk, evolveSchema = true), Nil)
     } else {
       val upd = updates.dropDuplicates(pk).select(target.columns.map(col).toSeq: _*)
       val merged = mergeFrames(target, upd, pk)

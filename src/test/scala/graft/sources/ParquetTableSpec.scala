@@ -246,6 +246,41 @@ class ParquetTableSpec extends SparkSpec {
       Map(1 -> ("A", "d 1/x:y"), 2 -> ("b", "plain")))
   }
 
+  test("evolveSchema: new update columns join the table, old rows read NULL") {
+    val path = tmpDir("evolve") + "/t"
+    ParquetTable.create(df(Row(1, "a", "d1"), Row(2, "b", "d1")), path) // v1
+    // updates carry a NEW column (score) and omit an existing one (day)
+    val wider = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("v", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true)))
+    ParquetTable.merge(spark, path,
+      frame(wider, Seq(Row(2, "B", 0.9), Row(3, "c", 0.5))),
+      Seq("id"), evolveSchema = true)
+    val out = ParquetTable.read(spark, path)
+    assert(out.columns.toSeq === Seq("id", "v", "day", "score"))
+    val rows = out.collect().map(r => r.getInt(0) ->
+      (r.getString(1), Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows === Map(
+      1 -> (("a", Some("d1"), None)),       // untouched row: NULL new column
+      2 -> (("B", None, Some(0.9))),        // updated: NULL omitted column
+      3 -> (("c", None, Some(0.5)))))       // inserted
+    // time travel keeps the historical schema
+    assert(ParquetTable.readAt(spark, path, 1L).columns.toSeq === Seq("id", "v", "day"))
+    // strict default still refuses a missing column
+    intercept[Exception] {
+      ParquetTable.merge(spark, path,
+        frame(wider, Seq(Row(4, "d", 1.0))), Seq("id"))
+    }
+    // cdf + evolution cannot share a commit
+    val e = intercept[IllegalArgumentException] {
+      ParquetTable.merge(spark, path,
+        frame(wider, Seq(Row(4, "d", 1.0))), Seq("id"),
+        cdf = true, evolveSchema = true)
+    }
+    assert(e.getMessage.contains("share a commit"))
+  }
+
   test("restore republishes an old image as a new version, history intact") {
     val path = tmpDir("restore") + "/t"
     ParquetTable.create(df(Row(1, "a", "d1")), path) // v1
