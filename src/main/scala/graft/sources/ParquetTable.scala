@@ -150,7 +150,11 @@ object ParquetTable {
       val cols = target.columns.toSeq
       val upd = updates.dropDuplicates(pk).select(cols.map(col): _*)
       val updKeys = upd.select(pk.map(col): _*).distinct()
-      target.join(updKeys, pk, "left_anti").unionByName(upd)
+      // a using-columns join hoists the pk columns to the front of the
+      // output; re-select so merge preserves the table's column order
+      // (otherwise every commit silently reorders the table pk-first)
+      target.join(updKeys, pk, "left_anti").select(cols.map(col): _*)
+        .unionByName(upd)
     } else {
       val extra = updates.columns
         .filterNot(c => target.columns.exists(_.equalsIgnoreCase(c)))
@@ -163,7 +167,9 @@ object ParquetTable {
         df.withColumn(c, lit(null).cast(target.schema(c).dataType)))
         .select(widenedTarget.columns.map(col).toSeq: _*)
       val updKeys = upd.select(pk.map(col): _*).distinct()
-      widenedTarget.join(updKeys, pk, "left_anti").unionByName(upd)
+      widenedTarget.join(updKeys, pk, "left_anti")
+        .select(widenedTarget.columns.map(col).toSeq: _*)
+        .unionByName(upd)
     }
 
   /** Upsert `updates` into the table at `path` (creating it if absent).
@@ -229,11 +235,14 @@ object ParquetTable {
       atomicReplace(spark, path,
         mergeFrames(target, updates, pk, evolveSchema = true), Nil)
     } else {
-      val upd = updates.dropDuplicates(pk).select(target.columns.map(col).toSeq: _*)
-      val merged = mergeFrames(target, upd, pk)
+      val merged = mergeFrames(target, updates, pk)
       val v = atomicReplace(spark, path, merged, Nil)
+      // capture is derived from the COMMITTED image, not by re-evaluating
+      // the update plan: a lazy dedup could pick a different row per
+      // duplicate PK on re-execution, and the feed must never disagree
+      // with what the commit actually published
       if (cdf) writeChangeManifest(spark, path, v,
-        changeRowsBetween(target, upd, pk, "right_outer"))
+        changeRowsBetween(target, readVersion(spark, path, v), pk, "right_outer"))
     }
   }
 
@@ -432,11 +441,16 @@ object ParquetTable {
             val dd = new Path(path, dataDir)
             hadoopFs(spark, dd).delete(dd, true)
           } else if (cdf) {
-            // the v-snapshot dirs the change plan reads remain on disk
-            // (vacuum hasn't run), so capture is safe after the commit
-            val before = target.getOrElse(upd.filter(lit(false)))
+            // capture from the COMMITTED slice (the data dir this commit
+            // published), never by re-evaluating the update plan — see
+            // the unpartitioned branch. The v-snapshot dirs the before
+            // side reads remain on disk (vacuum hasn't run).
+            val base = new Path(path, dataDir).toString
+            val newSlice = spark.read.option("basePath", base)
+              .parquet(affected.map(p => s"$base/$p"): _*)
+            val before = target.getOrElse(newSlice.filter(lit(false)))
             writeChangeManifest(spark, path, v + 1,
-              changeRowsBetween(before, upd, pk, "right_outer"))
+              changeRowsBetween(before, newSlice, pk, "right_outer"))
           }
       }
     }

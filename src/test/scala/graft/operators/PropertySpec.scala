@@ -60,4 +60,36 @@ class PropertySpec extends SparkSpec {
       assert(ParquetTable.read(spark, path).count() === n1)
     }
   }
+
+  test("property: applying the captured change feed reconstructs the commit") {
+    // algebra of CDF: v2 = (v1 minus preimage/delete keys) ∪ postimages ∪
+    // inserts — must hold for ANY update batch, including ones whose
+    // duplicate PKs force the merge to pick one row per key (the feed is
+    // captured from the COMMITTED image, so it can never disagree)
+    batches(3).zipWithIndex.foreach { case (rows, i) =>
+      val valid = Validator.split(frame(Schemas.orders, rows), Schemas.ordersSpec).valid
+      val base = valid.filter(col("order_num") % 2 === 0).dropDuplicates(Seq("order_id"))
+      val updates = valid.filter(col("order_num") % 2 =!= 0) // dup PKs likely
+      if (base.isEmpty || updates.isEmpty) () // nothing to commit this seed
+      else {
+        val path = tmpDir(s"prop-cdf$i") + "/t"
+        ParquetTable.create(base, path) // v1
+        ParquetTable.merge(spark, path, updates, Seq("order_id"), cdf = true) // v2
+        val feed = ParquetTable.tableChanges(spark, path, 2L, 2L, Seq("order_id"))
+          .collect()
+        val replacedKeys = feed
+          .filter(r => Set("update_preimage", "delete")(r.getAs[String]("_change_type")))
+          .map(_.getAs[Int]("order_id")).toSet
+        val newImages = feed
+          .filter(r => Set("update_postimage", "insert")(r.getAs[String]("_change_type")))
+          .map(_.toSeq.dropRight(2)).toSet // drop _change_type, _commit_version
+        val v1 = ParquetTable.readAt(spark, path, 1L).collect()
+        val reconstructed = v1
+          .filterNot(r => replacedKeys.contains(r.getAs[Int]("order_id")))
+          .map(_.toSeq).toSet ++ newImages
+        val v2 = ParquetTable.readAt(spark, path, 2L).collect().map(_.toSeq).toSet
+        assert(reconstructed === v2, s"seed $i: feed does not reconstruct the commit")
+      }
+    }
+  }
 }
