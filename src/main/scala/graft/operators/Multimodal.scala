@@ -24,9 +24,12 @@ import org.apache.spark.sql.types._
   *     frame-count metadata and deterministic content features. A failed
   *     decode nulls BOTH meta and features — no stale upstream meta
   *     survives a row this decoder could not read.
+  *   - `spectralAudioFeatures` — REAL perceptual-audio front end (Hann
+  *     + radix-2 FFT power spectrum → centroid/rolloff/log-band
+  *     energies) over every encoding the JVM decodes.
   *   - `extractFeatures` / `resizeStub` — DETERMINISTIC STUBS marked
   *     `STUB:` for the modalities that need codecs absent from a bare JVM
-  *     (interframe-coded video like H.26x, perceptual audio like
+  *     (interframe-coded video like H.26x, perceptual codecs like
   *     MP3/AAC). They keep the exact plan shape (narrow per-partition
   *     map, no shuffle); swapping in a real JNI/Java decoder changes only
   *     the function body.
@@ -149,74 +152,229 @@ object Multimodal {
     val contentIdx = df.schema.fieldIndex("content")
     val metaIdx = df.schema.fieldIndex("meta")
     df.mapPartitions { rows =>
-      import javax.sound.sampled.AudioFormat.Encoding
       rows.map { r =>
         val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
-        val decoded =
-          if (bytes == null) None
-          else
-            try {
-              val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              // G.711 compressed payloads: JDK codecs convert to PCM16
-              val ais =
-                if (raw.getFormat.getEncoding == Encoding.ULAW ||
-                  raw.getFormat.getEncoding == Encoding.ALAW)
-                  javax.sound.sampled.AudioSystem.getAudioInputStream(
-                    Encoding.PCM_SIGNED, raw)
-                else raw
-              try {
-                val fmt = ais.getFormat
-                if (fmt.getEncoding !=
-                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-                  fmt.getSampleSizeInBits != 16) None
-                else {
-                  val data = ais.readAllBytes()
-                  val ch = fmt.getChannels
-                  val n = data.length / (2 * ch)
-                  // channel-mixed samples, normalized to [-1, 1]
-                  val mono = new Array[Double](n)
-                  var i = 0
-                  while (i < n) {
-                    var s = 0.0
-                    var c = 0
-                    while (c < ch) {
-                      val o = (i * ch + c) * 2
-                      val v =
-                        if (fmt.isBigEndian) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
-                        else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
-                      s += v / 32768.0
-                      c += 1
-                    }
-                    mono(i) = s / ch
-                    i += 1
-                  }
-                  val feats = new Array[Float](windows)
-                  var wi = 0
-                  while (wi < windows) {
-                    val a = wi * n / windows
-                    val b = math.max((wi + 1) * n / windows, a + 1)
-                    var sq = 0.0
-                    var j = a
-                    while (j < math.min(b, n)) { sq += mono(j) * mono(j); j += 1 }
-                    feats(wi) = math.sqrt(sq / math.max(math.min(b, n) - a, 1)).toFloat
-                    wi += 1
-                  }
-                  Some((fmt.getSampleRate.toInt, n, feats))
-                }
-              } finally ais.close()
-            } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-              case _: java.io.IOException => None
+        decodePcm(bytes) match {
+          case Some((rate, mono)) =>
+            val n = mono.length
+            val feats = new Array[Float](windows)
+            var wi = 0
+            while (wi < windows) {
+              val a = wi * n / windows
+              val b = math.max((wi + 1) * n / windows, a + 1)
+              var sq = 0.0
+              var j = a
+              while (j < math.min(b, n)) { sq += mono(j) * mono(j); j += 1 }
+              feats(wi) = math.sqrt(sq / math.max(math.min(b, n) - a, 1)).toFloat
+              wi += 1
             }
-        decoded match {
-          case Some((rate, n, feats)) =>
             val meta = Row(null, null, rate, n)
             Row.fromSeq(r.toSeq.updated(metaIdx, meta) :+ feats.toSeq)
           case None => Row.fromSeq(r.toSeq.updated(metaIdx, null) :+ null)
         }
       }
     }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** (sample rate, channel-mixed samples in [-1, 1]) from WAV/AIFF/AU
+    * bytes via the JDK's audio readers; G.711 μ-law/a-law payloads are
+    * transcoded to PCM16 in-stream first. None for undecodable bytes —
+    * shared failure contract of `decodeWav`/`spectralAudioFeatures`.
+    */
+  private def decodePcm(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
+    import javax.sound.sampled.AudioFormat.Encoding
+    if (bytes == null) return None
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // G.711 compressed payloads: JDK codecs convert to PCM16
+      val ais =
+        if (raw.getFormat.getEncoding == Encoding.ULAW ||
+          raw.getFormat.getEncoding == Encoding.ALAW)
+          javax.sound.sampled.AudioSystem.getAudioInputStream(
+            Encoding.PCM_SIGNED, raw)
+        else raw
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val ch = fmt.getChannels
+          val n = data.length / (2 * ch)
+          // channel-mixed samples, normalized to [-1, 1]
+          val mono = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var s = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = (i * ch + c) * 2
+              val v =
+                if (fmt.isBigEndian) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
+                else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+              s += v / 32768.0
+              c += 1
+            }
+            mono(i) = s / ch
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, mono))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** REAL perceptual-audio features: Hann-windowed radix-2 FFT power
+    * spectrum (pure-JVM, deterministic — no external DSP library), frames
+    * of `fftSize` samples at 50% hop averaged over up to `maxFrames`
+    * evenly-spaced frames, reduced to
+    * `[spectral centroid, 85% rolloff, bands × log-energy]`:
+    *   - features(0): power-weighted mean frequency / Nyquist, in [0,1] —
+    *     a pure tone at f lands at ≈ f/(rate/2)
+    *   - features(1): lowest frequency bin (as a fraction of Nyquist)
+    *     below which 85% of total spectral power lies
+    *   - features(2 until 2+bands): log1p band power over `bands`
+    *     log-spaced bands from bin 1 to Nyquist (DC excluded)
+    * This is the mel-spectrogram-shaped front end a perceptual model
+    * (audio fingerprinting, language/music ID) consumes, so the audio
+    * stub tier is retired for every encoding the JVM decodes (PCM WAV,
+    * G.711 μ-law/a-law); only non-JVM codecs (MP3/AAC) remain stubbed.
+    * Stamps meta.sample_rate/n_frames like `decodeWav`; undecodable rows
+    * get null meta AND null features. Per-partition iterator shape with
+    * FFT scratch buffers allocated once per partition — a scan, never a
+    * shuffle, so at 100 TB it scales with input bytes like every other
+    * decoder here.
+    */
+  def spectralAudioFeatures(
+      df: DataFrame, bands: Int = 16, fftSize: Int = 1024,
+      maxFrames: Int = 64): DataFrame = {
+    require(fftSize > 1 && (fftSize & (fftSize - 1)) == 0,
+      s"spectralAudioFeatures: fftSize must be a power of two, got $fftSize")
+    require(bands >= 1 && bands <= fftSize / 2,
+      s"spectralAudioFeatures: bands must be in [1, fftSize/2], got $bands")
+    val outSchema = StructType(df.schema.fields
+      .map(f => if (f.name == "meta") f.copy(nullable = true) else f) :+
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true))
+    val contentIdx = df.schema.fieldIndex("content")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      // per-partition scratch: FFT buffers + Hann window, shared by every row
+      val re = new Array[Double](fftSize)
+      val im = new Array[Double](fftSize)
+      val hann = Array.tabulate(fftSize)(i =>
+        0.5 * (1.0 - math.cos(2.0 * math.Pi * i / fftSize)))
+      val power = new Array[Double](fftSize / 2)
+      rows.map { r =>
+        val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
+        decodePcm(bytes) match {
+          case Some((rate, mono)) =>
+            val n = mono.length
+            val hop = fftSize / 2
+            val nAvail = math.max((n - fftSize) / hop + 1, 1)
+            val take = math.min(nAvail, maxFrames)
+            java.util.Arrays.fill(power, 0.0)
+            var k = 0
+            while (k < take) {
+              val start = (k.toLong * nAvail / take).toInt * hop
+              var i = 0
+              while (i < fftSize) {
+                re(i) = if (start + i < n) mono(start + i) * hann(i) else 0.0
+                im(i) = 0.0
+                i += 1
+              }
+              fftInPlace(re, im)
+              i = 0
+              while (i < fftSize / 2) {
+                power(i) += (re(i) * re(i) + im(i) * im(i)) / take
+                i += 1
+              }
+              k += 1
+            }
+            val feats = new Array[Float](2 + bands)
+            // centroid + rolloff over bins 1..fftSize/2-1 (DC excluded)
+            var total = 0.0
+            var weighted = 0.0
+            var i = 1
+            while (i < fftSize / 2) {
+              total += power(i); weighted += power(i) * i; i += 1
+            }
+            val nyq = (fftSize / 2 - 1).toDouble
+            feats(0) = if (total > 0) (weighted / total / nyq).toFloat else 0f
+            var cum = 0.0
+            var roll = 1
+            while (roll < fftSize / 2 - 1 && cum < 0.85 * total) {
+              cum += power(roll); roll += 1
+            }
+            feats(1) = if (total > 0) (roll / nyq).toFloat else 0f
+            // log-spaced band edges from bin 1 to fftSize/2
+            val ratio = math.pow(fftSize / 2.0, 1.0 / bands)
+            var b = 0
+            while (b < bands) {
+              val lo = math.max(math.pow(ratio, b).toInt, b + 1)
+              val hi = math.max(math.min(math.pow(ratio, b + 1).toInt, fftSize / 2), lo + 1)
+              var s = 0.0
+              var j = lo
+              while (j < hi) { s += power(math.min(j, fftSize / 2 - 1)); j += 1 }
+              feats(2 + b) = math.log1p(s).toFloat
+              b += 1
+            }
+            val meta = Row(null, null, rate, n)
+            Row.fromSeq(r.toSeq.updated(metaIdx, meta) :+ feats.toSeq)
+          case None => Row.fromSeq(r.toSeq.updated(metaIdx, null) :+ null)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** In-place iterative radix-2 Cooley-Tukey FFT (decimation-in-time,
+    * bit-reversal permutation then butterfly passes). Array length must be
+    * a power of two. Deterministic double arithmetic — the same bits on
+    * every JVM.
+    */
+  private def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(base + k); val ui = im(base + k)
+          val pr = re(base + k + len / 2); val pi = im(base + k + len / 2)
+          val vr = pr * cr - pi * ci
+          val vi = pr * ci + pi * cr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
   }
 
   /** STUB: deterministic fake "decode + feature extraction" — folds the

@@ -288,6 +288,64 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(got - e) < 0.02, s"$got vs $e") }
   }
 
+  /** Mono 16-bit PCM WAV holding a pure sine at `freq` Hz. */
+  private def sineWav(rate: Int, frames: Int, freq: Double, amp: Double = 0.8): Array[Byte] = {
+    val raw = new Array[Byte](frames * 2)
+    for (i <- 0 until frames) {
+      val s = (amp * math.sin(2.0 * math.Pi * freq * i / rate) * 32767.0).toInt.toShort
+      raw(i * 2) = (s & 0xff).toByte // little-endian
+      raw(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("spectralAudioFeatures: pure tone lands at its frequency") {
+    val rate = 8000 // Nyquist 4000; 1000 Hz → bin 128 of a 1024-pt FFT
+    val out = Multimodal.spectralAudioFeatures(
+      mediaFrame("tone.wav", sineWav(rate, 8192, freq = 1000.0), "audio"),
+      bands = 16, fftSize = 1024)
+      .selectExpr("meta.sample_rate", "meta.n_frames", "features").head()
+    assert(out.getInt(0) === rate && out.getInt(1) === 8192)
+    val f = out.getSeq[Float](2)
+    assert(f.length === 2 + 16)
+    // centroid and rolloff of a pure tone ≈ f/Nyquist = 0.25
+    assert(math.abs(f(0) - 0.25f) < 0.02, s"centroid ${f(0)}")
+    assert(math.abs(f(1) - 0.25f) < 0.03, s"rolloff ${f(1)}")
+    // the hottest log-spaced band is the one holding bin 128:
+    // 512^(12/16) = 107 ≤ 128 < 158 = 512^(13/16) → band 12
+    val bandEnergies = f.drop(2)
+    assert(bandEnergies.indexOf(bandEnergies.max) === 12,
+      s"band energies ${bandEnergies.mkString(",")}")
+  }
+
+  test("spectralAudioFeatures: centroid orders tones by frequency") {
+    val rate = 8000
+    def centroid(freq: Double): Float =
+      Multimodal.spectralAudioFeatures(
+        mediaFrame(s"tone_${freq.toInt}.wav", sineWav(rate, 8192, freq), "audio"))
+        .selectExpr("features[0]").head().getFloat(0)
+    val low = centroid(500.0)
+    val high = centroid(2000.0)
+    assert(low < high, s"low=$low high=$high")
+    assert(math.abs(high - 0.5f) < 0.02, s"2 kHz at 8 kHz rate → 0.5, got $high")
+  }
+
+  test("spectralAudioFeatures: undecodable bytes clear meta and features") {
+    val junk = mediaFrame("junk.wav", Array.tabulate[Byte](64)(_.toByte), "audio")
+      .withColumn("meta", org.apache.spark.sql.functions.expr(
+        "if(content is not null, named_struct('width', 9, 'height', 9, " +
+          "'sample_rate', cast(null as int), 'n_frames', cast(null as int)), null)"))
+    val out = Multimodal.spectralAudioFeatures(junk).selectExpr("meta", "features").head()
+    assert(out.isNullAt(0), "stale meta survived a failed decode")
+    assert(out.isNullAt(1))
+  }
+
   test("decodeGif: corrupt input clears stale meta and yields null features") {
     val junk = mediaFrame("junk.gif", Array.tabulate[Byte](80)(_.toByte), "video")
       // plant an upstream meta: a failed decode must CLEAR it, not keep it
