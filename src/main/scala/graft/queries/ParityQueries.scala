@@ -587,6 +587,40 @@ object ParityQueries {
           count_distinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // SQL DELETE FROM over the versioned table layer (GraftDeleteCommand
+    // → ParquetTable.delete) — with MERGE (q57) and UPDATE (q61) this
+    // completes the three Delta row-level verbs. The oracle is the
+    // predicate's complement over the source table.
+    "q60_sql_delete" -> ((s, d) => {
+      val tmp = scratchDir("graft_q60")
+      ParquetTable.create(Tables.orders(s, d), s"$tmp/t") // versioned v1
+      graft.sql.GraftSql.sql(s,
+        s"DELETE FROM graft.`$tmp/t` " +
+          "WHERE o_orderstatus = 'F' AND o_totalprice < 150000.0")
+      ParquetTable.read(s, s"$tmp/t")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // SQL UPDATE over the versioned table layer (GraftUpdateCommand →
+    // ParquetTable.update): matched rows get SET applied (values cast to
+    // the column's type, schema never drifts); the oracle is a CASE
+    // projection over the source table. `* 2` keeps the arithmetic exact
+    // in binary, so Spark and DuckDB agree bit-for-bit.
+    "q61_sql_update" -> ((s, d) => {
+      val tmp = scratchDir("graft_q61")
+      ParquetTable.create(Tables.orders(s, d), s"$tmp/t") // versioned v1
+      graft.sql.GraftSql.sql(s,
+        s"UPDATE graft.`$tmp/t` " +
+          "SET o_totalprice = o_totalprice * 2, o_orderpriority = 'BUMPED' " +
+          "WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0")
+      ParquetTable.read(s, s"$tmp/t")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -891,5 +925,20 @@ object ParityQueries {
         |       count(*) AS n_rows
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin,
+    // the deleted predicate's complement
+    "q60_sql_delete" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 150000.0)
+        |ORDER BY o_orderkey""".stripMargin,
+    // the update as a CASE projection
+    "q61_sql_update" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderstatus = 'O' AND o_totalprice > 200000.0
+        |            THEN 'BUMPED' ELSE o_orderpriority END AS o_orderpriority,
+        |       round(CASE WHEN o_orderstatus = 'O' AND o_totalprice > 200000.0
+        |             THEN o_totalprice * 2 ELSE o_totalprice END, 2) AS o_totalprice
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin)
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Managed Parquet tables with Delta-MERGE-equivalent observable semantics.
@@ -455,6 +455,184 @@ object ParquetTable {
       }
     }
   }
+
+  /** Row-level DELETE on a versioned table: rows matching `condition`
+    * leave the table as the next committed version. The other two
+    * lakehouse verbs beside MERGE (Delta `DELETE FROM`/`UPDATE`).
+    *
+    * Scale shape: partitioned versioned tables rewrite ONLY the
+    * partitions that hold matching rows (affected set discovered by one
+    * pruned scan; untouched partitions keep their data dirs — zero I/O),
+    * exactly like [[mergeVersioned]]. A partition whose rows are all
+    * deleted leaves the manifest. `condition` must be deterministic: the
+    * rewrite and the `cdf` capture evaluate it independently over the
+    * same immutable snapshot, which only agree when it is.
+    *
+    * `cdf = true` captures the deleted rows (`_change_type = "delete"`)
+    * into this commit's change manifest for [[tableChanges]].
+    * A no-match delete is a no-op: returns the current version, commits
+    * nothing. Returns the committed (or current) version.
+    */
+  def delete(
+      spark: SparkSession, path: String, condition: Column,
+      cdf: Boolean = false): Long =
+    rewriteRows(spark, path, condition, None, cdf)
+
+  /** Row-level UPDATE on a versioned table: rows matching `condition` get
+    * `set` applied (column → new-value expression; values are cast to the
+    * column's existing type, so the table schema never drifts); other
+    * rows are untouched. Same scale shape, determinism contract, no-op
+    * and return semantics as [[delete]]. Partition columns cannot be
+    * updated (that is a row MOVE between partitions — delete + re-insert
+    * expresses it honestly). `cdf = true` captures every matched row as
+    * `update_preimage`/`update_postimage` (matched-but-unchanged rows
+    * included, as in Delta).
+    */
+  def update(
+      spark: SparkSession, path: String, condition: Column,
+      set: Map[String, Column], cdf: Boolean = false): Long = {
+    require(set.nonEmpty, "update: empty SET")
+    rewriteRows(spark, path, condition, Some(set), cdf)
+  }
+
+  /** Shared core of [[delete]] (`set = None`) and [[update]]. */
+  private def rewriteRows(
+      spark: SparkSession, path: String, condition: Column,
+      set: Option[Map[String, Column]], cdf: Boolean): Long = {
+    val verb = if (set.isEmpty) "delete" else "update"
+    var result = -1L
+    var attempts = 0
+    while (result < 0) {
+      attempts += 1
+      require(attempts <= 10, s"$verb: lost the version race at $path")
+      val v = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
+        s"$verb: no versioned table at $path (row-level rewrites need " +
+          "manifest isolation; plain layouts have no safe in-place path)"))
+      partitionEntries(spark, path, v) match {
+        case None =>
+          val target = readVersion(spark, path, v)
+          requireDeterministic(target, condition, set, verb)
+          val resolvedSet = set.map(resolveSet(target, _, Nil, verb))
+          // matched is captured BEFORE the commit: both frames evaluate
+          // the (deterministic) predicate over the same immutable
+          // snapshot dirs, so they are exact complements
+          if (target.filter(condition).isEmpty) result = v // no-op
+          else {
+            val out = resolvedSet match {
+              case None => target.filter(!condition)
+              case Some(s) => applySet(target, condition, s)
+            }
+            val nv = atomicReplace(spark, path, out, Nil)
+            if (cdf) writeChangeManifest(spark, path, nv,
+              captureRewrite(target.filter(condition), resolvedSet))
+            result = nv
+          }
+        case Some(entries) =>
+          val partitionColumns = entries.head._1.split('/').toSeq.map(_.split('=')(0))
+          val entryMap = entries.toMap
+          val target = readVersion(spark, path, v)
+          requireDeterministic(target, condition, set, verb)
+          val matched = target.filter(condition)
+          val resolvedSet = set.map(resolveSet(target, _, partitionColumns, verb))
+          val affected = partitionDirsOf(matched, partitionColumns)
+          if (affected.isEmpty) result = v // no-op
+          else {
+            // rewrite ONLY the affected partitions' slice
+            val slice = affected.groupBy(entryMap).toSeq.sortBy(_._1).map {
+              case (dataDir, parts) =>
+                val base = new Path(path, dataDir).toString
+                spark.read.option("basePath", base)
+                  .parquet(parts.map(p => s"$base/$p"): _*)
+            }.reduce(_.unionByName(_))
+            val newSlice = resolvedSet match {
+              case None => slice.filter(!condition)
+              case Some(s) => applySet(slice, condition, s)
+            }
+            val dataDir = freshDataDirName()
+            writePlain(newSlice, new Path(path, dataDir).toString, partitionColumns)
+            // a fully-deleted partition leaves the manifest
+            val remaining = partitionDirsOf(newSlice, partitionColumns).toSet
+            val newEntries = (entryMap -- affected.filterNot(remaining)) ++
+              remaining.map(_ -> dataDir)
+            require(newEntries.nonEmpty,
+              s"$verb would empty every partition of $path; an empty " +
+                "partitioned manifest is unreadable — drop the table instead")
+            val content = newEntries.toSeq.sorted
+              .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
+            if (commitVersion(spark, path, v + 1, content)) {
+              if (cdf) writeChangeManifest(spark, path, v + 1,
+                captureRewrite(matched, resolvedSet))
+              result = v + 1
+            } else { // lost the race: re-read the winner's manifest, retry
+              val dd = new Path(path, dataDir)
+              hadoopFs(spark, dd).delete(dd, true)
+            }
+          }
+      }
+    }
+    result
+  }
+
+  /** Determinism must be checked on the ANALYZED expressions — an
+    * unresolved function (e.g. a bare `rand()` Column) reports
+    * deterministic until resolution — so probe-select the condition and
+    * SET values against the target and inspect the analyzed projection.
+    */
+  private def requireDeterministic(
+      target: DataFrame, condition: Column,
+      set: Option[Map[String, Column]], verb: String): Unit = {
+    val probe = condition +: set.toSeq.flatMap(_.values)
+    require(target.select(probe: _*).queryExecution.analyzed.expressions
+      .forall(_.deterministic),
+      s"$verb: condition and SET expressions must be deterministic (the " +
+        "rewrite and the cdf capture each evaluate them independently; " +
+        "nondeterminism would let them disagree)")
+  }
+
+  /** Resolve SET keys case-insensitively against the table's columns;
+    * reject unknown and partition columns.
+    */
+  private def resolveSet(
+      target: DataFrame, set: Map[String, Column],
+      partitionColumns: Seq[String], verb: String): Map[String, Column] =
+    set.map { case (k, expr) =>
+      val c = target.columns.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$verb: SET column $k not in table schema " +
+            s"(${target.columns.mkString(", ")})"))
+      require(!partitionColumns.exists(_.equalsIgnoreCase(c)),
+        s"$verb: cannot SET partition column $c (a row move between " +
+          "partitions is a delete + re-insert, not an update)")
+      c -> expr
+    }
+
+  /** `set` applied to the rows of `df` matching `condition`; values cast
+    * to the column's existing type so the schema never drifts.
+    */
+  private def applySet(
+      df: DataFrame, condition: Column, set: Map[String, Column]): DataFrame =
+    df.select(df.columns.map { c =>
+      set.get(c) match {
+        case Some(e) =>
+          when(condition, e.cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toSeq: _*)
+
+  /** Change rows of a delete (matched rows as `delete`) or an update
+    * (matched rows as `update_preimage` + `update_postimage`).
+    */
+  private def captureRewrite(
+      matched: DataFrame, set: Option[Map[String, Column]]): DataFrame =
+    set match {
+      case None => matched.withColumn("_change_type", lit("delete"))
+      case Some(s) =>
+        val post = matched.select(matched.columns.map(c =>
+          s.get(c).map(_.cast(matched.schema(c).dataType).as(c))
+            .getOrElse(col(c))).toSeq: _*)
+        matched.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(post.withColumn("_change_type", lit("update_postimage")))
+    }
 
   /** Write the full new table image as the NEXT manifest version: data
     * lands ONCE in a fresh uniquely-named dir, then one atomic manifest

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -65,8 +65,9 @@ object GraftSql {
 
   /** Run one graft-aware statement on an existing session — the
     * imperative twin of querying through [[GraftSqlParser]]: SELECTs over
-    * `graft.`path`` (optionally `VERSION AS OF n`), graft-target MERGE,
-    * and `RESTORE TABLE graft.`path` TO VERSION AS OF n`.
+    * `graft.`path`` (optionally `VERSION AS OF n`), graft-target MERGE /
+    * DELETE FROM / UPDATE, and `RESTORE TABLE graft.`path` TO VERSION AS
+    * OF n`.
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame =
     GraftColumnBridge.ofRows(spark,
@@ -83,8 +84,33 @@ object GraftSql {
       case Some(cmd) => cmd.copy(source = rewriteRelations(cmd.source))
       case None => rewriteRelations(m) // non-graft target; graft sources still read
     }
+    case DeleteFromTable(t, cond) if targetPath(t).isDefined =>
+      requireNoSubquery(cond, "DELETE FROM", targetPath(t).get)
+      GraftDeleteCommand(targetPath(t).get, cond.sql)
+    case UpdateTable(t, assignments, cond) if targetPath(t).isDefined =>
+      val path = targetPath(t).get
+      cond.foreach(requireNoSubquery(_, "UPDATE", path))
+      val set = assignments.map {
+        case Assignment(k: UnresolvedAttribute, value) =>
+          requireNoSubquery(value, "UPDATE", path)
+          k.nameParts.last -> value.sql
+        case Assignment(k, _) => throw new IllegalArgumentException(
+          s"UPDATE graft.`$path`: SET key must be a plain column, got ${k.sql}")
+      }
+      GraftUpdateCommand(path, set, cond.map(_.sql))
     case other => rewriteRelations(other)
   }
+
+  /** Row-level conditions run against the target read (resolved by the
+    * session at command run time); a subquery inside them would need its
+    * own resolution pass — fail fast at parse with the reason instead of
+    * a downstream unresolved-plan error.
+    */
+  private def requireNoSubquery(e: Expression, verb: String, path: String): Unit =
+    require(!e.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      s"$verb graft.`$path`: subqueries in conditions are not supported; " +
+        "materialize the subquery into the predicate or use the DataFrame API")
 
   /** `RESTORE TABLE graft.`path` TO VERSION AS OF n` — a statement shape
     * Spark's grammar does not have (Delta adds it via its own parser
@@ -232,9 +258,56 @@ case class GraftRestoreCommand(path: String, version: Long)
     Seq(Row(ParquetTable.restore(session, path, version)))
 }
 
+/** `DELETE FROM graft.`path` [WHERE cond]`: rows matching the condition
+  * leave the table as the next version (see `ParquetTable.delete` — on
+  * partitioned versioned tables only affected partitions rewrite).
+  * The condition travels as its SQL rendering, not the parsed
+  * `Expression` — an unresolved expression held in a command field would
+  * fail the analyzer's resolution check before the command could run; the
+  * text re-parses against the target read at run time. Returns one row
+  * with the committed version.
+  */
+case class GraftDeleteCommand(path: String, conditionSql: String)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "committed_version", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(ParquetTable.delete(session, path,
+      org.apache.spark.sql.functions.expr(conditionSql))))
+}
+
+/** `UPDATE graft.`path` SET col = expr[, …] [WHERE cond]`: matching rows
+  * get the assignments applied (values cast to the column's type; see
+  * `ParquetTable.update`). Expressions travel as SQL text for the same
+  * reason as [[GraftDeleteCommand]]. Returns one row with the committed
+  * version.
+  */
+case class GraftUpdateCommand(
+    path: String,
+    set: Seq[(String, String)],
+    conditionSql: Option[String]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "committed_version", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val cond = conditionSql.map(expr).getOrElse(lit(true))
+    Seq(Row(ParquetTable.update(session, path, cond,
+      set.map { case (k, v) => k -> expr(v) }.toMap)))
+  }
+}
+
 /** Delegating parser that owns exactly one namespace: `graft.`path``.
-  * MERGE INTO a graft target becomes a runnable merge command
-  * ([[GraftSql.rewrite]]); graft relations anywhere else — SELECT/JOIN
+  * MERGE INTO / DELETE FROM / UPDATE on a graft target become runnable
+  * row-level commands ([[GraftSql.rewrite]], [[GraftDeleteCommand]],
+  * [[GraftUpdateCommand]]); graft relations anywhere else — SELECT/JOIN
   * sources, merge sources, subqueries, optionally `VERSION AS OF n` —
   * become versioned-table reads ([[GraftSql.rewriteRelations]]); and
   * `RESTORE TABLE graft.`path` TO VERSION AS OF n` (a statement Spark's

@@ -132,6 +132,51 @@ class MergeIntoSpec extends SparkSpec {
     assert(n === 1L)
   }
 
+  test("DELETE FROM removes matching rows and returns the committed version") {
+    val path = tmpDir("sqldel") + "/t"
+    ParquetTable.create(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal"), path)
+    val v = GraftSql.sql(spark,
+      s"DELETE FROM graft.`$path` WHERE bal >= 20.0").head().getLong(0)
+    assert(v === 2L)
+    assert(GraftSql.sql(spark, s"SELECT id FROM graft.`$path`")
+      .as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("UPDATE applies SET expressions; no WHERE touches every row") {
+    val path = tmpDir("sqlupd") + "/t"
+    ParquetTable.create(Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("id", "name", "bal"), path)
+    GraftSql.sql(spark,
+      s"UPDATE graft.`$path` SET bal = bal * 2, name = upper(name) WHERE id = 2")
+    assert(ParquetTable.read(spark, path).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 10.0), (2L, "B", 40.0)))
+    GraftSql.sql(spark, s"UPDATE graft.`$path` SET bal = 0.0") // all rows
+    assert(ParquetTable.read(spark, path).select("bal").as[Double].collect().toSet ===
+      Set(0.0))
+  }
+
+  test("declarative DELETE/UPDATE via spark.sql on an extensions session") {
+    val ext = GraftColumnBridge.sessionWithExtensions(
+      spark, new graft.functions.GraftSessionExtensions()(_))
+    val path = tmpDir("sqldel-ext") + "/t"
+    import ext.implicits._
+    ParquetTable.create(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), path)
+    ext.sql(s"DELETE FROM graft.`$path` WHERE id = 1")
+    ext.sql(s"UPDATE graft.`$path` SET v = v + 0.5")
+    assert(ParquetTable.read(ext, path).as[(Long, Double)].collect().toSet ===
+      Set((2L, 2.5)))
+  }
+
+  test("subqueries in row-level conditions fail fast with the reason") {
+    val path = tmpDir("sqldel-sub") + "/t"
+    ParquetTable.create(Seq((1L, 1.0)).toDF("id", "v"), path)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"DELETE FROM graft.`$path` WHERE id IN (SELECT id FROM other)")
+    }
+    assert(e.getMessage.contains("subqueries"))
+  }
+
   test("non-graft targets are not intercepted") {
     val e = intercept[IllegalArgumentException] {
       GraftSql.merge(spark,
