@@ -621,6 +621,22 @@ object ParityQueries {
         .select(col("o_orderkey"), col("o_orderpriority"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // File-level data skipping over a Z-ordered versioned table
+    // (OPTIMIZE ZORDER → footer-stats sidecars → readWhere prunes files
+    // on BOTH clustered columns). Pruning is conservative, so the result
+    // must equal the plain filter — which is exactly what the oracle is.
+    "q62_skipping_scan" -> ((s, d) => {
+      val tmp = scratchDir("graft_q62")
+      ParquetTable.create(Tables.orders(s, d), s"$tmp/t") // versioned v1
+      ParquetTable.optimize(s, s"$tmp/t",
+        Seq("o_custkey", "o_totalprice"), numFiles = 8, bits = 5) // v2
+      ParquetTable.readWhere(s, s"$tmp/t",
+          col("o_custkey") <= 500L && col("o_totalprice") > 100000.0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -940,5 +956,11 @@ object ParityQueries {
         |       round(CASE WHEN o_orderstatus = 'O' AND o_totalprice > 200000.0
         |             THEN o_totalprice * 2 ELSE o_totalprice END, 2) AS o_totalprice
         |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    // skipping must be invisible: the pruned scan equals the plain filter
+    "q62_skipping_scan" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_custkey <= 500 AND o_totalprice > 100000.0
         |ORDER BY o_orderkey""".stripMargin)
 }

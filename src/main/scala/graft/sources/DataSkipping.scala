@@ -1,0 +1,407 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.column.statistics._
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** File-level data skipping + Z-order clustering for versioned tables —
+  * the Delta/Iceberg scan-pruning tier.
+  *
+  * Stats come from the parquet FOOTERS the files already carry (row-group
+  * min/max/null-count, aggregated per file) — collecting them costs one
+  * footer read per file at commit time, never a data scan. They are
+  * consolidated into `_graft_stats.json` INSIDE each versioned data dir:
+  * data dirs are immutable once committed, so their stats are collected
+  * exactly once, never invalidated, and live/die with the dir (vacuum
+  * needs no extra bookkeeping; the `_` prefix hides the sidecar from
+  * parquet listings). This is Delta's add-file-stats design with the log
+  * replaced by the per-dir sidecar.
+  *
+  * At 100 TB the point is O(files-touched) planning: a predicate-carrying
+  * read consults the consolidated sidecars (one small JSON per data dir —
+  * NOT one footer round-trip per file) and hands Spark only the files
+  * whose [min, max] intervals may satisfy the predicate. Z-ordering the
+  * table (below) is what makes those intervals tight on MULTIPLE columns
+  * at once.
+  *
+  * Pruning is CONSERVATIVE: any clause shape, column, or type the
+  * evaluator does not understand keeps the file (`mayMatch` defaults
+  * true), so skipping can never change results — only the file count.
+  * The full predicate is always re-applied by Spark after the scan.
+  */
+object DataSkipping {
+
+  private val StatsFileName = "_graft_stats.json"
+
+  /** Per-column file stats. `kind` ∈ num | str; min/max are rendered as
+    * strings (BigDecimal rendering for num — exact for every integral and
+    * IEEE value), `nulls < 0` = unknown.
+    */
+  case class ColStat(kind: String, min: String, max: String, nulls: Long)
+
+  /** Stats of one parquet file: row count + per-top-level-column stats.
+    * Columns without usable footer stats are simply absent (conservative).
+    */
+  case class FileStat(rows: Long, cols: Map[String, ColStat])
+
+  // ---- collection (commit time) -----------------------------------------
+
+  /** Consolidate footer stats for every parquet file under `dir`
+    * (recursive — partitioned data dirs keep their hive subpaths as
+    * relative keys) into `dir/_graft_stats.json`. One footer read per
+    * file, driver-side: commits are bounded by the files THEY wrote, not
+    * by table size, the same bound Delta accepts when it appends add-file
+    * stats to its log.
+    */
+  def writeStats(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return
+    val files = listParquetFiles(spark, dir)
+    val stats = files.map { rel =>
+      rel -> fileStat(HadoopInputFile.fromPath(new Path(p, rel), conf))
+    }.toMap
+    val out = fs.create(new Path(p, StatsFileName), true)
+    try out.write(render(stats).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Relative paths of the parquet data files under `dir`. */
+  private[sources] def listParquetFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val base = p.toUri.getPath
+    val buf = mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith("."))
+        buf += st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+    }
+    buf.toSeq.sorted
+  }
+
+  /** One file's consolidated stats from its footer: min of row-group
+    * mins, max of maxes, summed null counts. Columns are kept only when
+    * every row group reports usable stats and the physical/logical type
+    * maps cleanly onto `num` (integral, IEEE, date-days,
+    * timestamp-micros) or `str` (UTF8) ordering — notably DECIMAL
+    * (unscaled ints), INT96, and booleans are skipped.
+    */
+  private def fileStat(file: HadoopInputFile): FileStat = {
+    val reader = ParquetFileReader.open(file)
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var rows = 0L
+      val mins = mutable.Map[String, BigDecimal]()
+      val maxs = mutable.Map[String, BigDecimal]()
+      val minStrs = mutable.Map[String, String]()
+      val maxStrs = mutable.Map[String, String]()
+      val nulls = mutable.Map[String, Long]()
+      val dropped = mutable.Set[String]()
+      blocks.forEach { block =>
+        rows += block.getRowCount
+        block.getColumns.forEach { cc =>
+          val pathParts = cc.getPath.toArray
+          if (pathParts.length == 1) {
+            val name = pathParts(0)
+            val st = cc.getStatistics
+            val logical = cc.getPrimitiveType.getLogicalTypeAnnotation
+            if (st == null || st.isEmpty || !usable(st, logical)) dropped += name
+            else {
+              if (st.getNumNulls >= 0 && !nulls.get(name).exists(_ < 0))
+                nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+              else nulls(name) = -1L
+              if (st.hasNonNullValue) st match {
+                case b: BinaryStatistics =>
+                  val mn = UTF8String.fromBytes(b.genericGetMin.getBytes).toString
+                  val mx = UTF8String.fromBytes(b.genericGetMax.getBytes).toString
+                  minStrs(name) = minStrs.get(name).filter(_ <= mn).getOrElse(mn)
+                  maxStrs(name) = maxStrs.get(name).filter(_ >= mx).getOrElse(mx)
+                case _ =>
+                  val (mn, mx) = numRange(st)
+                  mins(name) = mins.get(name).filter(_ <= mn).getOrElse(mn)
+                  maxs(name) = maxs.get(name).filter(_ >= mx).getOrElse(mx)
+              }
+            }
+          }
+        }
+      }
+      val cols =
+        (mins.keySet -- dropped).map(c =>
+          c -> ColStat("num", mins(c).toString, maxs(c).toString,
+            nulls.getOrElse(c, -1L))).toMap ++
+        (minStrs.keySet -- dropped).map(c =>
+          c -> ColStat("str", minStrs(c), maxStrs(c),
+            nulls.getOrElse(c, -1L))).toMap ++
+        // all-null columns: no min/max but a usable null count
+        (nulls.keySet -- mins.keySet -- minStrs.keySet -- dropped)
+          .filter(nulls(_) >= 0)
+          .map(c => c -> ColStat("num", "", "", nulls(c))).toMap
+      FileStat(rows, cols)
+    } finally reader.close()
+  }
+
+  private def usable(
+      st: Statistics[_], logical: LogicalTypeAnnotation): Boolean = st match {
+    case _: BooleanStatistics => false
+    case _: BinaryStatistics =>
+      logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+    case _: IntStatistics | _: LongStatistics =>
+      logical match {
+        case null => true
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => false
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+        case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => true
+        case _ => false
+      }
+    case _: FloatStatistics | _: DoubleStatistics => true
+    case _ => false
+  }
+
+  private def numRange(st: Statistics[_]): (BigDecimal, BigDecimal) = st match {
+    case s: IntStatistics => (BigDecimal(s.getMin), BigDecimal(s.getMax))
+    case s: LongStatistics => (BigDecimal(s.getMin), BigDecimal(s.getMax))
+    case s: FloatStatistics =>
+      (BigDecimal(s.getMin.toDouble), BigDecimal(s.getMax.toDouble))
+    case s: DoubleStatistics => (BigDecimal(s.getMin), BigDecimal(s.getMax))
+    case other => throw new IllegalStateException(s"no num range for $other")
+  }
+
+  // ---- sidecar IO (minimal JSON: flat, all-string leaves + longs) -------
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def render(stats: Map[String, FileStat]): String =
+    stats.toSeq.sortBy(_._1).map { case (f, fs) =>
+      val cols = fs.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+        s"${jstr(c)}:{" + s""""kind":${jstr(cs.kind)},"min":${jstr(cs.min)},""" +
+          s""""max":${jstr(cs.max)},"nulls":${cs.nulls}}"""
+      }.mkString(",")
+      s"${jstr(f)}:{" + s""""rows":${fs.rows},"cols":{$cols}}"""
+    }.mkString("{", ",", "}")
+
+  /** Parse the sidecar. Spark's own Jackson does the tree walk — no
+    * hand-rolled parser, no extra dependency.
+    */
+  private def parse(json: String): Map[String, FileStat] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(json)
+    val out = mutable.Map[String, FileStat]()
+    root.fields().forEachRemaining { e =>
+      val fn = e.getValue
+      val cols = mutable.Map[String, ColStat]()
+      fn.get("cols").fields().forEachRemaining { ce =>
+        val c = ce.getValue
+        cols(ce.getKey) = ColStat(c.get("kind").asText(), c.get("min").asText(),
+          c.get("max").asText(), c.get("nulls").asLong())
+      }
+      out(e.getKey) = FileStat(fn.get("rows").asLong(), cols.toMap)
+    }
+    out.toMap
+  }
+
+  /** Stats sidecar of `dir`, if one was committed. */
+  def readStats(spark: SparkSession, dir: String): Option[Map[String, FileStat]] = {
+    val f = new Path(dir, StatsFileName)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+        in.readFully(0, bytes)
+        Some(parse(new String(bytes, "UTF-8")))
+      } finally in.close()
+    }
+  }
+
+  // ---- pruning (read time) ----------------------------------------------
+
+  /** The files under `dir` that may hold rows matching `cond` (relative
+    * paths). Files without stats, and whole dirs without a sidecar, are
+    * kept — skipping never changes results.
+    */
+  private[sources] def candidateFiles(
+      spark: SparkSession, dir: String, cond: Option[Expression]): Seq[String] = {
+    val all = listParquetFiles(spark, dir)
+    (cond, readStats(spark, dir)) match {
+      case (Some(c), Some(stats)) =>
+        all.filter(f => stats.get(f).forall(mayMatch(c, _)))
+      case _ => all
+    }
+  }
+
+  /** Conservative interval check: can any row of a file with stats `f`
+    * satisfy `cond`? Unknown shapes/columns/types → true.
+    */
+  private[sources] def mayMatch(cond: Expression, f: FileStat): Boolean = cond match {
+    case And(l, r) => mayMatch(l, f) && mayMatch(r, f)
+    case Or(l, r) => mayMatch(l, f) || mayMatch(r, f)
+    case EqualTo(a, Literal(v, t)) => cmp(f, a, v, t)((mn, mx, x) => mn <= x && x <= mx,
+      (mn, mx, x) => mn <= x && x <= mx)
+    case EqualTo(Literal(v, t), a) => cmp(f, a, v, t)((mn, mx, x) => mn <= x && x <= mx,
+      (mn, mx, x) => mn <= x && x <= mx)
+    case GreaterThan(a, Literal(v, t)) => cmp(f, a, v, t)((_, mx, x) => mx > x,
+      (_, mx, x) => mx > x)
+    case GreaterThan(Literal(v, t), a) => cmp(f, a, v, t)((mn, _, x) => mn < x,
+      (mn, _, x) => mn < x)
+    case GreaterThanOrEqual(a, Literal(v, t)) => cmp(f, a, v, t)((_, mx, x) => mx >= x,
+      (_, mx, x) => mx >= x)
+    case GreaterThanOrEqual(Literal(v, t), a) => cmp(f, a, v, t)((mn, _, x) => mn <= x,
+      (mn, _, x) => mn <= x)
+    case LessThan(a, Literal(v, t)) => cmp(f, a, v, t)((mn, _, x) => mn < x,
+      (mn, _, x) => mn < x)
+    case LessThan(Literal(v, t), a) => cmp(f, a, v, t)((_, mx, x) => mx > x,
+      (_, mx, x) => mx > x)
+    case LessThanOrEqual(a, Literal(v, t)) => cmp(f, a, v, t)((mn, _, x) => mn <= x,
+      (mn, _, x) => mn <= x)
+    case LessThanOrEqual(Literal(v, t), a) => cmp(f, a, v, t)((_, mx, x) => mx >= x,
+      (_, mx, x) => mx >= x)
+    case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.exists { case Literal(v, t) =>
+        cmp(f, a, v, t)((mn, mx, x) => mn <= x && x <= mx,
+          (mn, mx, x) => mn <= x && x <= mx)
+      }
+    case InSet(a, set) =>
+      set.exists(v => cmp(f, a, v, attrType(a).orNull)(
+        (mn, mx, x) => mn <= x && x <= mx, (mn, mx, x) => mn <= x && x <= mx))
+    case StartsWith(a, Literal(v, StringType)) =>
+      val prefix = v.asInstanceOf[UTF8String].toString
+      colOf(f, a).forall(c => c.kind != "str" || c.min.isEmpty ||
+        (c.max >= prefix && c.min <= prefix + "\uFFFF"))
+    case IsNull(a) if attrName(a).isDefined =>
+      colOf(f, a).forall(c => c.nulls != 0)
+    case IsNotNull(a) if attrName(a).isDefined =>
+      colOf(f, a).forall(c => c.nulls < 0 || c.nulls < f.rows)
+    case _ => true
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    // numeric-widening casts preserve order, so stats stay comparable
+    case c: Cast if numericish(c.child.dataType) && numericish(c.dataType) =>
+      attrName(c.child)
+    case _ => None
+  }
+
+  private def attrType(e: Expression): Option[DataType] = e match {
+    case a: AttributeReference => Some(a.dataType)
+    case c: Cast => Some(c.dataType)
+    case _ => None
+  }
+
+  private def numericish(t: DataType): Boolean = t match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+        _: FloatType | _: DoubleType => true
+    case _ => false
+  }
+
+  private def colOf(f: FileStat, a: Expression): Option[ColStat] =
+    attrName(a).flatMap(f.cols.get)
+
+  /** Evaluate a comparison against the column's interval: `num` compares
+    * in BigDecimal space (date-days and timestamp-micros included — the
+    * literal's internal representation is the same unit the footer
+    * stores), `str` in string space. Missing stats, kind/type mismatches,
+    * and all-null files with equality/range predicates → conservative.
+    */
+  private def cmp(f: FileStat, a: Expression, v: Any, t: DataType)(
+      num: (BigDecimal, BigDecimal, BigDecimal) => Boolean,
+      str: (String, String, String) => Boolean): Boolean = {
+    if (v == null) return true
+    colOf(f, a) match {
+      case None => true
+      case Some(c) if c.min.isEmpty || c.max.isEmpty =>
+        // stats exist but no non-null value was seen: only nulls in the
+        // file, which no comparison can match
+        false
+      case Some(c) =>
+        (c.kind, t) match {
+          case ("num", _: ByteType | _: ShortType | _: IntegerType | _: LongType) =>
+            num(BigDecimal(c.min), BigDecimal(c.max),
+              BigDecimal(v.asInstanceOf[Number].longValue()))
+          case ("num", _: FloatType | _: DoubleType) =>
+            num(BigDecimal(c.min), BigDecimal(c.max),
+              BigDecimal(v.asInstanceOf[Number].doubleValue()))
+          case ("num", _: DateType) => // internal: days since epoch (Int)
+            num(BigDecimal(c.min), BigDecimal(c.max),
+              BigDecimal(v.asInstanceOf[Number].longValue()))
+          case ("num", _: TimestampType) => // internal: micros (Long)
+            num(BigDecimal(c.min), BigDecimal(c.max),
+              BigDecimal(v.asInstanceOf[Number].longValue()))
+          case ("str", _: StringType) =>
+            str(c.min, c.max, v.asInstanceOf[UTF8String].toString)
+          case _ => true
+        }
+    }
+  }
+
+  // ---- Z-order clustering (write time) ----------------------------------
+
+  /** Cluster `df` for multi-column data skipping: each row's `cols`
+    * values are bucketed into `2^bits` approximate-quantile buckets, the
+    * bucket ids' bits are INTERLEAVED into one Z-value, and the frame is
+    * range-partitioned into `numFiles` tasks sorted by it. Nearby rows in
+    * the k-dimensional space land in the same file, so every file covers
+    * a narrow [min, max] interval on EVERY clustered column at once —
+    * which is exactly what the footer-stats pruning above feeds on. (A
+    * lexicographic sort makes the first column's intervals tight and
+    * leaves the rest table-wide; the Z-curve is why a 2nd/3rd predicate
+    * column still skips.)
+    *
+    * Cost shape: one `approxQuantile` pass per column (driver gets
+    * `2^bits` boundaries, never data), then one range shuffle — the same
+    * price as a plain global sort. Columns must be numeric/date/
+    * timestamp (cast to double for bucketing; the written DATA is
+    * untouched). Everything is built from codegen'd built-ins — the
+    * Z-value is shifts/ands/adds, no UDF.
+    */
+  def zorder(
+      df: DataFrame, cols: Seq[String], numFiles: Int, bits: Int = 8): DataFrame = {
+    require(cols.nonEmpty, "zorder: no columns")
+    require(numFiles >= 1, "zorder: numFiles must be >= 1")
+    require(bits >= 1 && cols.size * bits <= 62,
+      s"zorder: ${cols.size} cols × $bits bits exceeds the 62-bit Z-value")
+    val k = cols.size
+    val nb = 1 << bits
+    val casted = cols.map(c => col(c).cast("double"))
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val dfc = df.select(cols.indices.map(i => casted(i).as(s"__zq$i")): _*)
+    val boundaries = cols.indices.map(i =>
+      dfc.stat.approxQuantile(s"__zq$i", probs, 0.001).toSeq)
+    val buckets = cols.indices.map { i =>
+      // bucket = #boundaries <= value, in [0, 2^bits); nulls sort first
+      val qa = typedLit(boundaries(i))
+      when(casted(i).isNull, lit(0L))
+        .otherwise(size(filter(qa, q => casted(i) >= q)).cast("long"))
+    }
+    val z = (0 until bits).flatMap(b => (0 until k).map(i =>
+      shiftleft(shiftright(buckets(i), b).bitwiseAND(lit(1L)), b * k + i)
+        .cast("long"))).reduce(_ + _)
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+  }
+}

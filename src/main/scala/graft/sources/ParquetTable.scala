@@ -76,6 +76,77 @@ object ParquetTable {
     readVersion(spark, path, version)
   }
 
+  /** Predicate-carrying read with FILE-LEVEL data skipping: consults the
+    * per-data-dir stats sidecars ([[DataSkipping]] — committed alongside
+    * every versioned write) and scans only the files whose [min, max]
+    * intervals may satisfy `predicate`; the predicate is then re-applied
+    * in full, so results always equal `read(...).filter(predicate)`.
+    * Planning cost is O(sidecars read), not O(files probed) — at 100 TB
+    * the scan list shrinks BEFORE Spark ever opens a footer. Pair with
+    * [[optimize]] (Z-order) to make intervals tight on several columns
+    * at once. Plain unversioned layouts fall back to an ordinary
+    * filtered read (Spark's own row-group pruning still applies).
+    */
+  def readWhere(spark: SparkSession, path: String, predicate: Column): DataFrame =
+    currentVersion(spark, path) match {
+      case None => spark.read.parquet(path).filter(predicate)
+      case Some(v) =>
+        val groups = prunedFileGroups(spark, path, v, predicate)
+        if (groups.forall(_._2.isEmpty))
+          readVersion(spark, path, v).filter(predicate).limit(0)
+        else groups.filter(_._2.nonEmpty).map { case (base, rels) =>
+          spark.read.option("basePath", base)
+            .parquet(rels.map(r => s"$base/$r"): _*)
+        }.reduce(_.unionByName(_)).filter(predicate)
+    }
+
+  /** (data-dir base, kept relative files) per data dir of `version`,
+    * after stats pruning — the observable core of [[readWhere]] (specs
+    * assert on the kept counts). For partitioned versions, only files
+    * under partition subdirs the manifest references are eligible (a
+    * shared data dir may hold partitions belonging to other versions).
+    */
+  private[sources] def prunedFileGroups(
+      spark: SparkSession, path: String, version: Long,
+      predicate: Column): Seq[(String, Seq[String])] = {
+    val cond = readVersion(spark, path, version).filter(predicate)
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    partitionEntries(spark, path, version) match {
+      case None =>
+        val dir = new Path(path, manifestContent(spark, path, version).trim).toString
+        Seq(dir -> DataSkipping.candidateFiles(spark, dir, cond))
+      case Some(entries) =>
+        entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dataDir, es) =>
+          val base = new Path(path, dataDir).toString
+          val parts = es.map(_._1)
+          base -> DataSkipping.candidateFiles(spark, base, cond)
+            .filter(rel => parts.exists(p => rel.startsWith(p + "/")))
+        }
+    }
+  }
+
+  /** OPTIMIZE-ZORDER tier: republish the current image of an
+    * UNPARTITIONED versioned table clustered on `zorderBy` across
+    * `numFiles` files (see [[DataSkipping.zorder]]) as the next version —
+    * old versions keep time-traveling, and the fresh data dir's stats
+    * sidecar makes [[readWhere]] prune on every clustered column.
+    * Partitioned tables fail fast: their clustering unit is the
+    * partition (`clusterByPartitions`/`compact`).
+    */
+  def optimize(
+      spark: SparkSession, path: String, zorderBy: Seq[String],
+      numFiles: Int = 8, bits: Int = 8): Long = {
+    val v = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
+      s"optimize: no versioned table at $path"))
+    require(partitionEntries(spark, path, v).isEmpty,
+      s"optimize: $path is partitioned — its clustering unit is the " +
+        "partition (compact / clusterByPartitions), not a table-wide Z-order")
+    atomicReplace(spark, path,
+      DataSkipping.zorder(readVersion(spark, path, v), zorderBy, numFiles, bits), Nil)
+  }
+
   /** Overwrite-create. Partitioned layouts stay plain (hive-style dirs at
     * `path`, catalog-registrable via LOCATION); unpartitioned tables are
     * created as manifest version 1 (or the next version if the path
@@ -373,6 +444,7 @@ object ParquetTable {
     val spark = df.sparkSession
     val dataDir = freshDataDirName()
     writePlain(df, new Path(path, dataDir).toString, partitionColumns, filesPerPartition)
+    DataSkipping.writeStats(spark, new Path(path, dataDir).toString)
     val entries = partitionDirsOf(df, partitionColumns)
       .map(p => s"$p\t$dataDir").mkString("\n")
     var committed = false
@@ -434,6 +506,7 @@ object ParquetTable {
           val dataDir = freshDataDirName()
           writePlain(merged, new Path(path, dataDir).toString, partitionColumns,
             filesPerPartition)
+          DataSkipping.writeStats(spark, new Path(path, dataDir).toString)
           val newEntries = (entryMap ++ affected.map(_ -> dataDir)).toSeq.sorted
             .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
           committed = commitVersion(spark, path, v + 1, newEntries)
@@ -550,6 +623,7 @@ object ParquetTable {
             }
             val dataDir = freshDataDirName()
             writePlain(newSlice, new Path(path, dataDir).toString, partitionColumns)
+            DataSkipping.writeStats(spark, new Path(path, dataDir).toString)
             // a fully-deleted partition leaves the manifest
             val remaining = partitionDirsOf(newSlice, partitionColumns).toSet
             val newEntries = (entryMap -- affected.filterNot(remaining)) ++
@@ -649,6 +723,7 @@ object ParquetTable {
       partitionColumns: Seq[String]): Long = {
     val dataDir = freshDataDirName()
     writePlain(df, new Path(path, dataDir).toString, partitionColumns)
+    DataSkipping.writeStats(spark, new Path(path, dataDir).toString)
     var attempts = 0
     var committed = -1L
     while (committed < 0) {

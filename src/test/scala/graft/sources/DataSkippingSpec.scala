@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** File-level data skipping (parquet-footer stats sidecars) + Z-order
+  * clustering: pruning must shrink the scan list and NEVER change
+  * results.
+  */
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keptFiles(path: String, pred: org.apache.spark.sql.Column): (Int, Int) = {
+    val v = ParquetTable.currentVersion(spark, path).get
+    val kept = ParquetTable.prunedFileGroups(spark, path, v, pred).map(_._2.size).sum
+    val total = ParquetTable.prunedFileGroups(spark, path, v, lit(true)).map(_._2.size).sum
+    (kept, total)
+  }
+
+  test("range-clustered files prune by predicate; results match plain filter") {
+    val path = tmpDir("skip") + "/t"
+    val df = (0 until 4000).map(i => (i.toLong, s"name_$i", i * 1.5)).toDF("id", "name", "v")
+      .repartitionByRange(8, col("id")) // 8 files with disjoint id ranges
+    ParquetTable.create(df, path)
+    val pred = col("id") >= 3500L
+    val (kept, total) = keptFiles(path, pred)
+    assert(total === 8)
+    assert(kept <= 2, s"kept $kept of $total for a 1/8-range predicate")
+    val got = ParquetTable.readWhere(spark, path, pred).select("id")
+      .as[Long].collect().toSet
+    assert(got === (3500L until 4000L).toSet)
+  }
+
+  test("string and equality predicates prune; empty match reads nothing") {
+    val path = tmpDir("skip-str") + "/t"
+    val df = (0 until 2600).map(i => (i.toLong, f"k_${('a' + i / 100).toChar}%c_$i%04d"))
+      .toDF("id", "key").repartitionByRange(13, col("key"))
+    ParquetTable.create(df, path)
+    val (kept, total) = keptFiles(path, col("key").startsWith("k_f"))
+    assert(total === 13)
+    assert(kept <= 2, s"kept $kept of $total for a single-letter prefix")
+    assert(ParquetTable.readWhere(spark, path, col("key").startsWith("k_f")).count() === 100L)
+    // equality off every file's range → zero files, empty result, no crash
+    val (kept0, _) = keptFiles(path, col("id") === 999999L)
+    assert(kept0 === 0)
+    assert(ParquetTable.readWhere(spark, path, col("id") === 999999L).count() === 0L)
+  }
+
+  test("zorder/optimize makes BOTH dimensions prunable at once") {
+    val path = tmpDir("skip-z") + "/t"
+    // a 64×64 grid: lexicographic order would leave y table-wide per file
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong, x * 64L + y)
+    ParquetTable.create(grid.toDF("x", "y", "payload"), path) // v1, unclustered
+    val v = ParquetTable.optimize(spark, path, Seq("x", "y"), numFiles = 16, bits = 5)
+    assert(v === 2L)
+    val px = col("x") < 8L
+    val py = col("y") < 8L
+    val (keptX, total) = keptFiles(path, px)
+    val (keptY, _) = keptFiles(path, py)
+    assert(total === 16)
+    assert(keptX <= total / 2, s"x-predicate kept $keptX of $total")
+    assert(keptY <= total / 2, s"y-predicate kept $keptY of $total")
+    // parity on both dimensions
+    assert(ParquetTable.readWhere(spark, path, px && py).count() === 64L)
+    assert(ParquetTable.readAt(spark, path, 1L).count() === 4096L) // time travel intact
+  }
+
+  test("partitioned versioned: pruning respects manifest partition refs") {
+    val path = tmpDir("skip-part") + "/t"
+    ParquetTable.createVersioned(
+      (0 until 900).map(i => (i.toLong, s"d${i % 3}", i * 2.0)).toDF("id", "day", "v"),
+      path, Seq("day")) // v1
+    // v2 rewrites ONLY d0 (the shared dir still holds d1/d2 for v1)
+    ParquetTable.merge(spark,
+      path, Seq((0L, "d0", -1.0)).toDF("id", "day", "v"), Seq("id"), Seq("day"))
+    val pred = col("v") < 0.0
+    val cur = ParquetTable.currentVersion(spark, path).get
+    val groups = ParquetTable.prunedFileGroups(spark, path, cur, pred)
+    // only the fresh d0 rewrite can hold negative v; everything else prunes
+    assert(groups.map(_._2.size).sum === 1, groups.toString)
+    assert(ParquetTable.readWhere(spark, path, pred)
+      .select("id", "v").as[(Long, Double)].collect().toSeq === Seq((0L, -1.0)))
+    // an untouched-partition predicate still answers correctly
+    assert(ParquetTable.readWhere(spark, path, col("day") === "d2").count() === 300L)
+  }
+
+  test("nulls: IS NULL prunes all-non-null files, IS NOT NULL prunes all-null") {
+    val path = tmpDir("skip-null") + "/t"
+    val df = (0 until 200).map { i =>
+      (i.toLong, if (i < 100) Some(i * 1.0) else None)
+    }.toDF("id", "v").repartitionByRange(4, col("id")) // files 3-4 all-null v
+    ParquetTable.create(df, path)
+    val (keptNull, total) = keptFiles(path, col("v").isNull)
+    val (keptNotNull, _) = keptFiles(path, col("v").isNotNull)
+    assert(total === 4)
+    assert(keptNull === 2, s"IS NULL kept $keptNull")
+    assert(keptNotNull === 2, s"IS NOT NULL kept $keptNotNull")
+    assert(ParquetTable.readWhere(spark, path, col("v").isNull).count() === 100L)
+    assert(ParquetTable.readWhere(spark, path, col("v").isNotNull).count() === 100L)
+  }
+
+  test("unknown shapes and columns keep every file (conservative, correct)") {
+    val path = tmpDir("skip-cons") + "/t"
+    ParquetTable.create(
+      (0 until 100).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")), path)
+    // length(s) is not interval-decidable → no pruning, full parity
+    val pred = length(col("s")) > 2 && col("id") < 10L
+    val (kept, total) = keptFiles(path, pred)
+    assert(total === 4)
+    assert(kept === 1, s"the id conjunct must still prune: kept $kept") // AND prunes via id
+    assert(ParquetTable.readWhere(spark, path, pred).count() ===
+      ParquetTable.read(spark, path).filter(pred).count())
+  }
+}
