@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+/** A [[FileIndex]] over one UNPARTITIONED versioned-table snapshot that
+  * answers Spark's planning-time `listFiles(_, dataFilters)` from the
+  * data dir's stats sidecar ([[DataSkipping]]) — so file-level skipping
+  * happens AUTOMATICALLY inside any plan over the table: SQL SELECTs
+  * through `graft.`path``, joins, aggregates; no special read entry
+  * point needed. This is the architecture Delta/Iceberg use (a
+  * log-backed FileIndex), with the sidecar as the log.
+  *
+  * The snapshot is immutable (manifest versions never mutate), so files
+  * and stats are resolved once at construction; `refresh` is a no-op by
+  * design. Filters the evaluator cannot decide keep every file —
+  * Spark re-applies the full predicate after the scan, so pruning is
+  * invisible to results. Partitioned versioned tables keep their
+  * manifest-level partition pruning + [[ParquetTable.readWhere]];
+  * their per-version dir/partition mapping doesn't fit one FileIndex
+  * root cleanly.
+  */
+class GraftFileIndex(
+    spark: SparkSession,
+    dataDir: Path,
+    stats: Option[Map[String, DataSkipping.FileStat]]) extends FileIndex {
+
+  private val statuses: Seq[(String, FileStatus)] = {
+    val fs = dataDir.getFileSystem(spark.sessionState.newHadoopConf())
+    DataSkipping.listParquetFiles(spark, dataDir.toString)
+      .map(rel => rel -> fs.getFileStatus(new Path(dataDir, rel)))
+  }
+
+  override def rootPaths: Seq[Path] = Seq(dataDir)
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept =
+      if (dataFilters.isEmpty || stats.isEmpty) statuses
+      else statuses.filter { case (rel, _) =>
+        stats.get.get(rel).forall(fileStat =>
+          dataFilters.forall(DataSkipping.mayMatch(_, fileStat)))
+      }
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+  }
+
+  override def inputFiles: Array[String] = statuses.map(_._2.getPath.toString).toArray
+
+  override def refresh(): Unit = () // immutable snapshot
+
+  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+}

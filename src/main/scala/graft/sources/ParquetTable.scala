@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Managed Parquet tables with Delta-MERGE-equivalent observable semantics.
@@ -399,9 +399,15 @@ object ParquetTable {
   private def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
     partitionEntries(spark, path, version) match {
       case None =>
-        // unpartitioned: the manifest body IS the (unique) data dir name
-        val dir = manifestContent(spark, path, version).trim
-        spark.read.parquet(new Path(path, dir).toString)
+        // unpartitioned: the manifest body IS the (unique) data dir name,
+        // served through a snapshot FileIndex so ANY plan over the table
+        // (SQL, joins, aggregates) prunes files from the stats sidecar at
+        // planning time — see GraftFileIndex
+        val dir = new Path(path, manifestContent(spark, path, version).trim)
+        val schema = spark.read.parquet(dir.toString).schema
+        GraftColumnBridge.ofFileIndex(spark,
+          new GraftFileIndex(spark, dir, DataSkipping.readStats(spark, dir.toString)),
+          schema)
       case Some(entries) =>
         // one read per data dir (basePath recovers the partition columns
         // from the hive-style subdirs), unioned; partition pruning still

@@ -17,6 +17,24 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** A DataFrame over a custom [[execution.datasources.FileIndex]] —
+    * parquet scan whose planning-time file listing the index controls
+    * (how Delta/Iceberg splice their log-backed pruning into Spark).
+    */
+  def ofFileIndex(
+      spark: SparkSession,
+      index: execution.datasources.FileIndex,
+      dataSchema: types.StructType): DataFrame = {
+    val relation = execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new execution.datasources.parquet.ParquetFileFormat(),
+      options = Map.empty)(spark)
+    ofRows(spark, execution.datasources.LogicalRelation(relation, isStreaming = false))
+  }
+
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 

@@ -100,6 +100,26 @@ class DataSkippingSpec extends SparkSpec {
     assert(ParquetTable.readWhere(spark, path, col("v").isNotNull).count() === 100L)
   }
 
+  test("skipping is AUTOMATIC in any plan: SQL SELECT prunes via GraftFileIndex") {
+    val path = tmpDir("skip-auto") + "/t"
+    ParquetTable.create(
+      (0 until 4000).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+        .repartitionByRange(8, col("id")), path)
+    // an ordinary SQL plan over the graft relation — no readWhere involved
+    val df = graft.sql.GraftSql.sql(spark,
+      s"SELECT sum(v) AS s FROM graft.`$path` WHERE id >= 3500")
+    assert(df.head().getDouble(0) === (3500 until 4000).map(_.toDouble).sum)
+    val scans = df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    }.flatten
+    assert(scans.nonEmpty, "no FileSourceScanExec found")
+    val numFiles = scans.head.metrics("numFiles").value
+    assert(numFiles <= 2, s"SQL scan read $numFiles of 8 files")
+  }
+
   test("unknown shapes and columns keep every file (conservative, correct)") {
     val path = tmpDir("skip-cons") + "/t"
     ParquetTable.create(
