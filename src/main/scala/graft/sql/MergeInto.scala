@@ -66,12 +66,12 @@ object GraftSql {
   /** Run one graft-aware statement on an existing session — the
     * imperative twin of querying through [[GraftSqlParser]]: SELECTs over
     * `graft.`path`` (optionally `VERSION AS OF n`), graft-target MERGE /
-    * DELETE FROM / UPDATE, and `RESTORE TABLE graft.`path` TO VERSION AS
-    * OF n`.
+    * DELETE FROM / UPDATE, and the maintenance verbs RESTORE TABLE /
+    * OPTIMIZE … ZORDER BY / VACUUM.
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame =
     GraftColumnBridge.ofRows(spark,
-      parseRestore(sqlText).getOrElse(
+      parseMaintenance(sqlText).getOrElse(
         dispatch(spark.sessionState.sqlParser.parsePlan(sqlText))))
 
   /** Shared statement dispatch (used by both the injected parser and
@@ -112,17 +112,28 @@ object GraftSql {
       s"$verb graft.`$path`: subqueries in conditions are not supported; " +
         "materialize the subquery into the predicate or use the DataFrame API")
 
-  /** `RESTORE TABLE graft.`path` TO VERSION AS OF n` — a statement shape
-    * Spark's grammar does not have (Delta adds it via its own parser
-    * extension; here a pre-parse match does), so it is recognized on the
-    * raw text before delegation.
+  /** Maintenance statement shapes Spark's grammar does not have (Delta
+    * adds them via its own parser extension; here a pre-parse match does),
+    * recognized on the raw text before delegation:
+    * `RESTORE TABLE graft.`p` TO VERSION AS OF n`,
+    * `OPTIMIZE graft.`p` ZORDER BY (c1, c2…)`, and
+    * `VACUUM graft.`p` [RETAIN n VERSIONS]`.
     */
   private val RestoreStmt =
     """(?is)\s*RESTORE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val OptimizeStmt =
+    """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
+  private val VacuumStmt =
+    """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
 
-  private[sql] def parseRestore(sqlText: String): Option[GraftRestoreCommand] =
+  private[sql] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case RestoreStmt(path, v) => Some(GraftRestoreCommand(path, v.toLong))
+      case OptimizeStmt(path, cols) => Some(GraftOptimizeCommand(path,
+        cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+          .filter(_.nonEmpty)))
+      case VacuumStmt(path, retain) => Some(GraftVacuumCommand(path,
+        Option(retain).map(_.toInt).getOrElse(2)))
       case _ => None
     }
 
@@ -258,6 +269,41 @@ case class GraftRestoreCommand(path: String, version: Long)
     Seq(Row(ParquetTable.restore(session, path, version)))
 }
 
+/** `OPTIMIZE graft.`path` ZORDER BY (c1, c2…)`: republishes the current
+  * image Z-order-clustered for multi-column data skipping (see
+  * `ParquetTable.optimize`). Returns one row with the committed version.
+  */
+case class GraftOptimizeCommand(path: String, zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "committed_version", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(ParquetTable.optimize(session, path, zorderBy)))
+}
+
+/** `VACUUM graft.`path` [RETAIN n VERSIONS]`: deletes manifests and data
+  * dirs of versions older than the retained window (default 2 — see
+  * `ParquetTable.vacuum`). Returns one row with the number of versions
+  * still present.
+  */
+case class GraftVacuumCommand(path: String, keepLast: Int)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "versions_retained", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    ParquetTable.vacuum(session, path, keepLast)
+    Seq(Row(ParquetTable.versions(session, path).size.toLong))
+  }
+}
+
 /** `DELETE FROM graft.`path` [WHERE cond]`: rows matching the condition
   * leave the table as the next version (see `ParquetTable.delete` — on
   * partitioned versioned tables only affected partitions rewrite).
@@ -317,12 +363,12 @@ case class GraftUpdateCommand(
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSql.parseRestore(sqlText).getOrElse(
+    GraftSql.parseMaintenance(sqlText).getOrElse(
       GraftSql.dispatch(delegate.parsePlan(sqlText)))
 
   override def parsePlanWithParameters(
       sqlText: String, ctx: ParameterContext): LogicalPlan =
-    GraftSql.parseRestore(sqlText).getOrElse(
+    GraftSql.parseMaintenance(sqlText).getOrElse(
       GraftSql.dispatch(delegate.parsePlanWithParameters(sqlText, ctx)))
 
   override def parseExpression(sqlText: String): Expression =

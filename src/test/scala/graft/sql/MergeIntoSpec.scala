@@ -177,6 +177,22 @@ class MergeIntoSpec extends SparkSpec {
     assert(e.getMessage.contains("subqueries"))
   }
 
+  test("OPTIMIZE ... ZORDER BY and VACUUM maintenance statements") {
+    val path = tmpDir("sqlopt") + "/t"
+    ParquetTable.create(
+      spark.range(0, 1000).selectExpr("id", "id * 2 AS v"), path) // v1
+    val v = GraftSql.sql(spark,
+      s"OPTIMIZE graft.`$path` ZORDER BY (id, v)").head().getLong(0)
+    assert(v === 2L)
+    assert(ParquetTable.read(spark, path).count() === 1000L)
+    // vacuum through SQL retains only the current version
+    val retained = GraftSql.sql(spark,
+      s"VACUUM graft.`$path` RETAIN 1 VERSIONS").head().getLong(0)
+    assert(retained === 1L)
+    assert(ParquetTable.versions(spark, path) === Seq(2L))
+    assert(ParquetTable.read(spark, path).count() === 1000L)
+  }
+
   test("non-graft targets are not intercepted") {
     val e = intercept[IllegalArgumentException] {
       GraftSql.merge(spark,
