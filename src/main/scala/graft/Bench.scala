@@ -235,6 +235,11 @@ object Bench {
     *     so ~2,400 partition dirs get one file each, not one per task each
     *     (unclustered this same ingest scattered ~19k files and took ~18×
     *     longer).
+    *   - x_skip_optimize_sec / x_skip_unclustered_sec /
+    *     x_skip_zordered_sec / x_skip_kept_files / x_skip_total_files:
+    *     OPTIMIZE ZORDER cost, then the same selective 2-D filter over
+    *     lineitem before and after clustering (after = GraftFileIndex
+    *     prunes by footer-stats sidecars), plus the pruning ratio itself.
     *
     * IVF entries are min-of-2 (the VM's slow windows hit single runs
     * hard — see the retry-pass note above). Failures degrade to a -1
@@ -334,6 +339,40 @@ object Bench {
           .awaitTermination()
       }
     } catch { case _: Throwable => out += "x_stream_upsert_sec" -> -1.0 }
+
+    try {
+      // data skipping: the same 2-D selective filter over lineitem as a
+      // versioned table BEFORE (v1, unclustered — stats exist but ranges
+      // are table-wide, nothing prunes) and AFTER OPTIMIZE ZORDER (v2 —
+      // the GraftFileIndex serves only the files whose intervals match).
+      // The kept/total extras make the pruning ratio itself a tracked
+      // number, not just its timing shadow.
+      val root = java.nio.file.Files.createTempDirectory("graft_bench_skip").toString
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      // v1 gets the SAME file count as the z-ordered v2, so the before/
+      // after delta is clustering + skipping, not file-size effects
+      graft.sources.ParquetTable.create(li.repartition(32), s"$root/t") // v1
+      timed("x_skip_optimize_sec", reps = 1) {
+        graft.sources.ParquetTable.optimize(spark, s"$root/t",
+          Seq("l_orderkey", "l_partkey"), numFiles = 32)
+      }
+      // ~5% × ~5% 2-D selectivity at ANY scale factor
+      val mx = li.agg(max(col("l_partkey")), max(col("l_orderkey"))).head()
+      val pred = col("l_partkey") <= mx.getLong(0) / 20 &&
+        col("l_orderkey") <= mx.getLong(1) / 20
+      timed("x_skip_unclustered_sec") {
+        graft.sources.ParquetTable.readAt(spark, s"$root/t", 1L).filter(pred).count()
+      }
+      timed("x_skip_zordered_sec") {
+        graft.sources.ParquetTable.read(spark, s"$root/t").filter(pred).count()
+      }
+      val groups = graft.sources.ParquetTable.prunedFileGroups(
+        spark, s"$root/t", 2L, pred)
+      val total = graft.sources.ParquetTable.prunedFileGroups(
+        spark, s"$root/t", 2L, lit(true))
+      out += "x_skip_kept_files" -> groups.map(_._2.size).sum.toDouble
+      out += "x_skip_total_files" -> total.map(_._2.size).sum.toDouble
+    } catch { case _: Throwable => out += "x_skip_zordered_sec" -> -1.0 }
     out.toSeq
   }
 }

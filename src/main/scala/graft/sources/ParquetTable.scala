@@ -106,7 +106,7 @@ object ParquetTable {
     * under partition subdirs the manifest references are eligible (a
     * shared data dir may hold partitions belonging to other versions).
     */
-  private[sources] def prunedFileGroups(
+  private[graft] def prunedFileGroups(
       spark: SparkSession, path: String, version: Long,
       predicate: Column): Seq[(String, Seq[String])] = {
     val cond = readVersion(spark, path, version).filter(predicate)
