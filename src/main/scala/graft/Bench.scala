@@ -352,7 +352,7 @@ object Bench {
       // v1 gets the SAME file count as the z-ordered v2, so the before/
       // after delta is clustering + skipping, not file-size effects
       graft.sources.ParquetTable.create(li.repartition(32), s"$root/t") // v1
-      timed("x_skip_optimize_sec", reps = 1) {
+      timed("x_skip_optimize_sec") { // min-of-2: each rep republishes
         graft.sources.ParquetTable.optimize(spark, s"$root/t",
           Seq("l_orderkey", "l_partkey"), numFiles = 32)
       }
@@ -366,10 +366,11 @@ object Bench {
       timed("x_skip_zordered_sec") {
         graft.sources.ParquetTable.read(spark, s"$root/t").filter(pred).count()
       }
+      val cur = graft.sources.ParquetTable.currentVersion(spark, s"$root/t").get
       val groups = graft.sources.ParquetTable.prunedFileGroups(
-        spark, s"$root/t", 2L, pred)
+        spark, s"$root/t", cur, pred)
       val total = graft.sources.ParquetTable.prunedFileGroups(
-        spark, s"$root/t", 2L, lit(true))
+        spark, s"$root/t", cur, lit(true))
       out += "x_skip_kept_files" -> groups.map(_._2.size).sum.toDouble
       out += "x_skip_total_files" -> total.map(_._2.size).sum.toDouble
     } catch { case _: Throwable => out += "x_skip_zordered_sec" -> -1.0 }

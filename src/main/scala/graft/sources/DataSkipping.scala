@@ -53,26 +53,61 @@ object DataSkipping {
     */
   case class FileStat(rows: Long, cols: Map[String, ColStat])
 
+  /** One data dir's committed sidecar: the table schema of the commit
+    * (so reads never re-infer it from footers — Delta keeps it in the
+    * log for the same reason) + per-file stats.
+    */
+  case class Sidecar(schema: Option[StructType], files: Map[String, FileStat])
+
+  /** Hadoop Configuration is Writable, not Serializable — this wrapper
+    * ships it to executors for the parallel footer sweep.
+    */
+  private class SerConf(@transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   // ---- collection (commit time) -----------------------------------------
 
   /** Consolidate footer stats for every parquet file under `dir`
     * (recursive — partitioned data dirs keep their hive subpaths as
-    * relative keys) into `dir/_graft_stats.json`. One footer read per
-    * file, driver-side: commits are bounded by the files THEY wrote, not
-    * by table size, the same bound Delta accepts when it appends add-file
-    * stats to its log.
+    * relative keys) into `dir/_graft_stats.json`, with the commit's
+    * `schema` recorded beside them. One footer read per file, bounded by
+    * the files THIS commit wrote, not by table size; small commits read
+    * footers on the driver, wide ones (a clustered partitioned ingest can
+    * legitimately write thousands of one-file partition dirs) fan the
+    * sweep out as one Spark job.
     */
-  def writeStats(spark: SparkSession, dir: String): Unit = {
+  def writeStats(spark: SparkSession, dir: String, schema: StructType = null): Unit = {
     val p = new Path(dir)
     val conf = spark.sessionState.newHadoopConf()
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return
     val files = listParquetFiles(spark, dir)
-    val stats = files.map { rel =>
-      rel -> fileStat(HadoopInputFile.fromPath(new Path(p, rel), conf))
-    }.toMap
+    val stats =
+      if (files.size <= 32)
+        files.map { rel =>
+          rel -> fileStat(HadoopInputFile.fromPath(new Path(p, rel), conf))
+        }.toMap
+      else {
+        val sconf = new SerConf(conf)
+        val dirStr = p.toString
+        spark.sparkContext
+          .parallelize(files, math.min(files.size, 256))
+          .map { rel =>
+            rel -> fileStat(HadoopInputFile.fromPath(
+              new Path(new Path(dirStr), rel), sconf.conf))
+          }.collect().toMap
+      }
     val out = fs.create(new Path(p, StatsFileName), true)
-    try out.write(render(stats).getBytes("UTF-8"))
+    try out.write(render(Option(schema), stats).getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -192,23 +227,29 @@ object DataSkipping {
       case c => c.toString
     } + "\""
 
-  private def render(stats: Map[String, FileStat]): String =
-    stats.toSeq.sortBy(_._1).map { case (f, fs) =>
+  private def render(schema: Option[StructType], stats: Map[String, FileStat]): String = {
+    val files = stats.toSeq.sortBy(_._1).map { case (f, fs) =>
       val cols = fs.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
         s"${jstr(c)}:{" + s""""kind":${jstr(cs.kind)},"min":${jstr(cs.min)},""" +
           s""""max":${jstr(cs.max)},"nulls":${cs.nulls}}"""
       }.mkString(",")
       s"${jstr(f)}:{" + s""""rows":${fs.rows},"cols":{$cols}}"""
     }.mkString("{", ",", "}")
+    // schema.json is already valid JSON — embedded as a subtree
+    schema.map(s => s"""{"schema":${s.json},"files":$files}""")
+      .getOrElse(s"""{"files":$files}""")
+  }
 
   /** Parse the sidecar. Spark's own Jackson does the tree walk — no
     * hand-rolled parser, no extra dependency.
     */
-  private def parse(json: String): Map[String, FileStat] = {
+  private def parse(json: String): Sidecar = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.readTree(json)
+    val schema = Option(root.get("schema")).map(n =>
+      org.apache.spark.sql.types.DataType.fromJson(n.toString).asInstanceOf[StructType])
     val out = mutable.Map[String, FileStat]()
-    root.fields().forEachRemaining { e =>
+    root.get("files").fields().forEachRemaining { e =>
       val fn = e.getValue
       val cols = mutable.Map[String, ColStat]()
       fn.get("cols").fields().forEachRemaining { ce =>
@@ -218,11 +259,11 @@ object DataSkipping {
       }
       out(e.getKey) = FileStat(fn.get("rows").asLong(), cols.toMap)
     }
-    out.toMap
+    Sidecar(schema, out.toMap)
   }
 
   /** Stats sidecar of `dir`, if one was committed. */
-  def readStats(spark: SparkSession, dir: String): Option[Map[String, FileStat]] = {
+  def readStats(spark: SparkSession, dir: String): Option[Sidecar] = {
     val f = new Path(dir, StatsFileName)
     val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(f)) None
@@ -246,8 +287,8 @@ object DataSkipping {
       spark: SparkSession, dir: String, cond: Option[Expression]): Seq[String] = {
     val all = listParquetFiles(spark, dir)
     (cond, readStats(spark, dir)) match {
-      case (Some(c), Some(stats)) =>
-        all.filter(f => stats.get(f).forall(mayMatch(c, _)))
+      case (Some(c), Some(sidecar)) =>
+        all.filter(f => sidecar.files.get(f).forall(mayMatch(c, _)))
       case _ => all
     }
   }

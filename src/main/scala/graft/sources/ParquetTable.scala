@@ -402,12 +402,15 @@ object ParquetTable {
         // unpartitioned: the manifest body IS the (unique) data dir name,
         // served through a snapshot FileIndex so ANY plan over the table
         // (SQL, joins, aggregates) prunes files from the stats sidecar at
-        // planning time — see GraftFileIndex
+        // planning time — see GraftFileIndex. The sidecar also carries
+        // the commit's schema, so the common path never re-infers it
+        // from footers (pre-sidecar dirs fall back to inference).
         val dir = new Path(path, manifestContent(spark, path, version).trim)
-        val schema = spark.read.parquet(dir.toString).schema
+        val sidecar = DataSkipping.readStats(spark, dir.toString)
+        val schema = sidecar.flatMap(_.schema)
+          .getOrElse(spark.read.parquet(dir.toString).schema)
         GraftColumnBridge.ofFileIndex(spark,
-          new GraftFileIndex(spark, dir, DataSkipping.readStats(spark, dir.toString)),
-          schema)
+          new GraftFileIndex(spark, dir, sidecar.map(_.files)), schema)
       case Some(entries) =>
         // one read per data dir (basePath recovers the partition columns
         // from the hive-style subdirs), unioned; partition pruning still
@@ -450,7 +453,7 @@ object ParquetTable {
     val spark = df.sparkSession
     val dataDir = freshDataDirName()
     writePlain(df, new Path(path, dataDir).toString, partitionColumns, filesPerPartition)
-    DataSkipping.writeStats(spark, new Path(path, dataDir).toString)
+    DataSkipping.writeStats(spark, new Path(path, dataDir).toString, df.schema)
     val entries = partitionDirsOf(df, partitionColumns)
       .map(p => s"$p\t$dataDir").mkString("\n")
     var committed = false
@@ -512,7 +515,8 @@ object ParquetTable {
           val dataDir = freshDataDirName()
           writePlain(merged, new Path(path, dataDir).toString, partitionColumns,
             filesPerPartition)
-          DataSkipping.writeStats(spark, new Path(path, dataDir).toString)
+          DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
+            merged.schema)
           val newEntries = (entryMap ++ affected.map(_ -> dataDir)).toSeq.sorted
             .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
           committed = commitVersion(spark, path, v + 1, newEntries)
@@ -629,7 +633,8 @@ object ParquetTable {
             }
             val dataDir = freshDataDirName()
             writePlain(newSlice, new Path(path, dataDir).toString, partitionColumns)
-            DataSkipping.writeStats(spark, new Path(path, dataDir).toString)
+            DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
+              newSlice.schema)
             // a fully-deleted partition leaves the manifest
             val remaining = partitionDirsOf(newSlice, partitionColumns).toSet
             val newEntries = (entryMap -- affected.filterNot(remaining)) ++
@@ -729,7 +734,7 @@ object ParquetTable {
       partitionColumns: Seq[String]): Long = {
     val dataDir = freshDataDirName()
     writePlain(df, new Path(path, dataDir).toString, partitionColumns)
-    DataSkipping.writeStats(spark, new Path(path, dataDir).toString)
+    DataSkipping.writeStats(spark, new Path(path, dataDir).toString, df.schema)
     var attempts = 0
     var committed = -1L
     while (committed < 0) {
