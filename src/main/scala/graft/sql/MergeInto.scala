@@ -3,8 +3,8 @@ package graft.sql
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation, UnresolvedTableValuedFunction}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -173,6 +173,26 @@ object GraftSql {
         readPlan(path, version)
       case u: UnresolvedRelation if targetPath(u).isDefined =>
         readPlan(targetPath(u).get, None)
+      // Delta's `table_changes` TVF equivalent: the per-commit CDF as a
+      // relation in ANY query position.
+      //   graft_table_changes('/path', fromVersion, toVersion, pk...)
+      // (pk columns feed the snapshot-diff fallback for commits without
+      // a captured change manifest — see ParquetTable.tableChanges)
+      case tvf: UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase) == Seq("graft_table_changes") =>
+        val args = tvf.functionArgs.map {
+          case Literal(v, _) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            "graft_table_changes: arguments must be non-null literals, " +
+              s"got ${other.sql}")
+        }
+        require(args.length >= 3, "graft_table_changes(path, fromVersion, " +
+          "toVersion, pkCol...) needs at least path + two versions")
+        val spark = SparkSession.getActiveSession.getOrElse(
+          throw new IllegalStateException(
+            "graft_table_changes: no active SparkSession"))
+        ParquetTable.tableChanges(spark, args(0), args(1).toLong, args(2).toLong,
+          args.drop(3)).queryExecution.logical
     }
   }
 

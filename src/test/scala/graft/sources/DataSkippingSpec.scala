@@ -120,6 +120,43 @@ class DataSkippingSpec extends SparkSpec {
     assert(numFiles <= 2, s"SQL scan read $numFiles of 8 files")
   }
 
+  test("property: pruning NEVER changes results over random data + predicates") {
+    // the interval algebra (AND/OR, 6 comparators, IN, IS [NOT] NULL,
+    // prefix, casts, all-null files) must be conservative for ANY
+    // predicate — readWhere ≡ read().filter() is the invariant
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      a <- Gen.chooseNum(-50, 50)
+      b <- Gen.option(Gen.chooseNum(0L, 1000L))
+      s <- Gen.option(Gen.oneOf("apple", "berry", "cherry", "date", "elder"))
+      d <- Gen.option(Gen.chooseNum(0.0, 10.0))
+    } yield (a, b.map(Long.box).orNull, s.orNull, d.map(Double.box).orNull)
+    val preds: Seq[org.apache.spark.sql.Column] = Seq(
+      col("a") > 10, col("a") <= -20, col("b") === 500L, col("b") >= 900L,
+      col("s") === "berry", col("s") < "cherry", col("s").startsWith("d"),
+      col("b").isNull, col("s").isNotNull, col("d") < 2.5,
+      col("a").isin(1, 2, 3), lit(5) > col("a"),
+      (col("a") > 0 && col("b") < 100L) || col("s") === "elder",
+      col("a") > 10 && col("s").startsWith("a") && col("d").isNotNull,
+      !(col("a") > 0), col("a") + col("d") > 5.0)
+    (1 to 3).foreach { seed =>
+      val rows = Gen.listOfN(400, rowGen)
+        .apply(Gen.Parameters.default, Seed(seed.toLong * 104729))
+        .getOrElse(sys.error("gen failed"))
+      val path = tmpDir(s"skip-prop$seed") + "/t"
+      ParquetTable.create(
+        rows.toDF("a", "b", "s", "d").repartitionByRange(6, col("a")), path)
+      preds.foreach { p =>
+        val expect = ParquetTable.read(spark, path).filter(p).collect()
+          .map(_.toSeq).toSet
+        val got = ParquetTable.readWhere(spark, path, p).collect()
+          .map(_.toSeq).toSet
+        assert(got === expect, s"seed $seed predicate $p")
+      }
+    }
+  }
+
   test("unknown shapes and columns keep every file (conservative, correct)") {
     val path = tmpDir("skip-cons") + "/t"
     ParquetTable.create(

@@ -193,6 +193,35 @@ class MergeIntoSpec extends SparkSpec {
     assert(ParquetTable.read(spark, path).count() === 1000L)
   }
 
+  test("graft_table_changes TVF: the per-commit CDF as a SQL relation") {
+    val path = tmpDir("sqltvf") + "/t"
+    ParquetTable.create(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), path) // v1
+    ParquetTable.merge(spark, path, Seq((2L, 99.0), (3L, 30.0)).toDF("id", "bal"),
+      Seq("id"), cdf = true) // v2
+    val feed = GraftSql.sql(spark,
+      s"""SELECT id, bal, _change_type, _commit_version
+         |FROM graft_table_changes('$path', 2, 2, 'id')
+         |ORDER BY id, _change_type""".stripMargin)
+      .as[(Long, Double, String, Long)].collect().toSeq
+    assert(feed === Seq(
+      (2L, 99.0, "update_postimage", 2L), (2L, 20.0, "update_preimage", 2L),
+      (3L, 30.0, "insert", 2L)))
+    // works in join position + declaratively on an extensions session
+    val ext = GraftColumnBridge.sessionWithExtensions(
+      spark, new graft.functions.GraftSessionExtensions()(_))
+    val n = ext.sql(
+      s"""SELECT count(*) AS n FROM graft_table_changes('$path', 2, 2, 'id') c
+         |JOIN graft.`$path` t ON c.id = t.id
+         |WHERE c._change_type != 'update_preimage'""".stripMargin)
+      .head().getLong(0)
+    assert(n === 2L)
+    // non-literal args fail fast with the reason
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"SELECT * FROM graft_table_changes('$path', 1 + 1, 2)")
+    }
+    assert(e.getMessage.contains("literals"))
+  }
+
   test("non-graft targets are not intercepted") {
     val e = intercept[IllegalArgumentException] {
       GraftSql.merge(spark,
