@@ -57,3 +57,42 @@ class GraftFileIndex(
 
   override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
 }
+
+/** The PARTITIONED twin: one Spark [[org.apache.spark.sql.execution.datasources.InMemoryFileIndex]]
+  * per referenced data dir (rooted at exactly the partition subdirs the
+  * manifest references, so shared dirs never leak other versions'
+  * partitions; Spark's own partition discovery and partition-filter
+  * pruning stay intact), with each inner listing further narrowed by the
+  * dir's stats sidecar. SQL over a partitioned versioned table thus gets
+  * BOTH pruning tiers automatically: partition dirs from
+  * `partitionFilters`, files-within-partitions from `dataFilters`.
+  */
+class GraftPartitionedFileIndex(
+    parts: Seq[(FileIndex, Map[String, DataSkipping.FileStat])]) extends FileIndex {
+
+  require(parts.nonEmpty, "GraftPartitionedFileIndex: no data dirs")
+
+  override def rootPaths: Seq[Path] = parts.flatMap(_._1.rootPaths)
+
+  override def partitionSchema: StructType = parts.head._1.partitionSchema
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    parts.flatMap { case (inner, stats) =>
+      val listed = inner.listFiles(partitionFilters, dataFilters)
+      if (dataFilters.isEmpty || stats.isEmpty) listed
+      else listed.map { pd =>
+        pd.copy(files = pd.files.filter { f =>
+          stats.get(f.getPath.toUri.getPath).forall(fileStat =>
+            dataFilters.forall(DataSkipping.mayMatch(_, fileStat)))
+        })
+      }
+    }
+
+  override def inputFiles: Array[String] = parts.flatMap(_._1.inputFiles).toArray
+
+  override def refresh(): Unit = () // immutable snapshot
+
+  override def sizeInBytes: Long = parts.map(_._1.sizeInBytes).sum
+}

@@ -412,14 +412,42 @@ object ParquetTable {
         GraftColumnBridge.ofFileIndex(spark,
           new GraftFileIndex(spark, dir, sidecar.map(_.files)), schema)
       case Some(entries) =>
-        // one read per data dir (basePath recovers the partition columns
-        // from the hive-style subdirs), unioned; partition pruning still
-        // applies inside each read
-        entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dataDir, es) =>
-          val base = new Path(path, dataDir).toString
-          spark.read.option("basePath", base)
-            .parquet(es.map(e => s"$base/${e._1}"): _*)
-        }.reduce(_.unionByName(_))
+        // partitioned: one inner InMemoryFileIndex per data dir, rooted
+        // at EXACTLY the partition subdirs this version references
+        // (basePath recovers the partition columns), composed into a
+        // GraftPartitionedFileIndex so any plan gets partition-filter
+        // pruning AND sidecar file skipping at planning time. Dirs
+        // without a schema-bearing sidecar (pre-feature) fall back to
+        // the legacy unioned basePath read.
+        val groups = entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dataDir, es) =>
+          val base = new Path(path, dataDir)
+          (base, es.map(_._1), DataSkipping.readStats(spark, base.toString))
+        }
+        val sidecarSchema = groups.view.flatMap(_._3.flatMap(_.schema)).headOption
+        sidecarSchema match {
+          case Some(schema) =>
+            val parts = groups.map { case (base, partDirs, sidecar) =>
+              val inner: org.apache.spark.sql.execution.datasources.FileIndex =
+                new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+                  spark, partDirs.map(p => new Path(base, p)),
+                  Map("basePath" -> base.toString), None)
+              val absStats = sidecar.map(_.files.map { case (rel, st) =>
+                new Path(base, rel).toUri.getPath -> st
+              }).getOrElse(Map.empty[String, DataSkipping.FileStat])
+              (inner, absStats)
+            }
+            val index = new GraftPartitionedFileIndex(parts)
+            val partCols = index.partitionSchema.fieldNames
+              .map(_.toLowerCase).toSet
+            val dataSchema = org.apache.spark.sql.types.StructType(
+              schema.fields.filterNot(f => partCols.contains(f.name.toLowerCase)))
+            GraftColumnBridge.ofFileIndex(spark, index, dataSchema)
+          case None =>
+            groups.map { case (base, partDirs, _) =>
+              spark.read.option("basePath", base.toString)
+                .parquet(partDirs.map(p => s"$base/$p"): _*)
+            }.reduce(_.unionByName(_))
+        }
     }
 
   /** Hive-style partition dir for one row of partition values (already

@@ -120,6 +120,43 @@ class DataSkippingSpec extends SparkSpec {
     assert(numFiles <= 2, s"SQL scan read $numFiles of 8 files")
   }
 
+  private def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect() // execute so metrics materialize
+    val scans = df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    }.flatten
+    assert(scans.nonEmpty, "no FileSourceScanExec found")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("partitioned SQL gets BOTH pruning tiers automatically") {
+    val path = tmpDir("skip-part-auto") + "/t"
+    // ids are contiguous per partition, so a non-partition-column
+    // predicate can only prune via file stats, never via partition dirs
+    ParquetTable.createVersioned(
+      (0 until 900).map(i => (i.toLong, s"d${i / 300}", i * 2.0)).toDF("id", "day", "v"),
+      path, Seq("day")) // v1: 3 partitions, 1 file each
+    // tier 1: partition-filter pruning (day is a partition column)
+    val byDay = graft.sql.GraftSql.sql(spark,
+      s"SELECT id FROM graft.`$path` WHERE day = 'd1'")
+    assert(scanFiles(byDay) === 1L, "partition filter did not prune")
+    // tier 2: sidecar stats pruning (id is a DATA column)
+    val byId = graft.sql.GraftSql.sql(spark,
+      s"SELECT day FROM graft.`$path` WHERE id < 100")
+    assert(scanFiles(byId) === 1L, "stats filter did not prune")
+    // and results stay correct across a merge that adds a second data dir
+    ParquetTable.merge(spark, path,
+      Seq((0L, "d0", -1.0)).toDF("id", "day", "v"), Seq("id"), Seq("day")) // v2
+    val after = graft.sql.GraftSql.sql(spark,
+      s"SELECT id, v FROM graft.`$path` WHERE id < 2 ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(after === Seq((0L, -1.0), (1L, 2.0)))
+    assert(ParquetTable.readAt(spark, path, 1L).count() === 900L)
+  }
+
   test("property: pruning NEVER changes results over random data + predicates") {
     // the interval algebra (AND/OR, 6 comparators, IN, IS [NOT] NULL,
     // prefix, casts, all-null files) must be conservative for ANY
