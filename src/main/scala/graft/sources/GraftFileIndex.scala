@@ -56,6 +56,13 @@ class GraftFileIndex(
   override def refresh(): Unit = () // immutable snapshot
 
   override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+
+  /** The snapshot's exact row count, when every file has sidecar stats —
+    * feeds the metadata-only COUNT(*) fold (graft.plans.MetadataCount).
+    */
+  def metadataRowCount: Option[Long] =
+    stats.filter(s => statuses.forall { case (rel, _) => s.contains(rel) })
+      .map(s => statuses.map { case (rel, _) => s(rel).rows }.sum)
 }
 
 /** The PARTITIONED twin: one Spark [[org.apache.spark.sql.execution.datasources.InMemoryFileIndex]]
@@ -95,4 +102,17 @@ class GraftPartitionedFileIndex(
   override def refresh(): Unit = () // immutable snapshot
 
   override def sizeInBytes: Long = parts.map(_._1.sizeInBytes).sum
+
+  /** Exact row count across every referenced dir, when all files have
+    * sidecar stats — see [[GraftFileIndex.metadataRowCount]].
+    */
+  def metadataRowCount: Option[Long] = {
+    val perDir = parts.map { case (inner, stats) =>
+      val files = inner.inputFiles.map(f => new Path(f).toUri.getPath)
+      if (files.nonEmpty && files.forall(stats.contains))
+        Some(files.map(stats(_).rows).sum)
+      else None
+    }
+    if (perDir.forall(_.isDefined)) Some(perDir.flatten.sum) else None
+  }
 }

@@ -157,6 +157,45 @@ class DataSkippingSpec extends SparkSpec {
     assert(ParquetTable.readAt(spark, path, 1L).count() === 900L)
   }
 
+  test("COUNT(*) folds to sidecar metadata: zero files scanned") {
+    val ext = org.apache.spark.sql.GraftColumnBridge.sessionWithExtensions(
+      spark, new graft.functions.GraftSessionExtensions()(_))
+    import ext.implicits._
+    val path = tmpDir("skip-count") + "/t"
+    ParquetTable.create(
+      (0 until 1234).map(i =>
+        (i.toLong, if (i % 3 == 0) Some(i * 1.0) else None)).toDF("id", "v")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("id")), path)
+    // folded = the optimized plan is a LocalRelation, no file relation left
+    def folded(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val p = df.queryExecution.optimizedPlan
+      p.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isDefined && p.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }.isEmpty
+    }
+    val cnt = ext.sql(s"SELECT count(*) AS n FROM graft.`$path`")
+    assert(cnt.head().getLong(0) === 1234L)
+    assert(folded(cnt), "metadata count still plans a scan")
+    // partitioned tables fold too
+    val ppath = tmpDir("skip-count-p") + "/t"
+    ParquetTable.createVersioned(
+      (0 until 600).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "day"),
+      ppath, Seq("day"))
+    val pcnt = ext.sql(s"SELECT count(*) AS n FROM graft.`$ppath`")
+    assert(pcnt.head().getLong(0) === 600L)
+    assert(folded(pcnt))
+    // a WHERE clause must NOT fold: it scans (pruned) and stays correct
+    val filtered = ext.sql(s"SELECT count(*) AS n FROM graft.`$path` WHERE id < 100")
+    assert(filtered.head().getLong(0) === 100L)
+    assert(!folded(filtered), "filtered count must keep its scan")
+    // count(col) on a NULLABLE column is null-sensitive — never folded
+    val byCol = ext.sql(s"SELECT count(v) AS n FROM graft.`$path`")
+    assert(byCol.head().getLong(0) === 412L) // only the non-null thirds
+    assert(!folded(byCol))
+  }
+
   test("property: pruning NEVER changes results over random data + predicates") {
     // the interval algebra (AND/OR, 6 comparators, IN, IS [NOT] NULL,
     // prefix, casts, all-null files) must be conservative for ANY
