@@ -44,7 +44,7 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.inject(ext)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
-    ext.injectOptimizerRule(_ => graft.plans.MetadataCount)
+    ext.injectOptimizerRule(_ => graft.plans.MetadataAggregates)
     ext.injectParser((_, parser) => new graft.sql.GraftSqlParser(parser))
   }
 }

@@ -277,6 +277,34 @@ object DataSkipping {
     }
   }
 
+  /** Combine per-file stats into a snapshot-wide [min, max] for
+    * `column`. None when ANY file's stats are missing (file absent from
+    * its sidecar, or the column unusable there — unknown values could
+    * hide the true extremum); Some(kind, None) when every file is
+    * all-null for the column; Some(kind, Some((min, max))) otherwise.
+    */
+  private[sources] def combineMinMax(
+      perFile: Seq[Option[FileStat]],
+      column: String): Option[(String, Option[(String, String)])] = {
+    val cols = perFile.map(_.flatMap(_.cols.get(column)))
+    if (cols.exists(_.isEmpty)) return None
+    val present = cols.flatten
+    if (present.isEmpty) return None // zero files: nothing known
+    val kinds = present.map(_.kind).distinct
+    if (kinds.size != 1) return None
+    val valued = present.filter(c => c.min.nonEmpty && c.max.nonEmpty)
+    if (valued.isEmpty) Some((kinds.head, None)) // all-null column
+    else {
+      val (mn, mx) = kinds.head match {
+        case "num" =>
+          (valued.map(c => BigDecimal(c.min)).min.toString,
+            valued.map(c => BigDecimal(c.max)).max.toString)
+        case _ => (valued.map(_.min).min, valued.map(_.max).max)
+      }
+      Some((kinds.head, Some((mn, mx))))
+    }
+  }
+
   // ---- pruning (read time) ----------------------------------------------
 
   /** The files under `dir` that may hold rows matching `cond` (relative

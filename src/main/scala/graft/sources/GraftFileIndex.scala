@@ -58,11 +58,20 @@ class GraftFileIndex(
   override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
 
   /** The snapshot's exact row count, when every file has sidecar stats —
-    * feeds the metadata-only COUNT(*) fold (graft.plans.MetadataCount).
+    * feeds the metadata-only COUNT(*) fold (graft.plans.MetadataAggregates).
     */
   def metadataRowCount: Option[Long] =
     stats.filter(s => statuses.forall { case (rel, _) => s.contains(rel) })
       .map(s => statuses.map { case (rel, _) => s(rel).rows }.sum)
+
+  /** The snapshot-wide [min, max] of `column` from the sidecars — feeds
+    * the metadata-only MIN/MAX fold. None = unknown (some file lacks
+    * stats for the column); Some(kind, None) = the column is null in
+    * every row; Some(kind, Some((min, max))) otherwise.
+    */
+  def metadataMinMax(column: String): Option[(String, Option[(String, String)])] =
+    stats.flatMap(s =>
+      DataSkipping.combineMinMax(statuses.map { case (rel, _) => s.get(rel) }, column))
 }
 
 /** The PARTITIONED twin: one Spark [[org.apache.spark.sql.execution.datasources.InMemoryFileIndex]]
@@ -115,4 +124,14 @@ class GraftPartitionedFileIndex(
     }
     if (perDir.forall(_.isDefined)) Some(perDir.flatten.sum) else None
   }
+
+  /** Snapshot-wide [min, max] of a DATA column (partition columns are
+    * not in file stats — callers bail to a scan for those); see
+    * [[GraftFileIndex.metadataMinMax]].
+    */
+  def metadataMinMax(column: String): Option[(String, Option[(String, String)])] =
+    DataSkipping.combineMinMax(
+      parts.flatMap { case (inner, stats) =>
+        inner.inputFiles.map(f => stats.get(new Path(f).toUri.getPath))
+      }, column)
 }

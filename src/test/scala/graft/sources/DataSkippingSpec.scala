@@ -194,6 +194,28 @@ class DataSkippingSpec extends SparkSpec {
     val byCol = ext.sql(s"SELECT count(v) AS n FROM graft.`$path`")
     assert(byCol.head().getLong(0) === 412L) // only the non-null thirds
     assert(!folded(byCol))
+    // MIN/MAX of integral columns fold beside COUNT in one statement
+    val mm = ext.sql(
+      s"SELECT min(id) AS mn, max(id) AS mx, count(*) AS n FROM graft.`$path`")
+    assert(mm.head() === org.apache.spark.sql.Row(0L, 1233L, 1234L))
+    assert(folded(mm), "min/max/count did not fold from metadata")
+    // string min/max folds too; float min/max must NOT (NaN hazard)
+    val spath = tmpDir("skip-count-s") + "/t"
+    ParquetTable.create(
+      Seq(("cherry", 1.5), ("apple", 2.5), ("berry", 0.5)).toDF("s", "f"), spath)
+    val sm = ext.sql(s"SELECT min(s) AS mn, max(s) AS mx FROM graft.`$spath`")
+    assert(sm.head() === org.apache.spark.sql.Row("apple", "cherry"))
+    assert(folded(sm))
+    val fm = ext.sql(s"SELECT min(f) AS mn FROM graft.`$spath`")
+    assert(fm.head().getDouble(0) === 0.5)
+    assert(!folded(fm), "float min must scan, not fold")
+    // an all-null column folds to NULL
+    val npath = tmpDir("skip-count-n") + "/t"
+    ParquetTable.create(
+      Seq((1L, None: Option[Long]), (2L, None)).toDF("id", "empty"), npath)
+    val nm = ext.sql(s"SELECT max(empty) AS mx FROM graft.`$npath`")
+    assert(nm.head().isNullAt(0))
+    assert(folded(nm))
   }
 
   test("property: pruning NEVER changes results over random data + predicates") {
