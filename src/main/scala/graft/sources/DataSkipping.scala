@@ -92,11 +92,21 @@ object DataSkipping {
     if (!fs.exists(p)) return
     val files = listParquetFiles(spark, dir)
     val stats =
-      if (files.size <= 32)
-        files.map { rel =>
-          rel -> fileStat(HadoopInputFile.fromPath(new Path(p, rel), conf))
-        }.toMap
-      else {
+      if (files.size <= 256) {
+        // local thread pool: no Spark-job overhead on the commit path
+        // (a sequential sweep cost commit-heavy workloads ~10 ms/file)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(files.size, 16)))
+        try files.map { rel =>
+          rel -> pool.submit(new java.util.concurrent.Callable[FileStat] {
+            override def call(): FileStat =
+              fileStat(HadoopInputFile.fromPath(new Path(p, rel), conf))
+          })
+        }.map { case (rel, fut) => rel -> fut.get() }.toMap
+        finally pool.shutdown()
+      } else {
+        // cluster-wide sweep for genuinely wide commits (a clustered
+        // partitioned ingest can write thousands of one-file dirs)
         val sconf = new SerConf(conf)
         val dirStr = p.toString
         spark.sparkContext
