@@ -21,11 +21,15 @@ import graft.sources.{GraftFileIndex, GraftPartitionedFileIndex}
   *
   *   - global aggregate (no grouping) whose EVERY output folds:
   *     `count(non-null literal)` — `count(*)` parses to `count(1)` —
-  *     or `min`/`max` of a bare column of integral / string / date /
-  *     timestamp type (floats are excluded: parquet footer stats are
-  *     unreliable in the presence of NaN, and -0.0/0.0 ordering
-  *     differs). `count(DISTINCT …)`, FILTER clauses, expressions
-  *     under min/max, or any other aggregate leave the plan alone;
+  *     `count(col)` of a bare column (rows minus the sidecar null
+  *     counts; sound for ANY stats-carrying type including floats,
+  *     since counting is NaN-safe — bails when any file's null count
+  *     is unknown), or `min`/`max` of a bare column of integral /
+  *     string / date / timestamp type (floats are excluded from
+  *     min/max: parquet footer stats are unreliable in the presence
+  *     of NaN, and -0.0/0.0 ordering differs). `count(DISTINCT …)`,
+  *     FILTER clauses, expressions under min/max, or any other
+  *     aggregate leave the plan alone;
   *   - the child is the bare snapshot relation (a row-preserving
   *     all-attribute Project in between is fine; a Filter is NOT
   *     matched — filtered aggregates still scan, with the sidecars
@@ -71,6 +75,11 @@ object MetadataAggregates extends Rule[LogicalPlan] {
     case g: GraftPartitionedFileIndex => g.metadataRowCount
   }
 
+  private def nonNullCount(index: Any, col: String): Option[Long] = index match {
+    case g: GraftFileIndex => g.metadataNonNullCount(col)
+    case g: GraftPartitionedFileIndex => g.metadataNonNullCount(col)
+  }
+
   private def minMax(index: Any, col: String): Option[(String, Option[(String, String)])] =
     index match {
       case g: GraftFileIndex => g.metadataMinMax(col)
@@ -86,6 +95,8 @@ object MetadataAggregates extends Rule[LogicalPlan] {
         ae.aggregateFunction match {
           case Count(Seq(Literal(v, _))) if v != null => // count(1): every row
             rowCount(index).map(n => n: Any)
+          case Count(Seq(attr: AttributeReference)) => // count(col): non-null rows
+            nonNullCount(index, attr.name).map(n => n: Any)
           case Min(attr: AttributeReference) => foldMinMax(index, attr, isMin = true)
           case Max(attr: AttributeReference) => foldMinMax(index, attr, isMin = false)
           case _ => None

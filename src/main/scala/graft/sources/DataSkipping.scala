@@ -315,6 +315,20 @@ object DataSkipping {
     }
   }
 
+  /** Combine per-file stats into a snapshot-wide NON-NULL count for
+    * `column` — the metadata answer to `COUNT(col)`. Sound for every
+    * stats-carrying column including floats (counting is NaN-safe; only
+    * min/max ordering is not). None when any file lacks stats for the
+    * column or its null count is unknown (`nulls < 0`); an empty
+    * snapshot counts 0.
+    */
+  private[sources] def combineNonNull(
+      perFile: Seq[Option[FileStat]], column: String): Option[Long] = {
+    val counts = perFile.map(_.flatMap(fs =>
+      fs.cols.get(column).filter(_.nulls >= 0).map(c => fs.rows - c.nulls)))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
   // ---- pruning (read time) ----------------------------------------------
 
   /** The files under `dir` that may hold rows matching `cond` (relative

@@ -72,6 +72,13 @@ class GraftFileIndex(
   def metadataMinMax(column: String): Option[(String, Option[(String, String)])] =
     stats.flatMap(s =>
       DataSkipping.combineMinMax(statuses.map { case (rel, _) => s.get(rel) }, column))
+
+  /** The snapshot's non-null count of `column` — feeds the metadata-only
+    * COUNT(col) fold. None = some file's null count is unknown.
+    */
+  def metadataNonNullCount(column: String): Option[Long] =
+    stats.flatMap(s =>
+      DataSkipping.combineNonNull(statuses.map { case (rel, _) => s.get(rel) }, column))
 }
 
 /** The PARTITIONED twin: one Spark [[org.apache.spark.sql.execution.datasources.InMemoryFileIndex]]
@@ -131,6 +138,16 @@ class GraftPartitionedFileIndex(
     */
   def metadataMinMax(column: String): Option[(String, Option[(String, String)])] =
     DataSkipping.combineMinMax(
+      parts.flatMap { case (inner, stats) =>
+        inner.inputFiles.map(f => stats.get(new Path(f).toUri.getPath))
+      }, column)
+
+  /** Non-null count of a DATA column across every referenced dir
+    * (partition columns are not in file stats — callers bail to a scan);
+    * see [[GraftFileIndex.metadataNonNullCount]].
+    */
+  def metadataNonNullCount(column: String): Option[Long] =
+    DataSkipping.combineNonNull(
       parts.flatMap { case (inner, stats) =>
         inner.inputFiles.map(f => stats.get(new Path(f).toUri.getPath))
       }, column)

@@ -186,14 +186,22 @@ class DataSkippingSpec extends SparkSpec {
     val pcnt = ext.sql(s"SELECT count(*) AS n FROM graft.`$ppath`")
     assert(pcnt.head().getLong(0) === 600L)
     assert(folded(pcnt))
+    // data column counts fold on partitioned tables; partition columns
+    // are not in file stats, so count(partition_col) scans
+    val pdata = ext.sql(s"SELECT count(id) AS n FROM graft.`$ppath`")
+    assert(pdata.head().getLong(0) === 600L)
+    assert(folded(pdata), "count(data col) should fold on partitioned tables")
+    val ppart = ext.sql(s"SELECT count(day) AS n FROM graft.`$ppath`")
+    assert(ppart.head().getLong(0) === 600L)
+    assert(!folded(ppart), "count(partition col) must scan")
     // a WHERE clause must NOT fold: it scans (pruned) and stays correct
     val filtered = ext.sql(s"SELECT count(*) AS n FROM graft.`$path` WHERE id < 100")
     assert(filtered.head().getLong(0) === 100L)
     assert(!folded(filtered), "filtered count must keep its scan")
-    // count(col) on a NULLABLE column is null-sensitive — never folded
+    // count(col) folds too: rows minus the sidecar null counts
     val byCol = ext.sql(s"SELECT count(v) AS n FROM graft.`$path`")
     assert(byCol.head().getLong(0) === 412L) // only the non-null thirds
-    assert(!folded(byCol))
+    assert(folded(byCol), "count(col) did not fold from null counts")
     // MIN/MAX of integral columns fold beside COUNT in one statement
     val mm = ext.sql(
       s"SELECT min(id) AS mn, max(id) AS mx, count(*) AS n FROM graft.`$path`")
@@ -209,6 +217,10 @@ class DataSkippingSpec extends SparkSpec {
     val fm = ext.sql(s"SELECT min(f) AS mn FROM graft.`$spath`")
     assert(fm.head().getDouble(0) === 0.5)
     assert(!folded(fm), "float min must scan, not fold")
+    // ...but count(float_col) folds: counting is NaN-safe
+    val fc = ext.sql(s"SELECT count(f) AS n FROM graft.`$spath`")
+    assert(fc.head().getLong(0) === 3L)
+    assert(folded(fc), "count(float col) should fold from null counts")
     // an all-null column folds to NULL
     val npath = tmpDir("skip-count-n") + "/t"
     ParquetTable.create(
@@ -216,6 +228,9 @@ class DataSkippingSpec extends SparkSpec {
     val nm = ext.sql(s"SELECT max(empty) AS mx FROM graft.`$npath`")
     assert(nm.head().isNullAt(0))
     assert(folded(nm))
+    val nc = ext.sql(s"SELECT count(empty) AS n FROM graft.`$npath`")
+    assert(nc.head().getLong(0) === 0L)
+    assert(folded(nc), "count of an all-null column should fold to 0")
   }
 
   test("property: pruning NEVER changes results over random data + predicates") {
