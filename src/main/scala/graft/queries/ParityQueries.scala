@@ -637,6 +637,27 @@ object ParityQueries {
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Metadata-only aggregates (plans.MetadataAggregates): the whole
+    // statement — COUNT(*), COUNT(nullable col) via sidecar null counts,
+    // MIN/MAX of int and string columns — folds to a LocalRelation from
+    // the stats sidecars, ZERO data files opened (DataSkippingSpec pins
+    // the folded plan shape; this query oracles the VALUES against a
+    // DuckDB full scan). Delta answers these from its log the same way.
+    "q63_metadata_agg" -> ((s, d) => {
+      val tmp = scratchDir("graft_q63")
+      ParquetTable.create(
+        Tables.orders(s, d).withColumn("o_big",
+          when(col("o_totalprice") > 150000.0, col("o_totalprice"))),
+        s"$tmp/t") // versioned v1, sidecar written at commit
+      val ext = org.apache.spark.sql.GraftColumnBridge.sessionWithExtensions(
+        s, new graft.functions.GraftSessionExtensions()(_))
+      ext.sql(
+        s"""SELECT count(*) AS n_rows, count(o_big) AS n_big,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           |       min(o_orderpriority) AS min_pri, max(o_orderpriority) AS max_pri
+           |FROM graft.`$tmp/t`""".stripMargin)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -962,5 +983,12 @@ object ParityQueries {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders
         |WHERE o_custkey <= 500 AND o_totalprice > 100000.0
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    // graft answers from sidecar metadata; the oracle scans — same values
+    "q63_metadata_agg" ->
+      """SELECT count(*) AS n_rows,
+        |       count(CASE WHEN o_totalprice > 150000.0 THEN o_totalprice END) AS n_big,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       min(o_orderpriority) AS min_pri, max(o_orderpriority) AS max_pri
+        |FROM orders""".stripMargin)
 }
