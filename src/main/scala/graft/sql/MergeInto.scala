@@ -67,7 +67,7 @@ object GraftSql {
     * imperative twin of querying through [[GraftSqlParser]]: SELECTs over
     * `graft.`path`` (optionally `VERSION AS OF n`), graft-target MERGE /
     * DELETE FROM / UPDATE, and the maintenance verbs RESTORE TABLE /
-    * OPTIMIZE … ZORDER BY / VACUUM.
+    * OPTIMIZE … ZORDER BY / VACUUM / DESCRIBE HISTORY.
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame =
     GraftColumnBridge.ofRows(spark,
@@ -116,8 +116,9 @@ object GraftSql {
     * adds them via its own parser extension; here a pre-parse match does),
     * recognized on the raw text before delegation:
     * `RESTORE TABLE graft.`p` TO VERSION AS OF n`,
-    * `OPTIMIZE graft.`p` ZORDER BY (c1, c2…)`, and
-    * `VACUUM graft.`p` [RETAIN n VERSIONS]`.
+    * `OPTIMIZE graft.`p` ZORDER BY (c1, c2…)`,
+    * `VACUUM graft.`p` [RETAIN n VERSIONS]`, and
+    * `DESCRIBE HISTORY graft.`p``.
     */
   private val RestoreStmt =
     """(?is)\s*RESTORE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
@@ -125,6 +126,8 @@ object GraftSql {
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val HistoryStmt =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
 
   private[sql] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -134,6 +137,7 @@ object GraftSql {
           .filter(_.nonEmpty)))
       case VacuumStmt(path, retain) => Some(GraftVacuumCommand(path,
         Option(retain).map(_.toInt).getOrElse(2)))
+      case HistoryStmt(path) => Some(GraftHistoryCommand(path))
       case _ => None
     }
 
@@ -322,6 +326,28 @@ case class GraftVacuumCommand(path: String, keepLast: Int)
     ParquetTable.vacuum(session, path, keepLast)
     Seq(Row(ParquetTable.versions(session, path).size.toLong))
   }
+}
+
+/** `DESCRIBE HISTORY graft.`path`` (also `DESC HISTORY`): one row per
+  * committed version, newest first — Delta's DESCRIBE HISTORY tier (see
+  * `ParquetTable.history`; manifest-dir listing only, no data I/O, so the
+  * collect is one row per version by construction).
+  */
+case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, TimestampType}
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("partitioned", BooleanType, nullable = false)(),
+    AttributeReference("n_entries", IntegerType, nullable = false)(),
+    AttributeReference("n_data_dirs", IntegerType, nullable = false)(),
+    AttributeReference("has_change_manifest", BooleanType, nullable = false)(),
+    AttributeReference("manifest_mtime", TimestampType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    ParquetTable.history(session, path).collect().toSeq
 }
 
 /** `DELETE FROM graft.`path` [WHERE cond]`: rows matching the condition

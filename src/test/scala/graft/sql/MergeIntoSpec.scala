@@ -193,6 +193,21 @@ class MergeIntoSpec extends SparkSpec {
     assert(ParquetTable.read(spark, path).count() === 1000L)
   }
 
+  test("DESCRIBE HISTORY lists versions newest-first with commit metadata") {
+    val path = tmpDir("sqlhist") + "/t"
+    ParquetTable.create(Seq((1L, 10.0)).toDF("id", "bal"), path) // v1
+    ParquetTable.merge(spark, path, Seq((2L, 20.0)).toDF("id", "bal"),
+      Seq("id"), cdf = true) // v2, captures a change manifest
+    val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY graft.`$path`")
+    assert(hist.columns.toSeq === Seq("version", "partitioned", "n_entries",
+      "n_data_dirs", "has_change_manifest", "manifest_mtime"))
+    val rows = hist.select("version", "partitioned", "has_change_manifest")
+      .as[(Long, Boolean, Boolean)].collect().toSeq
+    assert(rows === Seq((2L, false, true), (1L, false, false)))
+    // DESC abbreviation parses to the same command
+    assert(GraftSql.sql(spark, s"DESC HISTORY graft.`$path`").count() === 2L)
+  }
+
   test("graft_table_changes TVF: the per-commit CDF as a SQL relation") {
     val path = tmpDir("sqltvf") + "/t"
     ParquetTable.create(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), path) // v1
