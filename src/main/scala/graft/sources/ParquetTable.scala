@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Managed Parquet tables with Delta-MERGE-equivalent observable semantics.
   *
@@ -94,10 +95,17 @@ object ParquetTable {
         val groups = prunedFileGroups(spark, path, v, predicate)
         if (groups.forall(_._2.isEmpty))
           readVersion(spark, path, v).filter(predicate).limit(0)
-        else groups.filter(_._2.nonEmpty).map { case (base, rels) =>
-          spark.read.option("basePath", base)
-            .parquet(rels.map(r => s"$base/$r"): _*)
-        }.reduce(_.unionByName(_)).filter(predicate)
+        else {
+          // post-evolution, dirs can carry different (append-only) schemas;
+          // align each to the version's schema so the union is exact
+          val align = versionSchema(spark, path, v)
+            .map(s => (df: DataFrame) => alignTo(df, s))
+            .getOrElse(identity[DataFrame] _)
+          groups.filter(_._2.nonEmpty).map { case (base, rels) =>
+            align(spark.read.option("basePath", base)
+              .parquet(rels.map(r => s"$base/$r"): _*))
+          }.reduce(_.unionByName(_)).filter(predicate)
+        }
     }
 
   /** (data-dir base, kept relative files) per data dir of `version`,
@@ -247,12 +255,17 @@ object ParquetTable {
     * `cdf = true` additionally captures this commit's change rows into a
     * per-commit change manifest (see [[tableChanges]]) — one extra join
     * over the affected slice at merge time, Delta-CDF-style opt-in.
-    * `evolveSchema = true` (unpartitioned versioned tables; Delta
-    * `mergeSchema` parity) appends columns new in `updates` to the table
-    * schema — see [[mergeFrames]]; time travel keeps showing each
-    * version's own schema. Not combinable with `cdf` in one call (a
-    * change feed cannot straddle two schemas in one commit): evolve
-    * first, capture from the next merge.
+    * `evolveSchema = true` (versioned tables; Delta `mergeSchema`
+    * parity) appends columns new in `updates` to the table schema — see
+    * [[mergeFrames]]; time travel keeps showing each version's own
+    * schema. On PARTITIONED versioned tables only affected partitions
+    * rewrite widened; untouched partitions keep their old data dirs,
+    * whose files read the appended columns as typed NULLs (reads align
+    * every dir to the version's superset sidecar schema — Delta's
+    * read-time evolution, with the log replaced by the sidecars). Not
+    * combinable with `cdf` in one call (a change feed cannot straddle
+    * two schemas in one commit): evolve first, capture from the next
+    * merge.
     */
   def merge(
       spark: SparkSession,
@@ -276,10 +289,8 @@ object ParquetTable {
         .exists(v => partitionEntries(spark, path, v).isDefined)) {
       require(partitionColumns.nonEmpty,
         s"merge: $path is a partitioned versioned table; pass its partition columns")
-      require(!evolveSchema, s"merge: schema evolution is unpartitioned-only " +
-        "(partitioned versions union many data dirs; a widened dir set needs " +
-        "allowMissingColumns semantics the read contract keeps strict)")
-      mergeVersioned(spark, path, updates, pk, partitionColumns, filesPerPartition, cdf)
+      mergeVersioned(spark, path, updates, pk, partitionColumns, filesPerPartition,
+        cdf, evolveSchema)
       return
     }
     val target = read(spark, path)
@@ -396,6 +407,49 @@ object ParquetTable {
     }.toSeq)
   }
 
+  /** The widest (superset) schema among `schemas` — well-defined under
+    * append-only evolution, where every dir's schema is a prefix-superset
+    * or -subset of every other's. Incomparable drift keeps the first
+    * (the pre-evolution arbitrary-but-stable choice).
+    */
+  private def supersetSchema(schemas: Seq[StructType]): Option[StructType] =
+    schemas.reduceOption { (a, b) =>
+      if (b.fieldNames.forall(n => a.fieldNames.exists(_.equalsIgnoreCase(n)))) a
+      else if (a.fieldNames.forall(n => b.fieldNames.exists(_.equalsIgnoreCase(n)))) b
+      else a
+    }
+
+  /** The table schema `version` publishes, from sidecars ALONE — one
+    * small JSON read per referenced data dir, no file listing, no data
+    * I/O (partitioned versions take the superset across dirs: after a
+    * schema-evolving merge, untouched partitions keep their old dirs).
+    * None when no referenced dir carries a schema (pre-sidecar commits).
+    * Partition columns are included (commit-time schemas carry them).
+    */
+  private[sources] def versionSchema(
+      spark: SparkSession, path: String, version: Long): Option[StructType] =
+    partitionEntries(spark, path, version) match {
+      case None =>
+        val dir = new Path(path, manifestContent(spark, path, version).trim)
+        DataSkipping.readStats(spark, dir.toString).flatMap(_.schema)
+      case Some(entries) =>
+        supersetSchema(entries.map(_._2).distinct.sorted.flatMap(dd =>
+          DataSkipping.readStats(spark, new Path(path, dd).toString)
+            .flatMap(_.schema)))
+    }
+
+  /** Align one data dir's frame to the version's table schema: columns
+    * the dir predates read as typed NULLs (the parquet-reader
+    * schema-evolution semantics Delta relies on), column order follows
+    * the table. Extra frame columns beyond the schema are dropped.
+    */
+  private def alignTo(df: DataFrame, schema: StructType): DataFrame = {
+    val missing = schema.fields.filterNot(f =>
+      df.columns.exists(_.equalsIgnoreCase(f.name)))
+    missing.foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   private def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
     partitionEntries(spark, path, version) match {
       case None =>
@@ -423,7 +477,11 @@ object ParquetTable {
           val base = new Path(path, dataDir)
           (base, es.map(_._1), DataSkipping.readStats(spark, base.toString))
         }
-        val sidecarSchema = groups.view.flatMap(_._3.flatMap(_.schema)).headOption
+        // the version's table schema is the SUPERSET across dirs: after a
+        // schema-evolving merge, untouched partitions keep old dirs whose
+        // files simply lack the appended columns (the parquet reader
+        // fills typed NULLs — Delta's read-time evolution semantics)
+        val sidecarSchema = supersetSchema(groups.flatMap(_._3.flatMap(_.schema)))
         sidecarSchema match {
           case Some(schema) =>
             val parts = groups.map { case (base, partDirs, sidecar) =>
@@ -509,8 +567,11 @@ object ParquetTable {
       pk: Seq[String],
       partitionColumns: Seq[String],
       filesPerPartition: Int = 1,
-      cdf: Boolean = false): Unit = {
+      cdf: Boolean = false,
+      evolveSchema: Boolean = false): Unit = {
     require(partitionColumns.nonEmpty, "mergeVersioned needs partition columns")
+    require(!(cdf && evolveSchema),
+      "mergeVersioned: cdf capture and schema evolution cannot share a commit")
     val upd = updates.dropDuplicates(pk)
     var committed = false
     var attempts = 0
@@ -528,17 +589,37 @@ object ParquetTable {
           val entryMap = entries.toMap
           val affected = partitionDirsOf(upd, partitionColumns)
           val existing = affected.filter(entryMap.contains)
+          // the version's table schema (sidecars only — no listing): the
+          // anchor both for aligning mixed-schema affected dirs after an
+          // earlier evolution and for widening inserts into new partitions
+          val tableSchema = versionSchema(spark, path, v)
           val target =
             if (existing.isEmpty) None
             else Some(existing.groupBy(entryMap).toSeq.sortBy(_._1).map {
               case (dataDir, parts) =>
                 val base = new Path(path, dataDir).toString
-                spark.read.option("basePath", base)
+                val df = spark.read.option("basePath", base)
                   .parquet(parts.map(p => s"$base/$p"): _*)
+                tableSchema.map(alignTo(df, _)).getOrElse(df)
             }.reduce(_.unionByName(_)))
           val merged = target match {
-            case Some(t) => mergeFrames(t, upd, pk)
-            case None => upd
+            case Some(t) => mergeFrames(t, upd, pk, evolveSchema)
+            case None =>
+              if (!evolveSchema) upd
+              else tableSchema match {
+                // only NEW partitions touched: inserts still align with
+                // the table — missing table columns carry typed NULLs,
+                // genuinely new columns append after them
+                case Some(ts) =>
+                  val missing = ts.fields.filterNot(f =>
+                    upd.columns.exists(_.equalsIgnoreCase(f.name)))
+                  val extras = upd.columns.filterNot(c =>
+                    ts.fieldNames.exists(_.equalsIgnoreCase(c)))
+                  missing.foldLeft(upd)((d, f) =>
+                    d.withColumn(f.name, lit(null).cast(f.dataType)))
+                    .select((ts.fieldNames.toSeq ++ extras).map(col): _*)
+                case None => upd
+              }
           }
           val dataDir = freshDataDirName()
           writePlain(merged, new Path(path, dataDir).toString, partitionColumns,
@@ -648,12 +729,16 @@ object ParquetTable {
           val affected = partitionDirsOf(matched, partitionColumns)
           if (affected.isEmpty) result = v // no-op
           else {
-            // rewrite ONLY the affected partitions' slice
+            // rewrite ONLY the affected partitions' slice (each dir
+            // aligned to the version schema — post-evolution old dirs
+            // read appended columns as typed NULLs)
+            val sliceSchema = versionSchema(spark, path, v)
             val slice = affected.groupBy(entryMap).toSeq.sortBy(_._1).map {
               case (dataDir, parts) =>
                 val base = new Path(path, dataDir).toString
-                spark.read.option("basePath", base)
+                val df = spark.read.option("basePath", base)
                   .parquet(parts.map(p => s"$base/$p"): _*)
+                sliceSchema.map(alignTo(df, _)).getOrElse(df)
             }.reduce(_.unionByName(_))
             val newSlice = resolvedSet match {
               case None => slice.filter(!condition)

@@ -3,6 +3,7 @@ package graft.sources
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
@@ -279,6 +280,49 @@ class ParquetTableSpec extends SparkSpec {
         cdf = true, evolveSchema = true)
     }
     assert(e.getMessage.contains("share a commit"))
+  }
+
+  test("evolveSchema on a PARTITIONED versioned table: only affected partitions widen") {
+    val path = tmpDir("evolve-part") + "/t"
+    ParquetTable.createVersioned(
+      df(Row(1, "a", "d1"), Row(2, "b", "d2")), path, Seq("day")) // v1
+    val wider = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("v", StringType, nullable = true),
+      StructField("day", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true)))
+    // widen via d1 only; d2's data dir is untouched (old schema on disk)
+    ParquetTable.merge(spark, path,
+      frame(wider, Seq(Row(1, "A", "d1", 0.9), Row(3, "c", "d1", 0.5))),
+      Seq("id"), Seq("day"), evolveSchema = true) // v2
+    val out = ParquetTable.read(spark, path)
+    assert(out.columns.contains("score"))
+    val rows = out.collect().map(r => r.getAs[Int]("id") ->
+      (r.getAs[String]("v"), r.getAs[String]("day"),
+        Option(r.getAs[java.lang.Double]("score")).map(_.toDouble))).toMap
+    assert(rows === Map(
+      1 -> (("A", "d1", Some(0.9))),   // rewritten, widened
+      2 -> (("b", "d2", None)),        // untouched old dir: NULL new column
+      3 -> (("c", "d1", Some(0.5)))))  // inserted
+    // time travel shows v1's own (pre-evolution) schema
+    assert(!ParquetTable.readAt(spark, path, 1L).columns.contains("score"))
+    // predicate-carrying read across mixed-schema dirs stays exact,
+    // including a predicate ON the appended column
+    assert(ParquetTable.readWhere(spark, path, col("score") > 0.7)
+      .collect().map(_.getAs[Int]("id")).toSeq === Seq(1))
+    assert(ParquetTable.readWhere(spark, path, col("v") === "b")
+      .collect().map(_.getAs[Int]("id")).toSeq === Seq(2))
+    // row-level verbs work across mixed dirs (slice aligned to the
+    // version schema): delete by the appended column
+    ParquetTable.delete(spark, path, col("score") === 0.5) // v3
+    assert(ParquetTable.read(spark, path).collect()
+      .map(_.getAs[Int]("id")).toSet === Set(1, 2))
+    // inserting a brand-new partition under evolution aligns with the
+    // table schema (missing columns → typed NULLs)
+    ParquetTable.merge(spark, path,
+      df(Row(4, "d", "d3")), Seq("id"), Seq("day"), evolveSchema = true) // v4
+    val r4 = ParquetTable.read(spark, path).filter(col("id") === 4).head()
+    assert(r4.getAs[String]("day") === "d3" && r4.isNullAt(r4.fieldIndex("score")))
   }
 
   test("restore republishes an old image as a new version, history intact") {
