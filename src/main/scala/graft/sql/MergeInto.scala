@@ -36,9 +36,11 @@ import graft.sources.ParquetTable
   *
   * Supported shape = exactly the reference's: equi-conjunction ON
   * condition (the primary key), `WHEN MATCHED THEN UPDATE SET *`,
-  * `WHEN NOT MATCHED THEN INSERT *`. Anything else on a graft target
-  * fails fast at parse time with the reason — better than Spark's
-  * downstream "table does not support row-level operations".
+  * `WHEN NOT MATCHED THEN INSERT *`, optionally
+  * `MERGE WITH SCHEMA EVOLUTION` (Spark's own grammar position) →
+  * `ParquetTable.merge(evolveSchema = true)`. Anything else on a graft
+  * target fails fast at parse time with the reason — better than
+  * Spark's downstream "table does not support row-level operations".
   *
   * MERGE semantics are `ParquetTable.merge`'s: idempotent upsert-by-PK
   * (replaying the same batch is a no-op — the reference's Delta MERGE
@@ -225,8 +227,7 @@ object GraftSql {
       }
       if (m.notMatchedBySourceActions.nonEmpty)
         fail("WHEN NOT MATCHED BY SOURCE is not supported (merge never deletes)")
-      if (m.withSchemaEvolution) fail("WITH SCHEMA EVOLUTION is not supported")
-      GraftMergeCommand(path, m.sourceTable, pk)
+      GraftMergeCommand(path, m.sourceTable, pk, m.withSchemaEvolution)
     }
 
   private def targetPath(plan: LogicalPlan): Option[String] = plan match {
@@ -257,12 +258,15 @@ object GraftSql {
 /** The runnable side of a graft `MERGE INTO`: resolves the (still
   * unresolved) source plan against the session at run time, recovers
   * partition columns from the target's current manifest, and delegates
-  * to `ParquetTable.merge`.
+  * to `ParquetTable.merge`. `MERGE INTO … WITH SCHEMA EVOLUTION`
+  * (Spark's own grammar) maps to `evolveSchema = true` — Delta
+  * `mergeSchema` parity, both layouts.
   */
 case class GraftMergeCommand(
     path: String,
     source: LogicalPlan,
-    pk: Seq[String]) extends LeafRunnableCommand {
+    pk: Seq[String],
+    evolveSchema: Boolean = false) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Nil
 
@@ -272,7 +276,8 @@ case class GraftMergeCommand(
       .flatMap(v => ParquetTable.partitionEntries(session, path, v))
       .map(_.head._1.split('/').toSeq.map(_.split('=')(0)))
       .getOrElse(Nil)
-    ParquetTable.merge(session, path, updates, pk, partitionColumns)
+    ParquetTable.merge(session, path, updates, pk, partitionColumns,
+      evolveSchema = evolveSchema)
     Seq.empty
   }
 }

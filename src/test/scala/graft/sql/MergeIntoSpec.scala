@@ -193,6 +193,33 @@ class MergeIntoSpec extends SparkSpec {
     assert(ParquetTable.read(spark, path).count() === 1000L)
   }
 
+  test("MERGE INTO ... WITH SCHEMA EVOLUTION appends new source columns") {
+    val path = tmpDir("sqlmerge-evolve") + "/t"
+    ParquetTable.create(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), path) // v1
+    Seq((2L, 99.0, "gold"), (3L, 30.0, "silver")).toDF("id", "bal", "tier")
+      .createOrReplaceTempView("evolve_updates")
+    GraftSql.sql(spark,
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$path` AS t
+         |USING evolve_updates AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = ParquetTable.read(spark, path)
+    assert(out.columns.toSeq === Seq("id", "bal", "tier"))
+    assert(out.as[(Long, Double, Option[String])].collect().toSet ===
+      Set((1L, 10.0, None), (2L, 99.0, Some("gold")), (3L, 30.0, Some("silver"))))
+    // without the clause, the same statement stays strict: the extra
+    // source column is DROPPED, the schema does not drift
+    val strict = tmpDir("sqlmerge-strict") + "/t"
+    ParquetTable.create(Seq((1L, 1.0)).toDF("id", "bal"), strict)
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$strict` AS t
+         |USING evolve_updates AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(ParquetTable.read(spark, strict).columns.toSeq === Seq("id", "bal"))
+  }
+
   test("DESCRIBE HISTORY lists versions newest-first with commit metadata") {
     val path = tmpDir("sqlhist") + "/t"
     ParquetTable.create(Seq((1L, 10.0)).toDF("id", "bal"), path) // v1
