@@ -892,8 +892,15 @@ object ParquetTable {
       fromVersion: Long,
       toVersion: Long,
       pk: Seq[String]): DataFrame = {
-    val before = readAt(spark, path, fromVersion)
-    val after = readAt(spark, path, toVersion)
+    val beforeRaw = readAt(spark, path, fromVersion)
+    val afterRaw = readAt(spark, path, toVersion)
+    // across a schema-evolution boundary the snapshots disagree: align
+    // both to the superset, so the older side reads appended columns as
+    // NULL and a value set there reports as a genuine update
+    val schema = supersetSchema(Seq(beforeRaw.schema, afterRaw.schema))
+      .getOrElse(beforeRaw.schema)
+    val before = alignTo(beforeRaw, schema)
+    val after = alignTo(afterRaw, schema)
     requireUniquePk(
       Seq(s"v$fromVersion" -> before, s"v$toVersion" -> after), pk,
       s"changes($fromVersion, $toVersion) at $path")
@@ -929,15 +936,22 @@ object ParquetTable {
   private def changeRowsBetween(
       before: DataFrame, after: DataFrame, pk: Seq[String],
       joinType: String): DataFrame = {
-    val cols = before.columns.toSeq
-    // align the update side to the table's column order AND types (a
-    // partitioned read infers partition-column types, e.g. day → DATE,
-    // that an update batch may still carry as strings)
-    val aligned = after.select(
-      cols.map(c => col(c).cast(before.schema(c).dataType).as(c)): _*)
+    // across a schema-evolution boundary, widen BOTH sides to the
+    // superset first (the narrower side reads appended columns as NULL),
+    // so a value appearing in a new column reports as an update instead
+    // of being invisible to the diff
+    val schema = supersetSchema(Seq(before.schema, after.schema))
+      .getOrElse(before.schema)
+    val beforeW = alignTo(before, schema)
+    val cols = beforeW.columns.toSeq
+    // then align the update side to the table's column order AND types
+    // (a partitioned read infers partition-column types, e.g. day →
+    // DATE, that an update batch may still carry as strings)
+    val aligned = alignTo(after, schema).select(
+      cols.map(c => col(c).cast(beforeW.schema(c).dataType).as(c)): _*)
     def packed(df: DataFrame, a: String) =
       df.select(pk.map(col) :+ struct(cols.map(col): _*).as(a): _*)
-    val j = packed(before, "__old").join(packed(aligned, "__new"), pk, joinType)
+    val j = packed(beforeW, "__old").join(packed(aligned, "__new"), pk, joinType)
     def image(side: String, changeType: String) =
       cols.map(c => col(side).getField(c).as(c)) :+ lit(changeType).as("_change_type")
     val ins = j.filter(col("__old").isNull).select(image("__new", "insert"): _*)

@@ -112,6 +112,31 @@ class ChangesSpec extends SparkSpec {
       (3L, 1L, 99.0, "update_preimage"), (3L, 1L, 10.0, "update_postimage")))
   }
 
+  test("changes across a schema-evolution boundary: appended column diffs as update") {
+    val path = tmpDir("chg-evolve") + "/t"
+    ParquetTable.create(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), path) // v1
+    // v2 evolves: id=2's only change is the NEW column gaining a value
+    ParquetTable.merge(spark, path,
+      Seq((2L, 20.0, "gold"), (3L, 30.0, "silver")).toDF("id", "bal", "tier"),
+      Seq("id"), evolveSchema = true)
+    val got = ParquetTable.changes(spark, path, 1L, 2L, Seq("id"))
+      .select(col("id"), col("bal"), col("tier"), col("_change_type"))
+      .as[(Long, Double, Option[String], String)].collect().toSet
+    assert(got === Set(
+      (2L, 20.0, Some("gold"), "update"),   // visible ONLY via the new column
+      (3L, 30.0, Some("silver"), "insert")))
+    // the per-commit feed's snapshot-diff fallback crosses the boundary too
+    val fed = ParquetTable.tableChanges(spark, path, 2L, 2L, Seq("id"))
+      .select(col("id"), col("tier"), col("_change_type"))
+      .as[(Long, Option[String], String)].collect().toSet
+    assert(fed === Set(
+      (2L, None, "update_preimage"), (2L, Some("gold"), "update_postimage"),
+      (3L, Some("silver"), "insert")))
+    // reversed direction (wide → narrow) must not crash either
+    assert(ParquetTable.changes(spark, path, 2L, 1L, Seq("id"))
+      .filter(col("_change_type") === "delete").count() === 1L)
+  }
+
   test("tableChanges falls back to snapshot diffs (incl. deletes) without manifests") {
     val path = tmpDir("cdf-fallback") + "/t"
     ParquetTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), path) // v1
