@@ -472,8 +472,22 @@ object DataSkipping {
     */
   def zorder(
       df: DataFrame, cols: Seq[String], numFiles: Int, bits: Int = 8): DataFrame = {
-    require(cols.nonEmpty, "zorder: no columns")
     require(numFiles >= 1, "zorder: numFiles must be >= 1")
+    df.withColumn("__graft_z", zValue(df, cols, bits))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+  }
+
+  /** The interleaved-bits Z-value column for `cols` over `df`'s value
+    * distribution (one `approxQuantile` pass per column at call time) —
+    * the clustering key [[zorder]] range-partitions by. Exposed so
+    * partitioned tables can compose it with their partition columns:
+    * range-partitioning by (partitionCols…, z) clusters WITHIN each
+    * partition while the partitioned write still splits dirs.
+    */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
+    require(cols.nonEmpty, "zorder: no columns")
     require(bits >= 1 && cols.size * bits <= 62,
       s"zorder: ${cols.size} cols × $bits bits exceeds the 62-bit Z-value")
     val k = cols.size
@@ -489,12 +503,8 @@ object DataSkipping {
       when(casted(i).isNull, lit(0L))
         .otherwise(size(filter(qa, q => casted(i) >= q)).cast("long"))
     }
-    val z = (0 until bits).flatMap(b => (0 until k).map(i =>
+    (0 until bits).flatMap(b => (0 until k).map(i =>
       shiftleft(shiftright(buckets(i), b).bitwiseAND(lit(1L)), b * k + i)
         .cast("long"))).reduce(_ + _)
-    df.withColumn("__graft_z", z)
-      .repartitionByRange(numFiles, col("__graft_z"))
-      .sortWithinPartitions("__graft_z")
-      .drop("__graft_z")
   }
 }

@@ -135,24 +135,49 @@ object ParquetTable {
     }
   }
 
-  /** OPTIMIZE-ZORDER tier: republish the current image of an
-    * UNPARTITIONED versioned table clustered on `zorderBy` across
-    * `numFiles` files (see [[DataSkipping.zorder]]) as the next version —
-    * old versions keep time-traveling, and the fresh data dir's stats
-    * sidecar makes [[readWhere]] prune on every clustered column.
-    * Partitioned tables fail fast: their clustering unit is the
-    * partition (`clusterByPartitions`/`compact`).
+  /** OPTIMIZE-ZORDER tier: republish the current image clustered on
+    * `zorderBy` across `numFiles` write tasks (see [[DataSkipping.zorder]])
+    * as the next version — old versions keep time-traveling, and the
+    * fresh data dir's stats sidecar makes [[readWhere]] (and any
+    * FileIndex-served plan) prune on every clustered column. PARTITIONED
+    * versioned tables cluster WITHIN partitions: one job range-partitioned
+    * by (partitionCols…, z), so each file covers a narrow z interval
+    * inside its partition dir — Delta's per-partition OPTIMIZE ZORDER
+    * shape; `zorderBy` must be data columns there.
     */
   def optimize(
       spark: SparkSession, path: String, zorderBy: Seq[String],
       numFiles: Int = 8, bits: Int = 8): Long = {
     val v = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
       s"optimize: no versioned table at $path"))
-    require(partitionEntries(spark, path, v).isEmpty,
-      s"optimize: $path is partitioned — its clustering unit is the " +
-        "partition (compact / clusterByPartitions), not a table-wide Z-order")
-    atomicReplace(spark, path,
-      DataSkipping.zorder(readVersion(spark, path, v), zorderBy, numFiles, bits), Nil)
+    partitionEntries(spark, path, v) match {
+      case None =>
+        atomicReplace(spark, path,
+          DataSkipping.zorder(readVersion(spark, path, v), zorderBy, numFiles, bits), Nil)
+      case Some(entries) =>
+        // partitioned: cluster WITHIN partitions in ONE job — range-
+        // partition by (partitionCols…, z) so each task holds a
+        // contiguous (partition, z) slab, and the partitioned write
+        // splits the dirs; every file then covers a narrow z interval
+        // inside its partition, which is what the sidecar pruning feeds
+        // on. `numFiles` bounds total write tasks, not files-per-
+        // partition (Delta OPTIMIZE ZORDER's per-partition binning).
+        val partitionColumns = entries.head._1.split('/').toSeq.map(_.split('=')(0))
+        require(zorderBy.forall(c => !partitionColumns.exists(_.equalsIgnoreCase(c))),
+          s"optimize: Z-order columns must be data columns " +
+            s"(${partitionColumns.mkString(", ")} are partition columns — " +
+            "constant within a dir, nothing to cluster)")
+        val cur = readVersion(spark, path, v)
+        val keys = partitionColumns.map(col) :+ col("__graft_z")
+        val clustered = cur
+          .withColumn("__graft_z", DataSkipping.zValue(cur, zorderBy, bits))
+          .repartitionByRange(numFiles, keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .drop("__graft_z")
+        publishVersioned(clustered, path, partitionColumns,
+          filesPerPartition = 1, preserveLayout = true)
+        currentVersion(spark, path).get
+    }
   }
 
   /** Overwrite-create. Partitioned layouts stay plain (hive-style dirs at
@@ -533,12 +558,28 @@ object ParquetTable {
     */
   def createVersioned(
       df: DataFrame, path: String, partitionColumns: Seq[String],
-      filesPerPartition: Int = 1): Unit = {
+      filesPerPartition: Int = 1): Unit =
+    publishVersioned(df, path, partitionColumns, filesPerPartition,
+      preserveLayout = false)
+
+  /** Shared partitioned-version publish. `preserveLayout = true` writes
+    * `df`'s task layout as-is (no per-partition re-clustering) — the
+    * OPTIMIZE ZORDER path, whose range-partitioned slabs ARE the file
+    * layout being published.
+    */
+  private def publishVersioned(
+      df: DataFrame, path: String, partitionColumns: Seq[String],
+      filesPerPartition: Int, preserveLayout: Boolean): Unit = {
     require(partitionColumns.nonEmpty,
       "createVersioned is for partitioned tables; use create for unpartitioned")
     val spark = df.sparkSession
     val dataDir = freshDataDirName()
-    writePlain(df, new Path(path, dataDir).toString, partitionColumns, filesPerPartition)
+    if (preserveLayout)
+      df.write.mode(SaveMode.Overwrite).partitionBy(partitionColumns: _*)
+        .parquet(new Path(path, dataDir).toString)
+    else
+      writePlain(df, new Path(path, dataDir).toString, partitionColumns,
+        filesPerPartition)
     DataSkipping.writeStats(spark, new Path(path, dataDir).toString, df.schema)
     val entries = partitionDirsOf(df, partitionColumns)
       .map(p => s"$p\t$dataDir").mkString("\n")

@@ -157,6 +157,34 @@ class DataSkippingSpec extends SparkSpec {
     assert(ParquetTable.readAt(spark, path, 1L).count() === 900L)
   }
 
+  test("OPTIMIZE ZORDER on a PARTITIONED table clusters within partitions") {
+    val path = tmpDir("skip-zp") + "/t"
+    // 2 days × 2000 rows; ingestion order scatters `v` across files
+    val rows = for (d <- Seq("d1", "d2"); i <- 0 until 2000)
+      yield (i.toLong, d, ((i * 769) % 2000).toLong)
+    ParquetTable.createVersioned(
+      rows.toDF("id", "day", "v").repartition(8), path, Seq("day"),
+      filesPerPartition = 4) // v1: 4 files per day, v spread everywhere
+    val before = keptFiles(path, col("v") < 100L)
+    assert(before._1 === before._2, "unclustered files should all overlap v<100")
+    val v2 = ParquetTable.optimize(spark, path, Seq("v"), numFiles = 8, bits = 5)
+    assert(v2 === 2L)
+    // within each day dir, files now cover narrow v ranges → most skip
+    val (kept, total) = keptFiles(path, col("v") < 100L)
+    assert(total >= 4, s"expected several files after optimize, got $total")
+    assert(kept <= total / 2, s"kept $kept of $total after partitioned zorder")
+    // results exact, both through readWhere and a partition-col filter
+    assert(ParquetTable.readWhere(spark, path, col("v") < 100L).count() === 200L)
+    assert(ParquetTable.read(spark, path).filter(col("day") === "d1").count() === 2000L)
+    // time travel still shows the pre-optimize version
+    assert(ParquetTable.readAt(spark, path, 1L).count() === 4000L)
+    // partition columns are rejected as cluster keys
+    val e = intercept[IllegalArgumentException] {
+      ParquetTable.optimize(spark, path, Seq("day", "v"))
+    }
+    assert(e.getMessage.contains("partition columns"))
+  }
+
   test("COUNT(*) folds to sidecar metadata: zero files scanned") {
     val ext = org.apache.spark.sql.GraftColumnBridge.sessionWithExtensions(
       spark, new graft.functions.GraftSessionExtensions()(_))
