@@ -333,4 +333,75 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming) // before distinct: shrink the dedup shuffle
       .distinct()
   }
+
+  /** Benchmark decontamination scores: for every corpus doc, how many of
+    * its distinct word-`n`-grams also appear anywhere in `benchmark`
+    * (an eval/test set that must not leak into training data), plus the
+    * fraction of the doc's grams that are contaminated.
+    *
+    * Output: (`idCol`, `n_grams`, `n_matched`, `overlap`), one row per
+    * corpus doc that has ≥1 gram (docs shorter than `n` tokens produce no
+    * grams and no row — they cannot be contaminated at this gram size).
+    *
+    * Shape (the GPT-3-style n-gram decontamination pass, reframed as two
+    * linear scans + one equi-join): explode each corpus doc's distinct
+    * grams to (id, gram) rows; distinct the benchmark's gram set once;
+    * inner-join on the gram to count hits per doc. Benchmarks are small
+    * relative to a 100 TB corpus, so the gram set is broadcast when the
+    * optimizer's estimate fits (`Broadcasting.broadcastIfSmall`) — the
+    * corpus side then never shuffles for the probe; only the per-doc
+    * count aggregations shuffle, keyed by doc id (near-uniform). With an
+    * oversized benchmark the probe degrades to a plain shuffle join on
+    * the gram key, still linear. No pair generation anywhere: cost is
+    * O(corpus grams + benchmark grams), unlike the pairwise dedup ops
+    * above.
+    */
+  def contaminationScores(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchTextCol: String,
+      n: Int = 3): DataFrame = {
+    val benchGrams = Broadcasting.broadcastIfSmall(
+      benchmark
+        .select(explode(wordNGrams(col(benchTextCol), n)).as("__graft_gram"))
+        .distinct())
+    val corpusGrams = corpus
+      .select(col(idCol), explode(wordNGrams(col(textCol), n)).as("__graft_gram"))
+    val totals = corpusGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    // grams are distinct per doc and distinct in the benchmark set, so the
+    // inner join yields exactly one row per (doc, contaminated gram)
+    val matched = corpusGrams
+      .join(benchGrams, "__graft_gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"))
+    totals
+      .join(matched, Seq(idCol), "left_outer")
+      .na.fill(0L, Seq("n_matched"))
+      .withColumn("overlap", col("n_matched") / col("n_grams"))
+  }
+
+  /** Drop corpus docs whose benchmark n-gram overlap exceeds
+    * `maxOverlap` (fraction of the doc's distinct grams) or whose
+    * absolute contaminated-gram count exceeds `maxMatchedGrams` (set to
+    * bound long docs whose huge gram total dilutes the fraction). Docs
+    * shorter than `n` tokens are always kept. Anti-join on the flagged id
+    * set — one extra shuffle over [[contaminationScores]], nothing
+    * quadratic.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchTextCol: String,
+      n: Int = 3,
+      maxOverlap: Double = 0.5,
+      maxMatchedGrams: Long = Long.MaxValue): DataFrame = {
+    val flagged = contaminationScores(corpus, benchmark, idCol, textCol, benchTextCol, n)
+      .filter(col("overlap") > maxOverlap || col("n_matched") > maxMatchedGrams)
+      .select(col(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
 }

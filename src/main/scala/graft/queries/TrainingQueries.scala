@@ -349,6 +349,21 @@ object TrainingQueries {
           unix_timestamp(col("session_start")).as("session_start_epoch"),
           col("n_events"), round(col("total_value"), 2).as("total_value"))
         .orderBy(col("user_id"), col("session_start_epoch"))
+    }),
+
+    // Benchmark decontamination: docs with doc_id % 17 == 0 play the
+    // held-out eval set; every other doc is scored by how many of its
+    // distinct 3-grams leak from that set. The corpus has planted
+    // near-duplicates (q24/q25 find them), so nonzero overlaps exist.
+    "q64_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextDedup.contaminationScores(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", "text", n = 3)
+        .select(col("doc_id"), col("n_grams"), col("n_matched"),
+          round(col("overlap"), 4).as("overlap"))
+        .orderBy(col("doc_id"))
     }))
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -475,6 +490,21 @@ object TrainingQueries {
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q64_decontaminate" ->
+      s"""WITH bench AS (
+         |  SELECT DISTINCT unnest(${gramsSql("text")}) AS gram
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |cg AS (
+         |  SELECT doc_id, unnest(${gramsSql("text")}) AS gram
+         |  FROM documents WHERE doc_id % 17 <> 0),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+         |m AS (SELECT cg.doc_id, count(*) AS n_matched
+         |      FROM cg JOIN bench USING (gram) GROUP BY cg.doc_id)
+         |SELECT t.doc_id, t.n_grams, coalesce(m.n_matched, 0) AS n_matched,
+         |  round(coalesce(m.n_matched, 0)::DOUBLE / t.n_grams, 4) AS overlap
+         |FROM tot t LEFT JOIN m USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+
     "q28_simhash_neardup" -> simHashOracle,
     "q29_lsh_ann" -> lshAnnOracle,
     "q47_dedup_clusters" -> componentsOracle,

@@ -103,4 +103,37 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 4L)))
   }
+
+  test("contaminationScores: exact copy scores 1.0, disjoint doc 0.0, short doc absent") {
+    val bench = docs((100L, "the quick brown fox jumps over the lazy dog", "x"))
+    val c = docs(
+      (1L, "the quick brown fox jumps over the lazy dog", "a"), // full copy
+      (2L, "intro words the quick brown fox jumps over the lazy dog outro", "a"), // contains it
+      (3L, "completely different content about spark engines here", "a"), // disjoint
+      (4L, "too short", "a")) // < 3 tokens → no grams → no row
+    val out = TextDedup.contaminationScores(c, bench, "id", "text", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((7L, 7L, 1.0)))
+    assert(out(2L)._2 === 7L) // all 7 benchmark grams leak into doc 2
+    assert(out(2L)._3 < 1.0) // but doc 2 has extra grams of its own
+    assert(out(3L) === ((5L, 0L, 0.0))) // 7 tokens → 5 trigrams, none shared
+    assert(!out.contains(4L))
+  }
+
+  test("decontaminate drops flagged docs, keeps clean and short docs") {
+    val bench = docs((100L, "the quick brown fox jumps over the lazy dog", "x"))
+    val c = docs(
+      (1L, "the quick brown fox jumps over the lazy dog", "a"),
+      (3L, "completely different content about spark engines here", "a"),
+      (4L, "too short", "a"))
+    val kept = TextDedup.decontaminate(c, bench, "id", "text", "text", maxOverlap = 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept === Seq(3L, 4L))
+    // absolute-count cap flags doc 1 even at a permissive fraction
+    val keptAbs = TextDedup.decontaminate(c, bench, "id", "text", "text",
+        maxOverlap = 1.0, maxMatchedGrams = 5)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(keptAbs === Seq(3L, 4L))
+  }
 }
