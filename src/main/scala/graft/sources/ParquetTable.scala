@@ -77,6 +77,34 @@ object ParquetTable {
     readVersion(spark, path, version)
   }
 
+  /** Latest version whose commit time is ≤ `tsMillis` — Delta's
+    * `TIMESTAMP AS OF` resolution rule. Commit times come from the
+    * manifests' `#ts=` headers (committed state — see [[commitTimestamp]]);
+    * headerless legacy manifests fall back to manifest mtime, best
+    * effort. Commit times are written by serialized CAS commits on one
+    * table so they are monotone up to wall-clock skew; taking the MAX
+    * eligible version makes small skew harmless (a locally-late stamp on
+    * an earlier version cannot shadow a later one). Throws when
+    * `tsMillis` predates the first commit, like Delta.
+    */
+  def versionAtTimestamp(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"versionAtTimestamp: no versioned table at $path")
+    val md = manifestDir(path)
+    val fs = hadoopFs(spark, md)
+    def ts(v: Long): Long = commitTimestamp(spark, path, v).getOrElse(
+      fs.getFileStatus(new Path(md, f"v$v%020d")).getModificationTime)
+    val eligible = vs.filter(ts(_) <= tsMillis)
+    require(eligible.nonEmpty,
+      s"timestamp $tsMillis predates the first commit of $path " +
+        s"(first commit at ${ts(vs.min)})")
+    eligible.max
+  }
+
+  /** Time travel by wall clock: the table as of `tsMillis`. */
+  def readAtTimestamp(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    readAt(spark, path, versionAtTimestamp(spark, path, tsMillis))
+
   /** Predicate-carrying read with FILE-LEVEL data skipping: consults the
     * per-data-dir stats sidecars ([[DataSkipping]] — committed alongside
     * every versioned write) and scans only the files whose [min, max]
@@ -396,7 +424,13 @@ object ParquetTable {
       spark: SparkSession, path: String, version: Long, content: String): Boolean = {
     val md = manifestDir(path)
     val target = new Path(md, f"v$version%020d")
-    logCommitter.commit(hadoopFs(spark, md), target, content.getBytes("UTF-8"))
+    // `#ts=` header: the commit wall-clock becomes committed state inside
+    // the atomically-published manifest (what TIMESTAMP AS OF resolves
+    // against) — unlike file mtimes, it survives copies/restores of the
+    // table directory. Parsers read through manifestContent, which strips
+    // `#` lines, so the dir-listing format is unchanged.
+    val stamped = s"#ts=${System.currentTimeMillis()}\n$content"
+    logCommitter.commit(hadoopFs(spark, md), target, stamped.getBytes("UTF-8"))
   }
 
   // ---- partitioned versioned layout --------------------------------------
@@ -409,7 +443,7 @@ object ParquetTable {
   // so untouched partitions are never rewritten (and old manifests keep
   // seeing their old dirs: snapshot isolation + time travel).
 
-  private def manifestContent(spark: SparkSession, path: String, version: Long): String = {
+  private def manifestRaw(spark: SparkSession, path: String, version: Long): String = {
     val f = new Path(manifestDir(path), f"v$version%020d")
     val fs = hadoopFs(spark, f)
     val buf = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
@@ -418,6 +452,24 @@ object ParquetTable {
     finally in.close()
     new String(buf, "UTF-8")
   }
+
+  /** Manifest body with `#`-prefixed header lines (commit metadata such as
+    * `#ts=<epochMillis>`) stripped. Every parser of the dir-listing format
+    * reads through here, so headers can grow without touching them;
+    * pre-header manifests (no `#` lines) pass through unchanged.
+    */
+  private def manifestContent(spark: SparkSession, path: String, version: Long): String =
+    manifestRaw(spark, path, version).linesIterator
+      .filterNot(_.startsWith("#")).mkString("\n")
+
+  /** Commit wall-clock of `version` (epoch millis) from the manifest's
+    * `#ts=` header — committed state inside the atomically-published
+    * manifest, not filesystem mtime. None for manifests written before
+    * the header existed.
+    */
+  def commitTimestamp(spark: SparkSession, path: String, version: Long): Option[Long] =
+    manifestRaw(spark, path, version).linesIterator
+      .find(_.startsWith("#ts=")).flatMap(_.stripPrefix("#ts=").trim.toLongOption)
 
   /** Partition entries of `version`: Some(partitionDir → dataDir) for
     * partitioned manifests, None for unpartitioned ones.
@@ -1089,9 +1141,11 @@ object ParquetTable {
       val cf = changeManifestPath(path, v)
       (v, entries.isDefined, entries.map(_.size).getOrElse(1),
         entries.map(_.map(_._2).distinct.size).getOrElse(1),
-        hadoopFs(spark, cf).exists(cf), new java.sql.Timestamp(mtime))
+        hadoopFs(spark, cf).exists(cf),
+        commitTimestamp(spark, path, v).map(new java.sql.Timestamp(_)),
+        new java.sql.Timestamp(mtime))
     }.toDF("version", "partitioned", "n_entries", "n_data_dirs",
-      "has_change_manifest", "manifest_mtime")
+      "has_change_manifest", "commit_ts", "manifest_mtime")
   }
 
   /** RESTORE-TABLE tier: republish the image of `version` as the NEXT
@@ -1115,6 +1169,50 @@ object ParquetTable {
       if (commitVersion(spark, path, v, content)) return v
     }
     -1L // unreachable
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE t SHALLOW CLONE s`): publish
+    * `targetPath` as a new versioned table whose v1 manifest references
+    * the SOURCE's data dirs by absolute path — a metadata-only commit,
+    * zero data I/O at any table size. Dir references in manifests resolve
+    * via `new Path(tablePath, dir)`, which passes absolute dirs through
+    * untouched, so every read tier (snapshot, time travel, data skipping,
+    * partition pruning) serves the clone from the source's files.
+    *
+    * Divergence semantics match Delta: writes to the clone lay fresh data
+    * dirs under the CLONE's path and re-point only what changed (a
+    * partitioned merge keeps untouched partitions on source dirs), while
+    * the source never sees clone commits. `vacuum` on the clone only ever
+    * deletes dirs under the clone's own path — it cannot reclaim source
+    * files. The one shared hazard is Delta's too: `vacuum` on the SOURCE
+    * can delete dirs a clone still references (the source does not know
+    * its clones); keep source history for as long as clones of it live.
+    *
+    * `version` clones a historical snapshot (defaults to the current
+    * one). Returns the clone's first version number (always 1).
+    */
+  def shallowClone(
+      spark: SparkSession, sourcePath: String, targetPath: String,
+      version: Option[Long] = None): Long = {
+    val v = version.getOrElse(currentVersion(spark, sourcePath).getOrElse(
+      throw new IllegalStateException(
+        s"shallowClone: no versioned table at $sourcePath")))
+    require(versions(spark, sourcePath).contains(v),
+      s"shallowClone: version $v not present at $sourcePath " +
+        s"(have: ${versions(spark, sourcePath).mkString(", ")})")
+    require(currentVersion(spark, targetPath).isEmpty,
+      s"shallowClone: $targetPath is already a versioned table")
+    val body = manifestContent(spark, sourcePath, v).trim
+    val abs =
+      if (body.contains('\t'))
+        body.linesIterator.filter(_.nonEmpty).map { line =>
+          val Array(p, d) = line.split('\t')
+          s"$p\t${new Path(sourcePath, d)}"
+        }.mkString("\n")
+      else new Path(sourcePath, body).toString
+    require(commitVersion(spark, targetPath, 1L, abs),
+      s"shallowClone: lost the creation race at $targetPath")
+    1L
   }
 
   /** Rewrite the CURRENT version of a partitioned versioned table into a

@@ -130,10 +130,15 @@ object GraftSql {
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val HistoryStmt =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  private val CloneStmt =
+    ("""(?is)\s*CREATE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+""" +
+      """graft\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
 
   private[sql] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case RestoreStmt(path, v) => Some(GraftRestoreCommand(path, v.toLong))
+      case CloneStmt(target, source, v) =>
+        Some(GraftCloneCommand(source, target, Option(v).map(_.toLong)))
       case OptimizeStmt(path, cols) => Some(GraftOptimizeCommand(path,
         cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
           .filter(_.nonEmpty)))
@@ -145,13 +150,14 @@ object GraftSql {
 
   /** Substitute every `graft.`path`` relation in `plan` with the
     * versioned-table read it names: bare references read the CURRENT
-    * manifest version, `VERSION AS OF n` time-travels via `readAt`.
-    * `TIMESTAMP AS OF` is rejected — commit timestamps are deliberately
-    * not part of the manifest contract (see `tableChanges`), versions are
-    * the table clock. Non-graft relations pass through for the catalog to
-    * resolve. Needs an active session (the substituted subtree is the
-    * resolved read plan, so the manifest is consulted at parse time —
-    * exactly when `spark.sql` runs this parser).
+    * manifest version, `VERSION AS OF n` time-travels via `readAt`, and
+    * `TIMESTAMP AS OF '<ts>'` resolves through the manifests' committed
+    * `#ts=` headers via `readAtTimestamp` (accepted literal shapes:
+    * `'yyyy-MM-dd HH:mm:ss[.f]'`, `'yyyy-MM-dd'`, a TIMESTAMP literal, or
+    * an integer epoch-millis). Non-graft relations pass through for the
+    * catalog to resolve. Needs an active session (the substituted subtree
+    * is the resolved read plan, so the manifest is consulted at parse
+    * time — exactly when `spark.sql` runs this parser).
     */
   private[sql] def rewriteRelations(plan: LogicalPlan): LogicalPlan = {
     def readPlan(path: String, version: Option[String]): LogicalPlan = {
@@ -169,14 +175,40 @@ object GraftSql {
       }
       df.queryExecution.logical
     }
+    // TIMESTAMP AS OF literal → epoch millis. Strings parse in the JVM
+    // zone (same clock `#ts=` headers are stamped from); TIMESTAMP
+    // literals arrive as epoch micros already. Non-literals are rejected:
+    // time travel must be decidable at parse time.
+    def tsMillisOf(path: String, e: Expression): Long = e match {
+      case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+        val str = s.toString.trim
+        if (str.forall(_.isDigit)) str.toLong
+        else try java.sql.Timestamp.valueOf(
+          if (str.length == 10) str + " 00:00:00" else str).getTime
+        catch {
+          case _: IllegalArgumentException => throw new IllegalArgumentException(
+            s"graft.`$path` TIMESTAMP AS OF '$str': expected " +
+              "'yyyy-MM-dd[ HH:mm:ss[.f]]' or epoch millis")
+        }
+      case Literal(micros: Long, org.apache.spark.sql.types.TimestampType) =>
+        Math.floorDiv(micros, 1000L)
+      case other => throw new IllegalArgumentException(
+        s"graft.`$path` TIMESTAMP AS OF: literal timestamp required, " +
+          s"got ${other.sql}")
+    }
     plan.transformUpWithSubqueries {
       case RelationTimeTravel(u: UnresolvedRelation, ts, version)
           if targetPath(u).isDefined =>
         val path = targetPath(u).get
-        if (ts.nonEmpty) throw new IllegalArgumentException(
-          s"graft.`$path`: TIMESTAMP AS OF is not supported (manifest mtimes " +
-            "are not committed state); use VERSION AS OF")
-        readPlan(path, version)
+        ts match {
+          case Some(e) =>
+            val spark = SparkSession.getActiveSession.getOrElse(
+              throw new IllegalStateException(
+                s"graft.`$path`: no active SparkSession to resolve the read"))
+            ParquetTable.readAtTimestamp(spark, path, tsMillisOf(path, e))
+              .queryExecution.logical
+          case None => readPlan(path, version)
+        }
       case u: UnresolvedRelation if targetPath(u).isDefined =>
         readPlan(targetPath(u).get, None)
       // Delta's `table_changes` TVF equivalent: the per-commit CDF as a
@@ -298,6 +330,25 @@ case class GraftRestoreCommand(path: String, version: Long)
     Seq(Row(ParquetTable.restore(session, path, version)))
 }
 
+/** `CREATE TABLE graft.`target` SHALLOW CLONE graft.`source`
+  * [VERSION AS OF n]`: metadata-only clone whose manifest references the
+  * source's data dirs (see `ParquetTable.shallowClone` for the
+  * divergence and vacuum contract). Returns one row with the clone's
+  * first version.
+  */
+case class GraftCloneCommand(
+    sourcePath: String, targetPath: String, version: Option[Long])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "cloned_version", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(ParquetTable.shallowClone(session, sourcePath, targetPath, version)))
+}
+
 /** `OPTIMIZE graft.`path` ZORDER BY (c1, c2…)`: republishes the current
   * image Z-order-clustered for multi-column data skipping (see
   * `ParquetTable.optimize`). Returns one row with the committed version.
@@ -349,6 +400,7 @@ case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("n_entries", IntegerType, nullable = false)(),
     AttributeReference("n_data_dirs", IntegerType, nullable = false)(),
     AttributeReference("has_change_manifest", BooleanType, nullable = false)(),
+    AttributeReference("commit_ts", TimestampType, nullable = true)(),
     AttributeReference("manifest_mtime", TimestampType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] =

@@ -382,6 +382,31 @@ class ParquetTableSpec extends SparkSpec {
     assert(hp.getBoolean(0) && hp.getInt(1) === 2 && hp.getInt(2) === 1)
   }
 
+  test("timestamp time travel resolves through committed #ts= headers") {
+    val path = tmpDir("ts-travel") + "/t"
+    ParquetTable.create(df(Row(1, "a", "d1")), path) // v1
+    Thread.sleep(15) // separate the commit instants by > 1 ms
+    ParquetTable.merge(spark, path, df(Row(1, "A", "d1")), Seq("id")) // v2
+    val t1 = ParquetTable.commitTimestamp(spark, path, 1L).get
+    val t2 = ParquetTable.commitTimestamp(spark, path, 2L).get
+    assert(t1 < t2)
+    assert(ParquetTable.versionAtTimestamp(spark, path, t1) === 1L)
+    assert(ParquetTable.versionAtTimestamp(spark, path, t2 - 1) === 1L)
+    assert(ParquetTable.versionAtTimestamp(spark, path, t2) === 2L)
+    assert(ParquetTable.versionAtTimestamp(spark, path, t2 + 60000) === 2L)
+    assert(ParquetTable.readAtTimestamp(spark, path, t1)
+      .select("v").head().getString(0) === "a")
+    val e = intercept[IllegalArgumentException] {
+      ParquetTable.versionAtTimestamp(spark, path, t1 - 1)
+    }
+    assert(e.getMessage.contains("predates the first commit"))
+    // restore stamps a FRESH commit time on the re-published image
+    Thread.sleep(15)
+    val v3 = ParquetTable.restore(spark, path, 1L)
+    val t3 = ParquetTable.commitTimestamp(spark, path, v3).get
+    assert(t3 > t2)
+  }
+
   test("every version publish flows through the injected LogCommitter") {
     val path = tmpDir("committer") + "/t"
     val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

@@ -100,12 +100,27 @@ class MergeIntoSpec extends SparkSpec {
          |JOIN tags t ON g.id = t.id GROUP BY t.tag ORDER BY t.tag""".stripMargin)
       .as[(String, Double)].collect().toSeq
     assert(joined === Seq(("a", 10.0), ("c", 30.0)))
-    // TIMESTAMP AS OF names the documented gap
+    // TIMESTAMP AS OF resolves against the committed #ts= headers: v1's
+    // own commit instant reads the v1 image (epoch-millis literal form)
+    val v1ts = ParquetTable.commitTimestamp(spark, path, 1L).get
+    val v2ts = ParquetTable.commitTimestamp(spark, path, 2L).get
+    if (v2ts > v1ts) { // merge landed in a later millisecond: v1 resolvable
+      val atV1 = GraftSql.sql(spark,
+        s"SELECT id, bal FROM graft.`$path` TIMESTAMP AS OF '$v1ts' ORDER BY id")
+        .as[(Long, Double)].collect().toSeq
+      assert(atV1 === Seq((1L, 10.0), (2L, 20.0)))
+    }
+    // a timestamp at/after the last commit reads the current image
+    val atNow = GraftSql.sql(spark,
+      s"SELECT id, bal FROM graft.`$path` TIMESTAMP AS OF '$v2ts' ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(atNow === cur)
+    // a timestamp before the first commit fails, naming the first commit
     val e = intercept[IllegalArgumentException] {
       GraftSql.sql(spark,
-        s"SELECT * FROM graft.`$path` TIMESTAMP AS OF '2024-01-01'")
+        s"SELECT * FROM graft.`$path` TIMESTAMP AS OF '2000-01-01'")
     }
-    assert(e.getMessage.contains("VERSION AS OF"))
+    assert(e.getMessage.contains("predates the first commit"))
   }
 
   test("RESTORE TABLE ... TO VERSION AS OF rolls the table back, metadata-only") {
@@ -227,7 +242,8 @@ class MergeIntoSpec extends SparkSpec {
       Seq("id"), cdf = true) // v2, captures a change manifest
     val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY graft.`$path`")
     assert(hist.columns.toSeq === Seq("version", "partitioned", "n_entries",
-      "n_data_dirs", "has_change_manifest", "manifest_mtime"))
+      "n_data_dirs", "has_change_manifest", "commit_ts", "manifest_mtime"))
+    assert(hist.filter(col("commit_ts").isNull).count() === 0L)
     val rows = hist.select("version", "partitioned", "has_change_manifest")
       .as[(Long, Boolean, Boolean)].collect().toSeq
     assert(rows === Seq((2L, false, true), (1L, false, false)))
