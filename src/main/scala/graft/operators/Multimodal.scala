@@ -14,16 +14,17 @@ import org.apache.spark.sql.types._
   * a per-row UDF).
   *
   * Decoders, by tier:
-  *   - `decodeImages` / `decodeWav` / `decodeY4m` / `decodeGif` — REAL
-  *     pure-JVM decodes (javax.imageio and javax.sound.sampled ship with
-  *     the JDK: PNG/BMP/GIF/JPEG, PCM WAV plus the G.711 μ-law/a-law
-  *     compressed telephony codecs; YUV4MPEG2 video is an uncompressed
-  *     container parseable with no codec at all; animated GIF is a REAL
-  *     compressed video container the JDK's bundled reader decodes
-  *     frame-by-frame), emitting true width/height/sample-rate/
-  *     frame-count metadata and deterministic content features. A failed
-  *     decode nulls BOTH meta and features — no stale upstream meta
-  *     survives a row this decoder could not read.
+  *   - `decodeImages` / `decodeWav` / `decodeY4m` / `decodeGif` /
+  *     `decodeMjpegAvi` — REAL pure-JVM decodes (javax.imageio and
+  *     javax.sound.sampled ship with the JDK: PNG/BMP/GIF/JPEG, PCM WAV
+  *     plus the G.711 μ-law/a-law compressed telephony codecs;
+  *     YUV4MPEG2 video is an uncompressed container parseable with no
+  *     codec at all; animated GIF and MJPEG-in-AVI are REAL compressed
+  *     video containers decoded frame-by-frame with the bundled GIF/JPEG
+  *     readers), emitting true width/height/sample-rate/frame-count
+  *     metadata and deterministic content features. A failed decode
+  *     nulls BOTH meta and features — no stale upstream meta survives a
+  *     row this decoder could not read.
   *   - `spectralAudioFeatures` — REAL perceptual-audio front end (Hann
   *     + radix-2 FFT power spectrum → centroid/rolloff/log-band
   *     energies) over every encoding the JVM decodes.
@@ -703,6 +704,105 @@ object Multimodal {
       case _: java.io.IOException => None
       case _: IndexOutOfBoundsException => None // truncated stream
     }
+  }
+
+  /** REAL compressed-video decode #2: MJPEG-in-AVI. The RIFF/AVI
+    * container is plain chunk walking (FOURCC + little-endian u32 size,
+    * `LIST` recursion, even-byte padding — no codec involved), and every
+    * video frame chunk (`##dc`/`##db`) holds one complete JPEG the JDK's
+    * bundled reader decodes; together they retire the video stub for the
+    * classic camera/capture interchange format. Stamps meta
+    * width/height from the `avih` main header (frame-0 probe as
+    * fallback) and n_frames from the TRUE frame-chunk count, and samples
+    * up to `sampleFrames` evenly-spaced frames into the same
+    * `thumb`×`thumb` luminance thumbnails as the other video decoders —
+    * MJPEG is all-intraframe, so frames decode independently (no
+    * compositing pass, unlike GIF). Not-an-AVI / truncated / undecodable
+    * rows get null meta AND features.
+    *
+    * Same per-partition amortization: ONE JPEG reader per partition,
+    * reset per frame.
+    */
+  def decodeMjpegAvi(df: DataFrame, sampleFrames: Int = 4, thumb: Int = 8): DataFrame = {
+    val outSchema = StructType(df.schema.fields
+      .map(f => if (f.name == "meta") f.copy(nullable = true) else f) :+
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true))
+    val contentIdx = df.schema.fieldIndex("content")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+      rows.map { r =>
+        val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
+        decodeAviBytes(reader, bytes, sampleFrames, thumb) match {
+          case Some((w, h, nFrames, feats)) =>
+            val meta = Row(w, h, null, nFrames)
+            Row.fromSeq(r.toSeq.updated(metaIdx, meta) :+ feats.toSeq)
+          case None => Row.fromSeq(r.toSeq.updated(metaIdx, null) :+ null)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** (width, height, frameCount, sampled thumbnails) — None when `bytes`
+    * is not a complete, decodable MJPEG AVI.
+    */
+  private def decodeAviBytes(
+      reader: javax.imageio.ImageReader, bytes: Array[Byte],
+      sampleFrames: Int, thumb: Int): Option[(Int, Int, Int, Array[Float])] = {
+    if (bytes == null || bytes.length < 24) return None
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | (bytes(o + 1) & 0xffL) << 8 |
+        (bytes(o + 2) & 0xffL) << 16 | (bytes(o + 3) & 0xffL) << 24
+    def fourcc(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val end = math.min(bytes.length.toLong, 8L + u32(4)).toInt
+    var w = 0
+    var h = 0
+    var truncated = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(start: Int, stop: Int): Unit = {
+      var o = start
+      while (o + 8 <= stop && !truncated) {
+        val id = fourcc(o)
+        val sz = u32(o + 4)
+        if (sz > Int.MaxValue || o + 8 + sz > stop) { truncated = true; return }
+        val dataOff = o + 8
+        if (id == "LIST") walk(dataOff + 4, dataOff + sz.toInt)
+        else if (id == "avih" && sz >= 40) {
+          w = u32(dataOff + 32).toInt
+          h = u32(dataOff + 36).toInt
+        } else if (id(0).isDigit && id(1).isDigit && id(2) == 'd' &&
+            (id(3) == 'c' || id(3) == 'b') && sz > 0)
+          frames += ((dataOff, sz.toInt))
+        o = dataOff + sz.toInt + (sz.toInt & 1) // chunks pad to even
+      }
+    }
+    try walk(12, end)
+    catch { case _: IndexOutOfBoundsException => return None }
+    if (truncated || frames.isEmpty) return None
+    val n = frames.length
+    val take = math.min(sampleFrames, n)
+    val feats = new Array[Float](take * thumb * thumb)
+    var k = 0
+    while (k < take) {
+      val (off, len) = frames(k * n / take)
+      val img =
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes, off, len))
+          try { reader.setInput(iis, true, true); reader.read(0) }
+          finally iis.close()
+        } catch {
+          case _: java.io.IOException => return None
+          case _: IndexOutOfBoundsException => return None
+        }
+      if (img == null) return None
+      if (w <= 0 || h <= 0) { w = img.getWidth; h = img.getHeight }
+      System.arraycopy(lumaThumb(img, thumb), 0, feats, k * thumb * thumb,
+        thumb * thumb)
+      k += 1
+    }
+    Some((w, h, n, feats))
   }
 
   private def childNamed(n: org.w3c.dom.Node, name: String): Option[org.w3c.dom.Node] = {

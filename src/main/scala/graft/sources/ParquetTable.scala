@@ -218,9 +218,10 @@ object ParquetTable {
   def create(
       df: DataFrame, path: String, partitionColumns: Seq[String] = Nil,
       filesPerPartition: Int = 1): Unit =
-    if (partitionColumns.nonEmpty)
+    if (partitionColumns.nonEmpty) {
+      Constraints.validateFrame(df.sparkSession, path, df)
       writePlain(df, path, partitionColumns, filesPerPartition)
-    else atomicReplace(df.sparkSession, path, df, Nil)
+    } else atomicReplace(df.sparkSession, path, df, Nil)
 
   /** Cluster rows onto their target partitions before a `partitionBy`
     * write. Without this every write task opens a writer for every
@@ -256,6 +257,9 @@ object ParquetTable {
   def append(
       df: DataFrame, path: String, partitionColumns: Seq[String] = Nil,
       filesPerPartition: Int = 1): Unit = {
+    // plain layout: no pre-publish dir to read back, so the incoming
+    // frame is validated instead (one pass; no-op without constraints)
+    Constraints.validateFrame(df.sparkSession, path, df)
     val w = clusterByPartitions(df, partitionColumns, filesPerPartition)
       .write.mode(SaveMode.Append)
     (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
@@ -442,6 +446,20 @@ object ParquetTable {
   // changed partitions into one fresh dir and re-points only those entries,
   // so untouched partitions are never rewritten (and old manifests keep
   // seeing their old dirs: snapshot isolation + time travel).
+
+  /** CHECK-constraint gate between a commit's parquet write and its
+    * manifest publish (see [[Constraints.validateWritten]]): a violation
+    * removes the just-written orphan dir and fails the commit, so
+    * readers never see it. No-op when the table has no constraints.
+    */
+  private def validateCommit(spark: SparkSession, path: String, dataDir: String): Unit =
+    try Constraints.validateWritten(spark, path, new Path(path, dataDir).toString)
+    catch {
+      case e: Throwable =>
+        val dd = new Path(path, dataDir)
+        hadoopFs(spark, dd).delete(dd, true)
+        throw e
+    }
 
   private def manifestRaw(spark: SparkSession, path: String, version: Long): String = {
     val f = new Path(manifestDir(path), f"v$version%020d")
@@ -633,6 +651,7 @@ object ParquetTable {
       writePlain(df, new Path(path, dataDir).toString, partitionColumns,
         filesPerPartition)
     DataSkipping.writeStats(spark, new Path(path, dataDir).toString, df.schema)
+    validateCommit(spark, path, dataDir)
     val entries = partitionDirsOf(df, partitionColumns)
       .map(p => s"$p\t$dataDir").mkString("\n")
     var committed = false
@@ -719,6 +738,7 @@ object ParquetTable {
             filesPerPartition)
           DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
             merged.schema)
+          validateCommit(spark, path, dataDir)
           val newEntries = (entryMap ++ affected.map(_ -> dataDir)).toSeq.sorted
             .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
           committed = commitVersion(spark, path, v + 1, newEntries)
@@ -841,6 +861,7 @@ object ParquetTable {
             writePlain(newSlice, new Path(path, dataDir).toString, partitionColumns)
             DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
               newSlice.schema)
+            validateCommit(spark, path, dataDir)
             // a fully-deleted partition leaves the manifest
             val remaining = partitionDirsOf(newSlice, partitionColumns).toSet
             val newEntries = (entryMap -- affected.filterNot(remaining)) ++
@@ -941,6 +962,7 @@ object ParquetTable {
     val dataDir = freshDataDirName()
     writePlain(df, new Path(path, dataDir).toString, partitionColumns)
     DataSkipping.writeStats(spark, new Path(path, dataDir).toString, df.schema)
+    validateCommit(spark, path, dataDir)
     var attempts = 0
     var committed = -1L
     while (committed < 0) {
@@ -1212,6 +1234,9 @@ object ParquetTable {
       else new Path(sourcePath, body).toString
     require(commitVersion(spark, targetPath, 1L, abs),
       s"shallowClone: lost the creation race at $targetPath")
+    // clones carry the source's CHECK constraints (Delta clones table
+    // properties); drop them on the clone independently if unwanted
+    Constraints.copy(spark, sourcePath, targetPath)
     1L
   }
 

@@ -133,12 +133,21 @@ object GraftSql {
   private val CloneStmt =
     ("""(?is)\s*CREATE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+""" +
       """graft\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+  private val AddConstraintStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+ADD\s+CONSTRAINT\s+""" +
+      """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val DropConstraintStmt =
+    """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   private[sql] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case RestoreStmt(path, v) => Some(GraftRestoreCommand(path, v.toLong))
       case CloneStmt(target, source, v) =>
         Some(GraftCloneCommand(source, target, Option(v).map(_.toLong)))
+      case AddConstraintStmt(path, name, check) =>
+        Some(GraftConstraintCommand(path, name, Some(check.trim)))
+      case DropConstraintStmt(path, name) =>
+        Some(GraftConstraintCommand(path, name, None))
       case OptimizeStmt(path, cols) => Some(GraftOptimizeCommand(path,
         cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
           .filter(_.nonEmpty)))
@@ -347,6 +356,26 @@ case class GraftCloneCommand(
 
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(ParquetTable.shallowClone(session, sourcePath, targetPath, version)))
+}
+
+/** `ALTER TABLE graft.`path` ADD CONSTRAINT name CHECK (expr)` /
+  * `… DROP CONSTRAINT name` — Delta's CHECK-constraint DDL (see
+  * `Constraints`: ADD validates existing data in one scan; every later
+  * commit validates its own writes before publishing).
+  */
+case class GraftConstraintCommand(
+    path: String, name: String, check: Option[String])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    check match {
+      case Some(c) => graft.sources.Constraints.add(session, path, name, c)
+      case None => graft.sources.Constraints.drop(session, path, name)
+    }
+    Nil
+  }
 }
 
 /** `OPTIMIZE graft.`path` ZORDER BY (c1, c2…)`: republishes the current

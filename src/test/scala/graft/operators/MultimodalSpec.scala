@@ -288,6 +288,68 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(got - e) < 0.02, s"$got vs $e") }
   }
 
+  /** MJPEG AVI of solid gray frames: a real RIFF container (LIST/chunk
+    * layout with even-byte padding, avih main header) wrapping real
+    * JPEG-encoded frames from the JDK's writer.
+    */
+  private def mjpegAvi(w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {
+    def u32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ u32(data.length) ++ data ++ pad
+    }
+    def list(kind: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ children)
+    val jpegs = lumas.map { l =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(l, l, l))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avih = chunk("avih", u32(40000) ++ u32(0) ++ u32(0) ++ u32(0) ++
+      u32(jpegs.length) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(w) ++ u32(h) ++
+      Array.fill[Byte](16)(0))
+    val hdrl = list("hdrl", avih)
+    val movi = list("movi", jpegs.map(j => chunk("00dc", j)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ u32(body.length) ++ body
+  }
+
+  test("decodeMjpegAvi: real RIFF+JPEG decode — dims from avih, per-frame luma") {
+    val lumas = Seq(20, 128, 235)
+    val out = Multimodal.decodeMjpegAvi(
+      mediaFrame("clip.avi", mjpegAvi(16, 8, lumas), "video"),
+      sampleFrames = 3, thumb = 2)
+      .selectExpr("meta.width", "meta.height", "meta.n_frames", "features").head()
+    assert(out.getInt(0) === 16 && out.getInt(1) === 8)
+    assert(out.getInt(2) === 3)
+    val f = out.getSeq[Float](3)
+    assert(f.length === 3 * 2 * 2)
+    // solid gray survives JPEG near-exactly; generous lossy tolerance
+    lumas.zipWithIndex.foreach { case (l, i) =>
+      for (c <- 0 until 4)
+        assert(math.abs(f(i * 4 + c) - l / 255.0f) < 0.03,
+          s"frame $i cell $c: ${f(i * 4 + c)} vs ${l / 255.0f}")
+    }
+  }
+
+  test("decodeMjpegAvi: corrupt and truncated inputs clear meta and features") {
+    val junk = mediaFrame("junk.avi", Array.tabulate[Byte](64)(_.toByte), "video")
+    val j = Multimodal.decodeMjpegAvi(junk).select("meta", "features").head()
+    assert(j.isNullAt(0) && j.isNullAt(1))
+    val whole = mjpegAvi(8, 8, Seq(40, 200))
+    val cut = mediaFrame("cut.avi", whole.take(whole.length - 10), "video")
+    val c = Multimodal.decodeMjpegAvi(cut).select("meta", "features").head()
+    assert(c.isNullAt(0) && c.isNullAt(1))
+  }
+
   /** Mono 16-bit PCM WAV holding a pure sine at `freq` Hz. */
   private def sineWav(rate: Int, frames: Int, freq: Double, amp: Double = 0.8): Array[Byte] = {
     val raw = new Array[Byte](frames * 2)
