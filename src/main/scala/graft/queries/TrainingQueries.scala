@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Ann, IvfAnn, TextDedup}
+import graft.operators.{Ann, IvfAnn, SequencePack, TextDedup}
 
 /** Training-data-pipeline operator battery over `documents`/`embeddings`:
   * text stats, language ID, quality, fingerprinting, four dedup flavors,
@@ -364,6 +364,17 @@ object TrainingQueries {
         .select(col("doc_id"), col("n_grams"), col("n_matched"),
           round(col("overlap"), 4).as("overlap"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Greedy sequence packing (training-example packing): docs fill
+    // 120-token sequences per lang shard in doc_id order. The oracle is
+    // a DuckDB recursive CTE replaying the exact greedy recurrence.
+    "q65_sequence_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+      SequencePack.packGreedy(docs, Seq("lang"), "doc_id", "n_tokens", capacity = 120)
+        .orderBy(col("lang"), col("doc_id"))
     }))
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -504,6 +515,28 @@ object TrainingQueries {
          |  round(coalesce(m.n_matched, 0)::DOUBLE / t.n_grams, 4) AS overlap
          |FROM tot t LEFT JOIN m USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+
+    "q65_sequence_pack" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT lang, doc_id,
+        |    len(string_split_regex(lower(text), '\s+'))::BIGINT AS n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, doc_id, n_tokens, rn,
+        |    0::BIGINT AS seq_id, 0::BIGINT AS seq_off, n_tokens AS filled
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.doc_id, d.n_tokens, d.rn,
+        |    CASE WHEN p.filled + d.n_tokens <= 120 THEN p.seq_id
+        |         ELSE p.seq_id + 1 END,
+        |    CASE WHEN p.filled + d.n_tokens <= 120 THEN p.filled
+        |         ELSE 0::BIGINT END,
+        |    CASE WHEN p.filled + d.n_tokens <= 120 THEN p.filled + d.n_tokens
+        |         ELSE d.n_tokens END
+        |  FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
+        |SELECT lang, doc_id, n_tokens, seq_id, seq_off
+        |FROM p ORDER BY lang, doc_id""".stripMargin,
 
     "q28_simhash_neardup" -> simHashOracle,
     "q29_lsh_ann" -> lshAnnOracle,
