@@ -323,6 +323,14 @@ object ParquetTable {
     * combinable with `cdf` in one call (a change feed cannot straddle
     * two schemas in one commit): evolve first, capture from the next
     * merge.
+    *
+    * `txn = Some(appId -> txnVersion)` makes the merge IDEMPOTENT under
+    * re-delivery (Delta's `txnAppId`/`txnVersion`): the marker commits
+    * atomically with the data, a batch at or below the app's committed
+    * watermark is skipped entirely, and the commit loops re-check under
+    * the CAS race so two racing replays of one batch commit once. This
+    * is the exactly-once primitive for streaming foreachBatch sinks
+    * (txnVersion = batchId); txn versions must be monotone per app.
     */
   def merge(
       spark: SparkSession,
@@ -332,12 +340,25 @@ object ParquetTable {
       partitionColumns: Seq[String] = Nil,
       filesPerPartition: Int = 1,
       cdf: Boolean = false,
-      evolveSchema: Boolean = false): Unit = {
+      evolveSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Unit = {
     require(!(cdf && evolveSchema),
       "merge: cdf capture and schema evolution cannot share a commit; " +
         "evolve first, then capture from the next merge")
+    requireTxnAppId(txn)
+    // idempotent-write fast path (Delta txnAppId/txnVersion): a batch at
+    // or below the app's committed watermark is a re-delivery — skip it
+    // before any work. The commit loops re-check under the CAS race.
+    if (exists(spark, path) && txnAlreadyApplied(spark, path, txn)) return
     if (!exists(spark, path)) {
-      create(updates.dropDuplicates(pk), path, partitionColumns, filesPerPartition)
+      if (partitionColumns.isEmpty)
+        atomicReplace(spark, path, updates.dropDuplicates(pk), Nil, txn)
+      else {
+        require(txn.isEmpty, "merge: txn markers need a versioned table; the " +
+          "initial partitioned load via merge is a plain layout (use " +
+          "createVersioned + mergeVersioned for versioned partitioned txn)")
+        create(updates.dropDuplicates(pk), path, partitionColumns, filesPerPartition)
+      }
       return
     }
     // a partitioned VERSIONED table (manifest with partition entries)
@@ -347,7 +368,7 @@ object ParquetTable {
       require(partitionColumns.nonEmpty,
         s"merge: $path is a partitioned versioned table; pass its partition columns")
       mergeVersioned(spark, path, updates, pk, partitionColumns, filesPerPartition,
-        cdf, evolveSchema)
+        cdf, evolveSchema, txn)
       return
     }
     val target = read(spark, path)
@@ -355,6 +376,8 @@ object ParquetTable {
       require(!cdf, s"merge: cdf capture needs a versioned table; $path is a " +
         "plain partitioned layout (use createVersioned/mergeVersioned)")
       require(!evolveSchema, s"merge: schema evolution needs a versioned table; " +
+        s"$path is a plain partitioned layout")
+      require(txn.isEmpty, s"merge: txn markers need a versioned table; " +
         s"$path is a plain partitioned layout")
       // Partition-scoped merge: read ONLY the affected partitions (partition
       // pruning via a dynamic IN-filter on collected partition values — the
@@ -372,15 +395,16 @@ object ParquetTable {
       }
     } else if (evolveSchema) {
       atomicReplace(spark, path,
-        mergeFrames(target, updates, pk, evolveSchema = true), Nil)
+        mergeFrames(target, updates, pk, evolveSchema = true), Nil, txn)
     } else {
       val merged = mergeFrames(target, updates, pk)
-      val v = atomicReplace(spark, path, merged, Nil)
+      val v = atomicReplace(spark, path, merged, Nil, txn)
       // capture is derived from the COMMITTED image, not by re-evaluating
       // the update plan: a lazy dedup could pick a different row per
       // duplicate PK on re-execution, and the feed must never disagree
-      // with what the commit actually published
-      if (cdf) writeChangeManifest(spark, path, v,
+      // with what the commit actually published (v < 0 = txn re-delivery
+      // detected under the race: nothing committed, nothing to capture)
+      if (v >= 0 && cdf) writeChangeManifest(spark, path, v,
         changeRowsBetween(target, readVersion(spark, path, v), pk, "right_outer"))
     }
   }
@@ -425,15 +449,20 @@ object ParquetTable {
     * writer committed that version first.
     */
   private def commitVersion(
-      spark: SparkSession, path: String, version: Long, content: String): Boolean = {
+      spark: SparkSession, path: String, version: Long, content: String,
+      txn: Option[(String, Long)] = None): Boolean = {
     val md = manifestDir(path)
     val target = new Path(md, f"v$version%020d")
     // `#ts=` header: the commit wall-clock becomes committed state inside
     // the atomically-published manifest (what TIMESTAMP AS OF resolves
     // against) — unlike file mtimes, it survives copies/restores of the
-    // table directory. Parsers read through manifestContent, which strips
-    // `#` lines, so the dir-listing format is unchanged.
-    val stamped = s"#ts=${System.currentTimeMillis()}\n$content"
+    // table directory. `#txn=` records an application transaction id in
+    // the SAME atomic publish (what [[lastTxnVersion]] reads — Delta's
+    // txnAppId/txnVersion idempotent-write tier). Parsers read through
+    // manifestContent, which strips `#` lines, so the dir-listing format
+    // is unchanged.
+    val txnHeader = txn.map { case (app, tv) => s"#txn=$app:$tv\n" }.getOrElse("")
+    val stamped = s"#ts=${System.currentTimeMillis()}\n$txnHeader$content"
     logCommitter.commit(hadoopFs(spark, md), target, stamped.getBytes("UTF-8"))
   }
 
@@ -488,6 +517,40 @@ object ParquetTable {
   def commitTimestamp(spark: SparkSession, path: String, version: Long): Option[Long] =
     manifestRaw(spark, path, version).linesIterator
       .find(_.startsWith("#ts=")).flatMap(_.stripPrefix("#ts=").trim.toLongOption)
+
+  /** The `txnVersion` most recently committed for `appId` (Delta's
+    * `txn.lastWriteVersion` — the idempotent-write watermark): scans
+    * manifests newest-first and returns the first `#txn=` entry for the
+    * app, so with monotone txn versions per app (the streaming-batch-id
+    * contract) this is the highest committed one. Cost is one small
+    * manifest read per version until a hit — bounded by `vacuum`
+    * retention, and in steady streaming the hit is within the last few
+    * commits. None when the app never committed (or its commits were
+    * vacuumed: retain at least one committed-txn version per app, or
+    * re-deliveries older than retention will re-apply — Delta's
+    * documented vacuum/txn interaction).
+    */
+  def lastTxnVersion(spark: SparkSession, path: String, appId: String): Option[Long] =
+    versions(spark, path).sorted(Ordering[Long].reverse).iterator
+      .map(v => manifestRaw(spark, path, v).linesIterator
+        .find(_.startsWith(s"#txn=$appId:"))
+        .flatMap(_.stripPrefix(s"#txn=$appId:").trim.toLongOption))
+      .collectFirst { case Some(tv) => tv }
+
+  private def requireTxnAppId(txn: Option[(String, Long)]): Unit =
+    txn.foreach { case (app, _) =>
+      require(app.matches("[A-Za-z0-9_.\\-]+"),
+        s"txn appId must be [A-Za-z0-9_.-]+, got '$app'")
+    }
+
+  /** True when `txn` names a batch at or below the app's committed
+    * watermark — the write is a re-delivery and must be skipped.
+    */
+  private def txnAlreadyApplied(
+      spark: SparkSession, path: String, txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (app, tv) =>
+      lastTxnVersion(spark, path, app).exists(_ >= tv)
+    }
 
   /** Partition entries of `version`: Some(partitionDir → dataDir) for
     * partitioned manifests, None for unpartitioned ones.
@@ -628,9 +691,9 @@ object ParquetTable {
     */
   def createVersioned(
       df: DataFrame, path: String, partitionColumns: Seq[String],
-      filesPerPartition: Int = 1): Unit =
+      filesPerPartition: Int = 1, txn: Option[(String, Long)] = None): Unit =
     publishVersioned(df, path, partitionColumns, filesPerPartition,
-      preserveLayout = false)
+      preserveLayout = false, txn)
 
   /** Shared partitioned-version publish. `preserveLayout = true` writes
     * `df`'s task layout as-is (no per-partition re-clustering) — the
@@ -639,7 +702,8 @@ object ParquetTable {
     */
   private def publishVersioned(
       df: DataFrame, path: String, partitionColumns: Seq[String],
-      filesPerPartition: Int, preserveLayout: Boolean): Unit = {
+      filesPerPartition: Int, preserveLayout: Boolean,
+      txn: Option[(String, Long)] = None): Unit = {
     require(partitionColumns.nonEmpty,
       "createVersioned is for partitioned tables; use create for unpartitioned")
     val spark = df.sparkSession
@@ -660,7 +724,7 @@ object ParquetTable {
       attempts += 1
       require(attempts <= 10, s"createVersioned: lost the version race at $path")
       val v = currentVersion(spark, path).getOrElse(0L) + 1
-      committed = commitVersion(spark, path, v, entries)
+      committed = commitVersion(spark, path, v, entries, txn)
     }
   }
 
@@ -680,19 +744,22 @@ object ParquetTable {
       partitionColumns: Seq[String],
       filesPerPartition: Int = 1,
       cdf: Boolean = false,
-      evolveSchema: Boolean = false): Unit = {
+      evolveSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Unit = {
     require(partitionColumns.nonEmpty, "mergeVersioned needs partition columns")
     require(!(cdf && evolveSchema),
       "mergeVersioned: cdf capture and schema evolution cannot share a commit")
+    requireTxnAppId(txn)
     val upd = updates.dropDuplicates(pk)
     var committed = false
     var attempts = 0
     while (!committed) {
       attempts += 1
       require(attempts <= 10, s"mergeVersioned: lost the version race at $path")
+      if (txnAlreadyApplied(spark, path, txn)) return
       currentVersion(spark, path) match {
         case None =>
-          createVersioned(upd, path, partitionColumns, filesPerPartition)
+          createVersioned(upd, path, partitionColumns, filesPerPartition, txn)
           committed = true
         case Some(v) =>
           val entries = partitionEntries(spark, path, v).getOrElse(
@@ -741,7 +808,7 @@ object ParquetTable {
           validateCommit(spark, path, dataDir)
           val newEntries = (entryMap ++ affected.map(_ -> dataDir)).toSeq.sorted
             .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
-          committed = commitVersion(spark, path, v + 1, newEntries)
+          committed = commitVersion(spark, path, v + 1, newEntries, txn)
           if (!committed) {
             val dd = new Path(path, dataDir)
             hadoopFs(spark, dd).delete(dd, true)
@@ -953,12 +1020,20 @@ object ParquetTable {
     * so last-writer-wins is explicit and race recovery is O(manifest). Old
     * versions stay intact (and readable via `readAt`) until `vacuum`.
     * Returns the committed version number.
+    *
+    * `txn` (appId → txnVersion) records an idempotent-write marker in the
+    * same atomic commit; a re-delivery detected on a retry (another
+    * writer committed this txn while we raced) abandons the write, cleans
+    * up the orphan dir, and returns -1 — the caller must treat -1 as
+    * "already applied, nothing committed".
     */
   def atomicReplace(
       spark: SparkSession,
       path: String,
       df: DataFrame,
-      partitionColumns: Seq[String]): Long = {
+      partitionColumns: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
+    requireTxnAppId(txn)
     val dataDir = freshDataDirName()
     writePlain(df, new Path(path, dataDir).toString, partitionColumns)
     DataSkipping.writeStats(spark, new Path(path, dataDir).toString, df.schema)
@@ -973,8 +1048,13 @@ object ParquetTable {
         throw new java.io.IOException(
           s"atomicReplace: lost the version race at $path $attempts times; giving up")
       }
+      if (txnAlreadyApplied(spark, path, txn)) {
+        val dd = new Path(path, dataDir)
+        hadoopFs(spark, dd).delete(dd, true)
+        return -1L
+      }
       val v = currentVersion(spark, path).getOrElse(0L) + 1
-      if (commitVersion(spark, path, v, dataDir)) committed = v
+      if (commitVersion(spark, path, v, dataDir, txn)) committed = v
     }
     committed
   }
@@ -1168,6 +1248,54 @@ object ParquetTable {
         new java.sql.Timestamp(mtime))
     }.toDF("version", "partitioned", "n_entries", "n_data_dirs",
       "has_change_manifest", "commit_ts", "manifest_mtime")
+  }
+
+  /** DESCRIBE-DETAIL tier (Delta `DESCRIBE DETAIL`): one metadata-only
+    * row for the CURRENT snapshot — version, commit instant, partition
+    * shape, file/row counts from the stats sidecars (no data I/O; counts
+    * are None when some dir predates sidecars), history depth, and the
+    * CHECK-constraint count. Plain parquet dirs report format "parquet"
+    * with only the location filled.
+    */
+  def detail(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val row = currentVersion(spark, path) match {
+      case None =>
+        Seq((path, "parquet", Option.empty[Long],
+          Option.empty[java.sql.Timestamp], false, Seq.empty[String],
+          0, 0, Option.empty[Long], Option.empty[Long], 0, 0))
+      case Some(v) =>
+        val entries = partitionEntries(spark, path, v)
+        val partCols = entries.map(_.head._1.split('/').toSeq.map(_.split('=')(0)))
+          .getOrElse(Nil)
+        // (dataDir, referenced partition prefixes — empty = whole dir)
+        val dirRefs: Seq[(String, Seq[String])] = entries match {
+          case None => Seq((manifestContent(spark, path, v).trim, Nil))
+          case Some(es) => es.groupBy(_._2).toSeq.sortBy(_._1)
+            .map { case (dd, ps) => (dd, ps.map(_._1)) }
+        }
+        val perDir = dirRefs.map { case (dd, parts) =>
+          DataSkipping.readStats(spark, new Path(path, dd).toString).map { sc =>
+            val files = sc.files.filter { case (rel, _) =>
+              parts.isEmpty || parts.exists(p => rel.startsWith(p + "/"))
+            }
+            (files.size.toLong, files.values.map(_.rows).sum)
+          }
+        }
+        val (nf, nr) =
+          if (perDir.forall(_.isDefined))
+            (Some(perDir.flatMap(_.map(_._1)).sum), Some(perDir.flatMap(_.map(_._2)).sum))
+          else (None, None)
+        Seq((path, "graft", Some(v),
+          commitTimestamp(spark, path, v).map(new java.sql.Timestamp(_)),
+          entries.isDefined, partCols,
+          entries.map(_.size).getOrElse(0), dirRefs.size, nf, nr,
+          versions(spark, path).size,
+          Constraints.list(spark, path).size))
+    }
+    row.toDF("location", "format", "version", "commit_ts", "partitioned",
+      "partition_columns", "n_partitions", "n_data_dirs", "num_files",
+      "num_rows", "n_versions", "n_constraints")
   }
 
   /** RESTORE-TABLE tier: republish the image of `version` as the NEXT

@@ -130,6 +130,8 @@ object GraftSql {
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val HistoryStmt =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  private val DetailStmt =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val CloneStmt =
     ("""(?is)\s*CREATE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+""" +
       """graft\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
@@ -154,6 +156,7 @@ object GraftSql {
       case VacuumStmt(path, retain) => Some(GraftVacuumCommand(path,
         Option(retain).map(_.toInt).getOrElse(2)))
       case HistoryStmt(path) => Some(GraftHistoryCommand(path))
+      case DetailStmt(path) => Some(GraftDetailCommand(path))
       case _ => None
     }
 
@@ -337,6 +340,34 @@ case class GraftRestoreCommand(path: String, version: Long)
 
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(ParquetTable.restore(session, path, version)))
+}
+
+/** `DESCRIBE DETAIL graft.`path``: one metadata-only row for the current
+  * snapshot (see `ParquetTable.detail` — sidecar-derived counts, no data
+  * I/O).
+  */
+case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType, LongType, StringType, TimestampType}
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = true)(),
+    AttributeReference("commit_ts", TimestampType, nullable = true)(),
+    AttributeReference("partitioned", BooleanType, nullable = false)(),
+    AttributeReference("partition_columns", ArrayType(StringType, containsNull = false),
+      nullable = false)(),
+    AttributeReference("n_partitions", IntegerType, nullable = false)(),
+    AttributeReference("n_data_dirs", IntegerType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = true)(),
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("n_versions", IntegerType, nullable = false)(),
+    AttributeReference("n_constraints", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    ParquetTable.detail(session, path).collect().toSeq
 }
 
 /** `CREATE TABLE graft.`target` SHALLOW CLONE graft.`source`

@@ -21,6 +21,14 @@ object StreamingIngest {
   /** Stream new CSVs from `inputDir` through validate → dedup → MERGE into
     * the curated table. One batch per trigger; MERGE idempotency makes the
     * pipeline exactly-once at the table level even on replay.
+    *
+    * `txnAppId` upgrades replay safety from PK-idempotence to COMMIT
+    * idempotence: each batch merges with `txn = appId -> batchId`
+    * (Delta's foreachBatch txnVersion idiom), so a batch re-delivered
+    * after a checkpoint/commit crash window is skipped wholesale instead
+    * of re-merged — the distinction matters once merges carry CDF
+    * capture or non-PK side effects. Needs a versioned target: leave
+    * unset for plain partitioned layouts.
     */
   def csvStreamUpsert(
       spark: SparkSession,
@@ -28,7 +36,8 @@ object StreamingIngest {
       spec: TableSpec,
       tablePath: String,
       checkpointDir: String,
-      references: Map[String, DataFrame] = Map.empty): StreamingQuery = {
+      references: Map[String, DataFrame] = Map.empty,
+      txnAppId: Option[String] = None): StreamingQuery = {
     val relaxed = org.apache.spark.sql.types.StructType(
       spec.schema.fields.map(_.copy(nullable = true)))
     val stream = spark.readStream
@@ -39,12 +48,13 @@ object StreamingIngest {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val conformed = CsvIngest.conform(batch, spec.schema)
         val valid = Validator.split(conformed, spec, references).valid
         val deduped = Deduplicator.dropDuplicatesByKey(valid, spec.primaryKey)
         ParquetTable.merge(batch.sparkSession, tablePath, deduped,
-          spec.primaryKey, spec.partitionColumns)
+          spec.primaryKey, spec.partitionColumns,
+          txn = txnAppId.map(_ -> batchId))
       }
       .start()
   }

@@ -251,6 +251,30 @@ class MergeIntoSpec extends SparkSpec {
     assert(GraftSql.sql(spark, s"DESC HISTORY graft.`$path`").count() === 2L)
   }
 
+  test("DESCRIBE DETAIL reports snapshot metadata from sidecars only") {
+    val path = tmpDir("sqldetail") + "/t"
+    ParquetTable.create(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), path) // v1
+    ParquetTable.merge(spark, path, Seq((3L, 30.0)).toDF("id", "bal"), Seq("id")) // v2
+    graft.sources.Constraints.add(spark, path, "bal_pos", "bal > 0")
+    val d = GraftSql.sql(spark, s"DESCRIBE DETAIL graft.`$path`").head()
+    assert(d.getString(d.fieldIndex("format")) === "graft")
+    assert(d.getLong(d.fieldIndex("version")) === 2L)
+    assert(!d.isNullAt(d.fieldIndex("commit_ts")))
+    assert(!d.getBoolean(d.fieldIndex("partitioned")))
+    assert(d.getLong(d.fieldIndex("num_rows")) === 3L)
+    assert(d.getInt(d.fieldIndex("n_versions")) === 2)
+    assert(d.getInt(d.fieldIndex("n_constraints")) === 1)
+    // partitioned variant counts partitions and referenced files
+    val p2 = tmpDir("sqldetail-p") + "/t"
+    ParquetTable.createVersioned(
+      Seq((1L, "d1"), (2L, "d2")).toDF("id", "day"), p2, Seq("day"))
+    val dp = GraftSql.sql(spark, s"DESC DETAIL graft.`$p2`").head()
+    assert(dp.getBoolean(dp.fieldIndex("partitioned")))
+    assert(dp.getSeq[String](dp.fieldIndex("partition_columns")) === Seq("day"))
+    assert(dp.getInt(dp.fieldIndex("n_partitions")) === 2)
+    assert(dp.getLong(dp.fieldIndex("num_rows")) === 2L)
+  }
+
   test("graft_table_changes TVF: the per-commit CDF as a SQL relation") {
     val path = tmpDir("sqltvf") + "/t"
     ParquetTable.create(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), path) // v1

@@ -36,6 +36,28 @@ class StreamingIngestSpec extends SparkSpec {
     assert(rows === Map(101 -> 99.0, 103 -> 7.0))
   }
 
+  test("csvStreamUpsert with txnAppId: a from-scratch replay commits nothing") {
+    val root = tmpDir("stream-txn")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    val hdr = "order_num,order_id,user_id,order_timestamp,total_amount,date\n"
+    Files.writeString(Paths.get(in, "day1.csv"),
+      hdr + "1,101,1,2025-04-01 10:00:00,12.5,2025-04-01\n")
+    val spec = Schemas.ordersSpec.copy(partitionColumns = Nil)
+    StreamingIngest.csvStreamUpsert(spark, in, spec, s"$root/table",
+      s"$root/ckpt", txnAppId = Some("orders_stream")).awaitTermination()
+    assert(ParquetTable.read(spark, s"$root/table").count() === 1)
+    assert(ParquetTable.lastTxnVersion(spark, s"$root/table", "orders_stream")
+      === Some(0L)) // first micro-batch id
+    // lose the checkpoint entirely (worst-case redelivery): the stream
+    // reprocesses day1 as batch 0 again, and the txn marker — not PK
+    // idempotence — skips the whole commit: still exactly one version
+    StreamingIngest.csvStreamUpsert(spark, in, spec, s"$root/table",
+      s"$root/ckpt-rebuilt", txnAppId = Some("orders_stream")).awaitTermination()
+    assert(ParquetTable.currentVersion(spark, s"$root/table") === Some(1L))
+    assert(ParquetTable.read(spark, s"$root/table").count() === 1)
+  }
+
   test("streamDedupIngest: cross-batch dedup through the fingerprint store") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val root = tmpDir("stream-dedup")
