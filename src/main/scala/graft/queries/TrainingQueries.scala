@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Ann, IvfAnn, SequencePack, TextDedup}
+import graft.operators.{Ann, IvfAnn, MixtureSample, SequencePack, TextDedup}
 
 /** Training-data-pipeline operator battery over `documents`/`embeddings`:
   * text stats, language ID, quality, fingerprinting, four dedup flavors,
@@ -375,6 +375,16 @@ object TrainingQueries {
           size(tokens(col("text"))).cast("long").as("n_tokens"))
       SequencePack.packGreedy(docs, Seq("lang"), "doc_id", "n_tokens", capacity = 120)
         .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // Mixture balancing: downsample to en:5 / de:3 / fr:2 weights with
+    // data-derived exact quotas and hash-rank selection; es/zh are
+    // unweighted and drop. The oracle replays quotas and ranks exactly.
+    "q66_mixture_sample" -> ((s, d) => {
+      MixtureSample.toWeights(Tables.documents(s, d), "lang", "doc_id",
+          Map("en" -> 5L, "de" -> 3L, "fr" -> 2L))
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
     }))
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -537,6 +547,22 @@ object TrainingQueries {
         |  FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
         |SELECT lang, doc_id, n_tokens, seq_id, seq_off
         |FROM p ORDER BY lang, doc_id""".stripMargin,
+
+    "q66_mixture_sample" ->
+      """WITH w(lang, wt) AS (VALUES ('en', 5), ('de', 3), ('fr', 2)),
+        |c AS (SELECT d.lang, count(*) AS cnt, any_value(w.wt) AS wt
+        |      FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang),
+        |n AS (SELECT min(floor(cnt * 10 / wt))::BIGINT AS total FROM c),
+        |q AS (SELECT c.lang, floor(c.wt * n.total / 10)::BIGINT AS quota
+        |      FROM c CROSS JOIN n),
+        |r AS (SELECT d.lang, d.doc_id,
+        |        row_number() OVER (PARTITION BY d.lang
+        |          ORDER BY ((d.doc_id % 1000000007) * 654435747 + 12345)
+        |            % 1000000007, d.doc_id) AS rn
+        |      FROM documents d JOIN q ON d.lang = q.lang)
+        |SELECT r.lang, r.doc_id FROM r JOIN q ON r.lang = q.lang
+        |WHERE r.rn <= q.quota
+        |ORDER BY r.lang, r.doc_id""".stripMargin,
 
     "q28_simhash_neardup" -> simHashOracle,
     "q29_lsh_ann" -> lshAnnOracle,
