@@ -41,8 +41,14 @@ object MixtureSample {
     import spark.implicits._
     val bigW = weights.values.sum
     val wdf = weights.toSeq.toDF(groupCol, "__graft_w")
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__graft_c"))
-      .join(wdf, groupCol)
+    // weights drive the join (left outer): a weighted group with ZERO
+    // corpus rows keeps c_g = 0, making N = 0 — the requested mixture is
+    // unserveable and the sample is honestly empty, instead of silently
+    // emitting a mixture that lacks a positively-weighted group
+    val counts = wdf
+      .join(df.groupBy(col(groupCol)).agg(count(lit(1)).as("__graft_c")),
+        Seq(groupCol), "left_outer")
+      .na.fill(0L, Seq("__graft_c"))
     val n = counts
       .select(min(floor(col("__graft_c") * bigW / col("__graft_w")))
         .cast("long").as("__graft_n"))

@@ -68,8 +68,14 @@ object Constraints {
     val out = hfs.create(tmp, true)
     try out.write(cs.map { case (n, e) => s"$n\t$e" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    hfs.delete(f, false)
-    require(hfs.rename(tmp, f), s"constraint DDL: rename failed at $f")
+    // replace-by-rename first: on local FS rename(2) replaces atomically,
+    // so concurrent readers always see a complete file. HDFS refuses an
+    // existing destination, so fall back to delete+rename there — a
+    // small no-constraints window on HDFS DDL only, never on commits.
+    if (!hfs.rename(tmp, f)) {
+      hfs.delete(f, false)
+      require(hfs.rename(tmp, f), s"constraint DDL: rename failed at $f")
+    }
   }
 
   /** Add a CHECK constraint. Existing data must already satisfy it
@@ -79,6 +85,11 @@ object Constraints {
   def add(spark: SparkSession, table: String, name: String, exprSql: String): Unit = {
     require(name.matches("[A-Za-z0-9_]+"),
       s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    // the storage format is line-per-constraint with a tab separator —
+    // control characters in the expression would corrupt it for every
+    // later reader (and every later commit's validation)
+    require(!exprSql.exists(c => c == '\n' || c == '\r' || c == '\t'),
+      s"constraint $name: CHECK expression must not contain newlines or tabs")
     val cur = list(spark, table)
     require(!cur.exists(_._1.equalsIgnoreCase(name)),
       s"constraint $name already exists on $table")

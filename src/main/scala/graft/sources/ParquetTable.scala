@@ -384,6 +384,10 @@ object ParquetTable {
       // partition-value set is small by construction: one row per partition
       // directory), merge, and rewrite just those partitions.
       val upd = updates.dropDuplicates(pk)
+      // plain layout: no pre-publish dir to read back — validate the
+      // incoming rows like append does (existing rows passed at their
+      // own write time)
+      Constraints.validateFrame(spark, path, upd)
       val parts = upd.select(partitionColumns.map(col): _*).distinct()
       val affected = target.join(parts, partitionColumns.toSeq, "left_semi")
       val merged = mergeFrames(affected, upd, pk)
@@ -723,6 +727,13 @@ object ParquetTable {
     while (!committed) {
       attempts += 1
       require(attempts <= 10, s"createVersioned: lost the version race at $path")
+      // same re-delivery re-check as atomicReplace: losing the CAS to a
+      // racer that committed this very txn must not commit it twice
+      if (txnAlreadyApplied(spark, path, txn)) {
+        val dd = new Path(path, dataDir)
+        hadoopFs(spark, dd).delete(dd, true)
+        return
+      }
       val v = currentVersion(spark, path).getOrElse(0L) + 1
       committed = commitVersion(spark, path, v, entries, txn)
     }
@@ -1350,8 +1361,10 @@ object ParquetTable {
     require(versions(spark, sourcePath).contains(v),
       s"shallowClone: version $v not present at $sourcePath " +
         s"(have: ${versions(spark, sourcePath).mkString(", ")})")
-    require(currentVersion(spark, targetPath).isEmpty,
-      s"shallowClone: $targetPath is already a versioned table")
+    require(!exists(spark, targetPath),
+      s"shallowClone: $targetPath already holds data (clone targets must " +
+        "not exist — a manifest over a plain layout would shadow it and " +
+        "vacuum would then delete it)")
     val body = manifestContent(spark, sourcePath, v).trim
     val abs =
       if (body.contains('\t'))

@@ -194,14 +194,13 @@ object GraftSql {
     def tsMillisOf(path: String, e: Expression): Long = e match {
       case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
         val str = s.toString.trim
-        if (str.forall(_.isDigit)) str.toLong
+        def fail() = throw new IllegalArgumentException(
+          s"graft.`$path` TIMESTAMP AS OF '$str': expected " +
+            "'yyyy-MM-dd[ HH:mm:ss[.f]]' or epoch millis")
+        if (str.nonEmpty && str.forall(_.isDigit)) str.toLongOption.getOrElse(fail())
         else try java.sql.Timestamp.valueOf(
           if (str.length == 10) str + " 00:00:00" else str).getTime
-        catch {
-          case _: IllegalArgumentException => throw new IllegalArgumentException(
-            s"graft.`$path` TIMESTAMP AS OF '$str': expected " +
-              "'yyyy-MM-dd[ HH:mm:ss[.f]]' or epoch millis")
-        }
+        catch { case _: IllegalArgumentException => fail() }
       case Literal(micros: Long, org.apache.spark.sql.types.TimestampType) =>
         Math.floorDiv(micros, 1000L)
       case other => throw new IllegalArgumentException(

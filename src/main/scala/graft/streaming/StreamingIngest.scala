@@ -52,9 +52,17 @@ object StreamingIngest {
         val conformed = CsvIngest.conform(batch, spec.schema)
         val valid = Validator.split(conformed, spec, references).valid
         val deduped = Deduplicator.dropDuplicatesByKey(valid, spec.primaryKey)
-        ParquetTable.merge(batch.sparkSession, tablePath, deduped,
-          spec.primaryKey, spec.partitionColumns,
-          txn = txnAppId.map(_ -> batchId))
+        val txn = txnAppId.map(_ -> batchId)
+        // txn markers need a VERSIONED target; a txn-tracked partitioned
+        // stream therefore goes through mergeVersioned, whose initial
+        // load creates the versioned layout (merge's plain-partitioned
+        // initial load can't carry the marker)
+        if (txn.isDefined && spec.partitionColumns.nonEmpty)
+          ParquetTable.mergeVersioned(batch.sparkSession, tablePath, deduped,
+            spec.primaryKey, spec.partitionColumns, txn = txn)
+        else
+          ParquetTable.merge(batch.sparkSession, tablePath, deduped,
+            spec.primaryKey, spec.partitionColumns, txn = txn)
       }
       .start()
   }

@@ -23,6 +23,13 @@ class MixtureSampleSpec extends SparkSpec {
     assert(out === Map("a" -> 9L, "b" -> 3L))
   }
 
+  test("a weighted group with zero corpus rows makes the mixture unserveable") {
+    val df = docs((1L to 10L).map(("a", _)): _*)
+    val out = MixtureSample.toWeights(df, "grp", "id",
+      Map("a" -> 5L, "missing" -> 1L))
+    assert(out.count() === 0L) // N = 0: no sample can honor the mixture
+  }
+
   test("selection is deterministic and drops unweighted groups") {
     val df = docs((1L to 8L).map(("a", _)) ++ (1L to 8L).map(("b", _)) ++
       (1L to 5L).map(("junk", _)): _*)

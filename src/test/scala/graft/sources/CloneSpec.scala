@@ -64,7 +64,7 @@ class CloneSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       ParquetTable.shallowClone(spark, src, dst, None)
     }
-    assert(e.getMessage.contains("already a versioned table"))
+    assert(e.getMessage.contains("already holds data"))
   }
 
   test("partitioned clone: merge rewrites only touched partitions, rest stay on source dirs") {

@@ -65,6 +65,29 @@ class ConstraintsSpec extends SparkSpec {
       .filter("v = ''").count() === 0L)
   }
 
+  test("plain-partitioned merges validate the incoming rows too") {
+    val path = tmpDir("con-plain") + "/t"
+    ParquetTable.create(df(Row(1, "a", "d1")), path, Seq("day")) // plain layout
+    Constraints.add(spark, path, "id_pos", "id > 0")
+    val e = intercept[IllegalArgumentException] {
+      ParquetTable.merge(spark, path, df(Row(-5, "bad", "d1")), Seq("id"), Seq("day"))
+    }
+    assert(e.getMessage.contains("id_pos"))
+    assert(ParquetTable.read(spark, path).count() === 1L)
+  }
+
+  test("control characters in a CHECK expression are rejected at DDL time") {
+    val path = tmpDir("con-ctrl") + "/t"
+    ParquetTable.create(df(Row(1, "a", "d1")), path)
+    val e = intercept[IllegalArgumentException] {
+      Constraints.add(spark, path, "c1", "id > 0\nAND v <> 'x'")
+    }
+    assert(e.getMessage.contains("must not contain"))
+    assert(Constraints.list(spark, path).isEmpty)
+    // table still writable — the file was never corrupted
+    ParquetTable.merge(spark, path, df(Row(2, "b", "d1")), Seq("id"))
+  }
+
   test("NULL check results pass (SQL CHECK semantics); drop lifts enforcement") {
     val path = tmpDir("con-null") + "/t"
     ParquetTable.create(df(Row(1, "a", "d1")), path)

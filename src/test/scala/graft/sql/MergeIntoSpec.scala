@@ -121,6 +121,11 @@ class MergeIntoSpec extends SparkSpec {
         s"SELECT * FROM graft.`$path` TIMESTAMP AS OF '2000-01-01'")
     }
     assert(e.getMessage.contains("predates the first commit"))
+    // malformed literals get the documented guidance, not a raw NFE
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"SELECT * FROM graft.`$path` TIMESTAMP AS OF ''")
+    }
+    assert(e2.getMessage.contains("expected"))
   }
 
   test("RESTORE TABLE ... TO VERSION AS OF rolls the table back, metadata-only") {

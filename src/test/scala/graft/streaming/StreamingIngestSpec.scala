@@ -58,6 +58,22 @@ class StreamingIngestSpec extends SparkSpec {
     assert(ParquetTable.read(spark, s"$root/table").count() === 1)
   }
 
+  test("csvStreamUpsert txnAppId + partitioned spec creates a versioned table") {
+    val root = tmpDir("stream-txn-part")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    val hdr = "order_num,order_id,user_id,order_timestamp,total_amount,date\n"
+    Files.writeString(Paths.get(in, "day1.csv"),
+      hdr + "1,101,1,2025-04-01 10:00:00,12.5,2025-04-01\n")
+    StreamingIngest.csvStreamUpsert(spark, in, Schemas.ordersSpec, s"$root/table",
+      s"$root/ckpt", txnAppId = Some("part_stream")).awaitTermination()
+    assert(ParquetTable.currentVersion(spark, s"$root/table") === Some(1L))
+    assert(ParquetTable.partitionEntries(spark, s"$root/table", 1L).isDefined)
+    assert(ParquetTable.lastTxnVersion(spark, s"$root/table", "part_stream")
+      === Some(0L))
+    assert(ParquetTable.read(spark, s"$root/table").count() === 1)
+  }
+
   test("streamDedupIngest: cross-batch dedup through the fingerprint store") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val root = tmpDir("stream-dedup")
