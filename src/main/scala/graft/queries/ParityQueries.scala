@@ -639,6 +639,26 @@ object ParityQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Merge-on-read DELETE via deletion vectors (ParquetTable
+    // .deleteVectors): two cumulative vector-delete commits mark rows
+    // without rewriting one data file (the DV is (file, row_index)
+    // pairs, applied as an anti-join on the reader's `_metadata`
+    // columns; spec pins the zero-rewrite property), then the read
+    // serves the survivors. The oracle is the complement of both
+    // predicates over the source table.
+    "q67_dv_delete" -> ((s, d) => {
+      val tmp = scratchDir("graft_q67")
+      ParquetTable.create(Tables.orders(s, d), s"$tmp/t") // versioned v1
+      ParquetTable.deleteVectors(s, s"$tmp/t",
+        col("o_orderstatus") === "F" && col("o_totalprice") < 120000.0) // v2
+      ParquetTable.deleteVectors(s, s"$tmp/t",
+        col("o_orderpriority") === "1-URGENT" && col("o_totalprice") >= 120000.0) // v3
+      ParquetTable.read(s, s"$tmp/t")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Metadata-only aggregates (plans.MetadataAggregates): the whole
     // statement — COUNT(*), COUNT(nullable col) via sidecar null counts,
     // MIN/MAX of int and string columns — folds to a LocalRelation from
@@ -983,6 +1003,15 @@ object ParityQueries {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders
         |WHERE o_custkey <= 500 AND o_totalprice > 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    // graft marks rows in deletion vectors; the oracle keeps the
+    // complement of both delete predicates
+    "q67_dv_delete" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |       round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 120000.0)
+        |  AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice >= 120000.0)
         |ORDER BY o_orderkey""".stripMargin,
     // graft answers from sidecar metadata; the oracle scans — same values
     "q63_metadata_agg" ->

@@ -129,9 +129,13 @@ object ParquetTable {
           val align = versionSchema(spark, path, v)
             .map(s => (df: DataFrame) => alignTo(df, s))
             .getOrElse(identity[DataFrame] _)
+          // deletion vectors filter each leg BEFORE align/union (metadata
+          // columns only resolve on the scan relation); file-level stats
+          // pruning stays conservative — a DV only removes rows
+          val dv = dvOf(spark, path, v)
           groups.filter(_._2.nonEmpty).map { case (base, rels) =>
-            align(spark.read.option("basePath", base)
-              .parquet(rels.map(r => s"$base/$r"): _*))
+            align(dvFilterLeg(spark.read.option("basePath", base)
+              .parquet(rels.map(r => s"$base/$r"): _*), dv))
           }.reduce(_.unionByName(_)).filter(predicate)
         }
     }
@@ -454,7 +458,8 @@ object ParquetTable {
     */
   private def commitVersion(
       spark: SparkSession, path: String, version: Long, content: String,
-      txn: Option[(String, Long)] = None): Boolean = {
+      txn: Option[(String, Long)] = None,
+      dv: Seq[String] = Nil): Boolean = {
     val md = manifestDir(path)
     val target = new Path(md, f"v$version%020d")
     // `#ts=` header: the commit wall-clock becomes committed state inside
@@ -462,11 +467,16 @@ object ParquetTable {
     // against) — unlike file mtimes, it survives copies/restores of the
     // table directory. `#txn=` records an application transaction id in
     // the SAME atomic publish (what [[lastTxnVersion]] reads — Delta's
-    // txnAppId/txnVersion idempotent-write tier). Parsers read through
-    // manifestContent, which strips `#` lines, so the dir-listing format
-    // is unchanged.
+    // txnAppId/txnVersion idempotent-write tier). `#dv=` lists the
+    // deletion-vector dirs this version reads through (see
+    // [[deleteVectors]]) — part of the snapshot, so it must ride the same
+    // atomic commit. Parsers read through manifestContent, which strips
+    // `#` lines, so the dir-listing format is unchanged.
     val txnHeader = txn.map { case (app, tv) => s"#txn=$app:$tv\n" }.getOrElse("")
-    val stamped = s"#ts=${System.currentTimeMillis()}\n$txnHeader$content"
+    // tab-separated: dv entries can be absolute paths (clones), and a
+    // tab is the one separator the body format already forbids in names
+    val dvHeader = if (dv.isEmpty) "" else s"#dv=${dv.mkString("\t")}\n"
+    val stamped = s"#ts=${System.currentTimeMillis()}\n$txnHeader$dvHeader$content"
     logCommitter.commit(hadoopFs(spark, md), target, stamped.getBytes("UTF-8"))
   }
 
@@ -612,7 +622,25 @@ object ParquetTable {
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  private def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
+  /** The snapshot of `version`, deletion vectors applied. When the
+    * version carries no `#dv=` header this is exactly the single-relation
+    * plan [[versionLegs]] builds (FileIndex pruning, metadata-agg
+    * folding); with DVs the legs each gain the anti-join of
+    * [[dvFilterLeg]] — a join plan, which is also what keeps the
+    * metadata-aggregate rule from folding stale sidecar counts.
+    */
+  private def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val dv = dvOf(spark, path, version)
+    versionLegs(spark, path, version).map(dvFilterLeg(_, dv)).reduce(_.unionByName(_))
+  }
+
+  /** The version's scan legs — each a SINGLE file-source relation (so
+    * `_metadata` columns resolve on it), pre-DV. One leg in the sidecar-
+    * served paths; one per data dir only in the legacy no-sidecar
+    * fallback. Callers must apply [[dvFilterLeg]] per leg BEFORE any
+    * projection or union.
+    */
+  private def versionLegs(spark: SparkSession, path: String, version: Long): Seq[DataFrame] =
     partitionEntries(spark, path, version) match {
       case None =>
         // unpartitioned: the manifest body IS the (unique) data dir name,
@@ -625,8 +653,8 @@ object ParquetTable {
         val sidecar = DataSkipping.readStats(spark, dir.toString)
         val schema = sidecar.flatMap(_.schema)
           .getOrElse(spark.read.parquet(dir.toString).schema)
-        GraftColumnBridge.ofFileIndex(spark,
-          new GraftFileIndex(spark, dir, sidecar.map(_.files)), schema)
+        Seq(GraftColumnBridge.ofFileIndex(spark,
+          new GraftFileIndex(spark, dir, sidecar.map(_.files)), schema))
       case Some(entries) =>
         // partitioned: one inner InMemoryFileIndex per data dir, rooted
         // at EXACTLY the partition subdirs this version references
@@ -661,12 +689,12 @@ object ParquetTable {
               .map(_.toLowerCase).toSet
             val dataSchema = org.apache.spark.sql.types.StructType(
               schema.fields.filterNot(f => partCols.contains(f.name.toLowerCase)))
-            GraftColumnBridge.ofFileIndex(spark, index, dataSchema)
+            Seq(GraftColumnBridge.ofFileIndex(spark, index, dataSchema))
           case None =>
             groups.map { case (base, partDirs, _) =>
               spark.read.option("basePath", base.toString)
                 .parquet(partDirs.map(p => s"$base/$p"): _*)
-            }.reduce(_.unionByName(_))
+            }
         }
     }
 
@@ -783,13 +811,18 @@ object ParquetTable {
           // anchor both for aligning mixed-schema affected dirs after an
           // earlier evolution and for widening inserts into new partitions
           val tableSchema = versionSchema(spark, path, v)
+          // deletion vectors apply to the target slice (per leg, before
+          // align/union — see dvFilterLeg) so a merge can never resurrect
+          // vector-deleted rows; the header is carried into the commit
+          // below, keeping deletes on UNTOUCHED partitions in force
+          val dv = dvOf(spark, path, v)
           val target =
             if (existing.isEmpty) None
             else Some(existing.groupBy(entryMap).toSeq.sortBy(_._1).map {
               case (dataDir, parts) =>
                 val base = new Path(path, dataDir).toString
-                val df = spark.read.option("basePath", base)
-                  .parquet(parts.map(p => s"$base/$p"): _*)
+                val df = dvFilterLeg(spark.read.option("basePath", base)
+                  .parquet(parts.map(p => s"$base/$p"): _*), dv)
                 tableSchema.map(alignTo(df, _)).getOrElse(df)
             }.reduce(_.unionByName(_)))
           val merged = target match {
@@ -819,7 +852,8 @@ object ParquetTable {
           validateCommit(spark, path, dataDir)
           val newEntries = (entryMap ++ affected.map(_ -> dataDir)).toSeq.sorted
             .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
-          committed = commitVersion(spark, path, v + 1, newEntries, txn)
+          committed = commitVersion(spark, path, v + 1, newEntries, txn,
+            dv = dvDirs(spark, path, v))
           if (!committed) {
             val dd = new Path(path, dataDir)
             hadoopFs(spark, dd).delete(dd, true)
@@ -924,11 +958,15 @@ object ParquetTable {
             // aligned to the version schema — post-evolution old dirs
             // read appended columns as typed NULLs)
             val sliceSchema = versionSchema(spark, path, v)
+            // vector-deleted rows stay deleted through the rewrite (per-leg
+            // DV filter, before align/union); the dv header is carried into
+            // the commit for the untouched partitions' sake
+            val dv = dvOf(spark, path, v)
             val slice = affected.groupBy(entryMap).toSeq.sortBy(_._1).map {
               case (dataDir, parts) =>
                 val base = new Path(path, dataDir).toString
-                val df = spark.read.option("basePath", base)
-                  .parquet(parts.map(p => s"$base/$p"): _*)
+                val df = dvFilterLeg(spark.read.option("basePath", base)
+                  .parquet(parts.map(p => s"$base/$p"): _*), dv)
                 sliceSchema.map(alignTo(df, _)).getOrElse(df)
             }.reduce(_.unionByName(_))
             val newSlice = resolvedSet match {
@@ -949,7 +987,8 @@ object ParquetTable {
                 "partitioned manifest is unreadable — drop the table instead")
             val content = newEntries.toSeq.sorted
               .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
-            if (commitVersion(spark, path, v + 1, content)) {
+            if (commitVersion(spark, path, v + 1, content,
+                dv = dvDirs(spark, path, v))) {
               if (cdf) writeChangeManifest(spark, path, v + 1,
                 captureRewrite(matched, resolvedSet))
               result = v + 1
@@ -1124,6 +1163,127 @@ object ParquetTable {
           .otherwise(lit("update")).as("_change_type"): _*)
   }
 
+  // ---- deletion vectors (merge-on-read DELETE) ----------------------------
+
+  private val DvDirName = "_graft_dv"
+  private[sources] val DvFileCol = "__graft_dv_file"
+  private[sources] val DvIdxCol = "__graft_dv_idx"
+
+  /** Deletion-vector dirs of `version`, from the manifest's `#dv=` header
+    * (tab-separated; entries are table-relative names or absolute paths
+    * for shallow clones). Empty for versions without deletes-by-vector.
+    */
+  def dvDirs(spark: SparkSession, path: String, version: Long): Seq[String] =
+    manifestRaw(spark, path, version).linesIterator
+      .find(_.startsWith("#dv=")).toSeq
+      .flatMap(_.stripPrefix("#dv=").split('\t')).map(_.trim).filter(_.nonEmpty)
+
+  /** The union of `dirs`' DV parquet — rows of (file URI, row index)
+    * marking deleted rows. Small by construction (16 B/deleted row), so
+    * the read-side anti-join broadcasts it in the common case.
+    */
+  private def dvFrame(spark: SparkSession, path: String, dirs: Seq[String]): DataFrame =
+    spark.read.parquet(dirs.map(d => new Path(path, d).toString): _*)
+
+  /** The file key a DV entry stores: `_metadata.file_path` cut down to
+    * start at the data-dir segment (`_d…/…` or legacy `_v…/…`). Relative
+    * keys survive URI-rendering differences between readers and table
+    * moves/clones, and make partition-prefix math on DV entries exact
+    * (see [[detail]]); data-dir names embed millis+nanos, so keys never
+    * collide across dirs.
+    */
+  private def dvFileKey(filePath: Column): Column =
+    regexp_extract(filePath, "/((?:_d|_v)[^/]*/.*)$", 1)
+
+  /** Apply a deletion vector to ONE scan leg: anti-join on the parquet
+    * reader's (`_metadata.file_path` → [[dvFileKey]],
+    * `_metadata.row_index`) — Delta's DV read path re-expressed as a
+    * plan. Must run directly on the scan relation (metadata columns
+    * don't survive an alignTo projection), so every caller wraps legs
+    * BEFORE aligning or unioning them. Stale DV entries (files a later
+    * rewrite replaced) match nothing and are harmless; full-image
+    * commits (optimize / compact / atomicReplace) drop the header
+    * entirely, materializing the deletes.
+    */
+  private def dvFilterLeg(leg: DataFrame, dv: Option[DataFrame]): DataFrame =
+    dv.fold(leg) { d =>
+      leg.withColumn(DvFileCol, dvFileKey(col("_metadata.file_path")))
+        .withColumn(DvIdxCol, col("_metadata.row_index"))
+        .join(d, Seq(DvFileCol, DvIdxCol), "left_anti")
+        .drop(DvFileCol, DvIdxCol)
+    }
+
+  /** The version's DV as Some(frame) when the `#dv=` header is present —
+    * the one object read paths thread through [[dvFilterLeg]]. */
+  private def dvOf(spark: SparkSession, path: String, version: Long): Option[DataFrame] = {
+    val dirs = dvDirs(spark, path, version)
+    if (dirs.isEmpty) None else Some(dvFrame(spark, path, dirs))
+  }
+
+  /** Merge-on-read DELETE (Delta deletion vectors): rows matching
+    * `condition` leave the table as the next version WITHOUT rewriting a
+    * single data file — the commit writes only a deletion-vector dir
+    * (one (file, row_index) pair per deleted row) and re-publishes the
+    * same manifest body with the DV appended to its `#dv=` header. At
+    * 100 TB this is the difference between an O(deleted rows) commit and
+    * rewriting whole partitions to drop a handful of rows
+    * ([[delete]] — the copy-on-write tier — rewrites; this tier marks).
+    *
+    * Reads pay one anti-join against the DV (broadcast while the DV is
+    * small — the operating regime; a DV that has grown large means it is
+    * time to [[optimize]] or [[compact]], either of which materializes
+    * the deletes and resets the header). DVs accumulate across commits
+    * and survive merges/updates of OTHER partitions (carried forward in
+    * the commit header); entries for files a rewrite replaced go stale
+    * and match nothing.
+    *
+    * `condition` must be deterministic (same contract as [[delete]]).
+    * `cdf = true` captures the deleted rows into this commit's change
+    * manifest for [[tableChanges]]. A no-match delete is a no-op.
+    * Returns the committed (or current) version.
+    */
+  def deleteVectors(
+      spark: SparkSession, path: String, condition: Column,
+      cdf: Boolean = false): Long = {
+    var result = -1L
+    var attempts = 0
+    while (result < 0) {
+      attempts += 1
+      require(attempts <= 10, s"deleteVectors: lost the version race at $path")
+      val v = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
+        s"deleteVectors: no versioned table at $path (deletion vectors " +
+          "need manifest isolation)"))
+      val dv = dvOf(spark, path, v)
+      // legs with the reader's (file, row_index) attached, previous DVs
+      // already excluded — so re-deleting an already-deleted row is a
+      // no-op and the new DV holds only live matches
+      val snap = versionLegs(spark, path, v).map { leg =>
+        val withMeta = leg.withColumn(DvFileCol, dvFileKey(col("_metadata.file_path")))
+          .withColumn(DvIdxCol, col("_metadata.row_index"))
+        dv.fold(withMeta)(d => withMeta.join(d, Seq(DvFileCol, DvIdxCol), "left_anti"))
+      }.reduce(_.unionByName(_))
+      requireDeterministic(snap.drop(DvFileCol, DvIdxCol), condition, None, "deleteVectors")
+      val matched = snap.filter(condition)
+      if (matched.isEmpty) result = v // no-op
+      else {
+        val dvName = s"$DvDirName/dv${System.currentTimeMillis()}_${System.nanoTime() % 1000000}"
+        matched.select(col(DvFileCol), col(DvIdxCol))
+          .write.mode(SaveMode.Overwrite).parquet(new Path(path, dvName).toString)
+        val content = manifestContent(spark, path, v)
+        if (commitVersion(spark, path, v + 1, content,
+            dv = dvDirs(spark, path, v) :+ dvName)) {
+          if (cdf) writeChangeManifest(spark, path, v + 1,
+            matched.drop(DvFileCol, DvIdxCol).withColumn("_change_type", lit("delete")))
+          result = v + 1
+        } else { // lost the race: the winner may have changed what matches
+          val dd = new Path(path, dvName)
+          hadoopFs(spark, dd).delete(dd, true)
+        }
+      }
+    }
+    result
+  }
+
   // ---- per-commit change data feed ---------------------------------------
 
   private def changesDir(path: String) = new Path(path, "_graft_changes")
@@ -1274,7 +1434,7 @@ object ParquetTable {
       case None =>
         Seq((path, "parquet", Option.empty[Long],
           Option.empty[java.sql.Timestamp], false, Seq.empty[String],
-          0, 0, Option.empty[Long], Option.empty[Long], 0, 0))
+          0, 0, Option.empty[Long], Option.empty[Long], 0L, 0, 0))
       case Some(v) =>
         val entries = partitionEntries(spark, path, v)
         val partCols = entries.map(_.head._1.split('/').toSeq.map(_.split('=')(0)))
@@ -1293,20 +1453,41 @@ object ParquetTable {
             (files.size.toLong, files.values.map(_.rows).sum)
           }
         }
-        val (nf, nr) =
+        val (nf, nrRaw) =
           if (perDir.forall(_.isDefined))
             (Some(perDir.flatMap(_.map(_._1)).sum), Some(perDir.flatMap(_.map(_._2)).sum))
           else (None, None)
+        // LIVE deletion-vector entries: DV keys are data-dir-relative
+        // (dvFileKey), so an entry is live iff its (dataDir[, partition])
+        // prefix is still referenced by this version's manifest — an
+        // equi-join on the extracted prefix, never a data scan. Stale
+        // entries (from rewritten partitions) are excluded exactly.
+        val nDel = dvDirs(spark, path, v) match {
+          case Nil => 0L
+          case dirs =>
+            import spark.implicits._
+            val prefixes = dirRefs.flatMap { case (dd, parts) =>
+              val dirName = new Path(path, dd).getName
+              if (parts.isEmpty) Seq(dirName) else parts.map(p => s"$dirName/$p")
+            }.distinct.toDF("__graft_prefix")
+            val depth = if (partCols.isEmpty) 1 else 1 + partCols.size
+            val keyPrefix = regexp_extract(col(DvFileCol),
+              s"^((?:[^/]+/){${depth - 1}}[^/]+)", 1)
+            dvFrame(spark, path, dirs)
+              .withColumn("__graft_prefix", keyPrefix)
+              .join(prefixes, Seq("__graft_prefix"), "left_semi").count()
+        }
+        val nr = nrRaw.map(_ - nDel)
         Seq((path, "graft", Some(v),
           commitTimestamp(spark, path, v).map(new java.sql.Timestamp(_)),
           entries.isDefined, partCols,
-          entries.map(_.size).getOrElse(0), dirRefs.size, nf, nr,
+          entries.map(_.size).getOrElse(0), dirRefs.size, nf, nr, nDel,
           versions(spark, path).size,
           Constraints.list(spark, path).size))
     }
     row.toDF("location", "format", "version", "commit_ts", "partitioned",
       "partition_columns", "n_partitions", "n_data_dirs", "num_files",
-      "num_rows", "n_versions", "n_constraints")
+      "num_rows", "num_deleted_rows", "n_versions", "n_constraints")
   }
 
   /** RESTORE-TABLE tier: republish the image of `version` as the NEXT
@@ -1322,12 +1503,15 @@ object ParquetTable {
       s"restore: version $version not present at $path " +
         s"(have: ${versions(spark, path).mkString(", ")})")
     val content = manifestContent(spark, path, version)
+    // the restored version's deletion vectors are part of its snapshot —
+    // restoring without them would resurrect vector-deleted rows
+    val dv = dvDirs(spark, path, version)
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 10, s"restore: lost the version race at $path")
       val v = currentVersion(spark, path).getOrElse(0L) + 1
-      if (commitVersion(spark, path, v, content)) return v
+      if (commitVersion(spark, path, v, content, dv = dv)) return v
     }
     -1L // unreachable
   }
@@ -1373,7 +1557,10 @@ object ParquetTable {
           s"$p\t${new Path(sourcePath, d)}"
         }.mkString("\n")
       else new Path(sourcePath, body).toString
-    require(commitVersion(spark, targetPath, 1L, abs),
+    // the clone reads through the source snapshot's deletion vectors too
+    // (absolutized like the data dirs; DV rows already hold absolute URIs)
+    val dvAbs = dvDirs(spark, sourcePath, v).map(d => new Path(sourcePath, d).toString)
+    require(commitVersion(spark, targetPath, 1L, abs, dv = dvAbs),
       s"shallowClone: lost the creation race at $targetPath")
     // clones carry the source's CHECK constraints (Delta clones table
     // properties); drop them on the clone independently if unwanted
@@ -1424,8 +1611,20 @@ object ParquetTable {
       }
     }
     val referencedDirs = refs.map(_._1).toSet
+    // deletion-vector dirs still referenced by a kept version's #dv=
+    // header (resolved names only — absolute entries point into a clone's
+    // SOURCE, which this table does not own and must not touch)
+    val keptDvNames = kept.flatMap(v => dvDirs(spark, path, v))
+      .map(d => new Path(path, d))
+      .filter(_.getParent == new Path(path, DvDirName))
+      .map(_.getName).toSet
     vs.dropRight(keepLast).foreach { v =>
       fs.delete(new Path(manifestDir(path), f"v$v%020d"), false)
+    }
+    val dvRoot = new Path(path, DvDirName)
+    if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { st =>
+      if (st.isDirectory && !keptDvNames.contains(st.getPath.getName))
+        fs.delete(st.getPath, true)
     }
     fs.listStatus(new Path(path)).foreach { st =>
       val name = st.getPath.getName

@@ -362,6 +362,7 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("n_data_dirs", IntegerType, nullable = false)(),
     AttributeReference("num_files", LongType, nullable = true)(),
     AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("num_deleted_rows", LongType, nullable = false)(),
     AttributeReference("n_versions", IntegerType, nullable = false)(),
     AttributeReference("n_constraints", IntegerType, nullable = false)())
 
@@ -467,8 +468,16 @@ case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
 }
 
 /** `DELETE FROM graft.`path` [WHERE cond]`: rows matching the condition
-  * leave the table as the next version (see `ParquetTable.delete` — on
-  * partitioned versioned tables only affected partitions rewrite).
+  * leave the table as the next version. Two tiers, selected by the
+  * session conf `spark.graft.delete.mode`:
+  *
+  *   - `copy-on-write` (default): affected partitions rewrite
+  *     (`ParquetTable.delete`) — reads stay join-free;
+  *   - `merge-on-read`: a deletion-vector commit
+  *     (`ParquetTable.deleteVectors`) — no data file rewrites, reads pay
+  *     a DV anti-join until OPTIMIZE materializes. Delta's
+  *     `delta.enableDeletionVectors` knob, as a session conf.
+  *
   * The condition travels as its SQL rendering, not the parsed
   * `Expression` — an unresolved expression held in a command field would
   * fail the analyzer's resolution check before the command could run; the
@@ -483,9 +492,17 @@ case class GraftDeleteCommand(path: String, conditionSql: String)
       "committed_version", org.apache.spark.sql.types.LongType,
       nullable = false)())
 
-  override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(ParquetTable.delete(session, path,
-      org.apache.spark.sql.functions.expr(conditionSql))))
+  override def run(session: SparkSession): Seq[Row] = {
+    val cond = org.apache.spark.sql.functions.expr(conditionSql)
+    val mode = session.conf.get("spark.graft.delete.mode", "copy-on-write")
+    val v = mode match {
+      case "copy-on-write" => ParquetTable.delete(session, path, cond)
+      case "merge-on-read" => ParquetTable.deleteVectors(session, path, cond)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.delete.mode must be copy-on-write or merge-on-read, got '$other'")
+    }
+    Seq(Row(v))
+  }
 }
 
 /** `UPDATE graft.`path` SET col = expr[, …] [WHERE cond]`: matching rows
