@@ -35,16 +35,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright. Read nanos as long (legacy conf) and
-    * convert to a microsecond TimestampType column — sub-microsecond
-    * precision is below anything the queries observe (events are seconds
-    * apart).
+  /** events.parquet has shipped `ts` under two different physical types
+    * across testdata generations: INT64 TIMESTAMP(NANOS) (which Spark's
+    * parquet reader rejects outright without the legacy nanos-as-long
+    * conf) and plain timestamp[us]. Branch on the type actually read
+    * rather than assuming either:
+    *   - LongType (nanos-as-long fallback engaged): convert nanos → a
+    *     microsecond TimestampType column. Sub-microsecond precision is
+    *     below anything the queries observe (events are seconds apart).
+    *   - TimestampNTZType (timestamp[us], isAdjustedToUTC=false): cast to
+    *     the session-TZ TimestampType. All sessions here run with
+    *     spark.sql.session.timeZone=UTC, so the cast is value-preserving
+    *     and keeps unix_timestamp / date_trunc / session-window semantics
+    *     aligned with the DuckDB oracle's naive-timestamp epoch().
+    *   - TimestampType: use as-is.
+    * The legacy conf is only set when the plain read rejects the footer,
+    * so a session that never sees a nanos file never mutates conf.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val path = s"$d/events.parquet"
+    val df =
+      try s.read.parquet(path)
+      catch {
+        case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          s.read.parquet(path)
+      }
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     fanOut(apply(s, d, "documents"))
