@@ -215,7 +215,18 @@ object Bench {
     if (floorsEnabled) saveFloors(results ++ ex.filter(_._1.endsWith("_sec")))
     val exJson = ex.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$exJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$exJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line to a file: the harness stores only a bounded
+    // stdout tail, and round 5's artifact lost the per-query head (16 of 67
+    // timings unrecoverable, "parsed": null). A file in the working dir
+    // survives truncation and gets committed with the round snapshot.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
     spark.stop()
   }
 

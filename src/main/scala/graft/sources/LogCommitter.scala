@@ -19,6 +19,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *   - MUST be exclusive: of N concurrent committers of the same `target`,
   *     exactly one returns true; the rest return false (and the caller
   *     retries onto the next version number).
+  *
+  * Conformance: LogCommitterContractSpec runs a reusable battery (N-writer
+  * race, reject-second-commit, no-partial-reads) over every shipped
+  * committer AND an in-memory conditional-PUT fake. Deploying on an object
+  * store is therefore: implement this trait with the store's conditional
+  * PUT (`If-None-Match: *` on S3/GCS/ABFS) or an external CAS (the DynamoDB
+  * pattern Delta uses where conditional PUT is unavailable), add a fixture
+  * to the contract spec, pass the battery.
   */
 trait LogCommitter {
   def commit(fs: FileSystem, target: Path, content: Array[Byte]): Boolean
