@@ -22,18 +22,34 @@ import org.apache.spark.sql.functions._
   * Scale shape: one tiny count aggregate joined to the weights (the
   * quota frame is |groups| rows — broadcast), then ONE shuffle
   * partitioned by group for the hash-rank window. A pathologically hot
-  * group serializes its sort into one task chain; at that scale trade
-  * exactness for the q45-style rate-threshold variant (keep when
-  * hash%M < rate·M), which needs no window at all. All arithmetic is
-  * exact under IEEE doubles below 2^53, so external systems (and the
-  * DuckDB oracle) replay the selection bit-for-bit.
+  * group serializes its sort into one task chain, so [[toWeights]]
+  * fail-fasts — reusing the per-group counts it already computed — when
+  * any weighted group exceeds `maxGroupRows` (the same guard discipline
+  * as BlockGuard on the quadratic pair operators; raising the cap is the
+  * explicit opt-in to the single-task sort). At that scale trade
+  * exactness for [[toWeightsApprox]]: the q45-style rate-threshold
+  * variant (keep when hash·c_g < quota·p), which needs no window at all.
+  * All arithmetic is exact under IEEE doubles below 2^53, so external
+  * systems (and the DuckDB oracle) replay the selection bit-for-bit.
   */
 object MixtureSample {
 
-  def toWeights(
+  private val P = 1000000007L
+
+  /** Replayable multiplicative id hash, uniform on [0, P). */
+  private def idHash(idCol: String) =
+    ((col(idCol) % P) * lit(654435747L) + lit(12345L)) % P
+
+  /** Per-group row counts (left-joined onto the weights), the serveable
+    * total N, and the per-group quotas n_g — the shared head of both
+    * variants. Weights drive the join (left outer): a weighted group with
+    * ZERO corpus rows keeps c_g = 0, making N = 0 — the requested mixture
+    * is unserveable and the sample is honestly empty, instead of silently
+    * emitting a mixture that lacks a positively-weighted group.
+    */
+  private def quotaFrame(
       df: DataFrame,
       groupCol: String,
-      idCol: String,
       weights: Map[String, Long]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixture weights must be positive")
@@ -41,10 +57,6 @@ object MixtureSample {
     import spark.implicits._
     val bigW = weights.values.sum
     val wdf = weights.toSeq.toDF(groupCol, "__graft_w")
-    // weights drive the join (left outer): a weighted group with ZERO
-    // corpus rows keeps c_g = 0, making N = 0 — the requested mixture is
-    // unserveable and the sample is honestly empty, instead of silently
-    // emitting a mixture that lacks a positively-weighted group
     val counts = wdf
       .join(df.groupBy(col(groupCol)).agg(count(lit(1)).as("__graft_c")),
         Seq(groupCol), "left_outer")
@@ -52,16 +64,69 @@ object MixtureSample {
     val n = counts
       .select(min(floor(col("__graft_c") * bigW / col("__graft_w")))
         .cast("long").as("__graft_n"))
-    val quota = broadcast(counts.crossJoin(n)
-      .select(col(groupCol),
+    counts.crossJoin(n)
+      .select(col(groupCol), col("__graft_c"),
         floor(col("__graft_w") * col("__graft_n") / bigW)
-          .cast("long").as("__graft_quota")))
-    val p = lit(1000000007L)
-    val h = ((col(idCol) % p) * lit(654435747L) + lit(12345L)) % p
+          .cast("long").as("__graft_quota"))
+  }
+
+  /** Exact mixture sample: each group keeps exactly its quota of
+    * lowest-hash rows. Fails fast when any weighted group exceeds
+    * `maxGroupRows` — the hash-rank window sorts that group in one task
+    * chain, so past the cap use [[toWeightsApprox]] (no window; quota hit
+    * approximately) or raise the cap to accept the single-task sort.
+    * `Long.MaxValue` disables the probe.
+    */
+  def toWeights(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weights: Map[String, Long],
+      maxGroupRows: Long = 10000000L): DataFrame = {
+    val quotas = quotaFrame(df, groupCol, weights)
+    if (maxGroupRows != Long.MaxValue) {
+      // the guard rides the counts the quota step already computed: one
+      // |groups|-row collect, no extra scan shape beyond the count agg
+      val worst = quotas.orderBy(col("__graft_c").desc).limit(1).collect()
+      worst.headOption.foreach { row =>
+        val c = row.getLong(1)
+        if (c > maxGroupRows) throw new IllegalArgumentException(
+          s"MixtureSample.toWeights: group $groupCol=${row.get(0)} has $c " +
+            s"rows (> $maxGroupRows); the exact hash-rank window sorts the " +
+            "whole group in one task chain. Use toWeightsApprox (no " +
+            "window, quota hit approximately) or raise maxGroupRows to " +
+            "accept the single-task sort.")
+      }
+    }
+    val quota = broadcast(quotas.drop("__graft_c"))
+    val h = idHash(idCol)
     val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
     df.join(quota, groupCol)
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") <= col("__graft_quota"))
       .drop("__graft_rn", "__graft_quota")
+  }
+
+  /** Rate-threshold mixture sample — the 100 TB hot-group path: keep a
+    * row iff its hash falls below the group's quota fraction of the hash
+    * space (`h·c_g < n_g·P`, exact integer arithmetic in decimal — no
+    * float rounding, replayable anywhere). Map-side filter under a
+    * broadcast quota join: NO window, NO per-group sort, no task-chain
+    * serialization — per-group sizes land within binomial noise of the
+    * exact quotas (±O(√n_g)), which at hot-group scale is the right
+    * trade. Same hash as [[toWeights]], so the approx sample of a group
+    * is (up to threshold-edge rows) a superset/subset of the exact one.
+    */
+  def toWeightsApprox(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weights: Map[String, Long]): DataFrame = {
+    val quota = broadcast(quotaFrame(df, groupCol, weights))
+    val keep = idHash(idCol).cast("decimal(38,0)") * col("__graft_c") <
+      col("__graft_quota").cast("decimal(38,0)") * lit(P)
+    df.join(quota, groupCol)
+      .filter(col("__graft_c") > 0 && keep)
+      .drop("__graft_c", "__graft_quota")
   }
 }

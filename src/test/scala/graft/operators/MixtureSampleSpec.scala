@@ -40,4 +40,39 @@ class MixtureSampleSpec extends SparkSpec {
     assert(!r1.exists(_._1 == "junk"))
     assert(r1.count(_._1 == "a") === r1.count(_._1 == "b")) // equal weights
   }
+
+  test("hot group trips the maxGroupRows guard, naming the group") {
+    val df = docs((1L to 50L).map(("hot", _)) ++ (1L to 5L).map(("b", _)): _*)
+    val e = intercept[IllegalArgumentException] {
+      MixtureSample.toWeights(df, "grp", "id", Map("hot" -> 1L, "b" -> 1L),
+        maxGroupRows = 20L)
+    }
+    assert(e.getMessage.contains("grp=hot") && e.getMessage.contains("50"))
+    assert(e.getMessage.contains("toWeightsApprox"))
+    // raising the cap is the explicit opt-in — same data then flows
+    val out = MixtureSample.toWeights(df, "grp", "id",
+      Map("hot" -> 1L, "b" -> 1L), maxGroupRows = Long.MaxValue)
+    assert(out.count() > 0)
+  }
+
+  test("toWeightsApprox: no window in the plan, quotas hit within noise") {
+    val df = docs((1L to 2000L).map(("a", _)) ++ (1L to 1000L).map(("b", _)): _*)
+    val out = MixtureSample.toWeightsApprox(df, "grp", "id",
+      Map("a" -> 1L, "b" -> 1L))
+    // the scale path must not contain a Window (that is its whole point)
+    assert(!out.queryExecution.optimizedPlan.toString.contains("Window"))
+    // exact quotas: N = min(2000*2/1, 1000*2/1)=2000 → 1000 per group;
+    // binomial noise at n=1000 is ~±3σ ≈ ±47 — allow a generous band
+    val counts = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("a") - 1000L) < 150, s"a: ${counts("a")}")
+    assert(math.abs(counts("b") - 1000L) < 150, s"b: ${counts("b")}")
+    // deterministic replay
+    assert(out.collect().map(_.toString).sorted.toSeq ===
+      MixtureSample.toWeightsApprox(df, "grp", "id", Map("a" -> 1L, "b" -> 1L))
+        .collect().map(_.toString).sorted.toSeq)
+    // an unserveable mixture stays honestly empty on the approx path too
+    assert(MixtureSample.toWeightsApprox(df, "grp", "id",
+      Map("a" -> 1L, "nope" -> 1L)).count() === 0L)
+  }
 }
