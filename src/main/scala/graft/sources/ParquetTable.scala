@@ -155,8 +155,10 @@ object ParquetTable {
       }
     partitionEntries(spark, path, version) match {
       case None =>
-        val dir = new Path(path, manifestContent(spark, path, version).trim).toString
-        Seq(dir -> DataSkipping.candidateFiles(spark, dir, cond))
+        unpartitionedDirs(spark, path, version).map { dd =>
+          val dir = new Path(path, dd).toString
+          dir -> DataSkipping.candidateFiles(spark, dir, cond)
+        }
       case Some(entries) =>
         entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dataDir, es) =>
           val base = new Path(path, dataDir).toString
@@ -313,6 +315,19 @@ object ParquetTable {
     }
 
   /** Upsert `updates` into the table at `path` (creating it if absent).
+    * On an unpartitioned VERSIONED table, `mergeOnRead` picks the commit
+    * tier: Some(true) → [[mergeVectors]] (matched rows retired by
+    * deletion vector, update rows appended — an O(update rows) commit
+    * instead of a full rewrite); Some(false) → the copy-on-write
+    * rewrite; None (default) → auto by table size from the sidecars
+    * (metadata-only, no scan): tables above [[MorAutoRowsFloor]] rows
+    * take the merge-on-read tier, smaller ones rewrite — below the
+    * floor a rewrite is cheaper than MOR's extra join/probe jobs, above
+    * it rewrite cost grows with the table while MOR stays O(updates).
+    * Force Some(false) for bulk updates approaching table size (MOR
+    * would append ~the whole table and DV the old image — double
+    * storage until OPTIMIZE). Plain layouts and schema evolution always
+    * rewrite.
     * `cdf = true` additionally captures this commit's change rows into a
     * per-commit change manifest (see [[tableChanges]]) — one extra join
     * over the affected slice at merge time, Delta-CDF-style opt-in.
@@ -345,7 +360,8 @@ object ParquetTable {
       filesPerPartition: Int = 1,
       cdf: Boolean = false,
       evolveSchema: Boolean = false,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      mergeOnRead: Option[Boolean] = None): Unit = {
     require(!(cdf && evolveSchema),
       "merge: cdf capture and schema evolution cannot share a commit; " +
         "evolve first, then capture from the next merge")
@@ -404,6 +420,12 @@ object ParquetTable {
     } else if (evolveSchema) {
       atomicReplace(spark, path,
         mergeFrames(target, updates, pk, evolveSchema = true), Nil, txn)
+    } else if (currentVersion(spark, path)
+        .exists(v => mergeOnRead.getOrElse(autoMergeOnRead(spark, path, v)))) {
+      // merge-on-read tier: O(update rows) commit — matched rows retired
+      // by deletion vector, update rows appended as one dir (CDF capture
+      // and txn re-delivery handled inside)
+      mergeVectors(spark, path, updates, pk, cdf, txn)
     } else {
       val merged = mergeFrames(target, updates, pk)
       val v = atomicReplace(spark, path, merged, Nil, txn)
@@ -566,6 +588,17 @@ object ParquetTable {
       lastTxnVersion(spark, path, app).exists(_ >= tv)
     }
 
+  /** Data dirs of an UNPARTITIONED version, in manifest order. One entry
+    * for full-image commits; several after merge-on-read commits
+    * ([[mergeVectors]] appends a dir per merge — base image first, then
+    * each merge's updates). [[optimize]] / [[atomicReplace]] materialize
+    * back to one.
+    */
+  private def unpartitionedDirs(
+      spark: SparkSession, path: String, version: Long): Seq[String] =
+    manifestContent(spark, path, version).linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
+
   /** Partition entries of `version`: Some(partitionDir → dataDir) for
     * partitioned manifests, None for unpartitioned ones.
     */
@@ -602,8 +635,9 @@ object ParquetTable {
       spark: SparkSession, path: String, version: Long): Option[StructType] =
     partitionEntries(spark, path, version) match {
       case None =>
-        val dir = new Path(path, manifestContent(spark, path, version).trim)
-        DataSkipping.readStats(spark, dir.toString).flatMap(_.schema)
+        supersetSchema(unpartitionedDirs(spark, path, version).flatMap(dd =>
+          DataSkipping.readStats(spark, new Path(path, dd).toString)
+            .flatMap(_.schema)))
       case Some(entries) =>
         supersetSchema(entries.map(_._2).distinct.sorted.flatMap(dd =>
           DataSkipping.readStats(spark, new Path(path, dd).toString)
@@ -643,18 +677,22 @@ object ParquetTable {
   private def versionLegs(spark: SparkSession, path: String, version: Long): Seq[DataFrame] =
     partitionEntries(spark, path, version) match {
       case None =>
-        // unpartitioned: the manifest body IS the (unique) data dir name,
-        // served through a snapshot FileIndex so ANY plan over the table
-        // (SQL, joins, aggregates) prunes files from the stats sidecar at
-        // planning time — see GraftFileIndex. The sidecar also carries
-        // the commit's schema, so the common path never re-infers it
-        // from footers (pre-sidecar dirs fall back to inference).
-        val dir = new Path(path, manifestContent(spark, path, version).trim)
-        val sidecar = DataSkipping.readStats(spark, dir.toString)
-        val schema = sidecar.flatMap(_.schema)
-          .getOrElse(spark.read.parquet(dir.toString).schema)
-        Seq(GraftColumnBridge.ofFileIndex(spark,
-          new GraftFileIndex(spark, dir, sidecar.map(_.files)), schema))
+        // unpartitioned: the manifest body lists the version's data dirs
+        // (one for full-image commits; base + one per merge after
+        // merge-on-read commits), each served through a snapshot
+        // FileIndex so ANY plan over the table (SQL, joins, aggregates)
+        // prunes files from the stats sidecar at planning time — see
+        // GraftFileIndex. The sidecar also carries the commit's schema,
+        // so the common path never re-infers it from footers
+        // (pre-sidecar dirs fall back to inference).
+        unpartitionedDirs(spark, path, version).map { dd =>
+          val dir = new Path(path, dd)
+          val sidecar = DataSkipping.readStats(spark, dir.toString)
+          val schema = sidecar.flatMap(_.schema)
+            .getOrElse(spark.read.parquet(dir.toString).schema)
+          GraftColumnBridge.ofFileIndex(spark,
+            new GraftFileIndex(spark, dir, sidecar.map(_.files)), schema)
+        }
       case Some(entries) =>
         // partitioned: one inner InMemoryFileIndex per data dir, rooted
         // at EXACTLY the partition subdirs this version references
@@ -1242,6 +1280,113 @@ object ParquetTable {
     * manifest for [[tableChanges]]. A no-match delete is a no-op.
     * Returns the committed (or current) version.
     */
+  /** Merge-on-read UPSERT (the MERGE twin of [[deleteVectors]]): commit
+    * cost is O(update rows), not O(table). Matched target rows are
+    * retired by deletion vector (one (file, row_index) pair each — no
+    * data file rewritten); the update rows land in ONE fresh appended
+    * data dir; the manifest body grows by that dir's line. At 100 TB an
+    * upsert touching 0.1% of a table costs 0.1% of a rewrite — the same
+    * commit shape Delta's DV-enabled MERGE writes. The copy-on-write
+    * tier ([[merge]] with `mergeOnRead = false`) stays the right call
+    * when updates approach table size.
+    *
+    * Reads pay the per-leg DV anti-join plus a union over the appended
+    * dirs; both are bounded by running [[optimize]] (or
+    * [[atomicReplace]]) periodically, which materializes DVs and folds
+    * the dirs back to one — the Delta OPTIMIZE discipline.
+    *
+    * Matches [[mergeFrames]] semantics exactly: duplicate-pk update rows
+    * keep one arbitrary row, table column order is preserved, and a
+    * replayed merge re-commits the same image (its appended rows DV the
+    * previous merge's). Unpartitioned versioned tables only; schema
+    * evolution goes through the rewrite tier. Returns the committed
+    * version (-1 = txn re-delivery, nothing committed).
+    */
+  /** Auto-tier floor for [[merge]]'s merge-on-read decision: below this
+    * many rows (summed from the version's sidecars — metadata-only), a
+    * full rewrite is cheaper than MOR's extra join/probe jobs; above it,
+    * rewrite cost keeps growing with the table while MOR stays
+    * O(update rows). Dirs without sidecars (pre-stats commits) count as
+    * unknown → rewrite (conservative).
+    */
+  val MorAutoRowsFloor: Long = 10000000L
+
+  private def autoMergeOnRead(
+      spark: SparkSession, path: String, version: Long): Boolean =
+    partitionEntries(spark, path, version).isEmpty && {
+      val perDir = unpartitionedDirs(spark, path, version).map(dd =>
+        DataSkipping.readStats(spark, new Path(path, dd).toString)
+          .map(_.files.values.map(_.rows).sum))
+      perDir.forall(_.isDefined) && perDir.flatten.sum > MorAutoRowsFloor
+    }
+
+  def mergeVectors(
+      spark: SparkSession, path: String, updates: DataFrame, pk: Seq[String],
+      cdf: Boolean = false, txn: Option[(String, Long)] = None): Long = {
+    requireTxnAppId(txn)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10, s"mergeVectors: lost the version race at $path")
+      if (txnAlreadyApplied(spark, path, txn)) return -1L
+      val v = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
+        s"mergeVectors: no versioned table at $path (merge-on-read needs " +
+          "manifest isolation; create the table first)"))
+      require(partitionEntries(spark, path, v).isEmpty,
+        s"mergeVectors: $path is partitioned — partitioned merges are " +
+          "already partition-scoped (mergeVersioned)")
+      val target = readVersion(spark, path, v)
+      val cols = target.columns.toSeq
+      val upd = updates.dropDuplicates(pk).select(cols.map(col): _*)
+      // retire matched target rows by DV: per-leg (file, row_index) of
+      // rows whose pk is in the update set, prior DVs already excluded
+      val updKeys = upd.select(pk.map(col): _*).distinct()
+      val dv = dvOf(spark, path, v)
+      val matched = versionLegs(spark, path, v).map { leg =>
+        val withMeta = leg.withColumn(DvFileCol, dvFileKey(col("_metadata.file_path")))
+          .withColumn(DvIdxCol, col("_metadata.row_index"))
+        dv.fold(withMeta)(d => withMeta.join(d, Seq(DvFileCol, DvIdxCol), "left_anti"))
+      }.reduce(_.unionByName(_))
+        .join(updKeys, pk, "left_semi")
+        .select(col(DvFileCol), col(DvIdxCol))
+      // the append dir carries the full update set (matched rows'
+      // replacements AND inserts); written before the commit loop's CAS
+      // so losers can clean up
+      val dataDir = freshDataDirName()
+      writePlain(upd, new Path(path, dataDir).toString, Nil)
+      DataSkipping.writeStats(spark, new Path(path, dataDir).toString, upd.schema)
+      validateCommit(spark, path, dataDir)
+      // ONE job computes the matches: write the DV dir, then probe what
+      // landed (an isEmpty pre-check would run the snapshot-join twice)
+      val dvName = s"$DvDirName/dv${System.currentTimeMillis()}_${System.nanoTime() % 1000000}"
+      val dvPath = new Path(path, dvName)
+      matched.write.mode(SaveMode.Overwrite).parquet(dvPath.toString)
+      val hasMatches = !spark.read.parquet(dvPath.toString).isEmpty
+      if (!hasMatches) hadoopFs(spark, dvPath).delete(dvPath, true)
+      val content = manifestContent(spark, path, v).trim + "\n" + dataDir
+      val dvs = dvDirs(spark, path, v) ++ (if (hasMatches) Seq(dvName) else Nil)
+      if (commitVersion(spark, path, v + 1, content, txn, dvs)) {
+        // CDF capture scoped to the affected keys: rows outside the
+        // update-key set are byte-identical across the commit (same
+        // files), so diffing the pre-snapshot's affected slice against
+        // the COMMITTED appended dir equals the full-snapshot diff at a
+        // fraction of the cost (and still never re-evaluates the update
+        // plan — the post side is what the commit actually published)
+        if (cdf) writeChangeManifest(spark, path, v + 1,
+          changeRowsBetween(
+            target.join(updKeys, pk, "left_semi"),
+            spark.read.parquet(new Path(path, dataDir).toString),
+            pk, "right_outer"))
+        return v + 1
+      } else { // lost the race: recompute against the winner's snapshot
+        val dd = new Path(path, dataDir)
+        hadoopFs(spark, dd).delete(dd, true)
+        if (hasMatches) hadoopFs(spark, dvPath).delete(dvPath, true)
+      }
+    }
+    -1L // unreachable
+  }
+
   def deleteVectors(
       spark: SparkSession, path: String, condition: Column,
       cdf: Boolean = false): Long = {
@@ -1441,7 +1586,7 @@ object ParquetTable {
           .getOrElse(Nil)
         // (dataDir, referenced partition prefixes — empty = whole dir)
         val dirRefs: Seq[(String, Seq[String])] = entries match {
-          case None => Seq((manifestContent(spark, path, v).trim, Nil))
+          case None => unpartitionedDirs(spark, path, v).map((_, Nil))
           case Some(es) => es.groupBy(_._2).toSeq.sortBy(_._1)
             .map { case (dd, ps) => (dd, ps.map(_._1)) }
         }
@@ -1556,7 +1701,11 @@ object ParquetTable {
           val Array(p, d) = line.split('\t')
           s"$p\t${new Path(sourcePath, d)}"
         }.mkString("\n")
-      else new Path(sourcePath, body).toString
+      else
+        // unpartitioned: absolutize every data dir the snapshot lists
+        // (several after merge-on-read commits)
+        body.linesIterator.map(_.trim).filter(_.nonEmpty)
+          .map(d => new Path(sourcePath, d).toString).mkString("\n")
     // the clone reads through the source snapshot's deletion vectors too
     // (absolutized like the data dirs; DV rows already hold absolute URIs)
     val dvAbs = dvDirs(spark, sourcePath, v).map(d => new Path(sourcePath, d).toString)
@@ -1607,7 +1756,7 @@ object ParquetTable {
     val refs: Seq[(String, Option[String])] = kept.flatMap { v =>
       partitionEntries(spark, path, v) match {
         case Some(es) => es.map { case (p, dd) => (dd, Some(p)) }
-        case None => Seq((manifestContent(spark, path, v).trim, None))
+        case None => unpartitionedDirs(spark, path, v).map((_, None))
       }
     }
     val referencedDirs = refs.map(_._1).toSet

@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** The merge-on-read MERGE tier ([[ParquetTable.mergeVectors]]): an
+  * O(update rows) commit — matched rows retired by deletion vector, the
+  * update set appended as one data dir, manifest body grown by one line.
+  * These specs pin the commit shape (what makes it O(changed rows)), read
+  * equivalence with the copy-on-write tier, CDF parity, the auto tier
+  * switch, and the maintenance interactions (optimize materializes,
+  * vacuum keeps every listed dir, clones read through).
+  */
+class MergeOnReadSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("v", StringType, nullable = false)))
+
+  private def df(rows: Row*) = frame(schema, rows)
+
+  private def rowsOf(path: String): Map[Int, String] =
+    ParquetTable.read(spark, path).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+
+  private def dataDirCount(path: String): Int = {
+    val d = ParquetTable.detail(spark, path).head()
+    d.getInt(d.fieldIndex("n_data_dirs"))
+  }
+
+  test("commit shape: appended dir + DV, not a rewrite") {
+    val path = tmpDir("mor-shape") + "/t"
+    ParquetTable.create(df(Row(1, "a"), Row(2, "b"), Row(3, "c")), path) // v1
+    val v1Files = new java.io.File(path).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("_d")).map(_.getName).toSet
+    val v = ParquetTable.mergeVectors(spark, path,
+      df(Row(2, "B"), Row(4, "d")), Seq("id"))
+    assert(v === 2L)
+    // v1's data dir is untouched (no rewrite); one new dir appeared
+    val v2Files = new java.io.File(path).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("_d")).map(_.getName).toSet
+    assert(v1Files.subsetOf(v2Files) && v2Files.size === v1Files.size + 1)
+    assert(dataDirCount(path) === 2)
+    // the appended dir holds exactly the update set
+    val appended = (v2Files -- v1Files).head
+    assert(spark.read.parquet(s"$path/$appended").count() === 2L)
+    // matched row (id=2) retired by DV: one live entry
+    assert(ParquetTable.dvDirs(spark, path, 2L).size === 1)
+    assert(rowsOf(path) === Map(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "d"))
+  }
+
+  test("read equivalence with the copy-on-write tier, including replay and dup-pk updates") {
+    val morPath = tmpDir("mor-eq") + "/t"
+    val cowPath = tmpDir("cow-eq") + "/t"
+    val base = df(Row(1, "a"), Row(2, "b"), Row(3, "c"))
+    // duplicate-pk updates: both tiers must keep ONE row per pk
+    val upd = df(Row(2, "B"), Row(2, "B"), Row(5, "e"))
+    ParquetTable.create(base, morPath)
+    ParquetTable.create(base, cowPath)
+    ParquetTable.merge(spark, morPath, upd, Seq("id"), mergeOnRead = Some(true))
+    ParquetTable.merge(spark, cowPath, upd, Seq("id"), mergeOnRead = Some(false))
+    assert(rowsOf(morPath) === rowsOf(cowPath))
+    assert(ParquetTable.read(spark, morPath).count() ===
+      ParquetTable.read(spark, cowPath).count()) // no dup survived the DV
+    // replay: same updates again — new version, same image
+    ParquetTable.merge(spark, morPath, upd, Seq("id"), mergeOnRead = Some(true))
+    assert(ParquetTable.versions(spark, morPath) === Seq(1L, 2L, 3L))
+    assert(rowsOf(morPath) === rowsOf(cowPath))
+    // time travel still serves each version's own image
+    assert(ParquetTable.readAt(spark, morPath, 1L).count() === 3L)
+    assert(ParquetTable.readAt(spark, morPath, 2L).count() === 4L)
+  }
+
+  test("CDF capture matches the copy-on-write tier's change rows") {
+    val morPath = tmpDir("mor-cdf") + "/t"
+    val cowPath = tmpDir("cow-cdf") + "/t"
+    val base = df(Row(1, "a"), Row(2, "b"), Row(3, "c"))
+    val upd = df(Row(2, "B"), Row(3, "c"), Row(4, "d")) // update, no-op image, insert
+    ParquetTable.create(base, morPath)
+    ParquetTable.create(base, cowPath)
+    ParquetTable.merge(spark, morPath, upd, Seq("id"), cdf = true, mergeOnRead = Some(true))
+    ParquetTable.merge(spark, cowPath, upd, Seq("id"), cdf = true, mergeOnRead = Some(false))
+    def feed(p: String) = ParquetTable.tableChanges(spark, p, 2L, 2L, Seq("id"))
+      .select("id", "v", "_change_type", "_commit_version").collect()
+      .map(_.toString).sorted.toSeq
+    assert(feed(morPath) === feed(cowPath))
+  }
+
+  test("auto tier: small tables rewrite, forced MOR appends") {
+    val path = tmpDir("mor-auto") + "/t"
+    ParquetTable.create(df(Row(1, "a"), Row(2, "b")), path)
+    // default (None): far below MorAutoRowsFloor → copy-on-write rewrite,
+    // manifest stays single-dir
+    ParquetTable.merge(spark, path, df(Row(2, "B")), Seq("id"))
+    assert(dataDirCount(path) === 1)
+    // forcing the tier overrides the auto decision
+    ParquetTable.merge(spark, path, df(Row(3, "c")), Seq("id"), mergeOnRead = Some(true))
+    assert(dataDirCount(path) === 2)
+    assert(rowsOf(path) === Map(1 -> "a", 2 -> "B", 3 -> "c"))
+  }
+
+  test("optimize materializes: single dir, DV header gone, image unchanged") {
+    val path = tmpDir("mor-opt") + "/t"
+    ParquetTable.create(df(Row(1, "a"), Row(2, "b"), Row(3, "c")), path)
+    ParquetTable.merge(spark, path, df(Row(2, "B"), Row(4, "d")), Seq("id"),
+      mergeOnRead = Some(true))
+    val before = rowsOf(path)
+    ParquetTable.optimize(spark, path, Seq("id"), numFiles = 2)
+    val v = ParquetTable.currentVersion(spark, path).get
+    assert(dataDirCount(path) === 1)
+    assert(ParquetTable.dvDirs(spark, path, v).isEmpty)
+    assert(rowsOf(path) === before)
+  }
+
+  test("vacuum keeps every dir a kept MOR version lists; time travel survives") {
+    val path = tmpDir("mor-vac") + "/t"
+    ParquetTable.create(df(Row(1, "a"), Row(2, "b")), path) // v1
+    ParquetTable.merge(spark, path, df(Row(2, "B")), Seq("id"),
+      mergeOnRead = Some(true)) // v2: base dir + appended dir + DV
+    ParquetTable.merge(spark, path, df(Row(3, "c")), Seq("id"),
+      mergeOnRead = Some(true)) // v3
+    ParquetTable.vacuum(spark, path, keepLast = 2) // keeps v2, v3
+    // v2 still reads exactly (v2 lists the v1 base dir — it must survive)
+    assert(ParquetTable.readAt(spark, path, 2L).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap === Map(1 -> "a", 2 -> "B"))
+    assert(rowsOf(path) === Map(1 -> "a", 2 -> "B", 3 -> "c"))
+  }
+
+  test("shallow clone of a MOR snapshot reads through dirs and DVs") {
+    val src = tmpDir("mor-clone-src") + "/t"
+    val dst = tmpDir("mor-clone-dst") + "/t"
+    ParquetTable.create(df(Row(1, "a"), Row(2, "b")), src)
+    ParquetTable.merge(spark, src, df(Row(2, "B"), Row(3, "c")), Seq("id"),
+      mergeOnRead = Some(true))
+    ParquetTable.shallowClone(spark, src, dst)
+    assert(rowsOf(dst) === Map(1 -> "a", 2 -> "B", 3 -> "c"))
+    // writes to the clone leave the source untouched
+    ParquetTable.merge(spark, dst, df(Row(1, "A")), Seq("id"),
+      mergeOnRead = Some(true))
+    assert(rowsOf(dst) === Map(1 -> "A", 2 -> "B", 3 -> "c"))
+    assert(rowsOf(src) === Map(1 -> "a", 2 -> "B", 3 -> "c"))
+  }
+
+  test("txn markers make MOR merges idempotent under re-delivery") {
+    val path = tmpDir("mor-txn") + "/t"
+    ParquetTable.create(df(Row(1, "a")), path)
+    ParquetTable.merge(spark, path, df(Row(2, "b")), Seq("id"),
+      txn = Some(("app1", 7L)), mergeOnRead = Some(true))
+    val vAfter = ParquetTable.currentVersion(spark, path).get
+    // re-delivery of the same batch commits nothing
+    ParquetTable.merge(spark, path, df(Row(2, "DUP")), Seq("id"),
+      txn = Some(("app1", 7L)), mergeOnRead = Some(true))
+    assert(ParquetTable.currentVersion(spark, path).get === vAfter)
+    assert(rowsOf(path) === Map(1 -> "a", 2 -> "b"))
+  }
+}
