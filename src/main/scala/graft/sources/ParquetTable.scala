@@ -433,9 +433,18 @@ object ParquetTable {
       // the update plan: a lazy dedup could pick a different row per
       // duplicate PK on re-execution, and the feed must never disagree
       // with what the commit actually published (v < 0 = txn re-delivery
-      // detected under the race: nothing committed, nothing to capture)
-      if (v >= 0 && cdf) writeChangeManifest(spark, path, v,
-        changeRowsBetween(target, readVersion(spark, path, v), pk, "right_outer"))
+      // detected under the race: nothing committed, nothing to capture).
+      // Scoped to the update keys: merge never deletes and never changes
+      // a row outside the key set, so diffing the affected slices equals
+      // the full-snapshot diff at a fraction of the join size.
+      if (v >= 0 && cdf) {
+        val updKeys = updates.select(pk.map(col): _*).distinct()
+        writeChangeManifest(spark, path, v,
+          changeRowsBetween(
+            target.join(updKeys, pk, "left_semi"),
+            readVersion(spark, path, v).join(updKeys, pk, "left_semi"),
+            pk, "right_outer"))
+      }
     }
   }
 
