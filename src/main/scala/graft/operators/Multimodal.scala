@@ -28,9 +28,11 @@ import org.apache.spark.sql.types._
   *   - `spectralAudioFeatures` — REAL perceptual-audio front end (Hann
   *     + radix-2 FFT power spectrum → centroid/rolloff/log-band
   *     energies) over every encoding the JVM decodes.
+  *   - `mp3Metadata` — REAL MPEG frame-header walk (rate + frame count,
+  *     ID3v2-aware); MP3 PCM decode itself stays stubbed.
   *   - `extractFeatures` / `resizeStub` — DETERMINISTIC STUBS marked
   *     `STUB:` for the modalities that need codecs absent from a bare JVM
-  *     (interframe-coded video like H.26x, perceptual codecs like
+  *     (interframe-coded video like H.26x, perceptual-codec PCM like
   *     MP3/AAC). They keep the exact plan shape (narrow per-partition
   *     map, no shuffle); swapping in a real JNI/Java decoder changes only
   *     the function body.
@@ -175,6 +177,121 @@ object Multimodal {
         }
       }
     }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** REAL MP3 METADATA (no PCM decode — a bare JVM has no MP3 decoder;
+    * this retires the metadata tier of the stub honestly): walks MPEG
+    * audio frame headers from the public framing spec — skips an ID3v2
+    * tag (syncsafe length), finds the first sync word, then chains
+    * frames by their computed byte lengths (bitrate/sample-rate tables
+    * per MPEG version + layer, padding bit). A sync match must chain at
+    * least [[Mp3MinFrames]] consecutive valid frames to be accepted, so
+    * arbitrary binary containing a stray 0xFFEx never parses. Stamps
+    * meta.sample_rate (first frame's) and meta.n_frames (MPEG frames
+    * walked; duration = n_frames × samples-per-frame / rate); anything
+    * unparseable gets null meta (incoming meta cleared — same failure
+    * contract as every decoder here). PCM decode itself remains a
+    * labeled stub pending a vendored pure-JVM decoder. Per-partition
+    * scan shape, no shuffle.
+    */
+  def mp3Metadata(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields
+      .map(f => if (f.name == "meta") f.copy(nullable = true) else f))
+    val contentIdx = df.schema.fieldIndex("content")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
+        parseMp3Frames(bytes) match {
+          case Some((rate, nFrames)) =>
+            Row.fromSeq(r.toSeq.updated(metaIdx, Row(null, null, rate, nFrames)))
+          case None => Row.fromSeq(r.toSeq.updated(metaIdx, null))
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Minimum consecutive valid frames for [[mp3Metadata]] to accept a
+    * sync match — guards against false 0xFFEx syncs in arbitrary bytes.
+    */
+  val Mp3MinFrames = 3
+
+  /** (sample rate, frame count) by walking MPEG audio frame headers;
+    * None when no chain of [[Mp3MinFrames]] valid frames exists. Tables
+    * and frame-length formulas are the public MPEG-1/2/2.5 Layer I-III
+    * framing rules.
+    */
+  private[operators] def parseMp3Frames(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.length < 4) return None
+    var off = 0
+    // ID3v2 header: "ID3" ver(2) flags(1) syncsafe-size(4)
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      off = math.min(10 + size, bytes.length)
+    }
+    // bitrate tables in kbps, index 1..14 (0 = free, 15 = bad)
+    val brV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+    val brV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+    val brV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val brV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+    val brV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    val ratesV1 = Array(44100, 48000, 32000)
+    val ratesV2 = Array(22050, 24000, 16000)
+    val ratesV25 = Array(11025, 12000, 8000)
+    // header → Some(frame length in bytes, sample rate); None = invalid
+    def frame(o: Int): Option[(Int, Int)] = {
+      if (o + 4 > bytes.length) return None
+      val b1 = bytes(o) & 0xff; val b2 = bytes(o + 1) & 0xff
+      val b3 = bytes(o + 2) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
+      val verBits = (b2 >> 3) & 0x3   // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+      val layerBits = (b2 >> 1) & 0x3 // 1=III, 2=II, 3=I
+      val brIdx = (b3 >> 4) & 0xf
+      val srIdx = (b3 >> 2) & 0x3
+      val padding = (b3 >> 1) & 0x1
+      if (verBits == 1 || layerBits == 0 || brIdx == 0 || brIdx == 15 || srIdx == 3)
+        return None
+      val v1 = verBits == 3
+      val rate = (if (v1) ratesV1 else if (verBits == 2) ratesV2 else ratesV25)(srIdx)
+      val kbps = (verBits, layerBits) match {
+        case (3, 3) => brV1L1(brIdx)
+        case (3, 2) => brV1L2(brIdx)
+        case (3, 1) => brV1L3(brIdx)
+        case (_, 3) => brV2L1(brIdx)
+        case _      => brV2L23(brIdx)
+      }
+      val len =
+        if (layerBits == 3) (12 * kbps * 1000 / rate + padding) * 4 // Layer I
+        else if (layerBits == 1 && !v1) 72 * kbps * 1000 / rate + padding // V2/2.5 L3
+        else 144 * kbps * 1000 / rate + padding // Layer II, V1 Layer III
+      if (len < 4) None else Some((len, rate))
+    }
+    // count the chain from `o`; returns (frames, rate of first frame)
+    def walk(o: Int): (Int, Int) = {
+      var pos = o; var n = 0; var rate = 0
+      var continue = true
+      while (continue) frame(pos) match {
+        case Some((len, r)) =>
+          if (n == 0) rate = r
+          n += 1; pos += len
+          // a truncated FINAL frame still counts if its header fit
+          if (pos > bytes.length) continue = false
+        case None => continue = false
+      }
+      (n, rate)
+    }
+    // scan a bounded window for the first sync that chains Mp3MinFrames+
+    var i = off
+    val scanEnd = math.min(off + 65536, bytes.length - 4)
+    while (i <= scanEnd) {
+      if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xe0) == 0xe0) {
+        val (n, rate) = walk(i)
+        if (n >= Mp3MinFrames) return Some((rate, n))
+      }
+      i += 1
+    }
+    None
   }
 
   /** (sample rate, channel-mixed samples in [-1, 1]) from WAV/AIFF/AU

@@ -419,4 +419,52 @@ class MultimodalSpec extends SparkSpec {
     assert(out.isNullAt(0), "stale meta survived a failed decode")
     assert(out.isNullAt(1))
   }
+
+  /** Synthetic MPEG-1 Layer III stream: valid 4-byte headers chained at
+    * their computed frame lengths, junk payloads (header walking needs no
+    * audio data). 128 kbps, 44100 Hz, no padding → 417-byte frames.
+    */
+  private def fakeMp3(nFrames: Int, id3Size: Int = 0): Array[Byte] = {
+    val frameLen = 144 * 128000 / 44100 // 417
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Size > 0) {
+      out.write(Array[Byte]('I', 'D', '3', 3, 0, 0))
+      out.write(Array[Byte](((id3Size >> 21) & 0x7f).toByte,
+        ((id3Size >> 14) & 0x7f).toByte, ((id3Size >> 7) & 0x7f).toByte,
+        (id3Size & 0x7f).toByte))
+      out.write(new Array[Byte](id3Size)) // tag body
+    }
+    for (i <- 0 until nFrames) {
+      // FF FB 90 00: sync, MPEG1 Layer III no-CRC, bitrate idx 9 (128k),
+      // rate idx 0 (44100), no padding
+      out.write(Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00))
+      val payload = Array.tabulate[Byte](frameLen - 4)(j => ((i * 31 + j) % 251).toByte)
+      out.write(payload)
+    }
+    out.toByteArray
+  }
+
+  test("mp3Metadata: frame-header walk — sample rate, frame count, ID3v2 skip") {
+    val plain = mediaFrame("a.mp3", fakeMp3(10), "audio")
+    val m1 = Multimodal.mp3Metadata(plain).select("meta").head().getStruct(0)
+    assert(m1.getInt(2) === 44100 && m1.getInt(3) === 10)
+    val tagged = mediaFrame("b.mp3", fakeMp3(7, id3Size = 2048), "audio")
+    val m2 = Multimodal.mp3Metadata(tagged).select("meta").head().getStruct(0)
+    assert(m2.getInt(2) === 44100 && m2.getInt(3) === 7)
+  }
+
+  test("mp3Metadata: truncated final frame still counts; junk never false-syncs") {
+    val cut = fakeMp3(5).dropRight(100) // final frame loses its tail
+    val m = Multimodal.mp3Metadata(mediaFrame("c.mp3", cut, "audio"))
+      .select("meta").head().getStruct(0)
+    assert(m.getInt(3) === 5)
+    // bytes full of 0xFF syncs but no valid chain of Mp3MinFrames frames
+    val junk = Array.tabulate[Byte](4096)(i => if (i % 3 == 0) 0xff.toByte else 0x42)
+    val out = Multimodal.mp3Metadata(
+      mediaFrame("d.mp3", junk, "audio")
+        .withColumn("meta", org.apache.spark.sql.functions.expr(
+          "named_struct('width', 9, 'height', 9, 'sample_rate', cast(null as int), " +
+            "'n_frames', cast(null as int))"))).select("meta").head()
+    assert(out.isNullAt(0), "stale meta survived an unparseable payload")
+  }
 }
