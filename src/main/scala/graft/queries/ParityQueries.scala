@@ -659,6 +659,35 @@ object ParityQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // SQL INSERT INTO — the versioned append verb (Delta AddFile
+    // parity): an O(appended rows) commit on unpartitioned tables (one
+    // appended manifest dir, existing dirs untouched — InsertIntoSpec
+    // pins the commit shape). INSERT ... SELECT appends shifted rows,
+    // INSERT ... VALUES appends two IDENTICAL rows — duplicates must
+    // survive (INSERT is append; MERGE is the upsert verb). The oracle
+    // replays the appends as UNION ALL over the source table.
+    "q68_sql_insert" -> ((s, d) => {
+      val tmp = scratchDir("graft_q68")
+      val cust = Tables.customer(s, d)
+      ParquetTable.create(
+        cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment")),
+        s"$tmp/t") // versioned v1
+      cust.filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .createOrReplaceTempView("q68_new")
+      graft.sql.GraftSql.sql(s, s"INSERT INTO graft.`$tmp/t` SELECT * FROM q68_new")
+      graft.sql.GraftSql.sql(s,
+        s"""INSERT INTO graft.`$tmp/t` VALUES
+           |(1, 'graft-row', 0.0, 'BUILDING'), (1, 'graft-row', 0.0, 'BUILDING')""".stripMargin)
+      ParquetTable.read(s, s"$tmp/t")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"), col("c_name"))
+    }),
+
     // Metadata-only aggregates (plans.MetadataAggregates): the whole
     // statement — COUNT(*), COUNT(nullable col) via sidecar null counts,
     // MIN/MAX of int and string columns — folds to a LocalRelation from
@@ -1013,6 +1042,20 @@ object ParityQueries {
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 120000.0)
         |  AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice >= 120000.0)
         |ORDER BY o_orderkey""".stripMargin,
+    // graft runs two SQL INSERTs into a versioned table; the oracle
+    // replays them as UNION ALL (duplicates kept — append semantics)
+    "q68_sql_insert" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        |FROM (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_name, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL SELECT 1, 'graft-row', 0.0, 'BUILDING'
+        |  UNION ALL SELECT 1, 'graft-row', 0.0, 'BUILDING'
+        |)
+        |ORDER BY c_custkey, c_name""".stripMargin,
     // graft answers from sidecar metadata; the oracle scans — same values
     "q63_metadata_agg" ->
       """SELECT count(*) AS n_rows,

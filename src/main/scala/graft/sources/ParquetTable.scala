@@ -439,10 +439,14 @@ object ParquetTable {
       // the full-snapshot diff at a fraction of the join size.
       if (v >= 0 && cdf) {
         val updKeys = updates.select(pk.map(col): _*).distinct()
+        // re-select after the semi-joins: a using-columns join HOISTS the
+        // pk columns to the front, and the feed must carry table order
+        val cols = target.columns.toSeq
         writeChangeManifest(spark, path, v,
           changeRowsBetween(
-            target.join(updKeys, pk, "left_semi"),
-            readVersion(spark, path, v).join(updKeys, pk, "left_semi"),
+            target.join(updKeys, pk, "left_semi").select(cols.map(col): _*),
+            readVersion(spark, path, v).join(updKeys, pk, "left_semi")
+              .select(cols.map(col): _*),
             pk, "right_outer"))
       }
     }
@@ -1320,13 +1324,27 @@ object ParquetTable {
     */
   val MorAutoRowsFloor: Long = 10000000L
 
-  private def autoMergeOnRead(
-      spark: SparkSession, path: String, version: Long): Boolean =
+  /** Auto-tier cap on merge-on-read CHAIN length: once a version lists
+    * this many data dirs, the next auto-tiered merge takes the rewrite
+    * path, which materializes DVs and folds the dirs back to one — so
+    * read fan-out (one relation per dir + the DV anti-join) is bounded
+    * by construction, Delta's auto-compaction discipline without a
+    * separate maintenance job. Forcing `mergeOnRead = Some(true)`
+    * bypasses the cap (run [[optimize]]/[[compact]] yourself).
+    */
+  val MorMaxDataDirs: Int = 64
+
+  private[sources] def autoMergeOnRead(
+      spark: SparkSession, path: String, version: Long,
+      rowsFloor: Long = MorAutoRowsFloor,
+      maxDirs: Int = MorMaxDataDirs): Boolean =
     partitionEntries(spark, path, version).isEmpty && {
-      val perDir = unpartitionedDirs(spark, path, version).map(dd =>
+      val dirs = unpartitionedDirs(spark, path, version)
+      val perDir = dirs.map(dd =>
         DataSkipping.readStats(spark, new Path(path, dd).toString)
           .map(_.files.values.map(_.rows).sum))
-      perDir.forall(_.isDefined) && perDir.flatten.sum > MorAutoRowsFloor
+      dirs.size < maxDirs &&
+        perDir.forall(_.isDefined) && perDir.flatten.sum > rowsFloor
     }
 
   def mergeVectors(
@@ -1381,9 +1399,11 @@ object ParquetTable {
         // the COMMITTED appended dir equals the full-snapshot diff at a
         // fraction of the cost (and still never re-evaluates the update
         // plan — the post side is what the commit actually published)
+        // re-select after the semi-join: a using-columns join HOISTS the
+        // pk columns to the front, and the feed must carry table order
         if (cdf) writeChangeManifest(spark, path, v + 1,
           changeRowsBetween(
-            target.join(updKeys, pk, "left_semi"),
+            target.join(updKeys, pk, "left_semi").select(cols.map(col): _*),
             spark.read.parquet(new Path(path, dataDir).toString),
             pk, "right_outer"))
         return v + 1
@@ -1391,6 +1411,123 @@ object ParquetTable {
         val dd = new Path(path, dataDir)
         hadoopFs(spark, dd).delete(dd, true)
         if (hasMatches) hadoopFs(spark, dvPath).delete(dvPath, true)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Versioned INSERT INTO (Delta's AddFile append): on an UNPARTITIONED
+    * versioned table the commit is O(appended rows) — the new rows land
+    * in one fresh data dir and the manifest body grows by that line
+    * (existing dirs and deletion vectors untouched, exactly the
+    * [[mergeVectors]] commit shape minus the DV). Duplicates are NOT
+    * deduplicated — INSERT is append, [[merge]] is the upsert verb.
+    *
+    * On a PARTITIONED versioned table the append rewrites only the
+    * affected partitions (existing slice ∪ new rows, re-pointed
+    * entries — the [[mergeVersioned]] commit shape without the
+    * dedup/anti-join): partitioned manifests map each partition to ONE
+    * dir, so an append cannot add a second dir per partition without
+    * shadowing reads in the merge path. Untouched partitions: zero I/O.
+    *
+    * `cdf = true` captures the appended rows as inserts. Returns the
+    * committed version (-1 = txn re-delivery, nothing committed).
+    */
+  /** Align an INSERT source to the table schema: by NAME when the row
+    * columns are exactly the table's (any order, case-insensitive) —
+    * the DataFrame-API shape; otherwise by POSITION with casts — SQL
+    * `INSERT INTO … VALUES` semantics, where a VALUES list arrives as
+    * col1/col2/… (same rule Spark applies to non-byName inserts).
+    */
+  private[graft] def alignInsert(rows: DataFrame, table: StructType): DataFrame = {
+    val tNames = table.fieldNames.map(_.toLowerCase).toSet
+    val byName = rows.columns.length == table.fields.length &&
+      rows.columns.map(_.toLowerCase).toSet == tNames
+    if (byName)
+      rows.select(table.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    else {
+      require(rows.columns.length == table.fields.length,
+        s"insert: source has ${rows.columns.length} columns, table has " +
+          s"${table.fields.length} (${table.fieldNames.mkString(", ")})")
+      rows.select(rows.columns.zip(table.fields).map { case (c, f) =>
+        col(c).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    }
+  }
+
+  def insertInto(
+      spark: SparkSession, path: String, rows: DataFrame,
+      cdf: Boolean = false, txn: Option[(String, Long)] = None): Long = {
+    requireTxnAppId(txn)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10, s"insertInto: lost the version race at $path")
+      if (txnAlreadyApplied(spark, path, txn)) return -1L
+      val v = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
+        s"insertInto: no versioned table at $path (plain layouts append " +
+          "through ParquetTable.append)"))
+      partitionEntries(spark, path, v) match {
+        case None =>
+          val aligned = alignInsert(rows, readVersion(spark, path, v).schema)
+          val cols = aligned.columns.toSeq
+          val dataDir = freshDataDirName()
+          writePlain(aligned, new Path(path, dataDir).toString, Nil)
+          DataSkipping.writeStats(spark, new Path(path, dataDir).toString, aligned.schema)
+          validateCommit(spark, path, dataDir)
+          val content = manifestContent(spark, path, v).trim + "\n" + dataDir
+          if (commitVersion(spark, path, v + 1, content, txn, dvDirs(spark, path, v))) {
+            if (cdf) writeChangeManifest(spark, path, v + 1,
+              spark.read.parquet(new Path(path, dataDir).toString)
+                .withColumn("_change_type", lit("insert")))
+            return v + 1
+          } else {
+            val dd = new Path(path, dataDir)
+            hadoopFs(spark, dd).delete(dd, true)
+          }
+        case Some(entries) =>
+          val entryMap = entries.toMap
+          val partitionColumns = entries.head._1.split('/').toSeq.map(_.split('=')(0))
+          val aligned = alignInsert(rows, readVersion(spark, path, v).schema)
+          val cols = aligned.columns.toSeq
+          val affected = partitionDirsOf(aligned, partitionColumns)
+          val existing = affected.filter(entryMap.contains)
+          val dv = dvOf(spark, path, v)
+          val preSlice =
+            if (existing.isEmpty) None
+            else Some(existing.groupBy(entryMap).toSeq.sortBy(_._1).map {
+              case (dataDir, parts) =>
+                val base = new Path(path, dataDir).toString
+                dvFilterLeg(spark.read.option("basePath", base)
+                  .parquet(parts.map(p => s"$base/$p"): _*), dv)
+                  .select(cols.map(col): _*)
+            }.reduce(_.unionByName(_)))
+          val slice = preSlice.fold(aligned)(_.unionByName(aligned))
+          val dataDir = freshDataDirName()
+          writePlain(slice, new Path(path, dataDir).toString, partitionColumns)
+          DataSkipping.writeStats(spark, new Path(path, dataDir).toString, slice.schema)
+          validateCommit(spark, path, dataDir)
+          val newEntries = (entryMap ++ affected.map(_ -> dataDir)).toSeq.sorted
+            .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
+          if (commitVersion(spark, path, v + 1, newEntries, txn, dvDirs(spark, path, v))) {
+            // capture from the COMMITTED dir, never the row plan: the
+            // inserted multiset = committed slice MINUS pre-slice
+            // (exceptAll — duplicates survive; pre-snapshot dirs still
+            // exist, vacuum hasn't run)
+            if (cdf) {
+              val base = new Path(path, dataDir).toString
+              val committedSlice = spark.read.option("basePath", base)
+                .parquet(affected.map(p => s"$base/$p"): _*)
+                .select(cols.map(col): _*)
+              val inserted = preSlice.fold(committedSlice)(committedSlice.exceptAll)
+              writeChangeManifest(spark, path, v + 1,
+                inserted.withColumn("_change_type", lit("insert")))
+            }
+            return v + 1
+          } else {
+            val dd = new Path(path, dataDir)
+            hadoopFs(spark, dd).delete(dd, true)
+          }
       }
     }
     -1L // unreachable
@@ -1737,12 +1874,17 @@ object ParquetTable {
   def compact(spark: SparkSession, path: String): Unit = {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"compact: no versioned table at $path"))
-    val entries = partitionEntries(spark, path, v).getOrElse(
-      throw new IllegalStateException(
-        s"compact: $path is unpartitioned (every version is already one dir)"))
-    // recover the partition columns from the entry paths: "a=1/b=2" → a,b
-    val partitionColumns = entries.head._1.split('/').toSeq.map(_.split('=')(0))
-    createVersioned(readVersion(spark, path, v), path, partitionColumns)
+    partitionEntries(spark, path, v) match {
+      case Some(entries) =>
+        // recover the partition columns from the entry paths: "a=1/b=2" → a,b
+        val partitionColumns = entries.head._1.split('/').toSeq.map(_.split('=')(0))
+        createVersioned(readVersion(spark, path, v), path, partitionColumns)
+      case None =>
+        // unpartitioned: fold a merge-on-read chain (N appended dirs +
+        // DVs) back to one full-image dir; a no-chain table republishes
+        // its single dir — still useful to materialize DVs
+        atomicReplace(spark, path, readVersion(spark, path, v), Nil)
+    }
   }
 
   /** Retire history: keep the newest `keepLast` versions, delete older

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -86,6 +86,15 @@ object GraftSql {
       case Some(cmd) => cmd.copy(source = rewriteRelations(cmd.source))
       case None => rewriteRelations(m) // non-graft target; graft sources still read
     }
+    case i: InsertIntoStatement if targetPath(i.table).isDefined =>
+      val path = targetPath(i.table).get
+      require(i.partitionSpec.isEmpty,
+        s"INSERT graft.`$path`: static PARTITION specs are not supported — " +
+          "partition values travel in the rows (dynamic), as in Delta")
+      require(i.userSpecifiedCols.isEmpty,
+        s"INSERT graft.`$path`: a column list is not supported; insert " +
+          "full rows in table column order (or use byName via DataFrame API)")
+      GraftInsertCommand(path, rewriteRelations(i.query), i.overwrite)
     case DeleteFromTable(t, cond) if targetPath(t).isDefined =>
       requireNoSubquery(cond, "DELETE FROM", targetPath(t).get)
       GraftDeleteCommand(targetPath(t).get, cond.sql)
@@ -321,6 +330,40 @@ case class GraftMergeCommand(
       .getOrElse(Nil)
     ParquetTable.merge(session, path, updates, pk, partitionColumns,
       evolveSchema = evolveSchema)
+    Seq.empty
+  }
+}
+
+/** `INSERT INTO | OVERWRITE graft.`path``: append (INSERT INTO — the
+  * O(appended rows) versioned commit of `ParquetTable.insertInto`; on
+  * partitioned tables only affected partitions rewrite) or replace
+  * (INSERT OVERWRITE — full-image commit: `atomicReplace` unpartitioned,
+  * `createVersioned` republish partitioned). Duplicates are kept —
+  * INSERT is append; MERGE is the upsert verb.
+  */
+case class GraftInsertCommand(
+    path: String,
+    source: LogicalPlan,
+    overwrite: Boolean) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val rows = GraftColumnBridge.ofRows(session, source)
+    val partitionColumns = ParquetTable.currentVersion(session, path)
+      .flatMap(v => ParquetTable.partitionEntries(session, path, v))
+      .map(_.head._1.split('/').toSeq.map(_.split('=')(0)))
+      .getOrElse(Nil)
+    if (overwrite) {
+      // overwrite still aligns to the CURRENT schema (positional VALUES)
+      val aligned = ParquetTable.currentVersion(session, path)
+        .map(v => ParquetTable.alignInsert(rows,
+          ParquetTable.readAt(session, path, v).schema))
+        .getOrElse(rows)
+      if (partitionColumns.isEmpty)
+        ParquetTable.atomicReplace(session, path, aligned, Nil)
+      else ParquetTable.createVersioned(aligned, path, partitionColumns)
+    } else ParquetTable.insertInto(session, path, rows)
     Seq.empty
   }
 }

@@ -144,6 +144,35 @@ class MergeOnReadSpec extends SparkSpec {
     assert(rowsOf(src) === Map(1 -> "a", 2 -> "B", 3 -> "c"))
   }
 
+  test("compact folds a MOR chain: one dir, DVs materialized, image intact") {
+    val path = tmpDir("mor-compact") + "/t"
+    ParquetTable.create(df(Row(1, "a"), Row(2, "b")), path)
+    ParquetTable.merge(spark, path, df(Row(2, "B")), Seq("id"), mergeOnRead = Some(true))
+    ParquetTable.merge(spark, path, df(Row(3, "c")), Seq("id"), mergeOnRead = Some(true))
+    assert(dataDirCount(path) === 3)
+    val before = rowsOf(path)
+    ParquetTable.compact(spark, path)
+    val v = ParquetTable.currentVersion(spark, path).get
+    assert(dataDirCount(path) === 1)
+    assert(ParquetTable.dvDirs(spark, path, v).isEmpty)
+    assert(rowsOf(path) === before)
+  }
+
+  test("auto tier bounds the chain: rows floor and max-dirs cap") {
+    val path = tmpDir("mor-bounds") + "/t"
+    ParquetTable.create(df(Row(1, "a"), Row(2, "b")), path)
+    ParquetTable.merge(spark, path, df(Row(2, "B")), Seq("id"), mergeOnRead = Some(true))
+    ParquetTable.merge(spark, path, df(Row(3, "c")), Seq("id"), mergeOnRead = Some(true))
+    val v = ParquetTable.currentVersion(spark, path).get // 3 dirs listed
+    // above the rows floor and under the dir cap → MOR
+    assert(ParquetTable.autoMergeOnRead(spark, path, v, rowsFloor = 0L, maxDirs = 64))
+    // chain at the cap → next auto merge must take the rewrite (which
+    // materializes the chain) — Delta's auto-compaction discipline
+    assert(!ParquetTable.autoMergeOnRead(spark, path, v, rowsFloor = 0L, maxDirs = 3))
+    // small tables stay on the rewrite tier regardless of chain length
+    assert(!ParquetTable.autoMergeOnRead(spark, path, v, maxDirs = 64))
+  }
+
   test("txn markers make MOR merges idempotent under re-delivery") {
     val path = tmpDir("mor-txn") + "/t"
     ParquetTable.create(df(Row(1, "a")), path)
