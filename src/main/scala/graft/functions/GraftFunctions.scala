@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{PolyHash64, VecCosine, VecDot, VecEuclidean}
+import graft.functions.expressions.{FreqItemsAgg, PolyHash64, VecCosine, VecDot, VecEuclidean}
 
 /** SQL registration of graft's native expressions, two ways:
   *
@@ -22,7 +22,15 @@ object GraftFunctions {
     "vec_dot" -> (args => VecDot(args(0), args(1))),
     "vec_cosine" -> (args => VecCosine(args(0), args(1))),
     "vec_euclidean" -> (args => VecEuclidean(args(0), args(1))),
-    "poly_hash64" -> (args => PolyHash64(args(0))))
+    "poly_hash64" -> (args => PolyHash64(args(0))),
+    // freq_items(token, capacity): Misra-Gries heavy-hitters sketch;
+    // capacity must be a literal (it sizes the aggregation buffer)
+    "freq_items" -> (args => FreqItemsAgg(args(0), args(1).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"freq_items capacity must be an integer literal, got $other")
+    }).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

@@ -181,6 +181,26 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Heavy-hitters sketch (vocabulary building at 100 TB): global top
+    // tokens via the bounded Misra-Gries `freq_items` aggregate — only
+    // `capacity` counters per partition reach the shuffle, vs the exact
+    // explode→groupBy whose shuffle carries every distinct token. The
+    // oracle pins the EXACT regime (corpus vocabulary ≤ capacity → no
+    // decrement ever fires → counts equal GROUP BY); the approximation
+    // bound beyond capacity is FreqItemsAggSpec's property.
+    "q69_freq_tokens" -> ((s, d) => {
+      val fi = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.expressions.FreqItemsAgg(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("__t")), 64)
+          .toAggregateExpression())
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("__t"))
+        .agg(fi.as("__m"))
+        .select(explode(col("__m")))
+        .select(col("key").as("token"), col("value").as("est_count"))
+        .orderBy(col("token"))
+    }),
+
     // Skew-salted fact⋈dim join: salting must leave the join RESULT
     // bit-identical (the oracle is the plain join), only the shuffle
     // layout changes.
@@ -635,6 +655,14 @@ object TrainingQueries {
         |  CAST(sum(c) AS BIGINT) AS n_tokens,
         |  round(max(c)::DOUBLE / sum(c), 4) AS top_token_ratio
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // graft runs the Misra-Gries sketch in its exact regime; the oracle
+    // is the plain exact GROUP BY
+    "q69_freq_tokens" ->
+      """SELECT t AS token, count(*) AS est_count
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+        |      FROM documents)
+        |GROUP BY t ORDER BY token""".stripMargin,
 
     "q38_json_extract" ->
       """SELECT (props->>'$.k')::INT % 10 AS k_mod, count(*) AS n,
