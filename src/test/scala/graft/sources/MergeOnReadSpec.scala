@@ -173,6 +173,30 @@ class MergeOnReadSpec extends SparkSpec {
     assert(!ParquetTable.autoMergeOnRead(spark, path, v, maxDirs = 64))
   }
 
+  test("concurrent mergeVectors on disjoint keys: both land, no lost update") {
+    import java.util.concurrent.{Callable, CyclicBarrier, Executors, TimeUnit}
+    val path = tmpDir("mor-race") + "/t"
+    ParquetTable.create(df(Row(1, "a"), Row(2, "b")), path)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val barrier = new CyclicBarrier(2)
+      val futures = Seq((1, "A"), (2, "B")).map { case (id, v) =>
+        pool.submit(new Callable[Long] {
+          override def call(): Long = {
+            barrier.await(10, TimeUnit.SECONDS)
+            ParquetTable.mergeVectors(spark, path,
+              df(Row(id, v)), Seq("id"))
+          }
+        })
+      }.map(_.get(120, TimeUnit.SECONDS))
+      // CAS exclusivity: the loser retried onto the next version, so both
+      // commits land on DISTINCT versions and neither update is lost
+      assert(futures.toSet === Set(2L, 3L))
+      assert(ParquetTable.versions(spark, path) === Seq(1L, 2L, 3L))
+      assert(rowsOf(path) === Map(1 -> "A", 2 -> "B"))
+    } finally pool.shutdown()
+  }
+
   test("txn markers make MOR merges idempotent under re-delivery") {
     val path = tmpDir("mor-txn") + "/t"
     ParquetTable.create(df(Row(1, "a")), path)

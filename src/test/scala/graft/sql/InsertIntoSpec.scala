@@ -110,6 +110,15 @@ class InsertIntoSpec extends SparkSpec {
     assert(e1.getMessage.contains("column list"))
   }
 
+  test("declarative path: spark.sql INSERT on a session with GraftSessionExtensions") {
+    val ext = org.apache.spark.sql.GraftColumnBridge.sessionWithExtensions(
+      spark, new graft.functions.GraftSessionExtensions()(_))
+    val path = tmpDir("ins-ext") + "/t"
+    ParquetTable.create(frame(schema, Seq(Row(1, "a"))), path)
+    ext.sql(s"INSERT INTO graft.`$path` VALUES (2, 'b')") // plain SQL
+    assert(rowsOf(path) === Seq(1 -> "a", 2 -> "b"))
+  }
+
   test("txn markers make inserts idempotent under re-delivery") {
     val path = tmpDir("ins-txn") + "/t"
     ParquetTable.create(frame(schema, Seq(Row(1, "a"))), path)
