@@ -173,6 +173,25 @@ class MergeOnReadSpec extends SparkSpec {
     assert(!ParquetTable.autoMergeOnRead(spark, path, v, maxDirs = 64))
   }
 
+  test("row-level verbs on a MOR chain: delete, update, deleteVectors") {
+    val path = tmpDir("mor-verbs") + "/t"
+    ParquetTable.create(df(Row(1, "a"), Row(2, "b")), path)
+    ParquetTable.merge(spark, path, df(Row(2, "B"), Row(3, "c")), Seq("id"),
+      mergeOnRead = Some(true))
+    ParquetTable.merge(spark, path, df(Row(4, "d")), Seq("id"),
+      mergeOnRead = Some(true)) // chain: 3 dirs + 1 DV
+    // DV delete must retire a row living in an APPENDED dir
+    ParquetTable.deleteVectors(spark, path, col("id") === 3)
+    assert(rowsOf(path) === Map(1 -> "a", 2 -> "B", 4 -> "d"))
+    // copy-on-write update reads the whole chain and materializes
+    ParquetTable.update(spark, path, col("id") === 2, Map("v" -> lit("Z")))
+    assert(rowsOf(path) === Map(1 -> "a", 2 -> "Z", 4 -> "d"))
+    assert(dataDirCount(path) === 1) // rewrite folded the chain
+    // delete after the fold still works
+    ParquetTable.delete(spark, path, col("id") === 1)
+    assert(rowsOf(path) === Map(2 -> "Z", 4 -> "d"))
+  }
+
   test("concurrent mergeVectors on disjoint keys: both land, no lost update") {
     import java.util.concurrent.{Callable, CyclicBarrier, Executors, TimeUnit}
     val path = tmpDir("mor-race") + "/t"
