@@ -1416,6 +1416,78 @@ object ParquetTable {
     -1L // unreachable
   }
 
+  /** CONVERT a plain parquet layout into a versioned table in place —
+    * Delta's `CONVERT TO DELTA` parity verb, no data rewritten: the
+    * existing parquet files (or hive partition dirs) are RENAMED into a
+    * fresh `_d*` data dir (metadata-only on any real filesystem), a
+    * stats+schema sidecar is swept from their footers, and v1 publishes
+    * through the usual atomic commit. From then on the path is a normal
+    * versioned table (time travel, MERGE, DV, skipping).
+    *
+    * Like Delta's CONVERT, the table must be QUIESCED: concurrent plain
+    * writers during the rename sweep lose their in-flight files'
+    * placement guarantees. The sweep itself is not atomic, but is safe
+    * against readers at every instant — `_`-prefixed dirs are invisible
+    * to plain parquet readers (a plain reader sees a shrinking but valid
+    * table until the manifest lands), and the graft manifest only
+    * publishes after every file has moved. Partitioned layouts pass
+    * their partition columns; nested partitioning (a=…/b=…) is
+    * supported. Fails if the path already has a manifest.
+    */
+  def convert(
+      spark: SparkSession, path: String,
+      partitionColumns: Seq[String] = Nil): Long = {
+    require(currentVersion(spark, path).isEmpty,
+      s"convert: $path already holds a versioned table")
+    val root = new Path(path)
+    val fs = hadoopFs(spark, root)
+    require(fs.exists(root), s"convert: no parquet layout at $path")
+    val dataDir = freshDataDirName()
+    val dd = new Path(path, dataDir)
+    fs.mkdirs(dd)
+    if (partitionColumns.isEmpty) {
+      val files = fs.listStatus(root).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      require(files.nonEmpty, s"convert: no parquet files at the root of $path " +
+        "(for a partitioned layout pass its partition columns)")
+      files.foreach { st =>
+        require(fs.rename(st.getPath, new Path(dd, st.getPath.getName)),
+          s"convert: rename failed for ${st.getPath}")
+      }
+      DataSkipping.writeStats(spark, dd.toString,
+        spark.read.parquet(dd.toString).schema)
+      require(commitVersion(spark, path, 1L, dataDir),
+        s"convert: lost the creation race at $path")
+    } else {
+      // top-level hive dirs ("col=value") move wholesale, preserving any
+      // nested partition structure beneath them
+      val tops = fs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(partitionColumns.head + "="))
+      require(tops.nonEmpty,
+        s"convert: no ${partitionColumns.head}=* partition dirs at $path")
+      tops.foreach { st =>
+        require(fs.rename(st.getPath, new Path(dd, st.getPath.getName)),
+          s"convert: rename failed for ${st.getPath}")
+      }
+      DataSkipping.writeStats(spark, dd.toString,
+        spark.read.parquet(dd.toString).schema)
+      // leaf partition dirs (depth = |partitionColumns|) become entries
+      def leaves(dir: Path, depth: Int): Seq[String] =
+        if (depth == 0) Seq(dir.toUri.getPath.stripPrefix(dd.toUri.getPath).stripPrefix("/"))
+        else fs.listStatus(dir).filter(_.isDirectory)
+          .filter(_.getPath.getName.contains('='))
+          .flatMap(st => leaves(st.getPath, depth - 1)).toSeq
+      val entries = leaves(dd, partitionColumns.length).sorted
+        .map(p => s"$p\t$dataDir").mkString("\n")
+      require(entries.nonEmpty, s"convert: no leaf partition dirs of depth " +
+        s"${partitionColumns.length} under $path")
+      require(commitVersion(spark, path, 1L, entries),
+        s"convert: lost the creation race at $path")
+    }
+    1L
+  }
+
   /** Versioned INSERT INTO (Delta's AddFile append): on an UNPARTITIONED
     * versioned table the commit is O(appended rows) — the new rows land
     * in one fresh data dir and the manifest body grows by that line

@@ -149,10 +149,16 @@ object GraftSql {
       """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
   private val DropConstraintStmt =
     """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val ConvertStmt =
+    ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
 
   private[sql] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case RestoreStmt(path, v) => Some(GraftRestoreCommand(path, v.toLong))
+      case ConvertStmt(path, cols) => Some(GraftConvertCommand(path,
+        Option(cols).map(_.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .toSeq.filter(_.nonEmpty)).getOrElse(Nil)))
       case CloneStmt(target, source, v) =>
         Some(GraftCloneCommand(source, target, Option(v).map(_.toLong)))
       case AddConstraintStmt(path, name, check) =>
@@ -366,6 +372,23 @@ case class GraftInsertCommand(
     } else ParquetTable.insertInto(session, path, rows)
     Seq.empty
   }
+}
+
+/** `CONVERT TO GRAFT parquet.`/path`` [PARTITIONED BY (c1, …)]`: adopt a
+  * plain parquet layout as a versioned table in place — Delta's
+  * `CONVERT TO DELTA` verb (see `ParquetTable.convert`; files are
+  * renamed, never rewritten). Returns one row with the created version.
+  */
+case class GraftConvertCommand(path: String, partitionColumns: Seq[String])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "converted_version", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(ParquetTable.convert(session, path, partitionColumns)))
 }
 
 /** `RESTORE TABLE graft.`path` TO VERSION AS OF n`: republishes the old

@@ -61,6 +61,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: merge-on-read and copy-on-write commit identical images and feeds") {
+    // differential testing of the two merge tiers: for ANY generated
+    // base/update split, both tiers must publish the same table image
+    // AND the same per-commit change feed — the storage layout is the
+    // only thing allowed to differ. Updates are pk-deduplicated HERE:
+    // each tier dedups independently, and which row survives a
+    // duplicate pk is arbitrary per evaluation — cross-tier dup
+    // determinism is not a promised property (the reconstruction
+    // property below covers dup-PK batches within one tier).
+    batches(3).zipWithIndex.foreach { case (rows, i) =>
+      val valid = Validator.split(frame(Schemas.orders, rows), Schemas.ordersSpec).valid
+      val base = valid.filter(col("order_num") % 2 === 0).dropDuplicates(Seq("order_id"))
+      val updates = valid.filter(col("order_num") % 2 =!= 0)
+        .dropDuplicates(Seq("order_id"))
+      if (base.isEmpty || updates.isEmpty) ()
+      else {
+        val morPath = tmpDir(s"prop-mor$i") + "/t"
+        val cowPath = tmpDir(s"prop-cow$i") + "/t"
+        ParquetTable.create(base, morPath)
+        ParquetTable.create(base, cowPath)
+        ParquetTable.merge(spark, morPath, updates, Seq("order_id"),
+          cdf = true, mergeOnRead = Some(true))
+        ParquetTable.merge(spark, cowPath, updates, Seq("order_id"),
+          cdf = true, mergeOnRead = Some(false))
+        def image(p: String) =
+          ParquetTable.read(spark, p).collect().map(_.toSeq).toSet
+        assert(image(morPath) === image(cowPath), s"seed $i: images diverge")
+        // feeds may disagree only on the arbitrary dup-PK pick; with the
+        // same committed image they must be identical
+        def feed(p: String) = ParquetTable.tableChanges(spark, p, 2L, 2L, Seq("order_id"))
+          .collect().map(_.toSeq).toSet
+        assert(feed(morPath) === feed(cowPath), s"seed $i: change feeds diverge")
+      }
+    }
+  }
+
   test("property: applying the captured change feed reconstructs the commit") {
     // algebra of CDF: v2 = (v1 minus preimage/delete keys) ∪ postimages ∪
     // inserts — must hold for ANY update batch, including ones whose
