@@ -173,6 +173,20 @@ class MergeOnReadSpec extends SparkSpec {
     assert(!ParquetTable.autoMergeOnRead(spark, path, v, maxDirs = 64))
   }
 
+  test("readWhere over a MOR chain: prunes per dir, applies DVs, exact vs filter") {
+    val path = tmpDir("mor-rw") + "/t"
+    ParquetTable.create(df((1 to 20).map(i => Row(i, s"v$i")): _*), path)
+    ParquetTable.merge(spark, path, df(Row(5, "FIVE"), Row(25, "w")), Seq("id"),
+      mergeOnRead = Some(true))
+    val pred = col("id") <= 6
+    val expect = ParquetTable.read(spark, path).filter(pred)
+      .collect().map(_.toSeq).toSet
+    assert(ParquetTable.readWhere(spark, path, pred)
+      .collect().map(_.toSeq).toSet === expect)
+    assert(expect.exists(_.contains("FIVE")) && !expect.exists(_.contains("v5")),
+      "DV must retire the replaced row on the stats-pruned path too")
+  }
+
   test("row-level verbs on a MOR chain: delete, update, deleteVectors") {
     val path = tmpDir("mor-verbs") + "/t"
     ParquetTable.create(df(Row(1, "a"), Row(2, "b")), path)
