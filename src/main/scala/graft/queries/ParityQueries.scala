@@ -688,6 +688,23 @@ object ParityQueries {
         .orderBy(col("c_custkey"), col("c_name"))
     }),
 
+    // CONVERT TO GRAFT (Delta CONVERT TO DELTA parity): a plain parquet
+    // layout is adopted in place — files RENAMED into a data dir, never
+    // rewritten — and the converted table is immediately a full
+    // versioned citizen (here: a deletion-vector DELETE lands on the
+    // adopted files). The oracle replays the subset + delete predicate.
+    "q70_convert" -> ((s, d) => {
+      val tmp = scratchDir("graft_q70")
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .write.parquet(s"$tmp/t") // plain pre-lakehouse layout
+      ParquetTable.convert(s, s"$tmp/t") // v1, in place
+      ParquetTable.deleteVectors(s, s"$tmp/t", col("o_orderstatus") === "F") // v2
+      ParquetTable.read(s, s"$tmp/t")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Metadata-only aggregates (plans.MetadataAggregates): the whole
     // statement — COUNT(*), COUNT(nullable col) via sidecar null counts,
     // MIN/MAX of int and string columns — folds to a LocalRelation from
@@ -1056,6 +1073,13 @@ object ParityQueries {
         |  UNION ALL SELECT 1, 'graft-row', 0.0, 'BUILDING'
         |)
         |ORDER BY c_custkey, c_name""".stripMargin,
+    // graft converts a plain layout in place then DV-deletes; the
+    // oracle replays subset + delete predicate over the source table
+    "q70_convert" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_orderstatus <> 'F'
+        |ORDER BY o_orderkey""".stripMargin,
     // graft answers from sidecar metadata; the oracle scans — same values
     "q63_metadata_agg" ->
       """SELECT count(*) AS n_rows,
