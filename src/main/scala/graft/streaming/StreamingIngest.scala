@@ -67,6 +67,48 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming APPEND ingest — the O(appended rows) twin of
+    * [[csvStreamUpsert]] for append-only feeds (event logs, immutable
+    * documents): each micro-batch validates, then commits through
+    * `ParquetTable.insertInto` — one appended data dir + one manifest
+    * line per batch on an unpartitioned versioned target, no key join,
+    * no rewrite, nothing proportional to table size. `txnAppId` (with
+    * the batchId as txnVersion) makes re-delivered batches commit
+    * NOTHING — exactly-once at the commit level, the Delta foreachBatch
+    * txn idiom; without it a replayed append would duplicate rows
+    * (INSERT keeps duplicates by design — use the upsert twin when PKs
+    * exist). The target must exist (create it from the spec's empty
+    * frame first); a long run of small batches folds via the
+    * MorMaxDataDirs-style maintenance verbs ([[ParquetTable.compact]]).
+    */
+  def csvStreamAppend(
+      spark: SparkSession,
+      inputDir: String,
+      spec: TableSpec,
+      tablePath: String,
+      checkpointDir: String,
+      references: Map[String, DataFrame] = Map.empty,
+      txnAppId: Option[String] = None): StreamingQuery = {
+    val relaxed = org.apache.spark.sql.types.StructType(
+      spec.schema.fields.map(_.copy(nullable = true)))
+    val stream = spark.readStream
+      .option("header", "true")
+      .schema(relaxed)
+      .csv(inputDir)
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val conformed = CsvIngest.conform(batch, spec.schema)
+        val valid = Validator.split(conformed, spec, references).valid
+        ParquetTable.insertInto(batch.sparkSession, tablePath, valid,
+          txn = txnAppId.map(_ -> batchId))
+        () // foreachBatch wants Unit; insertInto returns the version
+      }
+      .start()
+  }
+
   /** Streaming consumer of a versioned table's CAPTURED change feed (the
     * Delta `readChangeFeed` streaming tier): the per-commit change
     * manifests that `ParquetTable.merge(cdf = true)` writes under

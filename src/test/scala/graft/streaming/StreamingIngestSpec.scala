@@ -74,6 +74,41 @@ class StreamingIngestSpec extends SparkSpec {
     assert(ParquetTable.read(spark, s"$root/table").count() === 1)
   }
 
+  test("csvStreamAppend: O(rows) appends per batch; txn replay commits nothing") {
+    val root = tmpDir("stream-append")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    val hdr = "order_num,order_id,user_id,order_timestamp,total_amount,date\n"
+    Files.writeString(Paths.get(in, "day1.csv"),
+      hdr + "1,101,1,2025-04-01 10:00:00,12.5,2025-04-01\n" +
+        "2,102,2,2025-04-01 11:00:00,-3.0,2025-04-01\n") // invalid amount
+    val spec = Schemas.ordersSpec.copy(partitionColumns = Nil)
+    // append target must exist: create v1 from an empty conforming frame
+    ParquetTable.create(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spec.schema), s"$root/table")
+    StreamingIngest.csvStreamAppend(spark, in, spec, s"$root/table",
+      s"$root/ckpt", txnAppId = Some("append_stream")).awaitTermination()
+    assert(ParquetTable.read(spark, s"$root/table").count() === 1) // invalid dropped
+    // incremental second file: appended as ONE more commit, no rewrite of
+    // existing dirs (append = duplicate-keeping — same order_id re-lands)
+    Files.writeString(Paths.get(in, "day2.csv"),
+      hdr + "3,101,1,2025-04-02 09:00:00,7.0,2025-04-02\n")
+    StreamingIngest.csvStreamAppend(spark, in, spec, s"$root/table",
+      s"$root/ckpt", txnAppId = Some("append_stream")).awaitTermination()
+    assert(ParquetTable.read(spark, s"$root/table").count() === 2)
+    val ids = ParquetTable.read(spark, s"$root/table")
+      .collect().map(_.getInt(1)).sorted
+    assert(ids === Array(101, 101)) // INSERT keeps the duplicate key
+    // worst-case redelivery: checkpoint lost, both files reprocess as
+    // batches 0..1 again — txn markers skip both commits wholesale
+    val vBefore = ParquetTable.currentVersion(spark, s"$root/table")
+    StreamingIngest.csvStreamAppend(spark, in, spec, s"$root/table",
+      s"$root/ckpt-rebuilt", txnAppId = Some("append_stream")).awaitTermination()
+    assert(ParquetTable.currentVersion(spark, s"$root/table") === vBefore)
+    assert(ParquetTable.read(spark, s"$root/table").count() === 2)
+  }
+
   test("streamDedupIngest: cross-batch dedup through the fingerprint store") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val root = tmpDir("stream-dedup")
