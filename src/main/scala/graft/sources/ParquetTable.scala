@@ -1969,6 +1969,22 @@ object ParquetTable {
     * partitions at data dirs written MANY versions ago, so "older than
     * keepLast" alone can't justify deletion — only unreferenced dirs go.
     */
+  /** Time-based retention (Delta's `VACUUM … RETAIN n HOURS` semantics
+    * mapped onto version retention): keep every version whose committed
+    * `#ts=` header is at or after `now − horizonMillis` — always at
+    * least the current version — then run the same reference-aware
+    * sweep as [[vacuum]]. Pre-header manifests (no `#ts=`) count as old.
+    */
+  def vacuumOlderThan(spark: SparkSession, path: String, horizonMillis: Long): Unit = {
+    require(horizonMillis >= 0, "vacuumOlderThan: horizon must be >= 0")
+    val vs = versions(spark, path)
+    if (vs.isEmpty) return
+    val cutoff = System.currentTimeMillis() - horizonMillis
+    val keep = vs.reverse.takeWhile(v =>
+      commitTimestamp(spark, path, v).getOrElse(Long.MinValue) >= cutoff).size
+    vacuum(spark, path, math.max(keep, 1))
+  }
+
   def vacuum(spark: SparkSession, path: String, keepLast: Int = 2): Unit = {
     require(keepLast >= 1, "vacuum must keep at least the current version")
     val vs = versions(spark, path)

@@ -136,7 +136,7 @@ object GraftSql {
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
   private val VacuumStmt =
-    """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*;?\s*""".r
   private val HistoryStmt =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val DetailStmt =
@@ -168,8 +168,10 @@ object GraftSql {
       case OptimizeStmt(path, cols) => Some(GraftOptimizeCommand(path,
         cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
           .filter(_.nonEmpty)))
-      case VacuumStmt(path, retain) => Some(GraftVacuumCommand(path,
-        Option(retain).map(_.toInt).getOrElse(2)))
+      case VacuumStmt(path, retain, unit) =>
+        val hours = Option(unit).exists(_.equalsIgnoreCase("HOURS"))
+        Some(GraftVacuumCommand(path,
+          Option(retain).map(_.toInt).getOrElse(2), hours))
       case HistoryStmt(path) => Some(GraftHistoryCommand(path))
       case DetailStmt(path) => Some(GraftDetailCommand(path))
       case _ => None
@@ -496,7 +498,7 @@ case class GraftOptimizeCommand(path: String, zorderBy: Seq[String])
   * `ParquetTable.vacuum`). Returns one row with the number of versions
   * still present.
   */
-case class GraftVacuumCommand(path: String, keepLast: Int)
+case class GraftVacuumCommand(path: String, retain: Int, hours: Boolean = false)
     extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] =
@@ -505,7 +507,9 @@ case class GraftVacuumCommand(path: String, keepLast: Int)
       nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
-    ParquetTable.vacuum(session, path, keepLast)
+    if (hours)
+      ParquetTable.vacuumOlderThan(session, path, retain * 3600000L)
+    else ParquetTable.vacuum(session, path, retain)
     Seq(Row(ParquetTable.versions(session, path).size.toLong))
   }
 }

@@ -213,6 +213,20 @@ class MergeIntoSpec extends SparkSpec {
     assert(ParquetTable.read(spark, path).count() === 1000L)
   }
 
+  test("VACUUM ... RETAIN n HOURS: time-based retention over #ts headers") {
+    val path = tmpDir("sqlvac-hours") + "/t"
+    ParquetTable.create(spark.range(0, 10).selectExpr("id", "id AS v"), path) // v1
+    ParquetTable.atomicReplace(spark, path,
+      spark.range(0, 5).selectExpr("id", "id AS v"), Nil) // v2
+    // every commit is seconds old → a 1000-hour horizon keeps both
+    GraftSql.sql(spark, s"VACUUM graft.`$path` RETAIN 1000 HOURS")
+    assert(ParquetTable.versions(spark, path) === Seq(1L, 2L))
+    // a zero horizon keeps only the current version (never less)
+    GraftSql.sql(spark, s"VACUUM graft.`$path` RETAIN 0 HOURS")
+    assert(ParquetTable.versions(spark, path) === Seq(2L))
+    assert(ParquetTable.read(spark, path).count() === 5L)
+  }
+
   test("MERGE INTO ... WITH SCHEMA EVOLUTION appends new source columns") {
     val path = tmpDir("sqlmerge-evolve") + "/t"
     ParquetTable.create(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), path) // v1
