@@ -135,6 +135,8 @@ object GraftSql {
     """(?is)\s*RESTORE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
+  private val CompactStmt =
+    """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*;?\s*""".r
   private val HistoryStmt =
@@ -168,6 +170,7 @@ object GraftSql {
       case OptimizeStmt(path, cols) => Some(GraftOptimizeCommand(path,
         cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
           .filter(_.nonEmpty)))
+      case CompactStmt(path) => Some(GraftCompactCommand(path))
       case VacuumStmt(path, retain, unit) =>
         val hours = Option(unit).exists(_.equalsIgnoreCase("HOURS"))
         Some(GraftVacuumCommand(path,
@@ -391,6 +394,25 @@ case class GraftConvertCommand(path: String, partitionColumns: Seq[String])
 
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(ParquetTable.convert(session, path, partitionColumns)))
+}
+
+/** Bare `OPTIMIZE graft.`path`` (no ZORDER BY) — Delta's default
+  * OPTIMIZE: bin-pack compaction via `ParquetTable.compact`, which folds
+  * a merge-on-read chain (appended dirs + deletion vectors) or a
+  * scattered partitioned current version back into one fresh data dir.
+  * Returns one row with the new current version.
+  */
+case class GraftCompactCommand(path: String) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "optimized_version", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    ParquetTable.compact(session, path)
+    Seq(Row(ParquetTable.currentVersion(session, path).getOrElse(-1L)))
+  }
 }
 
 /** `RESTORE TABLE graft.`path` TO VERSION AS OF n`: republishes the old

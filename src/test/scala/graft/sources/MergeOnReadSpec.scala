@@ -129,6 +129,31 @@ class MergeOnReadSpec extends SparkSpec {
     assert(rowsOf(path) === Map(1 -> "a", 2 -> "B", 3 -> "c"))
   }
 
+  test("bare SQL OPTIMIZE compacts a MOR chain") {
+    val path = tmpDir("mor-sql-opt") + "/t"
+    ParquetTable.create(df(Row(1, "a"), Row(2, "b")), path)
+    ParquetTable.merge(spark, path, df(Row(2, "B"), Row(3, "c")), Seq("id"),
+      mergeOnRead = Some(true))
+    assert(dataDirCount(path) === 2)
+    val v = graft.sql.GraftSql.sql(spark, s"OPTIMIZE graft.`$path`").head().getLong(0)
+    assert(v === 3L && dataDirCount(path) === 1)
+    assert(ParquetTable.dvDirs(spark, path, v).isEmpty)
+    assert(rowsOf(path) === Map(1 -> "a", 2 -> "B", 3 -> "c"))
+  }
+
+  test("insertInto on a shallow clone: append lands clone-local, source untouched") {
+    val src = tmpDir("mor-ins-clone-src") + "/t"
+    val dst = tmpDir("mor-ins-clone-dst") + "/t"
+    ParquetTable.create(df(Row(1, "a")), src)
+    ParquetTable.shallowClone(spark, src, dst)
+    ParquetTable.insertInto(spark, dst, df(Row(2, "b")))
+    assert(rowsOf(dst) === Map(1 -> "a", 2 -> "b"))
+    assert(rowsOf(src) === Map(1 -> "a"))
+    // the appended dir lives under the CLONE (vacuum ownership holds)
+    assert(new java.io.File(dst).listFiles
+      .exists(f => f.isDirectory && f.getName.startsWith("_d")))
+  }
+
   test("shallow clone of a MOR snapshot reads through dirs and DVs") {
     val src = tmpDir("mor-clone-src") + "/t"
     val dst = tmpDir("mor-clone-dst") + "/t"
