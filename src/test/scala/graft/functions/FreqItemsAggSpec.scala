@@ -50,6 +50,18 @@ class FreqItemsAggSpec extends SparkSpec {
     }
   }
 
+  test("grouped usage: one bounded sketch per group") {
+    val gschema = StructType(Seq(
+      StructField("grp", StringType, nullable = false),
+      StructField("tok", StringType, nullable = false)))
+    val rows = Seq.fill(5)(Row("a", "x")) ++ Seq.fill(2)(Row("a", "y")) ++
+      Seq.fill(3)(Row("b", "z"))
+    val out = frame(gschema, rows).repartition(5)
+      .groupBy("grp").agg(agg(8).as("m"))
+      .collect().map(r => r.getString(0) -> r.getMap[String, Long](1).toMap).toMap
+    assert(out === Map("a" -> Map("x" -> 5L, "y" -> 2L), "b" -> Map("z" -> 3L)))
+  }
+
   test("nulls are skipped; SQL registration works") {
     val df = frame(schema, Seq(Row("x"), Row(null), Row("x"), Row("y")))
     df.createOrReplaceTempView("fi_toks")
