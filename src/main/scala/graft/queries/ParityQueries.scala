@@ -334,6 +334,34 @@ object ParityQueries {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // GROUPING SETS with DISJOINT sets (neither rollup nor cube can
+    // express it): per-returnflag totals, per-shipmode totals, and the
+    // grand total in ONE pass — Spark expands to a single Expand +
+    // aggregate, so the fact table is scanned once, not once per set.
+    "q71_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("q71_li")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |       round(sum(l_extendedprice), 2) AS revenue
+          |FROM q71_li
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    // Spark 4 VARIANT ingestion of semi-structured columns: parse_json →
+    // binary variant (no schema declared, unlike q38's schema-full
+    // from_json) → typed try_variant_get extraction. The 100 TB shape:
+    // parse once, extract many times, no per-field schema maintenance.
+    "q72_variant" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          try_variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // Pivot with an EXPLICIT value list — no driver-side distinct scan to
     // discover columns, so the plan is a single groupBy with conditional
     // aggregates (exactly the oracle's CASE formulation).
@@ -882,6 +910,21 @@ object ParityQueries {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q71_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // graft parses to a Spark VARIANT and extracts typed fields; the
+    // oracle extracts the same field with DuckDB's JSON operators
+    "q72_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum((props->>'$.k')::INT) AS BIGINT) AS sum_k,
+        |       max((props->>'$.k')::INT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q42_pivot_status" ->
       """SELECT o_orderpriority,
