@@ -129,6 +129,30 @@ class MergeOnReadSpec extends SparkSpec {
     assert(rowsOf(path) === Map(1 -> "a", 2 -> "B", 3 -> "c"))
   }
 
+  test("deep chain: 30 MOR merges accumulate correctly, travel and compact") {
+    val path = tmpDir("mor-deep") + "/t"
+    ParquetTable.create(df(Row(0, "v0")), path)
+    // each merge updates the previous key and inserts a new one
+    for (i <- 1 to 30)
+      ParquetTable.merge(spark, path,
+        df(Row(i - 1, s"u$i"), Row(i, s"v$i")), Seq("id"),
+        mergeOnRead = Some(true))
+    assert(dataDirCount(path) === 31)
+    val expect = (0 until 30).map(k => k -> s"u${k + 1}").toMap + (30 -> "v30")
+    assert(rowsOf(path) === expect)
+    // time travel into the middle of the chain
+    assert(ParquetTable.readAt(spark, path, 16L).count() === 16L)
+    // compaction folds 31 dirs + 30 DVs into one full image
+    ParquetTable.compact(spark, path)
+    assert(dataDirCount(path) === 1)
+    assert(rowsOf(path) === expect)
+    // vacuum then reclaims the whole chain's dirs
+    ParquetTable.vacuum(spark, path, keepLast = 1)
+    assert(rowsOf(path) === expect)
+    assert(new java.io.File(path).listFiles
+      .count(f => f.isDirectory && f.getName.startsWith("_d")) === 1)
+  }
+
   test("bare SQL OPTIMIZE compacts a MOR chain") {
     val path = tmpDir("mor-sql-opt") + "/t"
     ParquetTable.create(df(Row(1, "a"), Row(2, "b")), path)
