@@ -855,9 +855,12 @@ object ParquetTable {
           val entries = partitionEntries(spark, path, v).getOrElse(
             throw new IllegalStateException(
               s"mergeVersioned: $path holds an UNPARTITIONED versioned table"))
-          val entryMap = entries.toMap
           val affected = partitionDirsOf(upd, partitionColumns)
-          val existing = affected.filter(entryMap.contains)
+          val affectedSet = affected.toSet
+          // ALL entries of the affected partitions — a partition can
+          // span several dirs after append-entry INSERTs, and the slice
+          // must union every one or the merge silently loses rows
+          val affectedEntries = entries.filter(e => affectedSet(e._1))
           // the version's table schema (sidecars only — no listing): the
           // anchor both for aligning mixed-schema affected dirs after an
           // earlier evolution and for widening inserts into new partitions
@@ -868,12 +871,12 @@ object ParquetTable {
           // below, keeping deletes on UNTOUCHED partitions in force
           val dv = dvOf(spark, path, v)
           val target =
-            if (existing.isEmpty) None
-            else Some(existing.groupBy(entryMap).toSeq.sortBy(_._1).map {
-              case (dataDir, parts) =>
+            if (affectedEntries.isEmpty) None
+            else Some(affectedEntries.groupBy(_._2).toSeq.sortBy(_._1).map {
+              case (dataDir, es) =>
                 val base = new Path(path, dataDir).toString
                 val df = dvFilterLeg(spark.read.option("basePath", base)
-                  .parquet(parts.map(p => s"$base/$p"): _*), dv)
+                  .parquet(es.map(e => s"$base/${e._1}"): _*), dv)
                 tableSchema.map(alignTo(df, _)).getOrElse(df)
             }.reduce(_.unionByName(_)))
           val merged = target match {
@@ -901,7 +904,10 @@ object ParquetTable {
           DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
             merged.schema)
           validateCommit(spark, path, dataDir)
-          val newEntries = (entryMap ++ affected.map(_ -> dataDir)).toSeq.sorted
+          // every affected partition consolidates onto the new dir (its
+          // old entries — possibly several — drop out)
+          val newEntries = (entries.filterNot(e => affectedSet(e._1)) ++
+            affected.map(_ -> dataDir)).sorted
             .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
           committed = commitVersion(spark, path, v + 1, newEntries, txn,
             dv = dvDirs(spark, path, v))
@@ -997,7 +1003,6 @@ object ParquetTable {
           }
         case Some(entries) =>
           val partitionColumns = entries.head._1.split('/').toSeq.map(_.split('=')(0))
-          val entryMap = entries.toMap
           val target = readVersion(spark, path, v)
           requireDeterministic(target, condition, set, verb)
           val matched = target.filter(condition)
@@ -1005,6 +1010,10 @@ object ParquetTable {
           val affected = partitionDirsOf(matched, partitionColumns)
           if (affected.isEmpty) result = v // no-op
           else {
+            val affectedSet = affected.toSet
+            // ALL entries of the affected partitions (several dirs per
+            // partition after append-entry INSERTs)
+            val affectedEntries = entries.filter(e => affectedSet(e._1))
             // rewrite ONLY the affected partitions' slice (each dir
             // aligned to the version schema — post-evolution old dirs
             // read appended columns as typed NULLs)
@@ -1013,11 +1022,11 @@ object ParquetTable {
             // DV filter, before align/union); the dv header is carried into
             // the commit for the untouched partitions' sake
             val dv = dvOf(spark, path, v)
-            val slice = affected.groupBy(entryMap).toSeq.sortBy(_._1).map {
-              case (dataDir, parts) =>
+            val slice = affectedEntries.groupBy(_._2).toSeq.sortBy(_._1).map {
+              case (dataDir, es) =>
                 val base = new Path(path, dataDir).toString
                 val df = dvFilterLeg(spark.read.option("basePath", base)
-                  .parquet(parts.map(p => s"$base/$p"): _*), dv)
+                  .parquet(es.map(e => s"$base/${e._1}"): _*), dv)
                 sliceSchema.map(alignTo(df, _)).getOrElse(df)
             }.reduce(_.unionByName(_))
             val newSlice = resolvedSet match {
@@ -1029,14 +1038,15 @@ object ParquetTable {
             DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
               newSlice.schema)
             validateCommit(spark, path, dataDir)
-            // a fully-deleted partition leaves the manifest
+            // a fully-deleted partition leaves the manifest; every
+            // affected partition's old entries drop out wholesale
             val remaining = partitionDirsOf(newSlice, partitionColumns).toSet
-            val newEntries = (entryMap -- affected.filterNot(remaining)) ++
+            val newEntries = entries.filterNot(e => affectedSet(e._1)) ++
               remaining.map(_ -> dataDir)
             require(newEntries.nonEmpty,
               s"$verb would empty every partition of $path; an empty " +
                 "partitioned manifest is unreadable — drop the table instead")
-            val content = newEntries.toSeq.sorted
+            val content = newEntries.sorted
               .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
             if (commitVersion(spark, path, v + 1, content,
                 dv = dvDirs(spark, path, v))) {
@@ -1495,12 +1505,13 @@ object ParquetTable {
     * [[mergeVectors]] commit shape minus the DV). Duplicates are NOT
     * deduplicated — INSERT is append, [[merge]] is the upsert verb.
     *
-    * On a PARTITIONED versioned table the append rewrites only the
-    * affected partitions (existing slice ∪ new rows, re-pointed
-    * entries — the [[mergeVersioned]] commit shape without the
-    * dedup/anti-join): partitioned manifests map each partition to ONE
-    * dir, so an append cannot add a second dir per partition without
-    * shadowing reads in the merge path. Untouched partitions: zero I/O.
+    * On a PARTITIONED versioned table the append is ALSO O(appended
+    * rows): the new rows land in one fresh dir and the manifest gains
+    * `(partition → newDir)` entries beside the existing ones — a
+    * partition may span several dirs until the next merge or row-level
+    * rewrite of that partition consolidates it (every slice reader
+    * groups the full entry list by dir). Untouched partitions: zero
+    * entries added, zero I/O.
     *
     * `cdf = true` captures the appended rows as inserts. Returns the
     * committed version (-1 = txn re-delivery, nothing committed).
@@ -1558,43 +1569,31 @@ object ParquetTable {
             hadoopFs(spark, dd).delete(dd, true)
           }
         case Some(entries) =>
-          val entryMap = entries.toMap
+          // partitioned APPEND-ENTRY commit — O(appended rows), the
+          // Delta AddFile shape: the new rows land in one fresh dir and
+          // the manifest gains (partition → newDir) entries BESIDE the
+          // old ones (a partition may now span several dirs; every slice
+          // reader — merges, row-level rewrites, reads, vacuum, detail —
+          // groups the full entry list by dir). The next merge or
+          // row-level rewrite of an affected partition consolidates it
+          // back onto a single dir.
           val partitionColumns = entries.head._1.split('/').toSeq.map(_.split('=')(0))
           val aligned = alignInsert(rows, readVersion(spark, path, v).schema)
-          val cols = aligned.columns.toSeq
           val affected = partitionDirsOf(aligned, partitionColumns)
-          val existing = affected.filter(entryMap.contains)
-          val dv = dvOf(spark, path, v)
-          val preSlice =
-            if (existing.isEmpty) None
-            else Some(existing.groupBy(entryMap).toSeq.sortBy(_._1).map {
-              case (dataDir, parts) =>
-                val base = new Path(path, dataDir).toString
-                dvFilterLeg(spark.read.option("basePath", base)
-                  .parquet(parts.map(p => s"$base/$p"): _*), dv)
-                  .select(cols.map(col): _*)
-            }.reduce(_.unionByName(_)))
-          val slice = preSlice.fold(aligned)(_.unionByName(aligned))
           val dataDir = freshDataDirName()
-          writePlain(slice, new Path(path, dataDir).toString, partitionColumns)
-          DataSkipping.writeStats(spark, new Path(path, dataDir).toString, slice.schema)
+          writePlain(aligned, new Path(path, dataDir).toString, partitionColumns)
+          DataSkipping.writeStats(spark, new Path(path, dataDir).toString, aligned.schema)
           validateCommit(spark, path, dataDir)
-          val newEntries = (entryMap ++ affected.map(_ -> dataDir)).toSeq.sorted
+          val newEntries = (entries ++ affected.map(_ -> dataDir)).sorted
             .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
           if (commitVersion(spark, path, v + 1, newEntries, txn, dvDirs(spark, path, v))) {
             // capture from the COMMITTED dir, never the row plan: the
-            // inserted multiset = committed slice MINUS pre-slice
-            // (exceptAll — duplicates survive; pre-snapshot dirs still
-            // exist, vacuum hasn't run)
-            if (cdf) {
-              val base = new Path(path, dataDir).toString
-              val committedSlice = spark.read.option("basePath", base)
-                .parquet(affected.map(p => s"$base/$p"): _*)
-                .select(cols.map(col): _*)
-              val inserted = preSlice.fold(committedSlice)(committedSlice.exceptAll)
-              writeChangeManifest(spark, path, v + 1,
-                inserted.withColumn("_change_type", lit("insert")))
-            }
+            // appended dir IS exactly the inserted multiset
+            if (cdf) writeChangeManifest(spark, path, v + 1,
+              spark.read.option("basePath", new Path(path, dataDir).toString)
+                .parquet(affected.map(p => s"$path/$dataDir/$p"): _*)
+                .select(aligned.columns.map(col).toSeq: _*)
+                .withColumn("_change_type", lit("insert")))
             return v + 1
           } else {
             val dd = new Path(path, dataDir)

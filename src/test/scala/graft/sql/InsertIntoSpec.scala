@@ -64,18 +64,46 @@ class InsertIntoSpec extends SparkSpec {
     assert(ParquetTable.readAt(spark, path, 1L).count() === 2L) // old image travels
   }
 
-  test("partitioned INSERT INTO rewrites only affected partitions") {
+  test("partitioned INSERT INTO is append-entry: old dirs untouched, O(rows)") {
     val path = tmpDir("ins-part") + "/t"
     ParquetTable.createVersioned(frame(pschema,
       Seq(Row(1, "a", "d1"), Row(2, "b", "d2"))), path, Seq("day"))
-    val entries1 = ParquetTable.partitionEntries(spark, path, 1L).get.toMap
+    val entries1 = ParquetTable.partitionEntries(spark, path, 1L).get
     GraftSql.sql(spark, s"INSERT INTO graft.`$path` VALUES (3, 'c', 'd2'), (4, 'd', 'd3')")
-    val entries2 = ParquetTable.partitionEntries(spark, path, 2L).get.toMap
-    // untouched partition keeps its v1 dir; affected + new get the new dir
-    assert(entries2("day=d1") === entries1("day=d1"))
-    assert(entries2("day=d2") !== entries1("day=d2"))
-    assert(entries2.contains("day=d3"))
+    val entries2 = ParquetTable.partitionEntries(spark, path, 2L).get
+    // EVERY v1 entry survives verbatim (no rewrite of existing dirs);
+    // the affected + new partitions gain entries on ONE new dir
+    assert(entries1.forall(entries2.contains))
+    val added = entries2.filterNot(entries1.contains)
+    assert(added.map(_._1).sorted === Seq("day=d2", "day=d3"))
+    assert(added.map(_._2).distinct.size === 1, "one appended dir for the batch")
+    // d2 now spans two dirs; reads union them
+    assert(entries2.count(_._1 == "day=d2") === 2)
     assert(rowsOf(path) === Seq(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
+  }
+
+  test("multi-dir partition: merge and delete consolidate, nothing lost") {
+    val path = tmpDir("ins-part-consol") + "/t"
+    ParquetTable.createVersioned(frame(pschema,
+      Seq(Row(1, "a", "d1"), Row(2, "b", "d1"))), path, Seq("day"))
+    ParquetTable.insertInto(spark, path,
+      frame(pschema, Seq(Row(3, "c", "d1")))) // d1 spans two dirs
+    assert(ParquetTable.partitionEntries(spark, path, 2L).get
+      .count(_._1 == "day=d1") === 2)
+    // a merge into d1 must see rows from BOTH dirs (the lost-update trap)
+    ParquetTable.mergeVersioned(spark, path,
+      frame(pschema, Seq(Row(2, "B", "d1"))), Seq("id"), Seq("day"))
+    assert(rowsOf(path) === Seq(1 -> "a", 2 -> "B", 3 -> "c"))
+    // and it consolidated d1 back onto one dir
+    assert(ParquetTable.partitionEntries(spark, path, 3L).get
+      .count(_._1 == "day=d1") === 1)
+    // delete over a fresh multi-dir partition also sees both dirs
+    ParquetTable.insertInto(spark, path,
+      frame(pschema, Seq(Row(4, "d", "d1"))))
+    ParquetTable.delete(spark, path, col("id") === 1)
+    assert(rowsOf(path) === Seq(2 -> "B", 3 -> "c", 4 -> "d"))
+    // time travel still serves every intermediate image
+    assert(ParquetTable.readAt(spark, path, 2L).count() === 3L)
   }
 
   test("insertInto captures CDF inserts from committed data") {
