@@ -388,7 +388,7 @@ object ParquetTable {
       require(partitionColumns.nonEmpty,
         s"merge: $path is a partitioned versioned table; pass its partition columns")
       mergeVersioned(spark, path, updates, pk, partitionColumns, filesPerPartition,
-        cdf, evolveSchema, txn)
+        cdf, evolveSchema, txn, mergeOnRead)
       return
     }
     val target = read(spark, path)
@@ -835,7 +835,8 @@ object ParquetTable {
       filesPerPartition: Int = 1,
       cdf: Boolean = false,
       evolveSchema: Boolean = false,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      mergeOnRead: Option[Boolean] = None): Unit = {
     require(partitionColumns.nonEmpty, "mergeVersioned needs partition columns")
     require(!(cdf && evolveSchema),
       "mergeVersioned: cdf capture and schema evolution cannot share a commit")
@@ -879,6 +880,79 @@ object ParquetTable {
                   .parquet(es.map(e => s"$base/${e._1}"): _*), dv)
                 tableSchema.map(alignTo(df, _)).getOrElse(df)
             }.reduce(_.unionByName(_)))
+          // merge-on-read tier for HOT partitions (the partitioned twin
+          // of [[mergeVectors]], possible now that a partition may span
+          // several dirs): matched rows in the affected slice retire by
+          // deletion vector, the update set appends as ONE new dir with
+          // entries beside the old ones — O(update rows) instead of
+          // rewriting the whole affected partition. Auto-tiered like the
+          // unpartitioned path: affected-slice rows (from sidecars,
+          // metadata-only) above [[MorAutoRowsFloor]] AND every affected
+          // partition still under the [[MorMaxDataDirs]] dir cap (at the
+          // cap the rewrite runs and consolidates). Schema evolution
+          // always rewrites.
+          val useMor = !evolveSchema && target.isDefined &&
+            mergeOnRead.getOrElse {
+              val rows = affectedSliceRows(spark, path, affectedEntries)
+              val maxDirs = affectedEntries.groupBy(_._1).values
+                .map(_.size).maxOption.getOrElse(0)
+              rows.exists(_ > MorAutoRowsFloor) && maxDirs < MorMaxDataDirs
+            }
+          if (useMor) {
+            val t = target.get
+            val cols = t.columns.toSeq
+            val updAligned = upd.select(cols.map(col): _*)
+            val updKeys = updAligned.select(pk.map(col): _*).distinct()
+            // (file, row_index) of affected-slice rows whose pk is being
+            // replaced — prior DVs excluded, schemas normalized to
+            // pk+key columns so post-evolution dirs union cleanly
+            val matched = affectedEntries.groupBy(_._2).toSeq.sortBy(_._1).map {
+              case (dataDir, es) =>
+                val base = new Path(path, dataDir).toString
+                val leg = spark.read.option("basePath", base)
+                  .parquet(es.map(e => s"$base/${e._1}"): _*)
+                val withMeta = leg
+                  .withColumn(DvFileCol, dvFileKey(col("_metadata.file_path")))
+                  .withColumn(DvIdxCol, col("_metadata.row_index"))
+                dv.fold(withMeta)(d =>
+                  withMeta.join(d, Seq(DvFileCol, DvIdxCol), "left_anti"))
+                  .select(pk.map(col) ++ Seq(col(DvFileCol), col(DvIdxCol)): _*)
+            }.reduce(_.unionByName(_))
+              .join(updKeys, pk, "left_semi")
+              .select(col(DvFileCol), col(DvIdxCol))
+            val dataDir = freshDataDirName()
+            writePlain(updAligned, new Path(path, dataDir).toString,
+              partitionColumns, filesPerPartition)
+            DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
+              updAligned.schema)
+            validateCommit(spark, path, dataDir)
+            val dvName = s"$DvDirName/dv${System.currentTimeMillis()}_${System.nanoTime() % 1000000}"
+            val dvPath = new Path(path, dvName)
+            matched.write.mode(SaveMode.Overwrite).parquet(dvPath.toString)
+            val hasMatches = !spark.read.parquet(dvPath.toString).isEmpty
+            if (!hasMatches) hadoopFs(spark, dvPath).delete(dvPath, true)
+            val newEntries = (entries ++ affected.map(_ -> dataDir)).sorted
+              .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
+            val dvs = dvDirs(spark, path, v) ++ (if (hasMatches) Seq(dvName) else Nil)
+            committed = commitVersion(spark, path, v + 1, newEntries, txn, dvs)
+            if (!committed) {
+              val dd = new Path(path, dataDir)
+              hadoopFs(spark, dd).delete(dd, true)
+              if (hasMatches) hadoopFs(spark, dvPath).delete(dvPath, true)
+            } else if (cdf) {
+              // committed appended dir = the post-images; pre side = the
+              // affected slice's replaced keys (re-selected: the semi
+              // join hoists pk columns)
+              val base = new Path(path, dataDir).toString
+              val committedSlice = spark.read.option("basePath", base)
+                .parquet(affected.map(p => s"$base/$p"): _*)
+                .select(cols.map(col): _*)
+              writeChangeManifest(spark, path, v + 1,
+                changeRowsBetween(
+                  t.join(updKeys, pk, "left_semi").select(cols.map(col): _*),
+                  committedSlice, pk, "right_outer"))
+            }
+          } else {
           val merged = target match {
             case Some(t) => mergeFrames(t, upd, pk, evolveSchema)
             case None =>
@@ -926,6 +1000,7 @@ object ParquetTable {
             writeChangeManifest(spark, path, v + 1,
               changeRowsBetween(before, newSlice, pk, "right_outer"))
           }
+          } // end rewrite tier
       }
     }
   }
@@ -1343,6 +1418,24 @@ object ParquetTable {
     * bypasses the cap (run [[optimize]]/[[compact]] yourself).
     */
   val MorMaxDataDirs: Int = 64
+
+  /** Sidecar-only row count of the affected partitions' slice (per dir,
+    * files under any affected partition prefix — the same math DETAIL
+    * uses). None when any dir lacks a sidecar (pre-stats commits);
+    * callers treat unknown as "rewrite".
+    */
+  private def affectedSliceRows(
+      spark: SparkSession, path: String,
+      affectedEntries: Seq[(String, String)]): Option[Long] = {
+    val perDir = affectedEntries.groupBy(_._2).toSeq.map { case (dd, es) =>
+      val parts = es.map(_._1)
+      DataSkipping.readStats(spark, new Path(path, dd).toString).map(sc =>
+        sc.files.filter { case (rel, _) =>
+          parts.exists(p => rel.startsWith(p + "/"))
+        }.values.map(_.rows).sum)
+    }
+    if (perDir.forall(_.isDefined)) Some(perDir.flatten.sum) else None
+  }
 
   private[sources] def autoMergeOnRead(
       spark: SparkSession, path: String, version: Long,

@@ -279,6 +279,78 @@ class MergeOnReadSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  private val pschema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("v", StringType, nullable = false),
+    StructField("day", StringType, nullable = false)))
+
+  private def pdf(rows: Row*) = frame(pschema, rows)
+
+  private def prowsOf(path: String): Map[Int, (String, String)] =
+    ParquetTable.read(spark, path).collect()
+      .map(r => r.getInt(r.fieldIndex("id")) ->
+        (r.getString(r.fieldIndex("v")), r.getString(r.fieldIndex("day")))).toMap
+
+  test("partitioned MOR merge: DV + append-entry commit, old dirs untouched") {
+    val path = tmpDir("pmor-shape") + "/t"
+    ParquetTable.createVersioned(pdf(
+      Row(1, "a", "d1"), Row(2, "b", "d1"), Row(3, "c", "d2")), path, Seq("day"))
+    val e1 = ParquetTable.partitionEntries(spark, path, 1L).get
+    ParquetTable.mergeVersioned(spark, path,
+      pdf(Row(2, "B", "d1"), Row(4, "d", "d3")), Seq("id"), Seq("day"),
+      mergeOnRead = Some(true))
+    val e2 = ParquetTable.partitionEntries(spark, path, 2L).get
+    // every v1 entry survives verbatim; d1 + new d3 gain one new dir
+    assert(e1.forall(e2.contains))
+    assert(e2.filterNot(e1.contains).map(_._1).sorted === Seq("day=d1", "day=d3"))
+    // the matched row retired by DV
+    assert(ParquetTable.dvDirs(spark, path, 2L).size === 1)
+    assert(prowsOf(path) === Map(
+      1 -> ("a", "d1"), 2 -> ("B", "d1"), 3 -> ("c", "d2"), 4 -> ("d", "d3")))
+    // time travel: v1 intact
+    assert(ParquetTable.readAt(spark, path, 1L).count() === 3L)
+  }
+
+  test("partitioned MOR equals rewrite tier: image and CDF feed") {
+    val morPath = tmpDir("pmor-eq") + "/t"
+    val cowPath = tmpDir("pcow-eq") + "/t"
+    val base = pdf(Row(1, "a", "d1"), Row(2, "b", "d1"), Row(3, "c", "d2"))
+    val upd = pdf(Row(2, "B", "d1"), Row(5, "e", "d2"))
+    ParquetTable.createVersioned(base, morPath, Seq("day"))
+    ParquetTable.createVersioned(base, cowPath, Seq("day"))
+    ParquetTable.mergeVersioned(spark, morPath, upd, Seq("id"), Seq("day"),
+      cdf = true, mergeOnRead = Some(true))
+    ParquetTable.mergeVersioned(spark, cowPath, upd, Seq("id"), Seq("day"),
+      cdf = true, mergeOnRead = Some(false))
+    assert(prowsOf(morPath) === prowsOf(cowPath))
+    def feed(p: String) = ParquetTable.tableChanges(spark, p, 2L, 2L, Seq("id"))
+      .select("id", "v", "day", "_change_type", "_commit_version").collect()
+      .map(_.toString).sorted.toSeq
+    assert(feed(morPath) === feed(cowPath))
+  }
+
+  test("partitioned MOR chain: replay, rewrite consolidation, DV survives untouched partitions") {
+    val path = tmpDir("pmor-chain") + "/t"
+    ParquetTable.createVersioned(pdf(
+      Row(1, "a", "d1"), Row(2, "b", "d2")), path, Seq("day"))
+    ParquetTable.mergeVersioned(spark, path, pdf(Row(1, "A1", "d1")),
+      Seq("id"), Seq("day"), mergeOnRead = Some(true)) // v2: DV id=1
+    ParquetTable.mergeVersioned(spark, path, pdf(Row(1, "A2", "d1")),
+      Seq("id"), Seq("day"), mergeOnRead = Some(true)) // v3: DV the v2 row too
+    assert(prowsOf(path) === Map(1 -> ("A2", "d1"), 2 -> ("b", "d2")))
+    // a rewrite-tier merge of d2 must keep d1's DVs in force
+    ParquetTable.mergeVersioned(spark, path, pdf(Row(2, "B", "d2")),
+      Seq("id"), Seq("day"), mergeOnRead = Some(false))
+    assert(prowsOf(path) === Map(1 -> ("A2", "d1"), 2 -> ("B", "d2")))
+    // consolidating d1 via rewrite folds its entries back to one dir
+    ParquetTable.mergeVersioned(spark, path, pdf(Row(1, "A3", "d1")),
+      Seq("id"), Seq("day"), mergeOnRead = Some(false))
+    assert(ParquetTable.partitionEntries(spark, path,
+      ParquetTable.currentVersion(spark, path).get).get
+      .count(_._1 == "day=d1") === 1)
+    assert(prowsOf(path) === Map(1 -> ("A3", "d1"), 2 -> ("B", "d2")))
+  }
+
   test("txn markers make MOR merges idempotent under re-delivery") {
     val path = tmpDir("mor-txn") + "/t"
     ParquetTable.create(df(Row(1, "a")), path)
