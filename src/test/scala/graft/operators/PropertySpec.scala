@@ -97,6 +97,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: partitioned MOR and rewrite tiers commit identical images and feeds") {
+    // the partitioned twin of the differential property above, over
+    // batches spanning TWO partitions — exercises append-entry slices,
+    // per-partition DV scoping, and new-partition inserts in one go
+    val day2 = Date.valueOf("2025-04-02")
+    val pGen: Gen[Row] = for {
+      num <- Gen.choose(1, 500)
+      id <- Gen.choose(1, 80)
+      user <- Gen.choose(1, 20)
+      amount <- Gen.choose(0.5, 200.0)
+      d <- Gen.oneOf(day, day2)
+    } yield Row(num, id, user, ts, amount, d)
+    (1 to 3).foreach { seed =>
+      val rows = Gen.listOfN(60, pGen)
+        .apply(Gen.Parameters.default, Seed(seed.toLong * 104729))
+        .getOrElse(sys.error("gen failed"))
+      val all = frame(Schemas.orders, rows)
+      val base = all.filter(col("order_num") % 2 === 0).dropDuplicates(Seq("order_id"))
+      val updates = all.filter(col("order_num") % 2 =!= 0).dropDuplicates(Seq("order_id"))
+      if (!base.isEmpty && !updates.isEmpty) {
+        val morPath = tmpDir(s"prop-pmor$seed") + "/t"
+        val cowPath = tmpDir(s"prop-pcow$seed") + "/t"
+        ParquetTable.createVersioned(base, morPath, Seq("date"))
+        ParquetTable.createVersioned(base, cowPath, Seq("date"))
+        ParquetTable.mergeVersioned(spark, morPath, updates, Seq("order_id"),
+          Seq("date"), cdf = true, mergeOnRead = Some(true))
+        ParquetTable.mergeVersioned(spark, cowPath, updates, Seq("order_id"),
+          Seq("date"), cdf = true, mergeOnRead = Some(false))
+        def image(p: String) =
+          ParquetTable.read(spark, p).collect().map(_.toSeq).toSet
+        assert(image(morPath) === image(cowPath), s"seed $seed: images diverge")
+        def feed(p: String) = ParquetTable.tableChanges(spark, p, 2L, 2L, Seq("order_id"))
+          .collect().map(_.toSeq).toSet
+        assert(feed(morPath) === feed(cowPath), s"seed $seed: change feeds diverge")
+      }
+    }
+  }
+
   test("property: applying the captured change feed reconstructs the commit") {
     // algebra of CDF: v2 = (v1 minus preimage/delete keys) ∪ postimages ∪
     // inserts — must hold for ANY update batch, including ones whose
