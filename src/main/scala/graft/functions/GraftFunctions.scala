@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
 
 import graft.functions.expressions.{FreqItemsAgg, PolyHash64, VecCosine, VecDot, VecEuclidean}
 
@@ -24,12 +25,18 @@ object GraftFunctions {
     "vec_euclidean" -> (args => VecEuclidean(args(0), args(1))),
     "poly_hash64" -> (args => PolyHash64(args(0))),
     // freq_items(token, capacity): Misra-Gries heavy-hitters sketch;
-    // capacity must be a literal (it sizes the aggregation buffer)
-    "freq_items" -> (args => FreqItemsAgg(args(0), args(1).eval() match {
-      case i: Int => i
-      case l: Long => l.toInt
+    // capacity must be a literal (it sizes the aggregation buffer).
+    // Match a foldable integral Literal explicitly — calling eval() on an
+    // arbitrary parsed expression (a column ref, a subquery) would throw
+    // an internal Unresolved exception instead of this message.
+    "freq_items" -> (args => FreqItemsAgg(args(0), args(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _: IntegerType) => i
+      case org.apache.spark.sql.catalyst.expressions.Literal(l: Long, _: LongType) => l.toInt
+      case org.apache.spark.sql.catalyst.expressions.Literal(s: Short, _: ShortType) => s.toInt
       case other => throw new IllegalArgumentException(
-        s"freq_items capacity must be an integer literal, got $other")
+        "freq_items capacity must be an integer literal, got " +
+        (if (other.foldable && other.resolved) String.valueOf(other.eval())
+         else other.sql))
     }).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>

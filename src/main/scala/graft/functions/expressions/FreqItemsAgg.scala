@@ -71,11 +71,19 @@ case class FreqItemsAgg(
       new GenericArrayData(sorted.map(_._2).toArray[Any]))
   }
 
+  // items serialize as length-prefixed UTF-8 byte arrays, NOT writeUTF:
+  // writeUTF caps entries at 65535 encoded bytes and would crash the
+  // partial-aggregate shuffle on the first long string in the column
   override def serialize(buf: FreqItemsAgg.Buffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.counts.size)
-    buf.counts.foreach { case (item, c) => out.writeUTF(item); out.writeLong(c) }
+    buf.counts.foreach { case (item, c) =>
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -85,7 +93,12 @@ case class FreqItemsAgg(
     val n = in.readInt()
     val buf = new FreqItemsAgg.Buffer(capacity)
     var i = 0
-    while (i < n) { buf.offer(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.offer(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 

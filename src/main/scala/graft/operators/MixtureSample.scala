@@ -83,12 +83,15 @@ object MixtureSample {
       idCol: String,
       weights: Map[String, Long],
       maxGroupRows: Long = 10000000L): DataFrame = {
-    val quotas = quotaFrame(df, groupCol, weights)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // collect the |groups|-row quota frame ONCE: the guard reads the
+    // collected rows and the broadcast side is rebuilt from them as a
+    // local relation, so the underlying count scan of df runs exactly
+    // once per call (not once for the guard and again in the sample plan)
+    val quotaRows = quotaFrame(df, groupCol, weights).collect()
     if (maxGroupRows != Long.MaxValue) {
-      // the guard rides the counts the quota step already computed: one
-      // |groups|-row collect, no extra scan shape beyond the count agg
-      val worst = quotas.orderBy(col("__graft_c").desc).limit(1).collect()
-      worst.headOption.foreach { row =>
+      quotaRows.sortBy(-_.getLong(1)).headOption.foreach { row =>
         val c = row.getLong(1)
         if (c > maxGroupRows) throw new IllegalArgumentException(
           s"MixtureSample.toWeights: group $groupCol=${row.get(0)} has $c " +
@@ -98,7 +101,9 @@ object MixtureSample {
             "accept the single-task sort.")
       }
     }
-    val quota = broadcast(quotas.drop("__graft_c"))
+    val quota = broadcast(
+      quotaRows.map(r => (r.getString(0), r.getLong(2))).toSeq
+        .toDF(groupCol, "__graft_quota"))
     val h = idHash(idCol)
     val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
     df.join(quota, groupCol)

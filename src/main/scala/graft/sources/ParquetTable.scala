@@ -1536,6 +1536,15 @@ object ParquetTable {
     * publishes after every file has moved. Partitioned layouts pass
     * their partition columns; nested partitioning (a=…/b=…) is
     * supported. Fails if the path already has a manifest.
+    *
+    * Failure atomicity: losing the creation race (a concurrent create or
+    * convert committed v1 first) RESTORES every moved file/dir to its
+    * original location and removes the staging dir before throwing, so
+    * the loser leaves the plain layout exactly as it found it — no
+    * stranded-but-unreferenced files for [[vacuum]] to destroy. The one
+    * non-atomic window that remains is a hard process death mid-sweep:
+    * recover by moving the `_d*` dir's contents back to the root BEFORE
+    * any vacuum runs (vacuum deletes unreferenced dirs).
     */
   def convert(
       spark: SparkSession, path: String,
@@ -1548,20 +1557,32 @@ object ParquetTable {
     val dataDir = freshDataDirName()
     val dd = new Path(path, dataDir)
     fs.mkdirs(dd)
+    // every rename is journaled so a lost creation race can be unwound
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    def sweepInto(sources: Seq[Path]): Unit = sources.foreach { src =>
+      val dst = new Path(dd, src.getName)
+      require(fs.rename(src, dst), s"convert: rename failed for $src")
+      moved += ((src, dst))
+    }
+    def commitOrRestore(body: String): Unit =
+      if (!commitVersion(spark, path, 1L, body)) {
+        moved.reverseIterator.foreach { case (orig, dst) => fs.rename(dst, orig) }
+        fs.delete(dd, true)
+        throw new IllegalStateException(
+          s"convert: lost the creation race at $path — a concurrent " +
+          "create/convert committed first; all moved files were restored " +
+          "to their original locations")
+      }
     if (partitionColumns.isEmpty) {
       val files = fs.listStatus(root).filter(st => st.isFile &&
         st.getPath.getName.endsWith(".parquet") &&
         !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
       require(files.nonEmpty, s"convert: no parquet files at the root of $path " +
         "(for a partitioned layout pass its partition columns)")
-      files.foreach { st =>
-        require(fs.rename(st.getPath, new Path(dd, st.getPath.getName)),
-          s"convert: rename failed for ${st.getPath}")
-      }
+      sweepInto(files.map(_.getPath).toSeq)
       DataSkipping.writeStats(spark, dd.toString,
         spark.read.parquet(dd.toString).schema)
-      require(commitVersion(spark, path, 1L, dataDir),
-        s"convert: lost the creation race at $path")
+      commitOrRestore(dataDir)
     } else {
       // top-level hive dirs ("col=value") move wholesale, preserving any
       // nested partition structure beneath them
@@ -1569,10 +1590,7 @@ object ParquetTable {
         st.getPath.getName.startsWith(partitionColumns.head + "="))
       require(tops.nonEmpty,
         s"convert: no ${partitionColumns.head}=* partition dirs at $path")
-      tops.foreach { st =>
-        require(fs.rename(st.getPath, new Path(dd, st.getPath.getName)),
-          s"convert: rename failed for ${st.getPath}")
-      }
+      sweepInto(tops.map(_.getPath).toSeq)
       DataSkipping.writeStats(spark, dd.toString,
         spark.read.parquet(dd.toString).schema)
       // leaf partition dirs (depth = |partitionColumns|) become entries
@@ -1585,8 +1603,7 @@ object ParquetTable {
         .map(p => s"$p\t$dataDir").mkString("\n")
       require(entries.nonEmpty, s"convert: no leaf partition dirs of depth " +
         s"${partitionColumns.length} under $path")
-      require(commitVersion(spark, path, 1L, entries),
-        s"convert: lost the creation race at $path")
+      commitOrRestore(entries)
     }
     1L
   }
@@ -2072,8 +2089,14 @@ object ParquetTable {
     val vs = versions(spark, path)
     if (vs.isEmpty) return
     val cutoff = System.currentTimeMillis() - horizonMillis
-    val keep = vs.reverse.takeWhile(v =>
-      commitTimestamp(spark, path, v).getOrElse(Long.MinValue) >= cutoff).size
+    // keep from the OLDEST in-horizon version onward — not takeWhile from
+    // the newest, which a single skew-stamped mid-history version would
+    // stop early, sweeping newer-than-horizon versions behind it
+    val keep = vs.indexWhere(v =>
+      commitTimestamp(spark, path, v).getOrElse(Long.MinValue) >= cutoff) match {
+      case -1 => 1                 // nothing in horizon: current version only
+      case i  => vs.length - i     // oldest in-horizon version and everything after
+    }
     vacuum(spark, path, math.max(keep, 1))
   }
 

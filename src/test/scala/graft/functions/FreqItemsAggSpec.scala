@@ -70,4 +70,37 @@ class FreqItemsAggSpec extends SparkSpec {
       .head().getMap[String, Long](0).toMap
     assert(m === Map("x" -> 2L, "y" -> 1L))
   }
+
+  test("items beyond writeUTF's 64 KiB cap survive the partial-agg shuffle") {
+    // serialize/deserialize round-trip directly (this is what the shuffle
+    // runs): a >65535-byte UTF-8 item must not throw UTFDataFormatException
+    val big = "x" * 70000
+    val a = FreqItemsAgg(GraftColumnBridge.expression(col("tok")), 4)
+    val buf = a.createAggregationBuffer()
+    buf.offer(big, 3L); buf.offer("small", 2L)
+    val back = a.deserialize(a.serialize(buf))
+    assert(back.counts.toMap === Map(big -> 3L, "small" -> 2L))
+    // and end-to-end through a real multi-partition aggregation
+    val toks = Seq.fill(6)(big) ++ Seq.fill(4)("small")
+    assert(sketch(toks, capacity = 4, parts = 5) ===
+      Map(big -> 6L, "small" -> 4L))
+  }
+
+  test("capacity misuse raises the intended message, not an internal error") {
+    frame(schema, Seq(Row("x"))).createOrReplaceTempView("fi_misuse")
+    GraftFunctions.register(spark)
+    // a column reference is not a literal: the builder must say so itself
+    // instead of leaking an Unresolved/eval internal exception
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage)).mkString(" | ")
+    val e1 = intercept[Throwable] {
+      spark.sql("SELECT freq_items(tok, length(tok)) FROM fi_misuse").collect()
+    }
+    assert(messages(e1).contains("must be an integer literal"), messages(e1))
+    val e2 = intercept[Throwable] {
+      spark.sql("SELECT freq_items(tok, NULL) FROM fi_misuse").collect()
+    }
+    assert(messages(e2).contains("must be an integer literal"), messages(e2))
+  }
 }

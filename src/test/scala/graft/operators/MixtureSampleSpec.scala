@@ -23,6 +23,19 @@ class MixtureSampleSpec extends SparkSpec {
     assert(out === Map("a" -> 9L, "b" -> 3L))
   }
 
+  test("toWeights scans the corpus once: quota side is a local relation") {
+    val df = docs((1L to 20L).map(("a", _)) ++ (1L to 10L).map(("b", _)): _*)
+    val out = MixtureSample.toWeights(df, "grp", "id", Map("a" -> 2L, "b" -> 1L))
+    // the guard's count aggregation ran ONCE, eagerly; the sample plan
+    // joins a collected local quota frame, so executing it must not
+    // re-run the count scan — i.e. no Aggregate survives in the plan
+    val aggs = out.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.isEmpty, s"quota count aggregation re-runs in the sample plan:\n" +
+      out.queryExecution.optimizedPlan.treeString)
+  }
+
   test("a weighted group with zero corpus rows makes the mixture unserveable") {
     val df = docs((1L to 10L).map(("a", _)): _*)
     val out = MixtureSample.toWeights(df, "grp", "id",

@@ -77,6 +77,50 @@ class ConvertSpec extends SparkSpec {
     assert(ParquetTable.partitionEntries(spark, p2, 1L).get.map(_._1) === Seq("day=d1"))
   }
 
+  test("lost creation race restores the plain layout — nothing stranded") {
+    val path = tmpDir("conv-race") + "/t"
+    frame(schema, Seq(Row(1, "a"), Row(2, "b"), Row(3, "c")))
+      .repartition(3).write.parquet(path)
+    val rootFiles = new java.io.File(path).listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    val prev = ParquetTable.logCommitter
+    // always-losing committer = a concurrent create/convert won v1
+    ParquetTable.logCommitter = new LogCommitter {
+      override def commit(fs: org.apache.hadoop.fs.FileSystem,
+          target: org.apache.hadoop.fs.Path, content: Array[Byte]): Boolean = false
+    }
+    try {
+      val e = intercept[IllegalStateException](ParquetTable.convert(spark, path))
+      assert(e.getMessage.contains("restored"), e.getMessage)
+    } finally ParquetTable.logCommitter = prev
+    // every file is back at the root and the staging dir is gone — a
+    // later vacuum has nothing unreferenced to destroy
+    assert(new java.io.File(path).listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet === rootFiles)
+    assert(!new java.io.File(path).listFiles
+      .exists(f => f.isDirectory && f.getName.startsWith("_d")))
+    // race over: the layout converts cleanly
+    assert(ParquetTable.convert(spark, path) === 1L)
+
+    // same for the partitioned sweep (whole hive dirs restored)
+    val p2 = tmpDir("conv-race-p") + "/t"
+    frame(pschema, Seq(Row(1, "a", "d1"), Row(2, "b", "d2")))
+      .write.partitionBy("day").parquet(p2)
+    ParquetTable.logCommitter = new LogCommitter {
+      override def commit(fs: org.apache.hadoop.fs.FileSystem,
+          target: org.apache.hadoop.fs.Path, content: Array[Byte]): Boolean = false
+    }
+    try intercept[IllegalStateException](ParquetTable.convert(spark, p2, Seq("day")))
+    finally ParquetTable.logCommitter = prev
+    assert(new java.io.File(p2).listFiles
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("day="))
+      .toSet === Set("day=d1", "day=d2"))
+    assert(!new java.io.File(p2).listFiles
+      .exists(f => f.isDirectory && f.getName.startsWith("_d")))
+    assert(ParquetTable.convert(spark, p2, Seq("day")) === 1L)
+  }
+
   test("refuses an already-versioned table and an empty layout") {
     val path = tmpDir("conv-bad") + "/t"
     ParquetTable.create(frame(schema, Seq(Row(1, "a"))), path)

@@ -134,6 +134,24 @@ class ParquetTableSpec extends SparkSpec {
     }
   }
 
+  test("vacuumOlderThan survives one skew-stamped mid-history version") {
+    val path = tmpDir("vac-skew") + "/t"
+    ParquetTable.create(df(Row(1, "a", "d1")), path)                       // v1
+    ParquetTable.merge(spark, path, df(Row(1, "b", "d1")), Seq("id"))      // v2
+    ParquetTable.merge(spark, path, df(Row(1, "c", "d1")), Seq("id"))      // v3
+    ParquetTable.merge(spark, path, df(Row(1, "d", "d1")), Seq("id"))      // v4
+    // a skewed clock stamped v3 in the distant past; v1/v2/v4 are recent.
+    // takeWhile-from-newest would stop at v3 and sweep the in-horizon v2/v1.
+    val m3 = java.nio.file.Paths.get(path, "_graft_manifest", f"v${3L}%020d")
+    val rewritten = new String(java.nio.file.Files.readAllBytes(m3), "UTF-8")
+      .linesIterator.map(l => if (l.startsWith("#ts=")) "#ts=1" else l).mkString("\n")
+    java.nio.file.Files.write(m3, rewritten.getBytes("UTF-8"))
+    ParquetTable.vacuumOlderThan(spark, path, horizonMillis = 3600L * 1000)
+    // keep-from-oldest-in-horizon: v1 is in horizon, so nothing is swept
+    assert(ParquetTable.versions(spark, path) === Seq(1L, 2L, 3L, 4L))
+    assert(ParquetTable.readAt(spark, path, 1L).head().getString(1) === "a")
+  }
+
   test("versioned layout is invisible to plain parquet listings of the root") {
     val path = tmpDir("plain-inv") + "/t"
     ParquetTable.create(df(Row(1, "a", "d1")), path)
