@@ -217,17 +217,31 @@ object Bench {
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$exJson,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist the line to a file: the harness stores only a bounded
-    // stdout tail, and round 5's artifact lost the per-query head (16 of 67
-    // timings unrecoverable, "parsed": null). A file in the working dir
-    // survives truncation and gets committed with the round snapshot.
+    // Full-precision line + extras persist to a file: the harness stores
+    // only a bounded 2,000-byte stdout TAIL, and rounds 5/6 lost the line's
+    // head to that cap ("parsed": null, 48 of 72 timings recoverable). The
+    // file survives truncation and gets committed with the round snapshot.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }
     spark.stop()
+    // stdout carries ONE COMPACT line sized to fit the driver's tail cap
+    // whole: millisecond-rounded timings, and extras only if they still
+    // fit — emitted after spark.stop() so nothing can follow it on stdout.
+    def r3(v: Double) = if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs3 = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val ex3 = ex.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    def compact(withExtras: Boolean) = {
+      val e = if (withExtras) s""","extras":$ex3""" else ""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3$e,"sf":"$sfDir"}"""
+    }
+    val full = compact(withExtras = true)
+    println(if (full.length <= 1950) full else compact(withExtras = false))
   }
 
   /** Supplementary scale measurements, reported beside (not inside) the

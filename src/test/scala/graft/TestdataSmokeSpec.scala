@@ -6,35 +6,48 @@ package graft
   * /root/testdata (e.g. events.ts changing physical type between testdata
   * generations) is invisible to `sbt test` and only surfaces in the
   * driver's end-of-round run — costing a full round. This spec closes that
-  * blind spot: for every `SparkEntry.queries` entry it forces full
-  * analysis + optimization against sf0.001 and asserts the schema is
-  * non-empty. Analysis is milliseconds per query; no job is executed here
-  * beyond whatever side-effecting setup a query's builder performs itself
-  * (the driver's own warmup pass proves full execution fits in seconds).
+  * blind spot in two tiers: for every `SparkEntry.queries` entry it (1)
+  * forces full analysis + optimization against sf0.001 and asserts the
+  * schema is non-empty — catches resolution/type errors in milliseconds —
+  * then (2) EXECUTES the query to completion at sf0.001, catching the
+  * runtime-only class analysis misses (data-dependent casts, corrupt
+  * files, a decoder choking on real bytes). The driver's own warmup pass
+  * proves full execution at sf0.001 fits in seconds.
   *
   * Gated: if the testdata directory is absent/unreadable (e.g. running the
   * suite outside the harness sandbox) every test is canceled, not failed.
   */
 class TestdataSmokeSpec extends SparkSpec {
-  private val sfDir = "/root/testdata/sf0.001"
+  // override point for the corruption drill: point at a (deliberately
+  // damaged) copy to prove the execute tier fails on bad bytes
+  private val sfDir =
+    sys.env.getOrElse("GRAFT_TESTDATA_DIR", "/root/testdata/sf0.001")
   private def available: Boolean = {
     val d = new java.io.File(sfDir)
     d.isDirectory && new java.io.File(d, "lineitem.parquet").exists()
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-    test(s"analyzes on real testdata: $name") {
+    test(s"analyzes and executes on real testdata: $name") {
       assume(available, s"$sfDir not readable — skipping testdata smoke")
       val df = fn(spark, sfDir)
       // analyzed catches resolution/type errors (the r5 events regression
       // died here); optimizedPlan additionally runs the rule pipeline.
       assert(df.queryExecution.optimizedPlan.schema.nonEmpty,
         s"$name produced an empty schema")
+      // execute tier: run the plan end-to-end over the real bytes.
+      // toRdd.count() executes the FULL-SCHEMA physical plan — unlike
+      // df.count(), which lets the optimizer prune projected columns and
+      // with them any data-dependent cast that only fails at runtime —
+      // without collecting result data to the driver.
+      df.queryExecution.toRdd.count()
     }
   }
 
-  test("flagship entry analyzes on real testdata") {
+  test("flagship entry analyzes and executes on real testdata") {
     assume(available, s"$sfDir not readable — skipping testdata smoke")
-    assert(SparkEntry.entry(spark).queryExecution.optimizedPlan.schema.nonEmpty)
+    val df = SparkEntry.entry(spark)
+    assert(df.queryExecution.optimizedPlan.schema.nonEmpty)
+    assert(df.count() > 0, "flagship entry must return rows (driver smoke contract)")
   }
 }
