@@ -818,13 +818,118 @@ object ParquetTable {
     }
   }
 
+  /** Outcome of [[rebaseVersionedCommit]]: `Rebased(v)` landed the
+    * already-written commit at version `v` on top of the winner without
+    * recomputing; `RebaseConflict` means a concurrent commit overlaps
+    * this one, and the caller's loop must recompute from the new
+    * snapshot.
+    */
+  private sealed trait RebaseOutcome
+  private final case class Rebased(version: Long) extends RebaseOutcome
+  private case object RebaseConflict extends RebaseOutcome
+
+  /** After a partitioned merge loses the version CAS, try to land its
+    * already-written data dir on top of the winner WITHOUT recomputing —
+    * the manifest-entry re-expression of Delta's ConflictChecker
+    * (`OptimisticTransaction.checkForConflicts`, which rebases a lost
+    * commit onto winning transactions when their read/write sets are
+    * disjoint). The lost merge rebases iff every concurrent winner is
+    * DISJOINT from it:
+    *
+    *   - no winner re-pointed, consolidated, or appended an entry of any
+    *     affected partition (Delta: `ConcurrentAppendException` /
+    *     `ConcurrentWriteException` — the winner changed files this merge
+    *     read or replaces);
+    *   - no winner removed a DV this merge's rewrite folded in (a
+    *     concurrent restore/OPTIMIZE materialized state out from under
+    *     it);
+    *   - no winner added a DV targeting an affected partition's base data
+    *     dirs (Delta: `ConcurrentDeleteReadException` — the winner
+    *     deleted rows inside the slice this merge read; rebasing would
+    *     resurrect them).
+    *
+    * On disjointness the commit re-publishes against the WINNER's
+    * manifest: untouched entries come from the winner, affected entries
+    * point at the dir this merge already wrote — a manifest-only retry
+    * with zero data I/O, which is what makes concurrent ETL into
+    * different date partitions of a 100 TB table scale (the recompute
+    * fallback would re-read and re-write whole partitions per race).
+    * Several racing winners are absorbed by looping onto each new head.
+    *
+    * A winner that only EVOLVED the schema (appended columns via a new
+    * dir elsewhere) is not a conflict: reads align every dir to the
+    * version's superset sidecar schema, so the rebased dir serves the
+    * appended columns as typed NULLs exactly like any untouched
+    * partition.
+    */
+  private def rebaseVersionedCommit(
+      spark: SparkSession, path: String, baseV: Long,
+      affected: Seq[String], dataDir: String,
+      appendBesideOld: Boolean,
+      newDvName: Option[String],
+      txn: Option[(String, Long)]): RebaseOutcome = {
+    val affectedSet = affected.toSet
+    val baseEntries = partitionEntries(spark, path, baseV)
+      .getOrElse(return RebaseConflict)
+    val baseAff = baseEntries.filter(e => affectedSet(e._1)).sorted
+    val baseDvs = dvDirs(spark, path, baseV)
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      // a racer may have committed this very txn: hand back to the
+      // caller's loop, whose re-delivery re-check cleans up and returns
+      if (txnAlreadyApplied(spark, path, txn)) return RebaseConflict
+      val vNew = currentVersion(spark, path).getOrElse(return RebaseConflict)
+      val newEntries = partitionEntries(spark, path, vNew)
+        .getOrElse(return RebaseConflict)
+      val newDvs = dvDirs(spark, path, vNew)
+      if (newEntries.filter(e => affectedSet(e._1)).sorted != baseAff)
+        return RebaseConflict
+      if (!baseDvs.forall(newDvs.contains)) return RebaseConflict
+      val addedDvs = newDvs.filterNot(baseDvs.contains)
+      if (addedDvs.nonEmpty) {
+        // DV file keys are `dataDir/partitionDir/file` (see
+        // [[dvFileKey]]), so the overlap check runs at (dataDir,
+        // partition) granularity — a winner's DV inside a SHARED data
+        // dir (the create dir holds every partition) conflicts only
+        // when it targets one of THIS merge's partitions. One
+        // distinct-key scan of the added DVs (small by construction:
+        // 16 B/deleted row, distinct keys = files touched) decides it.
+        val affPrefixes = baseAff.map { case (p, dd) => s"$dd/$p/" }
+        val touches = dvFrame(spark, path, addedDvs)
+          .select(col(DvFileCol)).distinct().collect()
+          .exists(r => affPrefixes.exists(r.getString(0).startsWith))
+        if (touches) return RebaseConflict
+      }
+      val rebased =
+        (if (appendBesideOld) newEntries ++ affected.map(_ -> dataDir)
+         else newEntries.filterNot(e => affectedSet(e._1)) ++
+           affected.map(_ -> dataDir))
+          .sorted.map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
+      if (commitVersion(spark, path, vNew + 1, rebased, txn,
+          dv = newDvs ++ newDvName.toSeq))
+        return Rebased(vNew + 1)
+    }
+    RebaseConflict
+  }
+
   /** Upsert into a partitioned VERSIONED table: reads only the affected
     * partitions (through the current manifest), writes the merged rows of
     * those partitions into one fresh data dir, and publishes a manifest
     * that re-points just those entries. Untouched partitions: zero I/O.
-    * Concurrent writers to disjoint partitions both succeed (the loser
-    * re-reads the winner's manifest and retries); same-partition races are
-    * last-writer-wins, as in Delta.
+    *
+    * Concurrency (Delta ConflictChecker parity — see
+    * [[rebaseVersionedCommit]]): concurrent merges into DISJOINT
+    * partitions both land, and the loser lands by OCC REBASE — it keeps
+    * the data dir it already wrote and re-publishes a manifest on top of
+    * the winner's, a metadata-only retry with no data I/O. Overlapping
+    * commits (same partition touched, or a concurrent DV delete inside
+    * an affected partition) make the loser RECOMPUTE from the winner's
+    * snapshot, so same-partition races serialize last-writer-wins per
+    * pk, concurrent row-deletes are never resurrected, and both writers
+    * always land (bounded retries; no `ConcurrentAppendException`
+    * surfaced to the caller — the rebase Delta would throw for is
+    * absorbed by the recompute tier).
     */
   def mergeVersioned(
       spark: SparkSession,
@@ -934,20 +1039,34 @@ object ParquetTable {
             val newEntries = (entries ++ affected.map(_ -> dataDir)).sorted
               .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
             val dvs = dvDirs(spark, path, v) ++ (if (hasMatches) Seq(dvName) else Nil)
-            committed = commitVersion(spark, path, v + 1, newEntries, txn, dvs)
-            if (!committed) {
-              val dd = new Path(path, dataDir)
-              hadoopFs(spark, dd).delete(dd, true)
-              if (hasMatches) hadoopFs(spark, dvPath).delete(dvPath, true)
-            } else if (cdf) {
+            var committedV =
+              if (commitVersion(spark, path, v + 1, newEntries, txn, dvs)) v + 1
+              else -1L
+            if (committedV < 0)
+              // lost the CAS: rebase onto the winner when disjoint (keep
+              // the appended dir and DV — entries unchanged means the DV's
+              // (file, row_index) targets are still the live base files)
+              rebaseVersionedCommit(spark, path, v, affected, dataDir,
+                appendBesideOld = true,
+                newDvName = if (hasMatches) Some(dvName) else None,
+                txn) match {
+                case Rebased(vc) => committedV = vc
+                case RebaseConflict =>
+                  val dd = new Path(path, dataDir)
+                  hadoopFs(spark, dd).delete(dd, true)
+                  if (hasMatches) hadoopFs(spark, dvPath).delete(dvPath, true)
+              }
+            committed = committedV >= 0
+            if (committed && cdf) {
               // committed appended dir = the post-images; pre side = the
               // affected slice's replaced keys (re-selected: the semi
-              // join hoists pk columns)
+              // join hoists pk columns) — valid under rebase too: the
+              // disjointness check proved no winner touched the slice
               val base = new Path(path, dataDir).toString
               val committedSlice = spark.read.option("basePath", base)
                 .parquet(affected.map(p => s"$base/$p"): _*)
                 .select(cols.map(col): _*)
-              writeChangeManifest(spark, path, v + 1,
+              writeChangeManifest(spark, path, committedV,
                 changeRowsBetween(
                   t.join(updKeys, pk, "left_semi").select(cols.map(col): _*),
                   committedSlice, pk, "right_outer"))
@@ -983,21 +1102,34 @@ object ParquetTable {
           val newEntries = (entries.filterNot(e => affectedSet(e._1)) ++
             affected.map(_ -> dataDir)).sorted
             .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
-          committed = commitVersion(spark, path, v + 1, newEntries, txn,
-            dv = dvDirs(spark, path, v))
-          if (!committed) {
-            val dd = new Path(path, dataDir)
-            hadoopFs(spark, dd).delete(dd, true)
-          } else if (cdf) {
+          var committedV =
+            if (commitVersion(spark, path, v + 1, newEntries, txn,
+              dv = dvDirs(spark, path, v))) v + 1
+            else -1L
+          if (committedV < 0)
+            // lost the CAS: rebase the rewrite onto the winner when
+            // disjoint — the consolidated dir already folded in the base
+            // DVs, which the disjointness check proves still stand
+            rebaseVersionedCommit(spark, path, v, affected, dataDir,
+              appendBesideOld = false, newDvName = None, txn) match {
+              case Rebased(vc) => committedV = vc
+              case RebaseConflict =>
+                val dd = new Path(path, dataDir)
+                hadoopFs(spark, dd).delete(dd, true)
+            }
+          committed = committedV >= 0
+          if (committed && cdf) {
             // capture from the COMMITTED slice (the data dir this commit
             // published), never by re-evaluating the update plan — see
             // the unpartitioned branch. The v-snapshot dirs the before
-            // side reads remain on disk (vacuum hasn't run).
+            // side reads remain on disk (vacuum hasn't run). Valid under
+            // rebase too: disjointness proved no winner touched the
+            // before-side slice.
             val base = new Path(path, dataDir).toString
             val newSlice = spark.read.option("basePath", base)
               .parquet(affected.map(p => s"$base/$p"): _*)
             val before = target.getOrElse(newSlice.filter(lit(false)))
-            writeChangeManifest(spark, path, v + 1,
+            writeChangeManifest(spark, path, committedV,
               changeRowsBetween(before, newSlice, pk, "right_outer"))
           }
           } // end rewrite tier
