@@ -1,125 +1,170 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale the driver's synthetic testdata by an integer factor with Spark
-  * itself (`ScaleGen [srcDir] [outDir] [factor]`), so the 100×-scale
-  * claims in SCALING.md are MEASURED, not argued (VERDICT r6 item 1).
+/** Scale-up generator for the SCALING.md measurement (VERDICT_r6 item 1).
   *
-  * The scaling must preserve each workload's algorithmic shape, not just
-  * its byte count:
+  * Fans the driver's sf0.1 testdata out `replicas`× (default 10 → an
+  * sf1-equivalent) into a new directory, preserving every schema and —
+  * critically — the per-replica STATISTICAL SHAPE of the data, so that a
+  * query's sf0.1→sf1 wall-time ratio reflects its algorithmic scaling and
+  * not an artifact of the synthesis:
   *
-  *   - Surrogate keys (and the FKs that reference them) are offset by
-  *     `replica * (max(key) + 1)`, so key cardinality scales with the
-  *     data and joins/dedup keep their selectivity instead of developing
-  *     artificial 10-way hot keys.
-  *   - `documents.text` gets a per-replica word suffix (`_r<N>`): within
-  *     a replica the near-dup structure (shingles, minhash bands, edit
-  *     distances) is byte-identical to the source corpus; ACROSS
-  *     replicas every shingle differs, so near-dup pair density stays
-  *     CONSTANT per row and LSH/n-gram candidate counts scale linearly —
-  *     verbatim replication would instead form 10-cliques of identical
-  *     docs and grow pair counts quadratically, a different workload.
-  *   - `embeddings.embedding` is circularly rotated by the replica index:
-  *     norms and within-replica cosine geometry are untouched (ANN
-  *     recall structure intact), cross-replica similarity decorrelates.
-  *   - Dimension-like tables (`nation`, `region`) stay fixed, as TPC-H
-  *     scaling does.
+  *   - Fact/dim tables (customer, supplier, part, orders, lineitem,
+  *     events): each replica shifts every key column by `replica × stride`
+  *     (stride = max key + 1), so PK uniqueness and FK joins hold across
+  *     the union exactly as they do within one replica. region/nation stay
+  *     fixed (real TPC-H does not scale them either).
+  *   - documents.text: replica r applies a caesar rotation (shift r) to
+  *     letters only. A bijection on words ⇒ within-replica duplicate /
+  *     near-duplicate / shingle structure is IDENTICAL to sf0.1, while
+  *     cross-replica shingles are disjoint — so LSH/MinHash/SimHash/n-gram
+  *     candidate counts scale linearly (10× groups of the same size)
+  *     instead of every document acquiring 9 artificial near-duplicates
+  *     (which would inflate candidate pairs ~45× and masquerade as a
+  *     quadratic blowup). Lengths are preserved, so n_chars stays valid.
+  *   - embeddings.embedding: replica r applies a circular dimension shift
+  *     by r composed with deterministic ±1 sign flips — an ORTHOGONAL
+  *     transform, so all intra-replica norms, dot products and cosine
+  *     neighborhoods are exactly those of sf0.1, while cross-replica
+  *     vectors decorrelate. ANN recall structure scales linearly.
   *
-  * Determinism: pure column transforms of deterministic inputs — no
-  * rand(), no wall clock — so two runs produce identical bytes and
-  * BENCH/SCALING numbers are comparable across rounds.
+  * Every transform is a deterministic, codegen'd column expression over a
+  * single scan per table (replica fan-out is a broadcast cross join with a
+  * `replicas`-row local relation — the same shape a 100 TB synthetic
+  * fan-out would use; nothing is collected to the driver beyond 1-row max
+  * aggregates used for key strides).
+  *
+  * Usage: ScaleGen [srcDir] [outDir] [replicas]
+  * Defaults: /root/testdata/sf0.1 /tmp/graft_testdata/sf1 10
   */
 object ScaleGen {
 
-  /** Replicate `df` `factor`× with each key column shifted by
-    * `replica * base`. A foreign key's base MUST be the REFERENCED
-    * table's `max(key) + 1` (not its own max), or replica k's FKs point
-    * outside replica k's key range and every RI join changes
-    * selectivity — hence the explicit (column → base) pairs.
-    */
-  private def offsetKeys(
-      df: DataFrame, factor: Int, keys: (String, Long)*): DataFrame = {
-    val replicas = df.sparkSession.range(0, factor.toLong).withColumnRenamed("id", "__r")
-    val rep = df.crossJoin(broadcast(replicas))
-    keys.foldLeft(rep) { case (d, (k, base)) =>
-      d.withColumn(k, col(k) + col("__r") * base)
-    }.drop("__r")
-  }
-
   def main(args: Array[String]): Unit = {
-    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val outDir = args.lift(1).getOrElse("/tmp/graft_sf1")
-    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_testdata/sf1")
+    val replicas = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
-      .appName("graft-scalegen")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, out, replicas)
+    spark.stop()
+  }
 
-    def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
-    def write(df: DataFrame, name: String, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+  /** `replicas`-row local relation joined broadcast-style; every source row
+    * fans out to one row per replica in a single scan of the source.
+    */
+  private def withReplica(df: DataFrame, replicas: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.crossJoin(broadcast((0 until replicas).toDF("r")))
+  }
 
-    // fixed dimensions
-    write(src("region"), "region", 1)
-    write(src("nation"), "nation", 1)
+  /** key + r × stride, preserving the column's type. */
+  private def shift(df: DataFrame, key: String, stride: Long): Column =
+    (col(key) + col("r").cast("long") * lit(stride)).cast(df.schema(key).dataType)
 
-    def keyBase(name: String, key: String): Long =
-      src(name).agg(max(col(key))).head.getLong(0) + 1L
-    val custBase = keyBase("customer", "c_custkey")
-    val suppBase = keyBase("supplier", "s_suppkey")
-    val partBase = keyBase("part", "p_partkey")
-    val orderBase = keyBase("orders", "o_orderkey")
+  private def maxKey(df: DataFrame, key: String): Long =
+    df.agg(max(col(key).cast("long"))).head().getLong(0) + 1L
 
-    write(offsetKeys(src("customer"), factor, "c_custkey" -> custBase), "customer", 4)
-    write(offsetKeys(src("supplier"), factor, "s_suppkey" -> suppBase), "supplier", 1)
-    write(offsetKeys(src("part"), factor, "p_partkey" -> partBase), "part", 4)
-    write(offsetKeys(src("orders"), factor,
-      "o_orderkey" -> orderBase, "o_custkey" -> custBase), "orders", 8)
-    write(offsetKeys(src("lineitem"), factor,
-      "l_orderkey" -> orderBase, "l_partkey" -> partBase,
-      "l_suppkey" -> suppBase), "lineitem", 16)
-    write(offsetKeys(src("events"), factor,
-      "event_id" -> keyBase("events", "event_id"),
-      "user_id" -> keyBase("events", "user_id")), "events", 8)
+  private val Letters =
+    ('a' to 'z').mkString + ('A' to 'Z').mkString
 
-    // documents: regexp_replace needs a literal replacement string, so
-    // the per-replica word-suffix transform is a small union of replica
-    // branches (factor branches — replica 0 keeps the original bytes,
-    // replicas 1.. suffix every word, shifting shingles wholesale)
-    val base = src("documents")
-    val maxDoc = base.agg(max(col("doc_id"))).head.getLong(0) + 1L
-    val scaledDocs = (0 until factor).map { r =>
-      val d = base.withColumn("doc_id", col("doc_id") + lit(r.toLong * maxDoc))
-      if (r == 0) d
-      else d.withColumn("text",
-        regexp_replace(col("text"), "(\\p{Alnum}+)", s"$$1_r$r"))
-        .withColumn("n_chars", length(col("text")))
-    }.reduce(_.unionByName(_))
-    write(scaledDocs, "documents", 8)
+  private def caesar(r: Int): String =
+    ('a' to 'z').map(c => ('a' + (c - 'a' + r) % 26).toChar).mkString +
+      ('A' to 'Z').map(c => ('A' + (c - 'A' + r) % 26).toChar).mkString
 
-    val emb = src("embeddings")
-    val maxVec = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    val scaledEmb = (0 until factor).map { r =>
-      val d = emb.withColumn("vec_id", col("vec_id") + lit(r.toLong * maxVec))
-      if (r == 0) d
-      else d.withColumn("embedding",
-        concat(slice(col("embedding"), r + 1, dim - r),
-          slice(col("embedding"), 1, r)))
-    }.reduce(_.unionByName(_))
-    write(scaledEmb, "embeddings", 4)
+  /** Per-replica caesar on letters: when-chain over the replica column so
+    * the whole fan-out stays one codegen'd projection over one scan.
+    */
+  private def caesarText(text: Column, replicas: Int): Column =
+    (1 until replicas).foldLeft(when(col("r") === 0, text)) { (acc, r) =>
+      acc.when(col("r") === r, translate(text, Letters, caesar(r)))
+    }
+
+  /** Orthogonal per-replica transform: v'(i) = s(i,r) × v((i+r) mod d),
+    * s(i,r) = ±1 from a deterministic hash. Permutation ∘ sign-diagonal is
+    * orthogonal ⇒ intra-replica geometry (norms, cosines, top-k ranks) is
+    * exactly sf0.1's; cross-replica pairs decorrelate.
+    */
+  private def rotateEmbedding(emb: Column): Column = {
+    val d = size(emb)
+    val rotated = transform(
+      sequence(lit(0), d - lit(1)),
+      i => (element_at(emb, pmod(i + col("r"), d) + 1) *
+        when(pmod(hash(i, col("r")), lit(2)) === 0, lit(1.0f))
+          .otherwise(lit(-1.0f))).cast("float"))
+    when(col("r") === 0, emb).otherwise(rotated)
+  }
+
+  def generate(spark: SparkSession, src: String, out: String, replicas: Int): Unit = {
+    def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def save(df: DataFrame, t: String, files: Int): Unit =
+      df.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    // fixed dims — copied verbatim (TPC-H does not scale them)
+    save(load("region"), "region", 1)
+    save(load("nation"), "nation", 1)
+
+    val customer = load("customer")
+    val supplier = load("supplier")
+    val part = load("part")
+    val orders = load("orders")
+    val lineitem = load("lineitem")
+    val events = load("events")
+    val documents = load("documents")
+    val embeddings = load("embeddings")
+
+    val custStride = maxKey(customer, "c_custkey")
+    val suppStride = maxKey(supplier, "s_suppkey")
+    val partStride = maxKey(part, "p_partkey")
+    val orderStride = maxKey(orders, "o_orderkey")
+    val eventStride = maxKey(events, "event_id")
+    val userStride = maxKey(events, "user_id")
+    val docStride = maxKey(documents, "doc_id")
+    val vecStride = maxKey(embeddings, "vec_id")
+
+    save(withReplica(customer, replicas)
+      .withColumn("c_custkey", shift(customer, "c_custkey", custStride)).drop("r"),
+      "customer", 4)
+    save(withReplica(supplier, replicas)
+      .withColumn("s_suppkey", shift(supplier, "s_suppkey", suppStride)).drop("r"),
+      "supplier", 1)
+    save(withReplica(part, replicas)
+      .withColumn("p_partkey", shift(part, "p_partkey", partStride)).drop("r"),
+      "part", 4)
+    save(withReplica(orders, replicas)
+      .withColumn("o_orderkey", shift(orders, "o_orderkey", orderStride))
+      .withColumn("o_custkey", shift(orders, "o_custkey", custStride)).drop("r"),
+      "orders", 8)
+    save(withReplica(lineitem, replicas)
+      .withColumn("l_orderkey", shift(lineitem, "l_orderkey", orderStride))
+      .withColumn("l_partkey", shift(lineitem, "l_partkey", partStride))
+      .withColumn("l_suppkey", shift(lineitem, "l_suppkey", suppStride)).drop("r"),
+      "lineitem", 16)
+    // timestamps unshifted: 10× event density in the same window is the
+    // realistic scale-up (sessions per user unchanged — users scale)
+    save(withReplica(events, replicas)
+      .withColumn("event_id", shift(events, "event_id", eventStride))
+      .withColumn("user_id", shift(events, "user_id", userStride)).drop("r"),
+      "events", 8)
+    save(withReplica(documents, replicas)
+      .withColumn("doc_id", shift(documents, "doc_id", docStride))
+      .withColumn("text", caesarText(col("text"), replicas)).drop("r"),
+      "documents", 8)
+    save(withReplica(embeddings, replicas)
+      .withColumn("vec_id", shift(embeddings, "vec_id", vecStride))
+      .withColumn("embedding", rotateEmbedding(col("embedding"))).drop("r"),
+      "embeddings", 8)
 
     val counts = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-      .map(t => t -> spark.read.parquet(s"$outDir/$t.parquet").count())
+      .map(t => t -> spark.read.parquet(s"$out/$t.parquet").count())
     println(counts.map { case (t, n) => s"$t=$n" }.mkString("SCALEGEN ", " ", ""))
-    spark.stop()
   }
 }
