@@ -241,4 +241,27 @@ object TextFunctions {
             (h, c) => (h * base + ascii(c)) % p),
           i * 16)
     }.reduce(_ bitwiseOR _)
+
+  /** Gopher-style repetition signals as one struct column
+    * `(dup_line_frac, dup_line_char_frac, top_gram_char_frac,
+    * dup_gram_char_frac)` — single native pass per document; see
+    * expressions.RepetitionStats for the pinned semantics.
+    */
+  def repetitionStats(text: Column, topN: Int = 2, dupN: Int = 3): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.expressions.RepetitionStats(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), topN, dupN))
+
+  /** Gopher-style repetition gate: true ⇢ the document's repetition
+    * signals are all under their thresholds and it should be KEPT.
+    * Thresholds follow Rae et al. 2021 table A1 (dup line ≤ 0.30,
+    * dup line chars ≤ 0.20, top 2-gram coverage ≤ 0.20, duplicated
+    * 3-gram coverage ≤ 0.60 — the last relaxed vs the paper's n≥5 tiers
+    * because coverage for short grams is structurally higher).
+    */
+  def repetitionKeep(stats: Column): Column =
+    stats.getField("dup_line_frac") <= 0.30 &&
+      stats.getField("dup_line_char_frac") <= 0.20 &&
+      stats.getField("top_gram_char_frac") <= 0.20 &&
+      stats.getField("dup_gram_char_frac") <= 0.60
 }

@@ -405,6 +405,33 @@ object TrainingQueries {
           Map("en" -> 5L, "de" -> 3L, "fr" -> 2L))
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // Gopher-style repetition filter (Rae et al. 2021 table A1). The
+    // corpus has no newlines, so each document first gets a deterministic
+    // "lined" form — its first 40 chars appended twice as injected
+    // duplicate lines, then line breaks at the common token ' scan ' —
+    // and the native one-pass RepetitionStats expression computes the
+    // four repetition signals plus the keep gate. Every formula (and the
+    // lined-text construction) is replayed in DuckDB list SQL; the gate
+    // compares UNROUNDED doubles in both engines, which is safe because
+    // every signal is integer arithmetic followed by one IEEE division —
+    // bit-identical across engines.
+    "q73_repetition_quality" -> ((s, d) => {
+      val lined = regexp_replace(
+        concat_ws("\n", col("text"),
+          substring(col("text"), 1, 40), substring(col("text"), 1, 40)),
+        lit(" scan "), lit("\n"))
+      val st = repetitionStats(lined, topN = 2, dupN = 3)
+      Tables.documents(s, d)
+        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"),
+          round(col("st.dup_line_frac"), 4).as("dup_line_frac"),
+          round(col("st.dup_line_char_frac"), 4).as("dup_line_char_frac"),
+          round(col("st.top_gram_char_frac"), 4).as("top_gram_char_frac"),
+          round(col("st.dup_gram_char_frac"), 4).as("dup_gram_char_frac"),
+          repetitionKeep(col("st")).as("keep"))
+        .orderBy(col("doc_id"))
     }))
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -866,5 +893,53 @@ object TrainingQueries {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Replays RepetitionStats formula-for-formula: same lined-text
+    // construction, same denominators, same duplicate attribution. All
+    // signals are exact-integer arithmetic + one IEEE division, so the
+    // unrounded keep-gate comparisons agree bit-for-bit.
+    "q73_repetition_quality" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    replace(text || chr(10) || substr(text, 1, 40)
+        |              || chr(10) || substr(text, 1, 40),
+        |            ' scan ', chr(10)) AS s
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, s,
+        |    string_split(s, chr(10)) AS lines,
+        |    string_split_regex(lower(s), '\s+') AS w
+        |  FROM lined),
+        |m AS (
+        |  SELECT doc_id, s, lines,
+        |    list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1]) AS g2,
+        |    list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+        |  FROM base),
+        |r AS (
+        |  SELECT doc_id,
+        |    (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines) AS dlf,
+        |    CASE WHEN list_sum(list_transform(lines, l -> length(l))) = 0 THEN 0.0
+        |         ELSE (list_sum(list_transform(lines, l -> length(l)))
+        |               - list_sum(list_transform(list_distinct(lines), l -> length(l))))::DOUBLE
+        |              / list_sum(list_transform(lines, l -> length(l))) END AS dlcf,
+        |    coalesce(list_max(list_transform(list_distinct(g2),
+        |        g -> CASE WHEN len(list_filter(g2, x -> x = g)) > 1
+        |             THEN len(list_filter(g2, x -> x = g)) * length(g)
+        |             ELSE 0 END)), 0)::DOUBLE
+        |      / length(s) AS tgcf,
+        |    coalesce(list_sum(list_transform(list_distinct(g3),
+        |        g -> CASE WHEN len(list_filter(g3, x -> x = g)) > 1
+        |             THEN len(list_filter(g3, x -> x = g)) * length(g)
+        |             ELSE 0 END)), 0)::DOUBLE / length(s) AS dgcf
+        |  FROM m)
+        |SELECT doc_id,
+        |  round(dlf, 4) AS dup_line_frac,
+        |  round(dlcf, 4) AS dup_line_char_frac,
+        |  round(tgcf, 4) AS top_gram_char_frac,
+        |  round(dgcf, 4) AS dup_gram_char_frac,
+        |  dlf <= 0.30 AND dlcf <= 0.20 AND tgcf <= 0.20 AND dgcf <= 0.60 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin)
 }
