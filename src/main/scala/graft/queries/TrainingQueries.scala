@@ -432,6 +432,41 @@ object TrainingQueries {
           round(col("st.dup_gram_char_frac"), 4).as("dup_gram_char_frac"),
           repetitionKeep(col("st")).as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic global shuffle + shard layout — the training-shard
+    // writer primitive: every doc gets a seeded hash (polyHash64, SQL-
+    // replayable), a shard = hash mod nShards, and its position within
+    // the shard. At 100 TB this is exactly repartitionByRange on
+    // (shard, hash) + a per-shard sort — one shuffle, then
+    // write.partitionBy(shard); the oracle replays hash, shard and
+    // position bit-for-bit.
+    "q74_shuffle_shard" -> ((s, d) => {
+      graft.operators.ShardLayout.assign(
+          Tables.documents(s, d).select(col("doc_id")),
+          "doc_id", nShards = 8, seed = "seed42")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    // SCD2 change folding over a three-version customer-dimension
+    // history: v1 shifts segment for key%10=0, also re-observes key%7=0
+    // UNCHANGED (must be suppressed), v2 shifts key%20=0 again. The
+    // oracle replays the same history and the lag/lead interval logic.
+    "q75_scd2_fold" -> ((s, d) => {
+      val c = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val history = c.withColumn("ver", lit(0L))
+        .unionByName(c.filter(col("k") % 10 === 0)
+          .withColumn("seg", lit("SHIFTED")).withColumn("ver", lit(1L)))
+        .unionByName(c.filter(col("k") % 7 === 0 && col("k") % 10 =!= 0)
+          .withColumn("ver", lit(1L))) // no-op re-observation
+        .unionByName(c.filter(col("k") % 20 === 0)
+          .withColumn("seg", lit("SHIFTED2")).withColumn("ver", lit(2L)))
+      graft.operators.Scd2.fold(history, "k", "ver", Seq("seg"))
+        .select(col("k"), col("seg"), col("valid_from"), col("valid_to"),
+          col("is_current"))
+        .orderBy(col("k"), col("valid_from"))
     }))
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -941,5 +976,44 @@ object TrainingQueries {
         |  round(tgcf, 4) AS top_gram_char_frac,
         |  round(dgcf, 4) AS dup_gram_char_frac,
         |  dlf <= 0.30 AND dlcf <= 0.20 AND tgcf <= 0.20 AND dgcf <= 0.60 AS keep
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Replays polyHash64('seed42|' || doc_id) part-for-part (16-bit
+    // shifted parts, same primes), then shard and in-shard position.
+    "q74_shuffle_shard" -> {
+      val parts = graft.functions.expressions.PolyHash64.Parts
+      val partCols = parts.zipWithIndex.map { case ((b, p), i) =>
+        s"${polyPartSql(b, p)} AS p$i"
+      }.mkString(",\n    ")
+      val hashExpr = parts.indices.map(i => s"p$i * ${1L << (i * 16)}")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT doc_id, 'seed42|' || doc_id::VARCHAR AS t FROM documents),
+         |ph AS (
+         |  SELECT doc_id,
+         |    $partCols
+         |  FROM s),
+         |h AS (SELECT doc_id, $hashExpr AS h FROM ph)
+         |SELECT doc_id, (h % 8)::INT AS shard,
+         |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin
+    },
+
+    // Replays the q75 history construction and the SCD2 lag/lead logic.
+    "q75_scd2_fold" ->
+      """WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+        |hist AS (
+        |  SELECT k, seg, 0::BIGINT AS ver FROM c
+        |  UNION ALL SELECT k, 'SHIFTED', 1 FROM c WHERE k % 10 = 0
+        |  UNION ALL SELECT k, seg, 1 FROM c WHERE k % 7 = 0 AND k % 10 <> 0
+        |  UNION ALL SELECT k, 'SHIFTED2', 2 FROM c WHERE k % 20 = 0),
+        |m AS (
+        |  SELECT *, lag(seg) OVER (PARTITION BY k ORDER BY ver) AS prev
+        |  FROM hist),
+        |ch AS (SELECT k, seg, ver FROM m WHERE prev IS NULL OR prev <> seg),
+        |o AS (
+        |  SELECT k, seg, ver AS valid_from,
+        |    lead(ver) OVER (PARTITION BY k ORDER BY ver) AS valid_to
+        |  FROM ch)
+        |SELECT k, seg, valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM o ORDER BY k, valid_from""".stripMargin)
 }

@@ -498,10 +498,15 @@ object DataSkipping {
     val boundaries = cols.indices.map(i =>
       dfc.stat.approxQuantile(s"__zq$i", probs, 0.001).toSeq)
     val buckets = cols.indices.map { i =>
-      // bucket = #boundaries <= value, in [0, 2^bits); nulls sort first
-      val qa = typedLit(boundaries(i))
-      when(casted(i).isNull, lit(0L))
-        .otherwise(size(filter(qa, q => casted(i) >= q)).cast("long"))
+      // bucket = #boundaries <= value, in [0, 2^bits); nulls sort first.
+      // Native binary-search expression — the interpreted-HOF count
+      // formulation cost ~2^bits comparisons/row/column outside codegen
+      // and dominated OPTIMIZE ZORDER at scale (see QuantileBucket).
+      val bucket = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.expressions.QuantileBucket(
+          org.apache.spark.sql.GraftColumnBridge.expression(casted(i)),
+          boundaries(i).toArray))
+      when(casted(i).isNull, lit(0L)).otherwise(bucket)
     }
     (0 until bits).flatMap(b => (0 until k).map(i =>
       shiftleft(shiftright(buckets(i), b).bitwiseAND(lit(1L)), b * k + i)

@@ -58,6 +58,8 @@ QUERY_CLASS = {
     "q69_freq_tokens": "linear", "q70_convert": "commit",
     "q71_grouping_sets": "linear", "q72_variant": "linear",
     "q73_repetition_quality": "linear",
+    "q74_shuffle_shard": "nlogn",
+    "q75_scd2_fold": "nlogn",
 }
 
 
