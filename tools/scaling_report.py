@@ -43,7 +43,10 @@ QUERY_CLASS = {
     "q39_asof_forward": "nlogn", "q40_asof_nearest": "nlogn",
     "q41_rollup_agg": "linear", "q42_pivot_status": "nlogn",
     "q43_range_band_join": "nlogn", "q44_percentiles": "nlogn",
-    "q45_stratified_sample": "linear", "q46_levenshtein_pairs": "cand",
+    # q46 blocks by (lang, source): block COUNT is fixed, so a 10x corpus
+    # makes blocks 10x larger and pairs 100x — quadratic-by-design like
+    # q27; its scale path is q24/q28 (LSH/SimHash banding)
+    "q45_stratified_sample": "linear", "q46_levenshtein_pairs": "quad",
     "q47_dedup_clusters": "iter", "q48_table_changes": "commit",
     "q49_tfidf_topterms": "linear", "q50_pii_scrub": "linear",
     "q51_cube_agg": "linear", "q52_moving_avg": "nlogn",
