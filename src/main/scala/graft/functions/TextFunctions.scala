@@ -67,8 +67,27 @@ object TextFunctions {
     when(length(text) === 0, lit(0.0)).otherwise(
       length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") / length(text))
 
+  /** One-pass token count + per-word-set hit counts (native; see
+    * expressions.TokenSetHits for why the filter/array_contains HOF
+    * formulation is disqualifying at scale).
+    */
+  private def tokenSetHits(text: Column, sets: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.expressions.TokenSetHits(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), sets))
+
   /** Fraction of tokens found in `words` (duplicates counted). */
   def wordListRatio(text: Column, words: Seq[String]): Column = {
+    val h = tokenSetHits(text, Seq(words))
+    val n = h.getField("n_tokens")
+    when(n === 0, lit(0.0))
+      .otherwise(h.getField("hits").getItem(0).cast("double") / n)
+  }
+
+  /** Declarative formulation of `wordListRatio` — interpreted lambda, one
+    * extra tokenization per call; tests/cross-checks only.
+    */
+  def wordListRatioHof(text: Column, words: Seq[String]): Column = {
     val toks = tokens(text)
     val hits = size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
     when(size(toks) === 0, lit(0.0)).otherwise(hits.cast("double") / size(toks))
@@ -81,13 +100,19 @@ object TextFunctions {
     * punctuation, reasonable length, some stopword glue. Weights are fixed
     * so the score is deterministic and oracle-replayable.
     */
-  def qualityScore(text: Column): Column =
+  def qualityScore(text: Column): Column = {
+    // one tokenization pass serves both the length and stopword terms
+    val h = tokenSetHits(text, Seq(EnglishStopwords))
+    val n = h.getField("n_tokens")
+    val stopRatio = when(n === 0, lit(0.0))
+      .otherwise(h.getField("hits").getItem(0).cast("double") / n)
     round(
       alphaRatio(text) * 0.4
         + (lit(1.0) - punctRatio(text)) * 0.2
-        + least(tokenCount(text).cast("double") / 50.0, lit(1.0)) * 0.2
-        + least(wordListRatio(text, EnglishStopwords) * 5.0, lit(1.0)) * 0.2,
+        + least(n.cast("double") / 50.0, lit(1.0)) * 0.2
+        + least(stopRatio * 5.0, lit(1.0)) * 0.2,
       4)
+  }
 
   // ---- language ID ------------------------------------------------------
 
@@ -103,9 +128,10 @@ object TextFunctions {
     * (alphabetical) marker order; no hits at all → "und".
     */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = LangMarkers.map { case (lang, words) =>
-      lang -> size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+    // all five marker sets counted in ONE tokenization pass
+    val h = tokenSetHits(text, LangMarkers.map(_._2))
+    val scores = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> h.getField("hits").getItem(i)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
@@ -118,10 +144,20 @@ object TextFunctions {
   val FingerprintMod = 1000000007L
 
   /** Rolling polynomial hash of the raw text, base 31 mod 1e9+7 — the
-    * classic content fingerprint, computed as a fold over characters inside
-    * codegen. Oracle-replayable (pure integer arithmetic, no engine hash).
+    * classic content fingerprint, a native code-point fold inside codegen
+    * (see expressions.PolyFold). Oracle-replayable (pure integer
+    * arithmetic, no engine hash).
     */
   def fingerprint(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.expressions.PolyFold(
+        org.apache.spark.sql.GraftColumnBridge.expression(text),
+        31L, FingerprintMod))
+
+  /** Declarative formulation of `fingerprint` — materializes a per-char
+    * array and folds interpreted; tests/cross-checks only.
+    */
+  def fingerprintHof(text: Column): Column =
     aggregate(
       split(text, ""),
       lit(0L),
