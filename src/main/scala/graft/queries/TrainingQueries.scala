@@ -467,6 +467,40 @@ object TrainingQueries {
         .select(col("k"), col("seg"), col("valid_from"), col("valid_to"),
           col("is_current"))
         .orderBy(col("k"), col("valid_from"))
+    }),
+
+    // Batch twin of the stream-stream interval join (attribution shape):
+    // every click matched to the same user's views in the preceding 10
+    // minutes. StreamingIngestSpec proves the watermarked two-stream run
+    // emits exactly these rows; the oracle replays the interval join.
+    "q76_interval_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.streaming.StreamingIngest.viewClickJoin(
+          e.filter(col("event_type") === "view"),
+          e.filter(col("event_type") === "click"),
+          window = "4 hours") // events are sparse per user; 4h keeps the
+                              // result dense enough to exercise the join
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          unix_timestamp(col("view_ts")).as("view_epoch"),
+          unix_timestamp(col("click_ts")).as("click_epoch"))
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))
+    }),
+
+    // Tokenizer-vocabulary build: corpus term frequencies, min-count
+    // prune, then stable token ids by (freq desc, term). The global
+    // row_number runs on the AGGREGATED, PRUNED vocab — at 100 TB the
+    // corpus-sized work is the distributed explode+groupBy; the ranked
+    // set is vocabulary-sized (bounded, ~10^5-10^6), so the single-task
+    // window is the correct plan, not a bottleneck.
+    "q77_vocab_build" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 10)
+        .withColumn("token_id",
+          row_number().over(Window.orderBy(col("freq").desc, col("term"))))
+        .orderBy(col("token_id"))
     }))
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -1015,5 +1049,25 @@ object TrainingQueries {
         |    lead(ver) OVER (PARTITION BY k ORDER BY ver) AS valid_to
         |  FROM ch)
         |SELECT k, seg, valid_from, valid_to, valid_to IS NULL AS is_current
-        |FROM o ORDER BY k, valid_from""".stripMargin)
+        |FROM o ORDER BY k, valid_from""".stripMargin,
+
+    "q76_interval_join" ->
+      """SELECT c.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch
+        |FROM events c JOIN events v
+        |  ON c.event_type = 'click' AND v.event_type = 'view'
+        | AND c.user_id = v.user_id
+        | AND v.ts <= c.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+        |ORDER BY c.user_id, view_id, click_id""".stripMargin,
+
+    "q77_vocab_build" ->
+      s"""WITH tf AS (
+         |  SELECT unnest($toksSql) AS term FROM documents),
+         |f AS (
+         |  SELECT term, count(*) AS freq FROM tf
+         |  GROUP BY term HAVING count(*) >= 10)
+         |SELECT term, freq,
+         |  row_number() OVER (ORDER BY freq DESC, term) AS token_id
+         |FROM f ORDER BY token_id""".stripMargin)
 }

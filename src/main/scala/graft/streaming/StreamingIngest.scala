@@ -206,6 +206,37 @@ object StreamingIngest {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-stream interval join: each click matched to the same user's
+    * views in the preceding `window` — the attribution-join shape
+    * (impression→conversion). Works identically over two streams or two
+    * batch frames; the batch twin is oracle-checked as q76_interval_join.
+    *
+    * On streaming inputs both sides carry watermarks and the join
+    * condition bounds event time in BOTH directions, which is exactly
+    * what Structured Streaming needs to expire join state: a buffered
+    * view can be dropped once the click watermark passes view_ts +
+    * window, so state is O(events inside the watermark horizon), not
+    * O(stream). At 100 TB/day the state per user is bounded by the
+    * horizon — the join scales with traffic, not history.
+    */
+  def viewClickJoin(
+      views: DataFrame, clicks: DataFrame,
+      window: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    def wm(df: DataFrame, tsCol: String) =
+      if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val v = wm(views.select(col("user_id").as("v_user"),
+      col("event_id").as("view_id"), col("ts").as("view_ts")), "view_ts")
+    val c = wm(clicks.select(col("user_id"),
+      col("event_id").as("click_id"), col("ts").as("click_ts")), "click_ts")
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Session windows per user: events closer than `gap` chain into one
     * session (Spark's native `session_window` — works identically over a
     * stream with a watermark or a batch frame; the batch twin is

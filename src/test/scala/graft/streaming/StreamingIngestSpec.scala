@@ -218,6 +218,42 @@ class StreamingIngestSpec extends SparkSpec {
       (2L, "2025-04-01 10:05:00.0", 1L, 8.0)))
   }
 
+  test("viewClickJoin: two-stream watermarked interval join == batch twin") {
+    val root = tmpDir("stream-join")
+    val vIn = s"$root/views"; val cIn = s"$root/clicks"
+    Files.createDirectories(Paths.get(vIn)); Files.createDirectories(Paths.get(cIn))
+    Files.writeString(Paths.get(vIn, "v.csv"),
+      "event_id,user_id,ts\n" +
+        "10,1,2025-04-01 10:00:00\n" +
+        "11,1,2025-04-01 10:20:00\n" +
+        "12,2,2025-04-01 10:00:00\n")
+    Files.writeString(Paths.get(cIn, "c.csv"),
+      "event_id,user_id,ts\n" +
+        "20,1,2025-04-01 10:05:00\n" + // matches view 10 (5 min)
+        "21,1,2025-04-01 10:10:00\n" + // matches view 10 at the inclusive bound
+        "22,1,2025-04-01 10:31:00\n" + // 11 min after view 11 -> no match
+        "23,2,2025-04-01 10:09:59\n")  // matches view 12, not user 1's
+    val sch = "event_id long, user_id long, ts timestamp"
+    def stream(dir: String) = spark.readStream.schema(sch)
+      .option("header", "true").csv(dir)
+    val q = StreamingIngest.viewClickJoin(stream(vIn), stream(cIn))
+      .writeStream.format("memory").queryName("vcjoin_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val streamed = spark.table("vcjoin_test").collect().map(key).toSet
+    assert(streamed === Set((1L, 10L, 20L), (1L, 10L, 21L), (2L, 12L, 23L)))
+    // equivalence: the same frames joined in batch emit identical rows
+    def batch(dir: String) = spark.read.schema(sch)
+      .option("header", "true").csv(dir)
+    val batched = StreamingIngest.viewClickJoin(batch(vIn), batch(cIn))
+      .collect().map(key).toSet
+    assert(batched === streamed)
+  }
+
   test("runningUserActivity: custom mapGroupsWithState counts per user") {
     val root = tmpDir("stream-state")
     val in = s"$root/in"
