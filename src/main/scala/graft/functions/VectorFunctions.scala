@@ -39,6 +39,14 @@ object VectorFunctions {
   def nearestCells(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
     GraftColumnBridge.column(NearestCells(e(v), centroids, nProbe))
 
+  /** Symmetric int8 quantization: `struct(scale, codes, max_abs_err)` in
+    * one native pass — see [[expressions.VecQuantize]] for the pinned
+    * floor-based rounding that makes it SQL-replayable.
+    */
+  def quantizeInt8(v: Column, levels: Int = 127): Column =
+    GraftColumnBridge.column(
+      graft.functions.expressions.VecQuantize(e(v), levels))
+
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (s, v) => s + v)
 

@@ -501,6 +501,25 @@ object TrainingQueries {
         .withColumn("token_id",
           row_number().over(Window.orderBy(col("freq").desc, col("term"))))
         .orderBy(col("token_id"))
+    }),
+
+    // int8 embedding quantization (the 4x ANN memory reduction): scale,
+    // codes and reconstruction bound per vector in one codegen'd pass.
+    // floor(v/scale + 0.5) is pinned instead of round() because round-
+    // half tie rules differ between engines; every value here is exact
+    // IEEE double arithmetic, so the oracle matches bit-for-bit and the
+    // rounds below are display-stability only.
+    "q78_embed_quantize" -> ((s, d) => {
+      val st = graft.functions.VectorFunctions.quantizeInt8(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), st.as("st"))
+        .select(col("vec_id"),
+          round(col("st.scale"), 6).as("scale"),
+          // joined string, not the raw array: the driver's value-hash
+          // compare cannot hash array cells
+          array_join(col("st.codes").cast("array<string>"), ",").as("codes"),
+          round(col("st.max_abs_err"), 6).as("max_abs_err"))
+        .orderBy(col("vec_id"))
     }))
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -1069,5 +1088,27 @@ object TrainingQueries {
          |  GROUP BY term HAVING count(*) >= 10)
          |SELECT term, freq,
          |  row_number() OVER (ORDER BY freq DESC, term) AS token_id
-         |FROM f ORDER BY token_id""".stripMargin)
+         |FROM f ORDER BY token_id""".stripMargin,
+
+    // Replays VecQuantize: scale = maxabs/127, floor(+0.5) codes with
+    // clamp, reconstruction error — all exact double arithmetic.
+    "q78_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        |      FROM v),
+        |q AS (SELECT vec_id, scale,
+        |        CASE WHEN scale = 0 THEN list_transform(e, x -> 0::INT)
+        |             ELSE list_transform(e, x ->
+        |               greatest(-127.0, least(127.0, floor(x/scale + 0.5)))::INT)
+        |        END AS codes,
+        |        CASE WHEN scale = 0 THEN 0.0
+        |             ELSE list_max(list_transform(e, x ->
+        |               abs(x - greatest(-127.0, least(127.0, floor(x/scale + 0.5))) * scale)))
+        |        END AS max_abs_err
+        |      FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |       array_to_string(codes, ',') AS codes,
+        |       round(max_abs_err, 6) AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin)
 }
