@@ -362,6 +362,72 @@ object ParityQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Ordered funnel (view → click → purchase) over the event stream —
+    // the MATCH_RECOGNIZE-shaped analytics Spark lacks natively,
+    // composed from sequential unordered window mins + two same-key
+    // aggregations, ONE shuffle total (operators/Funnel.scala). The
+    // oracle replays the chained stage-time windows as CTEs. The first
+    // two days only — at full density every user completes every stage
+    // and the funnel stops discriminating.
+    "q79_funnel" -> ((s, d) => {
+      graft.operators.Funnel.analyze(
+          Tables.events(s, d).filter(col("ts") < lit("2024-01-03").cast("timestamp")),
+          "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))
+    }),
+
+    // Time-series gap-fill: resample purchase values per user onto a
+    // daily grid between the user's first and last purchase, forward-
+    // filling empty days (time_bucket_gapfill + locf — no Spark
+    // built-in). Grid generation is distributed sequence/explode; fill
+    // is one per-key ordered window (operators/GapFill.scala). Sum is
+    // rounded AFTER the fill in both engines, so FP paths agree.
+    "q80_gapfill" -> ((s, d) => {
+      graft.operators.GapFill.resampleFill(
+          Tables.events(s, d).filter(col("event_type") === "purchase"),
+          "user_id", "ts", "value", unit = "day", step = "interval 1 day")
+        .select(col("user_id"),
+          unix_timestamp(col("bucket")).as("day_epoch"),
+          round(col("value"), 2).as("value"), col("observed"))
+        .orderBy(col("user_id"), col("day_epoch"))
+    }),
+
+    // One-pass column profiling (operators/Profile.scala): every
+    // statistic for every column in ONE agg, pivoted plan-side to a
+    // row-per-column frame. The timestamp column is pre-projected to
+    // epoch so min/max stringify identically in both engines; exact
+    // distinct tier here (oracle-checked), HLL++ tier covered by
+    // ProfileSpec.
+    "q81_profile" -> ((s, d) => {
+      graft.operators.Profile.profile(
+          Tables.orders(s, d).withColumn(
+            "o_orderdate_epoch", unix_timestamp(col("o_orderdate"))),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_orderdate_epoch"))
+        .orderBy(col("col_name"))
+    }),
+
+    // Bloom-pre-filtered fact⋈dim join (operators/BloomJoin.scala): the
+    // dim side (high-value open orders, ~17% of orders) builds a native
+    // BloomFilterAggregate; the lineitem probe side is pre-filtered by
+    // might_contain BEFORE its shuffle, then the exact join eliminates
+    // false positives — result provably equals the plain join (the
+    // oracle IS the plain join; BloomJoinSpec pins the row reduction).
+    "q82_bloom_join" -> ((s, d) => {
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 250000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.BloomJoin.join(
+          Tables.lineitem(s, d), dim, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Pivot with an EXPLICIT value list — no driver-side distinct scan to
     // discover columns, so the plan is a single groupBy with conditional
     // aggregates (exactly the oracle's CASE formulation).
@@ -925,6 +991,96 @@ object ParityQueries {
         |       CAST(sum((props->>'$.k')::INT) AS BIGINT) AS sum_k,
         |       max((props->>'$.k')::INT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Replays Funnel.stageTimes' chained window mins: each stage's
+    // completion time is the min event time of that type at-or-after the
+    // previous stage's completion time, then per-entity reduction and
+    // stage rollup.
+    "q79_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t0
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-03'),
+        |s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t0 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM s0),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t2
+        |  FROM s1),
+        |u AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+        |      FROM s2 GROUP BY user_id),
+        |c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM u)
+        |SELECT 1 AS stage_idx, 'view' AS stage, n0 AS users,
+        |       round(n0::DOUBLE / nullif(n0, 0), 4) AS conv_from_prev,
+        |       round(n0::DOUBLE / nullif(n0, 0), 4) AS conv_overall FROM c
+        |UNION ALL
+        |SELECT 2, 'click', n1, round(n1::DOUBLE / nullif(n0, 0), 4),
+        |       round(n1::DOUBLE / nullif(n0, 0), 4) FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase', n2, round(n2::DOUBLE / nullif(n1, 0), 4),
+        |       round(n2::DOUBLE / nullif(n0, 0), 4) FROM c
+        |ORDER BY stage_idx""".stripMargin,
+
+    // Replays GapFill.resampleFill: daily buckets, per-user
+    // generate_series grid, left join, last_value IGNORE NULLS fill.
+    "q80_gapfill" ->
+      """WITH o AS (
+        |  SELECT user_id, date_trunc('day', ts) AS b, sum(value) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |r AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM o GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS b
+        |      FROM r),
+        |j AS (SELECT g.user_id, g.b, o.v FROM g
+        |      LEFT JOIN o ON g.user_id = o.user_id AND g.b = o.b),
+        |f AS (SELECT user_id, b,
+        |        last_value(v IGNORE NULLS) OVER (
+        |          PARTITION BY user_id ORDER BY b
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+        |        v IS NOT NULL AS observed
+        |      FROM j)
+        |SELECT user_id, CAST(epoch(b) AS BIGINT) AS day_epoch,
+        |       round(fv, 2) AS value, observed
+        |FROM f ORDER BY user_id, day_epoch""".stripMargin,
+
+    // Per-column statistics, one UNION ALL branch per profiled column.
+    "q81_profile" ->
+      """WITH t AS (SELECT *, CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch
+        |           FROM orders)
+        |SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |       count(*) - count(o_orderkey) AS n_nulls,
+        |       count(DISTINCT o_orderkey) AS n_distinct,
+        |       min(o_orderkey)::VARCHAR AS min_s, max(o_orderkey)::VARCHAR AS max_s FROM t
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |       count(DISTINCT o_custkey),
+        |       min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR FROM t
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |       count(DISTINCT o_orderstatus),
+        |       min(o_orderstatus), max(o_orderstatus) FROM t
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |       count(DISTINCT o_orderpriority),
+        |       min(o_orderpriority), max(o_orderpriority) FROM t
+        |UNION ALL
+        |SELECT 'o_orderdate_epoch', count(*), count(*) - count(o_orderdate_epoch),
+        |       count(DISTINCT o_orderdate_epoch),
+        |       min(o_orderdate_epoch)::VARCHAR, max(o_orderdate_epoch)::VARCHAR FROM t
+        |ORDER BY col_name""".stripMargin,
+
+    // The Bloom pre-filter is row-reduction only: the oracle is the
+    // PLAIN join — any Bloom false negative or dropped row would break
+    // the hash match.
+    "q82_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 250000.0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q42_pivot_status" ->
       """SELECT o_orderpriority,
