@@ -428,6 +428,44 @@ object ParityQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Incrementally maintained materialized aggregate
+    // (sources/IncrementalView.scala): a sum/count-by-priority view over
+    // a versioned orders table is refreshed from the PER-COMMIT change
+    // feed only — base v2 bumps prices (%10), v3 deletes (%97), v4
+    // inserts shifted copies (%100) — then refreshed again (must fold 0
+    // commits). The oracle recomputes the final base state from scratch;
+    // any drift between incremental folding and recomputation breaks the
+    // hash.
+    "q83_incremental_mv" -> ((s, d) => {
+      import graft.sources.IncrementalView
+      val tmp = scratchDir("graft_q83")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      ParquetTable.create(o, s"$tmp/base") // versioned v1
+      IncrementalView.create(s, s"$tmp/base", s"$tmp/view",
+        Seq("o_orderpriority"), "o_totalprice")
+      ParquetTable.merge(s, s"$tmp/base",
+        o.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+        Seq("o_orderkey"), cdf = true) // v2
+      ParquetTable.delete(s, s"$tmp/base", col("o_orderkey") % 97 === 0,
+        cdf = true) // v3
+      ParquetTable.merge(s, s"$tmp/base",
+        o.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L),
+        Seq("o_orderkey"), cdf = true) // v4
+      val folded = IncrementalView.refresh(s, s"$tmp/base", s"$tmp/view",
+        Seq("o_orderkey"), Seq("o_orderpriority"), "o_totalprice")
+      require(folded == 3, s"expected to fold 3 base commits, folded $folded")
+      require(IncrementalView.refresh(s, s"$tmp/base", s"$tmp/view",
+        Seq("o_orderkey"), Seq("o_orderpriority"), "o_totalprice") == 0,
+        "second refresh must fold nothing")
+      IncrementalView.read(s, s"$tmp/view")
+        .select(col("o_orderpriority"), round(col("total"), 2).as("total"),
+          col("n_rows"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Pivot with an EXPLICIT value list — no driver-side distinct scan to
     // discover columns, so the plan is a single groupBy with conditional
     // aggregates (exactly the oracle's CASE formulation).
@@ -1080,6 +1118,23 @@ object ParityQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'O' AND o_totalprice > 250000.0
         |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // Recomputes q83's final base state from scratch: %10 keys bumped
+    // +1000, %97 keys gone, %100 keys re-inserted (original price) under
+    // shifted ids. The view must equal this full recomputation.
+    "q83_incremental_mv" ->
+      """WITH final AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderpriority, round(sum(p), 2) AS total,
+        |       count(*) AS n_rows
+        |FROM final GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q42_pivot_status" ->

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IncrementalViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("ivspec").toString
+
+  private def base(rows: Seq[(Long, String, Double)]): DataFrame =
+    rows.toDF("id", "grp", "v")
+
+  private def recompute(basePath: String): Set[(String, Double, Long)] =
+    ParquetTable.read(spark, basePath).groupBy("grp")
+      .agg(sum("v").as("total"), count(lit(1)).as("n_rows"))
+      .as[(String, Double, Long)].collect().toSet
+
+  private def view(viewPath: String): Set[(String, Double, Long)] =
+    IncrementalView.read(spark, viewPath).select("grp", "total", "n_rows")
+      .as[(String, Double, Long)].collect().toSet
+
+  test("refresh folds inserts, updates and deletes; equals full recompute at every step") {
+    val dir = tmp()
+    val b = s"$dir/b"; val vw = s"$dir/v"
+    ParquetTable.create(base(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 4.0))), b)
+    IncrementalView.create(spark, b, vw, Seq("grp"), "v")
+    assert(view(vw) == recompute(b))
+
+    // v2: update one row's value, insert a new group
+    ParquetTable.merge(spark, b,
+      base(Seq((2L, "a", 10.0), (4L, "c", 7.0))), Seq("id"), cdf = true)
+    assert(IncrementalView.refresh(spark, b, vw, Seq("id"), Seq("grp"), "v") == 1L)
+    assert(view(vw) == recompute(b))
+
+    // v3 + v4: delete across groups, then more inserts — fold BOTH at once
+    ParquetTable.delete(spark, b, col("id") === 1L, cdf = true)
+    ParquetTable.merge(spark, b, base(Seq((5L, "b", 0.5))), Seq("id"), cdf = true)
+    assert(IncrementalView.refresh(spark, b, vw, Seq("id"), Seq("grp"), "v") == 2L)
+    assert(view(vw) == recompute(b))
+  }
+
+  test("refresh is idempotent and commit-less when current") {
+    val dir = tmp()
+    val b = s"$dir/b"; val vw = s"$dir/v"
+    ParquetTable.create(base(Seq((1L, "a", 1.0))), b)
+    IncrementalView.create(spark, b, vw, Seq("grp"), "v")
+    val vBefore = ParquetTable.currentVersion(spark, vw)
+    assert(IncrementalView.refresh(spark, b, vw, Seq("id"), Seq("grp"), "v") == 0L)
+    assert(ParquetTable.currentVersion(spark, vw) == vBefore)
+  }
+
+  test("a group deleted to zero disappears; reappearing rows resurrect it") {
+    val dir = tmp()
+    val b = s"$dir/b"; val vw = s"$dir/v"
+    ParquetTable.create(base(Seq((1L, "a", 1.0), (2L, "b", 2.0))), b)
+    IncrementalView.create(spark, b, vw, Seq("grp"), "v")
+    ParquetTable.delete(spark, b, col("grp") === "b", cdf = true)
+    IncrementalView.refresh(spark, b, vw, Seq("id"), Seq("grp"), "v")
+    assert(view(vw).map(_._1) == Set("a"))
+    assert(view(vw) == recompute(b))
+    // resurrect with a different value; tombstone residue must not leak
+    ParquetTable.merge(spark, b, base(Seq((9L, "b", 3.25))), Seq("id"), cdf = true)
+    IncrementalView.refresh(spark, b, vw, Seq("id"), Seq("grp"), "v")
+    assert(view(vw) == recompute(b))
+  }
+
+  test("view without a marker for the base refuses to refresh") {
+    val dir = tmp()
+    val b = s"$dir/b"
+    ParquetTable.create(base(Seq((1L, "a", 1.0))), b)
+    ParquetTable.create(base(Seq((1L, "a", 1.0))), s"$dir/notview")
+    intercept[IllegalStateException] {
+      IncrementalView.refresh(spark, b, s"$dir/notview", Seq("id"), Seq("grp"), "v")
+    }
+  }
+}
