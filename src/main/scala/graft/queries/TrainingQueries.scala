@@ -520,6 +520,34 @@ object TrainingQueries {
           array_join(col("st.codes").cast("array<string>"), ",").as("codes"),
           round(col("st.max_abs_err"), 6).as("max_abs_err"))
         .orderBy(col("vec_id"))
+    }),
+
+    // C4-style line filtering (operators/C4Filter.scala): synthetic line
+    // structure via ' merge ' → newline (the q73 trick — the corpus has
+    // no raw newlines), then the word-count floor + blocklist line gate
+    // and the min-surviving-lines document gate. ZERO shuffle: pure
+    // per-row HOF projection; the oracle replays it with list_filter.
+    "q84_c4_filter" -> ((s, d) => {
+      graft.operators.C4Filter.cleanLines(
+          Tables.documents(s, d)
+            .withColumn("text", replace(col("text"), lit(" merge "), lit("\n"))),
+          "text", Seq("doc_id"),
+          lineSep = "\n", minWords = 12, blocklist = Seq("slow"), minLines = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-wide paragraph dedup (operators/ParagraphDedup.scala):
+    // paragraphs via ' table ' → blank line; every repeated paragraph
+    // survives only at its (doc_id, pos)-minimal occurrence and docs are
+    // reassembled in position order. The min(struct) formulation is
+    // partial-aggregable (no hot-key window sort); the oracle replays it
+    // as row_number() = 1 — equivalent because (doc, pos) is unique.
+    "q85_para_dedup" -> ((s, d) => {
+      graft.operators.ParagraphDedup.dedup(
+          Tables.documents(s, d)
+            .withColumn("text", replace(col("text"), lit(" table "), lit("\n\n"))),
+          "doc_id", "text", paraSep = "\n\n")
+        .orderBy(col("doc_id"))
     }))
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -1110,5 +1138,45 @@ object TrainingQueries {
         |SELECT vec_id, round(scale, 6) AS scale,
         |       array_to_string(codes, ',') AS codes,
         |       round(max_abs_err, 6) AS max_abs_err
-        |FROM q ORDER BY vec_id""".stripMargin)
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q84_c4_filter" ->
+      """WITH lined AS (
+        |  SELECT doc_id, replace(text, ' merge ', chr(10)) AS t FROM documents),
+        |l AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM lined),
+        |f AS (SELECT doc_id, lines,
+        |        list_filter(lines, x ->
+        |          len(string_split_regex(trim(x), '\s+')) >= 12
+        |          AND NOT contains(x, 'slow')) AS kept
+        |      FROM l)
+        |-- array_to_string([]) is NULL in DuckDB, '' in Spark's array_join
+        |SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |       len(lines) AS n_lines_in, len(kept) AS n_lines_kept,
+        |       len(kept) >= 2 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q85_para_dedup" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |    string_split(replace(text, ' table ', chr(10) || chr(10)),
+        |                 chr(10) || chr(10)) AS ps
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, i - 1 AS pos, trim(ps[i]) AS para
+        |  FROM sp, LATERAL unnest(generate_series(1, len(ps))) AS t(i)),
+        |w AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM e),
+        |k AS (SELECT doc_id, pos, para FROM w WHERE rn = 1),
+        |cnt AS (SELECT doc_id, count(*) AS n_paras_in FROM e GROUP BY doc_id),
+        |agg AS (
+        |  SELECT doc_id,
+        |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text,
+        |    count(*) AS n_paras_kept
+        |  FROM k GROUP BY doc_id)
+        |SELECT c.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |       c.n_paras_in, coalesce(a.n_paras_kept, 0) AS n_paras_kept
+        |FROM cnt c LEFT JOIN agg a USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin)
 }
