@@ -548,6 +548,19 @@ object TrainingQueries {
             .withColumn("text", replace(col("text"), lit(" table "), lit("\n\n"))),
           "doc_id", "text", paraSep = "\n\n")
         .orderBy(col("doc_id"))
+    }),
+
+    // SemDedup (operators/SemDedup.scala): cluster the embedding space,
+    // drop every vector with a same-cell smaller-id peer at cosine ≥ τ.
+    // maxIter = 0 pins the centroids to the 8 id-minimal embeddings so
+    // the DuckDB oracle can replay assignment (argmin L2, ties to the
+    // smaller centroid id — NearestCells' strict-comparison rule) and
+    // the drop rule exactly; SemDedupSpec covers the iterated-k-means
+    // path with witness/partition properties.
+    "q86_semdedup" -> ((s, d) => {
+      graft.operators.SemDedup.dedup(Tables.embeddings(s, d),
+          "vec_id", "embedding", nCentroids = 8, tau = 0.3, maxIter = 0)
+        .orderBy(col("vec_id"))
     }))
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -1178,5 +1191,26 @@ object TrainingQueries {
         |SELECT c.doc_id, coalesce(a.clean_text, '') AS clean_text,
         |       c.n_paras_in, coalesce(a.n_paras_kept, 0) AS n_paras_kept
         |FROM cnt c LEFT JOIN agg a USING (doc_id)
-        |ORDER BY c.doc_id""".stripMargin)
+        |ORDER BY c.doc_id""".stripMargin,
+
+    "q86_semdedup" ->
+      """WITH c AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+        |         embedding::DOUBLE[] AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.embedding::DOUBLE[], c.cv),
+        |               c.centroid_id) AS rn
+        |  FROM embeddings e CROSS JOIN c),
+        |a AS (SELECT vec_id, embedding, centroid_id FROM scored WHERE rn = 1),
+        |drp AS (
+        |  SELECT DISTINCT b.vec_id FROM a x JOIN a b
+        |    ON x.centroid_id = b.centroid_id AND x.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(x.embedding::DOUBLE[],
+        |                               b.embedding::DOUBLE[]) >= 0.3)
+        |SELECT a.vec_id, a.centroid_id
+        |FROM a ANTI JOIN drp ON a.vec_id = drp.vec_id
+        |ORDER BY a.vec_id""".stripMargin)
 }
