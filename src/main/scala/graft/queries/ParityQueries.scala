@@ -466,6 +466,25 @@ object ParityQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // PageRank over the nation-level trade graph (customer nation →
+    // supplier nation, weight = lineitem count): 5 power iterations with
+    // dangling-mass redistribution (operators/PageRank.scala — one join
+    // + one agg per iteration, checkpointed lineage). The oracle unrolls
+    // the same 5 iterations as generated CTEs; ranks are exact IEEE
+    // doubles on both sides, rounded to 6 for display stability.
+    "q87_pagerank" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      graft.operators.PageRank.run(edges, "src", "dst", Some("w"),
+          iterations = 5)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("id"))
+    }),
+
     // Pivot with an EXPLICIT value list — no driver-side distinct scan to
     // discover columns, so the plan is a single groupBy with conditional
     // aggregates (exactly the oracle's CASE formulation).
@@ -858,6 +877,47 @@ object ParityQueries {
            |FROM graft.`$tmp/t`""".stripMargin)
     }))
 
+  /** Replays PageRank.run over the q87 nation trade graph: the power
+    * iteration is unrolled into one (dangling, contribs, ranks) CTE
+    * triple per iteration — same dangling-mass redistribution, same
+    * damping arithmetic.
+    */
+  private def pageRankOracle(iterations: Int, damping: Double): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      val p = s"r${i - 1}"
+      s"""d$i AS (
+         |  SELECT coalesce(sum(rank), 0) AS dm FROM $p
+         |  WHERE id NOT IN (SELECT DISTINCT src FROM share)),
+         |c$i AS (
+         |  SELECT share.dst AS id, sum(share.share * $p.rank) AS inm
+         |  FROM share JOIN $p ON share.src = $p.id GROUP BY share.dst),
+         |r$i AS (
+         |  SELECT nodes.id,
+         |    (1 - $damping) / cnt.n
+         |      + $damping * (coalesce(c$i.inm, 0) + d$i.dm / cnt.n) AS rank
+         |  FROM nodes CROSS JOIN cnt CROSS JOIN d$i
+         |  LEFT JOIN c$i ON nodes.id = c$i.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |         count(*)::DOUBLE AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |cnt AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+       |share AS (
+       |  SELECT e.src, e.dst, e.w / outw.ow AS share
+       |  FROM e JOIN outw ON e.src = outw.src),
+       |r0 AS (SELECT id, 1.0 / cnt.n AS rank FROM nodes CROSS JOIN cnt),
+       |$iterCtes
+       |SELECT id, round(rank, 6) AS rank FROM r$iterations
+       |ORDER BY id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1136,6 +1196,8 @@ object ParityQueries {
         |       count(*) AS n_rows
         |FROM final GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q87_pagerank" -> pageRankOracle(iterations = 5, damping = 0.85),
 
     "q42_pivot_status" ->
       """SELECT o_orderpriority,
