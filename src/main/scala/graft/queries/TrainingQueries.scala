@@ -561,6 +561,17 @@ object TrainingQueries {
       graft.operators.SemDedup.dedup(Tables.embeddings(s, d),
           "vec_id", "embedding", nCentroids = 8, tau = 0.3, maxIter = 0)
         .orderBy(col("vec_id"))
+    }),
+
+    // Distributed BPE tokenizer training (operators/BpeTrain.scala): ONE
+    // corpus pass for word frequencies, then 8 merge rounds over the
+    // vocabulary-sized segmentation frame. Segmentations are space-
+    // joined strings and merges are literal " l r " → " lr " replaces —
+    // left-to-right non-overlapping in BOTH engines — so the oracle
+    // unrolls the full training loop round-for-round.
+    "q88_bpe_train" -> ((s, d) => {
+      graft.operators.BpeTrain.train(Tables.documents(s, d), "text", nMerges = 8)
+        .orderBy(col("rank"))
     }))
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -1212,5 +1223,47 @@ object TrainingQueries {
         |                               b.embedding::DOUBLE[]) >= 0.3)
         |SELECT a.vec_id, a.centroid_id
         |FROM a ANTI JOIN drp ON a.vec_id = drp.vec_id
-        |ORDER BY a.vec_id""".stripMargin)
+        |ORDER BY a.vec_id""".stripMargin,
+
+    "q88_bpe_train" -> bpeOracle(rounds = 8))
+
+  /** Replays BpeTrain.train round-for-round: per round, adjacent-pair
+    * counts over the current segmentation strings, argmax with the
+    * (freq desc, pair asc) tie-break, then the literal space-padded
+    * replace — the same left-to-right non-overlapping scan Spark's
+    * replace does.
+    */
+  private def bpeOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val p = s"seg${r - 1}"
+      s"""pc$r AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS f FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(t)),
+         |      i -> t[i] || ' ' || t[i + 1])) AS pair
+         |    FROM (SELECT freq, string_split(seg, ' ') AS t FROM $p))
+         |  GROUP BY pair),
+         |top$r AS (SELECT pair, f FROM pc$r ORDER BY f DESC, pair LIMIT 1),
+         |seg$r AS (
+         |  SELECT word, freq,
+         |    trim(replace(' ' || seg || ' ',
+         |                 ' ' || t.pair || ' ',
+         |                 ' ' || replace(t.pair, ' ', '') || ' ')) AS seg
+         |  FROM $p CROSS JOIN top$r t)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { r =>
+      s"SELECT $r AS rank, pair, replace(pair, ' ', '') AS merged, f AS freq FROM top$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |seg0 AS (
+       |  SELECT word, freq,
+       |    array_to_string(string_split(word, ''), ' ') AS seg
+       |  FROM wf),
+       |$roundCtes
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
 }
