@@ -109,6 +109,60 @@ object StreamingIngest {
       .start()
   }
 
+  /** [[csvStreamAppend]] plus a continuously-maintained aggregate: after
+    * each batch's O(appended rows) commit, the downstream
+    * [[graft.sources.IncrementalView]] is refreshed from the change feed
+    * — so the view trails the table by at most one trigger, at
+    * O(changed groups) per batch instead of a per-batch full recompute
+    * (what a plain streaming `groupBy.agg` in update mode re-shuffles
+    * forever at 100 TB history; here history lives in the table, the
+    * stream only folds deltas).
+    *
+    * Exactly-once composes from the two idempotence layers underneath:
+    * the insert carries `txnAppId → batchId` (a redelivered batch
+    * commits NOTHING), and refresh's own marker records the last folded
+    * base version (a redelivered refresh folds NOTHING) — so a crash
+    * between insert and refresh heals on the next trigger, and the view
+    * never double-counts.
+    */
+  def csvStreamAppendWithView(
+      spark: SparkSession,
+      inputDir: String,
+      spec: TableSpec,
+      tablePath: String,
+      checkpointDir: String,
+      viewPath: String,
+      groupCols: Seq[String],
+      sumCol: String,
+      references: Map[String, DataFrame] = Map.empty,
+      txnAppId: Option[String] = None): StreamingQuery = {
+    import graft.sources.IncrementalView
+    val relaxed = org.apache.spark.sql.types.StructType(
+      spec.schema.fields.map(_.copy(nullable = true)))
+    val stream = spark.readStream
+      .option("header", "true")
+      .schema(relaxed)
+      .csv(inputDir)
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val conformed = CsvIngest.conform(batch, spec.schema)
+        val valid = Validator.split(conformed, spec, references).valid
+        ParquetTable.insertInto(s, tablePath, valid,
+          txn = txnAppId.map(_ -> batchId))
+        if (ParquetTable.currentVersion(s, viewPath).isEmpty)
+          IncrementalView.create(s, tablePath, viewPath, groupCols, sumCol)
+        else
+          IncrementalView.refresh(s, tablePath, viewPath,
+            spec.primaryKey, groupCols, sumCol)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming consumer of a versioned table's CAPTURED change feed (the
     * Delta `readChangeFeed` streaming tier): the per-commit change
     * manifests that `ParquetTable.merge(cdf = true)` writes under

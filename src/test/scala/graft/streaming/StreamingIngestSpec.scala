@@ -272,4 +272,53 @@ class StreamingIngestSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("csvStreamAppendWithView: continuously-maintained aggregate, exactly-once") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.IncrementalView
+    val root = tmpDir("stream-view")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    val hdr = "order_num,order_id,user_id,order_timestamp,total_amount,date\n"
+    Files.writeString(Paths.get(in, "day1.csv"),
+      hdr + "1,101,1,2025-04-01 10:00:00,12.5,2025-04-01\n" +
+        "2,102,2,2025-04-01 11:00:00,-3.0,2025-04-01\n" + // invalid, dropped
+        "3,103,1,2025-04-01 12:00:00,4.0,2025-04-01\n")
+    val spec = Schemas.ordersSpec.copy(partitionColumns = Nil)
+    ParquetTable.create(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spec.schema), s"$root/table")
+
+    def run(ckpt: String) = StreamingIngest.csvStreamAppendWithView(
+      spark, in, spec, s"$root/table", ckpt, s"$root/view",
+      Seq("user_id"), "total_amount",
+      txnAppId = Some("view_stream")).awaitTermination()
+    def viewState(): Map[Long, (Double, Long)] =
+      IncrementalView.read(spark, s"$root/view")
+        .collect().map(r => (r.getInt(0).toLong, (r.getDouble(1), r.getLong(2)))).toMap
+    def recompute(): Map[Long, (Double, Long)] =
+      ParquetTable.read(spark, s"$root/table").groupBy("user_id")
+        .agg(sum("total_amount").as("t"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0).toLong, (r.getDouble(1), r.getLong(2)))).toMap
+
+    run(s"$root/ckpt")
+    assert(viewState() === Map(1L -> ((16.5, 2L))))
+    assert(viewState() === recompute())
+
+    // second trigger folds only the new batch's commit into the view
+    Files.writeString(Paths.get(in, "day2.csv"),
+      hdr + "4,104,2,2025-04-02 09:00:00,7.0,2025-04-02\n")
+    run(s"$root/ckpt")
+    assert(viewState() === Map(1L -> ((16.5, 2L)), 2L -> ((7.0, 1L))))
+    assert(viewState() === recompute())
+
+    // checkpoint loss: both files redeliver — insert txn markers skip the
+    // commits AND the view refresh folds nothing (no new base version)
+    val tableV = ParquetTable.currentVersion(spark, s"$root/table")
+    val viewV = ParquetTable.currentVersion(spark, s"$root/view")
+    run(s"$root/ckpt-rebuilt")
+    assert(ParquetTable.currentVersion(spark, s"$root/table") === tableV)
+    assert(ParquetTable.currentVersion(spark, s"$root/view") === viewV)
+    assert(viewState() === recompute())
+  }
 }
