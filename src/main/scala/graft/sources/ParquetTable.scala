@@ -2200,6 +2200,89 @@ object ParquetTable {
     }
   }
 
+  /** Partition-scoped compaction — Delta's `OPTIMIZE … WHERE` tier:
+    * rewrite ONLY the partitions matching `predicate`, consolidating
+    * their append-entry dir chains and materializing their deletion
+    * vectors into one fresh dir; every other partition keeps its entries
+    * untouched. This is the verb [[compact]] is missing at scale: after
+    * a month of MOR merges into a hot partition, compacting it costs
+    * O(hot partition), not O(table) — a 3-year table never rewrites cold
+    * history to fold one day's chain.
+    *
+    * `predicate` must reference partition columns only (checked on the
+    * unresolved attribute names): partition membership is decided per
+    * PARTITION, and a data-column predicate would tear rows out of
+    * partitions it matches partially. Carried deletion vectors stay in
+    * the commit — their (file, row-index) keys no longer match the
+    * compacted partitions' fresh files (their deletes are already
+    * materialized) but keep deletes on untouched partitions in force,
+    * the same carry rule as the merge rewrite path. Returns the
+    * committed version (or the current one when nothing matches).
+    */
+  def compactWhere(
+      spark: SparkSession, path: String, predicate: Column,
+      filesPerPartition: Int = 1): Long = {
+    var committedV = -1L
+    var attempts = 0
+    while (committedV < 0) {
+      attempts += 1
+      require(attempts <= 10, s"compactWhere: lost the version race at $path")
+      val v = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
+        s"compactWhere: no versioned table at $path"))
+      val entries = partitionEntries(spark, path, v).getOrElse(
+        throw new IllegalStateException(
+          s"compactWhere: $path holds an UNPARTITIONED versioned table — " +
+            "use compact() (one dir chain, nothing to scope)"))
+      val partitionColumns = entries.head._1.split('/').toSeq.map(_.split('=')(0))
+      val cur = readVersion(spark, path, v)
+      val filtered = cur.filter(predicate)
+      // reference check on the ANALYZED filter (Spark 4 Columns are lazy
+      // ColumnNode trees — unresolvable without a plan)
+      val refs = filtered.queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.references.map(_.name).toSeq
+      }.flatten
+      val nonPartition = refs.filterNot(r =>
+        partitionColumns.exists(_.equalsIgnoreCase(r))).distinct
+      require(nonPartition.isEmpty,
+        s"compactWhere: predicate references non-partition column(s) " +
+          s"${nonPartition.mkString(", ")} — partition columns are " +
+          s"${partitionColumns.mkString(", ")}")
+      val affected = partitionDirsOf(filtered, partitionColumns)
+      if (affected.isEmpty) return v
+      val affectedSet = affected.toSet
+      val affectedEntries = entries.filter(e => affectedSet(e._1))
+      val tableSchema = versionSchema(spark, path, v)
+      val dv = dvOf(spark, path, v)
+      val slice = affectedEntries.groupBy(_._2).toSeq.sortBy(_._1).map {
+        case (dataDir, es) =>
+          val base = new Path(path, dataDir).toString
+          val df = dvFilterLeg(spark.read.option("basePath", base)
+            .parquet(es.map(e => s"$base/${e._1}"): _*), dv)
+            .drop(DvFileCol, DvIdxCol)
+          tableSchema.map(alignTo(df, _)).getOrElse(df)
+      }.reduce(_.unionByName(_))
+      val dataDir = freshDataDirName()
+      writePlain(slice, new Path(path, dataDir).toString, partitionColumns,
+        filesPerPartition)
+      DataSkipping.writeStats(spark, new Path(path, dataDir).toString, slice.schema)
+      validateCommit(spark, path, dataDir)
+      val newEntries = (entries.filterNot(e => affectedSet(e._1)) ++
+        affected.map(_ -> dataDir)).sorted
+        .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
+      if (commitVersion(spark, path, v + 1, newEntries,
+        dv = dvDirs(spark, path, v)))
+        committedV = v + 1
+      else {
+        // lost the CAS — drop the orphaned dir and recompute against the
+        // winner's version (compaction has no payload to rebase)
+        val dd = new Path(path, dataDir)
+        hadoopFs(spark, dd).delete(dd, true)
+      }
+    }
+    committedV
+  }
+
   /** Retire history: keep the newest `keepLast` versions, delete older
     * manifests and every data dir (or partition subdir) no kept manifest
     * references, and — once a manifest exists — any parquet files still

@@ -135,6 +135,8 @@ object GraftSql {
     """(?is)\s*RESTORE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
+  private val CompactWhereStmt =
+    """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val CompactStmt =
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val VacuumStmt =
@@ -170,6 +172,8 @@ object GraftSql {
       case OptimizeStmt(path, cols) => Some(GraftOptimizeCommand(path,
         cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
           .filter(_.nonEmpty)))
+      case CompactWhereStmt(path, cond) =>
+        Some(GraftCompactWhereCommand(path, cond.trim))
       case CompactStmt(path) => Some(GraftCompactCommand(path))
       case VacuumStmt(path, retain, unit) =>
         val hours = Option(unit).exists(_.equalsIgnoreCase("HOURS"))
@@ -413,6 +417,24 @@ case class GraftCompactCommand(path: String) extends LeafRunnableCommand {
     ParquetTable.compact(session, path)
     Seq(Row(ParquetTable.currentVersion(session, path).getOrElse(-1L)))
   }
+}
+
+/** `OPTIMIZE graft.`path` WHERE <partition predicate>`: partition-scoped
+  * compaction — Delta's OPTIMIZE-WHERE tier ([[ParquetTable.compactWhere]]):
+  * only matching partitions fold their dir chains / materialize their
+  * deletion vectors; cold partitions are untouched.
+  */
+case class GraftCompactWhereCommand(path: String, condition: String)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "optimized_version", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(ParquetTable.compactWhere(session, path,
+      org.apache.spark.sql.functions.expr(condition))))
 }
 
 /** `RESTORE TABLE graft.`path` TO VERSION AS OF n`: republishes the old
