@@ -67,6 +67,23 @@ class IncrementalViewSpec extends SparkSpec {
     assert(view(vw) == recompute(b))
   }
 
+  test("partitioned base: refresh folds partition-scoped commits") {
+    val dir = tmp()
+    val b = s"$dir/b"; val vw = s"$dir/v"
+    val rows = Seq((1L, "a", 1.0, "d1"), (2L, "a", 2.0, "d2"), (3L, "b", 4.0, "d2"))
+      .toDF("id", "grp", "v", "day")
+    ParquetTable.createVersioned(rows, b, Seq("day"))
+    IncrementalView.create(spark, b, vw, Seq("grp"), "v")
+    // hot-partition MOR merge + partition-scoped delete, both cdf-captured
+    ParquetTable.mergeVersioned(spark, b,
+      Seq((2L, "a", 20.0, "d2"), (4L, "c", 7.0, "d1")).toDF("id", "grp", "v", "day"),
+      Seq("id"), Seq("day"), cdf = true, mergeOnRead = Some(true))
+    ParquetTable.delete(spark, b, col("id") === 3L, cdf = true)
+    assert(IncrementalView.refresh(spark, b, vw, Seq("id"), Seq("grp"), "v") == 2L)
+    assert(view(vw) == recompute(b))
+    assert(view(vw) == Set(("a", 21.0, 2L), ("c", 7.0, 1L)))
+  }
+
   test("view without a marker for the base refuses to refresh") {
     val dir = tmp()
     val b = s"$dir/b"
