@@ -133,6 +133,8 @@ object GraftSql {
     */
   private val RestoreStmt =
     """(?is)\s*RESTORE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTsStmt =
+    """(?is)\s*RESTORE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
   private val CompactWhereStmt =
@@ -160,6 +162,8 @@ object GraftSql {
   private[sql] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case RestoreStmt(path, v) => Some(GraftRestoreCommand(path, v.toLong))
+      case RestoreTsStmt(path, ts) =>
+        Some(GraftRestoreTimestampCommand(path, ts.trim))
       case ConvertStmt(path, cols) => Some(GraftConvertCommand(path,
         Option(cols).map(_.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
           .toSeq.filter(_.nonEmpty)).getOrElse(Nil)))
@@ -451,6 +455,34 @@ case class GraftRestoreCommand(path: String, version: Long)
 
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(ParquetTable.restore(session, path, version)))
+}
+
+/** `RESTORE TABLE graft.`path` TO TIMESTAMP AS OF '<ts>'`: restores the
+  * latest version committed at or before the timestamp (resolved through
+  * the manifests' `#ts=` headers, the `readAtTimestamp` rule). Accepted
+  * literal shapes: `'yyyy-MM-dd[ HH:mm:ss[.f]]'` (JVM zone, the clock
+  * the headers are stamped from) or digits-only epoch millis.
+  */
+case class GraftRestoreTimestampCommand(path: String, ts: String)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "restored_to_version", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    def fail() = throw new IllegalArgumentException(
+      s"RESTORE graft.`$path` TO TIMESTAMP AS OF '$ts': expected " +
+        "'yyyy-MM-dd[ HH:mm:ss[.f]]' or epoch millis")
+    val millis =
+      if (ts.nonEmpty && ts.forall(_.isDigit)) ts.toLongOption.getOrElse(fail())
+      else try java.sql.Timestamp.valueOf(
+        if (ts.length == 10) ts + " 00:00:00" else ts).getTime
+      catch { case _: IllegalArgumentException => fail() }
+    val v = ParquetTable.versionAtTimestamp(session, path, millis)
+    Seq(Row(ParquetTable.restore(session, path, v)))
+  }
 }
 
 /** `DESCRIBE DETAIL graft.`path``: one metadata-only row for the current

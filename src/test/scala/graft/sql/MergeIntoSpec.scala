@@ -143,6 +143,26 @@ class MergeIntoSpec extends SparkSpec {
       s"SELECT count(*) AS n FROM graft.`$path` VERSION AS OF 2").head().getLong(0) === 2L)
   }
 
+  test("RESTORE TABLE ... TO TIMESTAMP AS OF resolves through #ts= headers") {
+    val path = tmpDir("sqlrestore-ts") + "/t"
+    ParquetTable.create(Seq((1L, 10.0)).toDF("id", "bal"), path) // v1
+    Thread.sleep(5) // distinct commit clocks
+    val betweenMillis = System.currentTimeMillis()
+    Thread.sleep(5)
+    ParquetTable.merge(spark, path, Seq((2L, 20.0)).toDF("id", "bal"), Seq("id")) // v2
+    // epoch-millis form: latest version at-or-before the instant = v1
+    val restored = GraftSql.sql(spark,
+      s"RESTORE TABLE graft.`$path` TO TIMESTAMP AS OF '$betweenMillis'")
+      .head().getLong(0)
+    assert(restored === 3L)
+    assert(ParquetTable.read(spark, path).count() === 1L)
+    // malformed literal fails with guidance
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"RESTORE TABLE graft.`$path` TO TIMESTAMP AS OF 'nope'")
+    }
+    assert(e.getMessage.contains("expected"))
+  }
+
   test("declarative SELECT via spark.sql on an extensions session") {
     val ext = GraftColumnBridge.sessionWithExtensions(
       spark, new graft.functions.GraftSessionExtensions()(_))
