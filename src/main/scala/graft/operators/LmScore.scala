@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Language-model quality scoring (the CCNet/RedPajama "perplexity
+  * filter" shape, Wenzek et al. 2020): train an add-k-smoothed bigram LM
+  * over a corpus, then score every document by the mean log-probability
+  * of its word bigrams — low scores flag gibberish/boilerplate for
+  * removal before training.
+  *
+  *   P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V)
+  *
+  * with c(w1 ·) = occurrences of w1 as a bigram CONTEXT and V = corpus
+  * vocabulary size.
+  *
+  * Scale shape — three linear passes, no per-doc state beyond its own
+  * bigrams:
+  *   1. bigram + context counts: explode adjacent word pairs → two
+  *      groupBys (map-side partials; the frames are vocab²- and
+  *      vocab-bounded, corpus-independent once counts saturate);
+  *   2. V: one scalar distinct-count, broadcast as a literal cross join
+  *      of a 1-row aggregate;
+  *   3. score: doc bigrams equi-join the count frames on their keys,
+  *      then a per-doc mean — one shuffle keyed by bigram, one by doc.
+  *
+  * Scoring the training corpus itself (as here) guarantees every scored
+  * bigram was seen; the smoothing term still shapes the distribution and
+  * makes the operator correct for scoring HELD-OUT documents against a
+  * persisted count table.
+  */
+object LmScore {
+
+  /** @return (idCol, n_bigrams, avg_logp): mean natural-log bigram
+    *         probability per document (null when the document has fewer
+    *         than two tokens).
+    */
+  def scoreBigram(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0, s"scoreBigram: smoothing k must be positive, got $k")
+    val toks = split(lower(col(textCol)), "\\s+")
+    val n = size(toks)
+    val idx = when(n > 1, sequence(lit(1), n - 1)).otherwise(array())
+    val docBigrams = corpus.select(
+      col(idCol),
+      explode_outer(transform(idx, i =>
+        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+        .as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+    val pairCounts = docBigrams.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val ctxCounts = pairCounts.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = corpus
+      .select(explode(toks).as("w")).filter(length(col("w")) > 0)
+      .agg(count_distinct(col("w")).as("v"))
+
+    docBigrams
+      .join(pairCounts, Seq("w1", "w2"), "left")
+      .join(ctxCounts, Seq("w1"), "left")
+      .crossJoin(vocab)
+      .withColumn("logp",
+        when(col("w1").isNotNull,
+          log((coalesce(col("c2"), lit(0L)) + lit(k)) /
+            (coalesce(col("c1"), lit(0L)) + lit(k) * col("v")))))
+      .groupBy(col(idCol))
+      .agg(
+        count(col("logp")).as("n_bigrams"),
+        avg(col("logp")).as("avg_logp"))
+  }
+}

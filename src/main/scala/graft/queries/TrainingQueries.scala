@@ -572,6 +572,30 @@ object TrainingQueries {
     "q88_bpe_train" -> ((s, d) => {
       graft.operators.BpeTrain.train(Tables.documents(s, d), "text", nMerges = 8)
         .orderBy(col("rank"))
+    }),
+
+    // CCNet-shape LM quality scoring (operators/LmScore.scala): add-k
+    // bigram model trained on the corpus, each doc scored by mean log
+    // bigram probability. Counts are exact integers; the only FP terms
+    // are one division + ln per bigram and the per-doc mean, rounded to
+    // 4 — the oracle replays the identical formula.
+    "q89_lm_score" -> ((s, d) => {
+      graft.operators.LmScore.scoreBigram(
+          Tables.documents(s, d), "doc_id", "text", k = 0.5)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logp"), 4).as("avg_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-dimension embedding statistics (operators/EmbedNormalize.scala
+    // stats pass — the oracle-checkable half; the map-only z-transform
+    // apply pass is property-tested in EmbedNormalizeSpec: mean→0,
+    // std→1, argsort order preserved per dimension).
+    "q90_embed_stats" -> ((s, d) => {
+      graft.operators.EmbedNormalize.dimStats(Tables.embeddings(s, d), "embedding")
+        .select(col("pos"), round(col("mean"), 6).as("mean"),
+          round(col("std"), 6).as("std"))
+        .orderBy(col("pos"))
     }))
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -1225,7 +1249,35 @@ object TrainingQueries {
         |FROM a ANTI JOIN drp ON a.vec_id = drp.vec_id
         |ORDER BY a.vec_id""".stripMargin,
 
-    "q88_bpe_train" -> bpeOracle(rounds = 8))
+    "q88_bpe_train" -> bpeOracle(rounds = 8),
+
+    "q89_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |  FROM t, LATERAL unnest(generate_series(1, len(w) - 1)) AS q(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT u.w) AS v
+        |      FROM (SELECT unnest(w) AS w FROM t) u WHERE length(u.w) > 0),
+        |sc AS (
+        |  SELECT bg.doc_id, ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS logp
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // posexplode is 0-based; DuckDB's generate_subscripts/unnest
+    // ordinality is 1-based — shift to match.
+    "q90_embed_stats" ->
+      """WITH x AS (
+        |  SELECT i - 1 AS pos, e[i]::DOUBLE AS x
+        |  FROM (SELECT embedding AS e FROM embeddings),
+        |       LATERAL unnest(generate_series(1, len(e))) AS q(i))
+        |SELECT pos, round(avg(x), 6) AS mean,
+        |       round(stddev_pop(x), 6) AS std
+        |FROM x GROUP BY pos ORDER BY pos""".stripMargin)
 
   /** Replays BpeTrain.train round-for-round: per round, adjacent-pair
     * counts over the current segmentation strings, argmax with the

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed add-k bigram probabilities") {
+    // corpus: "a b a b" and "a c". bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    // contexts: a→3, b→1. V = 3. k = 1.
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = LmScore.scoreBigram(docs, "doc_id", "text", k = 1.0)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val pAB = (2.0 + 1) / (3 + 1.0 * 3) // 0.5
+    val pBA = (1.0 + 1) / (1 + 1.0 * 3) // 0.5
+    val pAC = (1.0 + 1) / (3 + 1.0 * 3)
+    val d1 = (math.log(pAB) + math.log(pBA) + math.log(pAB)) / 3
+    val d2 = math.log(pAC)
+    assert(got.map(_._2) == Seq(3L, 1L))
+    assert(math.abs(got(0)._3 - d1) < 1e-12 && math.abs(got(1)._3 - d2) < 1e-12)
+  }
+
+  test("repetitive gibberish scores above(ish) average, rare-sequence docs below") {
+    // common bigrams score high; a doc of unique-context bigrams scores low
+    val docs = (Seq.fill(20)("the cat sat") :+ "zq xv wj").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val scores = LmScore.scoreBigram(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scores(20L) < scores(0L)) // the rare doc scores lowest
+  }
+
+  test("single-token documents yield zero bigrams and a null score") {
+    val docs = Seq((1L, "loner"), (2L, "a b")).toDF("doc_id", "text")
+    val got = LmScore.scoreBigram(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 0L && got(0).isNullAt(2))
+    assert(got(1).getLong(1) == 1L && !got(1).isNullAt(2))
+  }
+}
