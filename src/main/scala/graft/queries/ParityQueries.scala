@@ -485,6 +485,35 @@ object ParityQueries {
         .orderBy(col("id"))
     }),
 
+    // Conditional MERGE clauses (Delta parity, sql/MergeInto.scala
+    // clauseImage): WHEN MATCHED AND t.cond THEN DELETE, WHEN MATCHED
+    // THEN UPDATE, WHEN NOT MATCHED AND s.cond THEN INSERT — first
+    // satisfied clause wins, executed as ONE copy-on-write commit. The
+    // oracle replays the clause algebra declaratively.
+    "q91_conditional_merge" -> ((s, d) => {
+      val tmp = scratchDir("graft_q91")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      ParquetTable.create(o, s"$tmp/t") // versioned v1
+      o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(o.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+        .createOrReplaceTempView("q91_src")
+      graft.sql.GraftSql.sql(s,
+        s"""MERGE INTO graft.`$tmp/t` AS t USING q91_src AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND t.o_totalprice < 100000.0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED AND s.o_totalprice > 200000.0 THEN INSERT *""".stripMargin)
+      require(ParquetTable.currentVersion(s, s"$tmp/t").contains(2L),
+        "conditional merge must be ONE commit")
+      ParquetTable.read(s, s"$tmp/t")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Pivot with an EXPLICIT value list — no driver-side distinct scan to
     // discover columns, so the plan is a single groupBy with conditional
     // aggregates (exactly the oracle's CASE formulation).
@@ -1198,6 +1227,23 @@ object ParityQueries {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q87_pagerank" -> pageRankOracle(iterations = 5, damping = 0.85),
+
+    // Replays q91's clause algebra: matched (%10) rows with target price
+    // < 100k are deleted, the rest take the +1000 source image; shifted
+    // (%100) inserts land only above the 200k insert condition.
+    "q91_conditional_merge" ->
+      """SELECT o_orderkey, o_orderstatus, round(p, 2) AS o_totalprice
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS p
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 10 = 0 AND o_totalprice < 100000.0)
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 100 = 0 AND o_totalprice > 200000.0)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q42_pivot_status" ->
       """SELECT o_orderpriority,

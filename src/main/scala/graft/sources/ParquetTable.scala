@@ -361,16 +361,33 @@ object ParquetTable {
       cdf: Boolean = false,
       evolveSchema: Boolean = false,
       txn: Option[(String, Long)] = None,
-      mergeOnRead: Option[Boolean] = None): Unit = {
+      mergeOnRead: Option[Boolean] = None,
+      combine: Option[(DataFrame, DataFrame) => DataFrame] = None): Unit = {
     require(!(cdf && evolveSchema),
       "merge: cdf capture and schema evolution cannot share a commit; " +
         "evolve first, then capture from the next merge")
+    // `combine` (the conditional-clause MERGE hook — see GraftSql's
+    // WHEN MATCHED AND … THEN DELETE support) replaces the upsert image
+    // builder [[mergeFrames]] with a caller-provided (targetSlice,
+    // dedupedSource) => newSlice. It composes with the partition-scoped
+    // and copy-on-write commit machinery but NOT with: the merge-on-read
+    // tier (clause semantics need the rewrite), cdf capture (the
+    // key-scoped right-outer diff assumes merge never deletes), or
+    // schema evolution.
+    require(!(combine.isDefined && cdf),
+      "merge: conditional clauses (combine) and cdf capture cannot share a commit")
+    require(!(combine.isDefined && evolveSchema),
+      "merge: conditional clauses (combine) cannot evolve the schema")
+    require(!(combine.isDefined && mergeOnRead.contains(true)),
+      "merge: conditional clauses (combine) take the rewrite tier, not merge-on-read")
     requireTxnAppId(txn)
     // idempotent-write fast path (Delta txnAppId/txnVersion): a batch at
     // or below the app's committed watermark is a re-delivery — skip it
     // before any work. The commit loops re-check under the CAS race.
     if (exists(spark, path) && txnAlreadyApplied(spark, path, txn)) return
     if (!exists(spark, path)) {
+      require(combine.isEmpty,
+        s"merge: conditional clauses need an existing target table at $path")
       if (partitionColumns.isEmpty)
         atomicReplace(spark, path, updates.dropDuplicates(pk), Nil, txn)
       else {
@@ -388,7 +405,7 @@ object ParquetTable {
       require(partitionColumns.nonEmpty,
         s"merge: $path is a partitioned versioned table; pass its partition columns")
       mergeVersioned(spark, path, updates, pk, partitionColumns, filesPerPartition,
-        cdf, evolveSchema, txn, mergeOnRead)
+        cdf, evolveSchema, txn, mergeOnRead, combine)
       return
     }
     val target = read(spark, path)
@@ -410,7 +427,7 @@ object ParquetTable {
       Constraints.validateFrame(spark, path, upd)
       val parts = upd.select(partitionColumns.map(col): _*).distinct()
       val affected = target.join(parts, partitionColumns.toSeq, "left_semi")
-      val merged = mergeFrames(affected, upd, pk)
+      val merged = combine.map(_(affected, upd)).getOrElse(mergeFrames(affected, upd, pk))
       withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
         clusterByPartitions(merged, partitionColumns, filesPerPartition)
           .write.mode(SaveMode.Overwrite)
@@ -420,14 +437,15 @@ object ParquetTable {
     } else if (evolveSchema) {
       atomicReplace(spark, path,
         mergeFrames(target, updates, pk, evolveSchema = true), Nil, txn)
-    } else if (currentVersion(spark, path)
+    } else if (combine.isEmpty && currentVersion(spark, path)
         .exists(v => mergeOnRead.getOrElse(autoMergeOnRead(spark, path, v)))) {
       // merge-on-read tier: O(update rows) commit — matched rows retired
       // by deletion vector, update rows appended as one dir (CDF capture
       // and txn re-delivery handled inside)
       mergeVectors(spark, path, updates, pk, cdf, txn)
     } else {
-      val merged = mergeFrames(target, updates, pk)
+      val merged = combine.map(_(target, updates.dropDuplicates(pk)))
+        .getOrElse(mergeFrames(target, updates, pk))
       val v = atomicReplace(spark, path, merged, Nil, txn)
       // capture is derived from the COMMITTED image, not by re-evaluating
       // the update plan: a lazy dedup could pick a different row per
@@ -941,10 +959,16 @@ object ParquetTable {
       cdf: Boolean = false,
       evolveSchema: Boolean = false,
       txn: Option[(String, Long)] = None,
-      mergeOnRead: Option[Boolean] = None): Unit = {
+      mergeOnRead: Option[Boolean] = None,
+      combine: Option[(DataFrame, DataFrame) => DataFrame] = None): Unit = {
     require(partitionColumns.nonEmpty, "mergeVersioned needs partition columns")
     require(!(cdf && evolveSchema),
       "mergeVersioned: cdf capture and schema evolution cannot share a commit")
+    require(!(combine.isDefined && (cdf || evolveSchema)),
+      "mergeVersioned: conditional clauses (combine) compose with neither " +
+        "cdf capture nor schema evolution")
+    require(!(combine.isDefined && mergeOnRead.contains(true)),
+      "mergeVersioned: conditional clauses (combine) take the rewrite tier")
     requireTxnAppId(txn)
     val upd = updates.dropDuplicates(pk)
     var committed = false
@@ -955,6 +979,8 @@ object ParquetTable {
       if (txnAlreadyApplied(spark, path, txn)) return
       currentVersion(spark, path) match {
         case None =>
+          require(combine.isEmpty,
+            s"mergeVersioned: conditional clauses need an existing target at $path")
           createVersioned(upd, path, partitionColumns, filesPerPartition, txn)
           committed = true
         case Some(v) =>
@@ -996,7 +1022,7 @@ object ParquetTable {
           // partition still under the [[MorMaxDataDirs]] dir cap (at the
           // cap the rewrite runs and consolidates). Schema evolution
           // always rewrites.
-          val useMor = !evolveSchema && target.isDefined &&
+          val useMor = combine.isEmpty && !evolveSchema && target.isDefined &&
             mergeOnRead.getOrElse {
               val rows = affectedSliceRows(spark, path, affectedEntries)
               val maxDirs = affectedEntries.groupBy(_._1).values
@@ -1073,7 +1099,13 @@ object ParquetTable {
             }
           } else {
           val merged = target match {
-            case Some(t) => mergeFrames(t, upd, pk, evolveSchema)
+            case Some(t) =>
+              combine.map(_(t, upd)).getOrElse(mergeFrames(t, upd, pk, evolveSchema))
+            case None if combine.isDefined =>
+              // all affected partitions are NEW: every source row is
+              // unmatched — the clause image against an empty target
+              combine.get(spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], upd.schema), upd)
             case None =>
               if (!evolveSchema) upd
               else tableSchema match {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -280,26 +280,99 @@ object GraftSql {
   private[sql] def rewrite(m: MergeIntoTable): Option[GraftMergeCommand] =
     targetPath(m.targetTable).map { path =>
       def fail(what: String): Nothing = throw new IllegalArgumentException(
-        s"MERGE INTO graft.`$path`: $what (supported shape: ON pk equality " +
-          "conjunction, WHEN MATCHED THEN UPDATE SET *, " +
-          "WHEN NOT MATCHED THEN INSERT *)")
+        s"MERGE INTO graft.`$path`: $what (supported shapes: ON pk equality " +
+          "conjunction; matched clauses 'WHEN MATCHED [AND cond] THEN " +
+          "UPDATE SET *' and 'WHEN MATCHED [AND cond] THEN DELETE' in any " +
+          "order; at most one 'WHEN NOT MATCHED [AND cond] THEN INSERT *')")
       val pk = pkColumns(m.mergeCondition).getOrElse(
         fail(s"ON condition must be a conjunction of t.col = s.col " +
           s"equalities on same-named columns, got: ${m.mergeCondition.sql}"))
-      m.matchedActions match {
-        case Seq(UpdateStarAction(None)) => ()
-        case other => fail(s"matched clause must be exactly " +
-          s"'WHEN MATCHED THEN UPDATE SET *', got: $other")
-      }
-      m.notMatchedActions match {
-        case Seq(InsertStarAction(None)) => ()
-        case other => fail(s"not-matched clause must be exactly " +
-          s"'WHEN NOT MATCHED THEN INSERT *', got: $other")
-      }
       if (m.notMatchedBySourceActions.nonEmpty)
-        fail("WHEN NOT MATCHED BY SOURCE is not supported (merge never deletes)")
-      GraftMergeCommand(path, m.sourceTable, pk, m.withSchemaEvolution)
+        fail("WHEN NOT MATCHED BY SOURCE is not supported")
+      val simple = m.matchedActions == Seq(UpdateStarAction(None)) &&
+        m.notMatchedActions == Seq(InsertStarAction(None))
+      if (simple)
+        GraftMergeCommand(path, m.sourceTable, pk, m.withSchemaEvolution)
+      else {
+        // conditional-clause shape → the rewrite-tier clause image
+        if (m.withSchemaEvolution)
+          fail("WITH SCHEMA EVOLUTION is not supported with conditional clauses")
+        val matched = m.matchedActions.map {
+          case UpdateStarAction(c) => (c.map(_.sql), false)
+          case DeleteAction(c) => (c.map(_.sql), true)
+          case other => fail(s"unsupported matched clause: $other")
+        }
+        val insert = m.notMatchedActions match {
+          case Seq() => None
+          case Seq(InsertStarAction(c)) => Some(c.map(_.sql))
+          case other => fail(s"unsupported not-matched clause(s): $other")
+        }
+        def aliasOf(plan: LogicalPlan): Option[String] = plan match {
+          case SubqueryAlias(id, _) => Some(id.name)
+          case _ => None
+        }
+        val hasConds = matched.exists(_._1.isDefined) ||
+          insert.exists(_.isDefined)
+        val tA = aliasOf(m.targetTable)
+        val sA = aliasOf(m.sourceTable)
+        if (hasConds && (tA.isEmpty || sA.isEmpty))
+          fail("conditional clauses need explicit target AND source " +
+            "aliases (MERGE INTO graft.`p` AS t USING src AS s …) so the " +
+            "conditions' qualifiers can resolve")
+        GraftMergeCommand(path, m.sourceTable, pk, evolveSchema = false,
+          tAlias = tA.getOrElse("__graft_t"), sAlias = sA.getOrElse("__graft_s"),
+          matchedClauses = Some(matched), insertClause = insert)
+      }
     }
+
+  /** The conditional-clause merge image: full-outer join target slice ⟗
+    * deduped source on pk, pick each row's fate by the FIRST satisfied
+    * clause (SQL MERGE order semantics; a null condition falls through),
+    * emit the source image for UPDATE/INSERT rows, drop DELETE rows and
+    * insert-filtered unmatched source rows, keep everything else.
+    */
+  private[sql] def clauseImage(
+      t0: DataFrame,
+      s0: DataFrame,
+      pk: Seq[String],
+      tAlias: String,
+      sAlias: String,
+      matched: Seq[(Option[String], Boolean)],
+      insert: Option[Option[String]]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cols = t0.columns.toSeq
+    val t = t0.withColumn("__graft_tp", lit(true)).alias(tAlias)
+    val s = s0.select(cols.map(col): _*)
+      .withColumn("__graft_sp", lit(true)).alias(sAlias)
+    val j = t.join(s, pk, "full_outer")
+    val isMatched = col("__graft_tp").isNotNull && col("__graft_sp").isNotNull
+    // action codes: clause index (0-based) | -1 keep target | -2 insert
+    // | -3 drop
+    val matchedAct = matched.zipWithIndex.reverse
+      .foldLeft(lit(-1)) { case (els, ((condSql, _), i)) =>
+        condSql.map(c => when(expr(c), lit(i)).otherwise(els)).getOrElse(lit(i))
+      }
+    val insertAct = insert match {
+      case None => lit(-3)
+      case Some(None) => lit(-2)
+      case Some(Some(c)) => when(expr(c), lit(-2)).otherwise(lit(-3))
+    }
+    val act = when(isMatched, matchedAct)
+      .when(col("__graft_tp").isNotNull, lit(-1))
+      .otherwise(insertAct)
+    val updateIdx = matched.zipWithIndex.collect { case ((_, false), i) => i }
+    val deleteIdx = matched.zipWithIndex.collect { case ((_, true), i) => i }
+    val takeSource = updateIdx.map(i => act === i)
+      .foldLeft(act === -2)(_ || _)
+    val dropRow = deleteIdx.map(i => act === i)
+      .foldLeft(act === lit(-3))(_ || _)
+    j.filter(!dropRow)
+      .select(cols.map { c =>
+        if (pk.exists(_.equalsIgnoreCase(c))) col(c).as(c) // using-join coalesced
+        else when(takeSource, col(s"$sAlias.$c"))
+          .otherwise(col(s"$tAlias.$c")).as(c)
+      }: _*)
+  }
 
   private def targetPath(plan: LogicalPlan): Option[String] = plan match {
     case SubqueryAlias(_, child) => targetPath(child)
@@ -337,7 +410,11 @@ case class GraftMergeCommand(
     path: String,
     source: LogicalPlan,
     pk: Seq[String],
-    evolveSchema: Boolean = false) extends LeafRunnableCommand {
+    evolveSchema: Boolean = false,
+    tAlias: String = "t",
+    sAlias: String = "s",
+    matchedClauses: Option[Seq[(Option[String], Boolean)]] = None,
+    insertClause: Option[Option[String]] = Some(None)) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Nil
 
@@ -347,8 +424,18 @@ case class GraftMergeCommand(
       .flatMap(v => ParquetTable.partitionEntries(session, path, v))
       .map(_.head._1.split('/').toSeq.map(_.split('=')(0)))
       .getOrElse(Nil)
-    ParquetTable.merge(session, path, updates, pk, partitionColumns,
-      evolveSchema = evolveSchema)
+    matchedClauses match {
+      case None =>
+        ParquetTable.merge(session, path, updates, pk, partitionColumns,
+          evolveSchema = evolveSchema)
+      case Some(clauses) =>
+        // conditional clauses: the clause image replaces the upsert image
+        // inside the SAME partition-scoped copy-on-write commit machinery
+        val combine = (t0: DataFrame, s0: DataFrame) =>
+          GraftSql.clauseImage(t0, s0, pk, tAlias, sAlias, clauses, insertClause)
+        ParquetTable.merge(session, path, updates, pk, partitionColumns,
+          mergeOnRead = Some(false), combine = Some(combine))
+    }
     Seq.empty
   }
 }

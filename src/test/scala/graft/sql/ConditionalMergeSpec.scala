@@ -1,0 +1,110 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.ParquetTable
+
+/** Conditional MERGE clauses (`WHEN MATCHED [AND cond] THEN
+  * UPDATE SET * | DELETE`, `WHEN NOT MATCHED [AND cond] THEN INSERT *`)
+  * — Delta's clause semantics: clauses evaluate in statement order, the
+  * first satisfied clause wins, a null condition falls through; executed
+  * as ONE copy-on-write commit through the same partition-scoped
+  * machinery as the unconditional MERGE.
+  */
+class ConditionalMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seed(path: String): Unit =
+    ParquetTable.create(Seq(
+      (1L, "keep", 10.0), (2L, "stale", 20.0), (3L, "stale", 30.0),
+      (4L, "keep", 40.0)).toDF("id", "status", "bal"), path)
+
+  test("matched DELETE + matched UPDATE + conditional INSERT, first clause wins") {
+    val path = tmpDir("cmerge") + "/t"
+    seed(path)
+    Seq((2L, "won't matter", 0.0), (3L, "updated", 33.0),
+      (9L, "new", 90.0), (10L, "new", -1.0))
+      .toDF("id", "status", "bal").createOrReplaceTempView("cm_src")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$path` AS t USING cm_src AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND t.bal < 25.0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND s.bal > 0.0 THEN INSERT *""".stripMargin)
+    val got = ParquetTable.read(spark, path)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got === Set(
+      (1L, "keep", 10.0),          // untouched (not in source)
+      // 2L deleted: matched, bal 20 < 25 — first clause wins
+      (3L, "updated", 33.0),       // matched, bal 30 ≥ 25 → second clause
+      (4L, "keep", 40.0),          // untouched
+      (9L, "new", 90.0)))          // inserted; 10L filtered by insert cond
+    // ONE commit for the whole statement
+    assert(ParquetTable.currentVersion(spark, path) === Some(2L))
+  }
+
+  test("DELETE-only merge removes matched rows and inserts nothing") {
+    val path = tmpDir("cmerge-del") + "/t"
+    seed(path)
+    Seq((2L, "x", 0.0), (99L, "x", 0.0)).toDF("id", "status", "bal")
+      .createOrReplaceTempView("cm_del")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$path` AS t USING cm_del AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    val ids = ParquetTable.read(spark, path).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 3L, 4L)) // 2 deleted; 99 NOT inserted (no clause)
+  }
+
+  test("conditions may reference both sides (s.bal vs t.bal)") {
+    val path = tmpDir("cmerge-both") + "/t"
+    seed(path)
+    Seq((2L, "bump", 25.0), (3L, "cut", 5.0)).toDF("id", "status", "bal")
+      .createOrReplaceTempView("cm_both")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$path` AS t USING cm_both AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.bal > t.bal THEN UPDATE SET *""".stripMargin)
+    val got = ParquetTable.read(spark, path)
+      .as[(Long, String, Double)].collect().toSet
+    // id 2: 25 > 20 → updated; id 3: 5 < 30 → clause unsatisfied → kept
+    assert(got.contains((2L, "bump", 25.0)) && got.contains((3L, "stale", 30.0)))
+  }
+
+  test("partitioned versioned target: clause merge stays partition-scoped") {
+    val path = tmpDir("cmerge-part") + "/t"
+    ParquetTable.createVersioned(Seq(
+      (1L, 10.0, "d1"), (2L, 20.0, "d1"), (3L, 30.0, "d2"))
+      .toDF("id", "bal", "day"), path, Seq("day"))
+    val e1 = ParquetTable.partitionEntries(spark, path, 1L).get
+    Seq((1L, 99.0, "d1"), (2L, 0.0, "d1")).toDF("id", "bal", "day")
+      .createOrReplaceTempView("cm_part")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$path` AS t USING cm_part AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.bal = 0.0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val got = ParquetTable.read(spark, path)
+      .as[(Long, Double, String)].collect().toSet
+    assert(got === Set((1L, 99.0, "d1"), (3L, 30.0, "d2")))
+    // the untouched d2 partition keeps its v1 data dir verbatim
+    val e2 = ParquetTable.partitionEntries(spark, path, 2L).get
+    assert(e2.filter(_._1 == "day=d2") === e1.filter(_._1 == "day=d2"))
+  }
+
+  test("conditions without explicit aliases fail at parse time with guidance") {
+    val path = tmpDir("cmerge-alias") + "/t"
+    seed(path)
+    Seq((2L, "x", 0.0)).toDF("id", "status", "bal")
+      .createOrReplaceTempView("cm_noalias")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$path` USING cm_noalias
+           |ON graft.`$path`.id = cm_noalias.id
+           |WHEN MATCHED AND bal < 25.0 THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("alias"))
+  }
+}

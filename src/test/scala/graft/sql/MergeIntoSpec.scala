@@ -64,12 +64,14 @@ class MergeIntoSpec extends SparkSpec {
     val path = tmpDir("sqlmerge-bad") + "/t"
     ParquetTable.create(Seq((1L, 1.0)).toDF("id", "v"), path)
     Seq((1L, 2.0)).toDF("id", "v").createOrReplaceTempView("bad_upd")
-    val del = intercept[IllegalArgumentException] {
+    // column-assignment UPDATE (SET v = …) stays unsupported; bare
+    // DELETE is a supported clause now (ConditionalMergeSpec)
+    val assign = intercept[IllegalArgumentException] {
       GraftSql.merge(spark,
         s"""MERGE INTO graft.`$path` AS t USING bad_upd AS s ON t.id = s.id
-           |WHEN MATCHED THEN DELETE""".stripMargin)
+           |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
     }
-    assert(del.getMessage.contains("matched clause"))
+    assert(assign.getMessage.contains("matched clause"))
     val cond = intercept[IllegalArgumentException] {
       GraftSql.merge(spark,
         s"""MERGE INTO graft.`$path` AS t USING bad_upd AS s ON t.id < s.id
