@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -287,21 +287,35 @@ object GraftSql {
       val pk = pkColumns(m.mergeCondition).getOrElse(
         fail(s"ON condition must be a conjunction of t.col = s.col " +
           s"equalities on same-named columns, got: ${m.mergeCondition.sql}"))
-      if (m.notMatchedBySourceActions.nonEmpty)
-        fail("WHEN NOT MATCHED BY SOURCE is not supported")
       val simple = m.matchedActions == Seq(UpdateStarAction(None)) &&
-        m.notMatchedActions == Seq(InsertStarAction(None))
+        m.notMatchedActions == Seq(InsertStarAction(None)) &&
+        m.notMatchedBySourceActions.isEmpty
       if (simple)
         GraftMergeCommand(path, m.sourceTable, pk, m.withSchemaEvolution)
       else {
         // conditional-clause shape → the rewrite-tier clause image
         if (m.withSchemaEvolution)
           fail("WITH SCHEMA EVOLUTION is not supported with conditional clauses")
-        val matched = m.matchedActions.map {
-          case UpdateStarAction(c) => (c.map(_.sql), false)
-          case DeleteAction(c) => (c.map(_.sql), true)
-          case other => fail(s"unsupported matched clause: $other")
+        def toClause(a: Any): MergeClause = a match {
+          case UpdateStarAction(c) => MergeClause(c.map(_.sql), MergeClause.UpdateStar)
+          case DeleteAction(c) => MergeClause(c.map(_.sql), MergeClause.Delete)
+          case UpdateAction(c, assigns, _) =>
+            MergeClause(c.map(_.sql), MergeClause.UpdateSet,
+              assigns.map { as =>
+                val name = as.key match {
+                  case u: UnresolvedAttribute => u.nameParts.last
+                  case attr: Attribute => attr.name
+                  case other => fail(
+                    s"UPDATE SET key must be a plain column, got ${other.sql}")
+                }
+                name -> as.value.sql
+              })
+          case other => fail(s"unsupported clause: $other")
         }
+        val matched = m.matchedActions.map(toClause)
+        val bySource = m.notMatchedBySourceActions.map(toClause)
+        if (bySource.exists(_.kind == MergeClause.UpdateStar))
+          fail("WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * (no source row)")
         val insert = m.notMatchedActions match {
           case Seq() => None
           case Seq(InsertStarAction(c)) => Some(c.map(_.sql))
@@ -311,8 +325,8 @@ object GraftSql {
           case SubqueryAlias(id, _) => Some(id.name)
           case _ => None
         }
-        val hasConds = matched.exists(_._1.isDefined) ||
-          insert.exists(_.isDefined)
+        val hasConds = (matched ++ bySource).exists(c =>
+          c.cond.isDefined || c.sets.nonEmpty) || insert.exists(_.isDefined)
         val tA = aliasOf(m.targetTable)
         val sA = aliasOf(m.sourceTable)
         if (hasConds && (tA.isEmpty || sA.isEmpty))
@@ -321,15 +335,19 @@ object GraftSql {
             "conditions' qualifiers can resolve")
         GraftMergeCommand(path, m.sourceTable, pk, evolveSchema = false,
           tAlias = tA.getOrElse("__graft_t"), sAlias = sA.getOrElse("__graft_s"),
-          matchedClauses = Some(matched), insertClause = insert)
+          matchedClauses = Some(matched), insertClause = insert,
+          bySourceClauses = bySource)
       }
     }
 
   /** The conditional-clause merge image: full-outer join target slice ⟗
     * deduped source on pk, pick each row's fate by the FIRST satisfied
     * clause (SQL MERGE order semantics; a null condition falls through),
-    * emit the source image for UPDATE/INSERT rows, drop DELETE rows and
+    * emit the clause's image for UPDATE/INSERT rows (source row, or the
+    * SET assignments over both sides), drop DELETE rows and
     * insert-filtered unmatched source rows, keep everything else.
+    * `bySource` clauses govern target rows with NO source match
+    * (Delta's WHEN NOT MATCHED BY SOURCE — the sync-merge verbs).
     */
   private[sql] def clauseImage(
       t0: DataFrame,
@@ -337,8 +355,9 @@ object GraftSql {
       pk: Seq[String],
       tAlias: String,
       sAlias: String,
-      matched: Seq[(Option[String], Boolean)],
-      insert: Option[Option[String]]): DataFrame = {
+      matched: Seq[MergeClause],
+      insert: Option[Option[String]],
+      bySource: Seq[MergeClause] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     val cols = t0.columns.toSeq
     val t = t0.withColumn("__graft_tp", lit(true)).alias(tAlias)
@@ -346,31 +365,43 @@ object GraftSql {
       .withColumn("__graft_sp", lit(true)).alias(sAlias)
     val j = t.join(s, pk, "full_outer")
     val isMatched = col("__graft_tp").isNotNull && col("__graft_sp").isNotNull
-    // action codes: clause index (0-based) | -1 keep target | -2 insert
-    // | -3 drop
-    val matchedAct = matched.zipWithIndex.reverse
-      .foldLeft(lit(-1)) { case (els, ((condSql, _), i)) =>
-        condSql.map(c => when(expr(c), lit(i)).otherwise(els)).getOrElse(lit(i))
+    // action codes: matched clause i → i; by-source clause i → 100 + i;
+    // keep target → -1; insert → -2; drop → -3
+    def chain(clauses: Seq[MergeClause], offset: Int): org.apache.spark.sql.Column =
+      clauses.zipWithIndex.reverse.foldLeft(lit(-1)) { case (els, (cl, i)) =>
+        cl.cond.map(c => when(expr(c), lit(offset + i)).otherwise(els))
+          .getOrElse(lit(offset + i))
       }
     val insertAct = insert match {
       case None => lit(-3)
       case Some(None) => lit(-2)
       case Some(Some(c)) => when(expr(c), lit(-2)).otherwise(lit(-3))
     }
-    val act = when(isMatched, matchedAct)
-      .when(col("__graft_tp").isNotNull, lit(-1))
+    val act = when(isMatched, chain(matched, 0))
+      .when(col("__graft_tp").isNotNull, chain(bySource, 100))
       .otherwise(insertAct)
-    val updateIdx = matched.zipWithIndex.collect { case ((_, false), i) => i }
-    val deleteIdx = matched.zipWithIndex.collect { case ((_, true), i) => i }
-    val takeSource = updateIdx.map(i => act === i)
-      .foldLeft(act === -2)(_ || _)
-    val dropRow = deleteIdx.map(i => act === i)
-      .foldLeft(act === lit(-3))(_ || _)
+    val indexed = matched.zipWithIndex.map { case (c, i) => (c, i) } ++
+      bySource.zipWithIndex.map { case (c, i) => (c, 100 + i) }
+    val dropRow = indexed.collect { case (c, i) if c.kind == MergeClause.Delete =>
+      act === i }.foldLeft(act === lit(-3))(_ || _)
     j.filter(!dropRow)
       .select(cols.map { c =>
         if (pk.exists(_.equalsIgnoreCase(c))) col(c).as(c) // using-join coalesced
-        else when(takeSource, col(s"$sAlias.$c"))
-          .otherwise(col(s"$tAlias.$c")).as(c)
+        else {
+          val base = when(act === -2, col(s"$sAlias.$c"))
+          indexed.foldLeft(base) {
+            case (acc, (cl, i)) => cl.kind match {
+              case MergeClause.UpdateStar =>
+                acc.when(act === i, col(s"$sAlias.$c"))
+              case MergeClause.UpdateSet =>
+                cl.sets.find(_._1.equalsIgnoreCase(c)) match {
+                  case Some((_, valueSql)) => acc.when(act === i, expr(valueSql))
+                  case None => acc // unassigned column keeps the target value
+                }
+              case MergeClause.Delete => acc
+            }
+          }.otherwise(col(s"$tAlias.$c")).as(c)
+        }
       }: _*)
   }
 
@@ -406,6 +437,21 @@ object GraftSql {
   * (Spark's own grammar) maps to `evolveSchema = true` — Delta
   * `mergeSchema` parity, both layouts.
   */
+/** One MERGE clause in replayable string form: `cond` = the AND
+  * condition's SQL (None = unconditional), `kind` = update-star /
+  * update-set / delete, `sets` = SET assignments (update-set only).
+  */
+case class MergeClause(
+    cond: Option[String],
+    kind: String,
+    sets: Seq[(String, String)] = Nil)
+
+object MergeClause {
+  val UpdateStar = "update_star"
+  val UpdateSet = "update_set"
+  val Delete = "delete"
+}
+
 case class GraftMergeCommand(
     path: String,
     source: LogicalPlan,
@@ -413,8 +459,9 @@ case class GraftMergeCommand(
     evolveSchema: Boolean = false,
     tAlias: String = "t",
     sAlias: String = "s",
-    matchedClauses: Option[Seq[(Option[String], Boolean)]] = None,
-    insertClause: Option[Option[String]] = Some(None)) extends LeafRunnableCommand {
+    matchedClauses: Option[Seq[MergeClause]] = None,
+    insertClause: Option[Option[String]] = Some(None),
+    bySourceClauses: Seq[MergeClause] = Nil) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Nil
 
@@ -430,9 +477,20 @@ case class GraftMergeCommand(
           evolveSchema = evolveSchema)
       case Some(clauses) =>
         // conditional clauses: the clause image replaces the upsert image
-        // inside the SAME partition-scoped copy-on-write commit machinery
+        // inside the SAME partition-scoped copy-on-write commit machinery.
+        // BY SOURCE clauses must see EVERY target row, so the partition
+        // scoping (affected = source partitions) no longer applies — the
+        // merge degrades to whole-table on partitioned targets; refuse
+        // with guidance instead of silently dropping out-of-slice rows.
+        if (bySourceClauses.nonEmpty && partitionColumns.nonEmpty)
+          throw new IllegalArgumentException(
+            s"MERGE INTO graft.`$path`: WHEN NOT MATCHED BY SOURCE needs " +
+              "the whole target, which defeats partition-scoped merging " +
+              "on a partitioned table — run it as DELETE/UPDATE with an " +
+              "anti-join condition instead")
         val combine = (t0: DataFrame, s0: DataFrame) =>
-          GraftSql.clauseImage(t0, s0, pk, tAlias, sAlias, clauses, insertClause)
+          GraftSql.clauseImage(t0, s0, pk, tAlias, sAlias, clauses,
+            insertClause, bySourceClauses)
         ParquetTable.merge(session, path, updates, pk, partitionColumns,
           mergeOnRead = Some(false), combine = Some(combine))
     }

@@ -94,6 +94,73 @@ class ConditionalMergeSpec extends SparkSpec {
     assert(e2.filter(_._1 == "day=d2") === e1.filter(_._1 == "day=d2"))
   }
 
+  test("UPDATE SET assignments: expressions over both sides, unassigned columns kept") {
+    val path = tmpDir("cmerge-set") + "/t"
+    seed(path)
+    Seq((2L, "src", 5.0), (3L, "src", 7.0)).toDF("id", "status", "bal")
+      .createOrReplaceTempView("cm_set")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$path` AS t USING cm_set AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.bal, status = 'merged'""".stripMargin)
+    val got = ParquetTable.read(spark, path)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got.contains((2L, "merged", 25.0))) // 20 + 5; status overwritten
+    assert(got.contains((3L, "merged", 37.0)))
+    assert(got.contains((1L, "keep", 10.0)))   // unmatched target untouched
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE DELETE: sync-merge removes absent rows") {
+    val path = tmpDir("cmerge-sync") + "/t"
+    seed(path)
+    Seq((1L, "fresh", 11.0), (9L, "new", 90.0)).toDF("id", "status", "bal")
+      .createOrReplaceTempView("cm_sync")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$path` AS t USING cm_sync AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = ParquetTable.read(spark, path)
+      .as[(Long, String, Double)].collect().toSet
+    // table now mirrors the source exactly
+    assert(got === Set((1L, "fresh", 11.0), (9L, "new", 90.0)))
+  }
+
+  test("conditional BY SOURCE UPDATE SET flags stale rows instead of deleting") {
+    val path = tmpDir("cmerge-flag") + "/t"
+    seed(path)
+    Seq((1L, "fresh", 11.0)).toDF("id", "status", "bal")
+      .createOrReplaceTempView("cm_flag")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$path` AS t USING cm_flag AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE AND t.bal < 35.0 THEN UPDATE SET status = 'orphan'""".stripMargin)
+    val got = ParquetTable.read(spark, path)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got === Set(
+      (1L, "fresh", 11.0),
+      (2L, "orphan", 20.0), (3L, "orphan", 30.0), // < 35 → flagged
+      (4L, "keep", 40.0)))                        // 40 ≥ 35 → clause falls through
+  }
+
+  test("BY SOURCE on a partitioned target is refused with guidance") {
+    val path = tmpDir("cmerge-sync-part") + "/t"
+    ParquetTable.createVersioned(
+      Seq((1L, 10.0, "d1")).toDF("id", "bal", "day"), path, Seq("day"))
+    Seq((1L, 11.0, "d1")).toDF("id", "bal", "day")
+      .createOrReplaceTempView("cm_sync_part")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$path` AS t USING cm_sync_part AS s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("BY SOURCE"))
+  }
+
   test("conditions without explicit aliases fail at parse time with guidance") {
     val path = tmpDir("cmerge-alias") + "/t"
     seed(path)

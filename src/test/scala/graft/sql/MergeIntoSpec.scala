@@ -64,14 +64,15 @@ class MergeIntoSpec extends SparkSpec {
     val path = tmpDir("sqlmerge-bad") + "/t"
     ParquetTable.create(Seq((1L, 1.0)).toDF("id", "v"), path)
     Seq((1L, 2.0)).toDF("id", "v").createOrReplaceTempView("bad_upd")
-    // column-assignment UPDATE (SET v = …) stays unsupported; bare
-    // DELETE is a supported clause now (ConditionalMergeSpec)
-    val assign = intercept[IllegalArgumentException] {
+    // DELETE and UPDATE SET assignments are supported clauses now
+    // (ConditionalMergeSpec); a column-list INSERT still is not
+    val colList = intercept[IllegalArgumentException] {
       GraftSql.merge(spark,
         s"""MERGE INTO graft.`$path` AS t USING bad_upd AS s ON t.id = s.id
-           |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
     }
-    assert(assign.getMessage.contains("matched clause"))
+    assert(colList.getMessage.contains("not-matched clause"))
     val cond = intercept[IllegalArgumentException] {
       GraftSql.merge(spark,
         s"""MERGE INTO graft.`$path` AS t USING bad_upd AS s ON t.id < s.id
