@@ -514,6 +514,29 @@ object ParityQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Sync-merge (WHEN NOT MATCHED BY SOURCE — Delta's table-mirroring
+    // verb): matched rows take the source image, and target rows ABSENT
+    // from the source are conditionally deleted. One commit; the oracle
+    // replays the clause algebra.
+    "q92_sync_merge" -> ((s, d) => {
+      val tmp = scratchDir("graft_q92")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      ParquetTable.create(o, s"$tmp/t") // versioned v1
+      o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .createOrReplaceTempView("q92_src")
+      graft.sql.GraftSql.sql(s,
+        s"""MERGE INTO graft.`$tmp/t` AS t USING q92_src AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F' THEN DELETE""".stripMargin)
+      ParquetTable.read(s, s"$tmp/t")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Pivot with an EXPLICIT value list — no driver-side distinct scan to
     // discover columns, so the plan is a single groupBy with conditional
     // aggregates (exactly the oracle's CASE formulation).
@@ -1243,6 +1266,16 @@ object ParityQueries {
         |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
         |  FROM orders
         |  WHERE o_orderkey % 100 = 0 AND o_totalprice > 200000.0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // q92: %3 keys take the +1 source image; other keys survive only if
+    // not status 'F' (the by-source conditional delete).
+    "q92_sync_merge" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |             ELSE o_totalprice END, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0 OR o_orderstatus <> 'F'
         |ORDER BY o_orderkey""".stripMargin,
 
     "q42_pivot_status" ->
