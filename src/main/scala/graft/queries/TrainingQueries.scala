@@ -473,6 +473,23 @@ object TrainingQueries {
     // every click matched to the same user's views in the preceding 10
     // minutes. StreamingIngestSpec proves the watermarked two-stream run
     // emits exactly these rows; the oracle replays the interval join.
+    // LEFT OUTER twin of q76 (unattributed impressions): every view with
+    // no click in its window survives with a null click. The streaming
+    // run (null rows flushed when the watermark passes the window end)
+    // is spec-proven equal to this batch twin.
+    "q93_left_interval_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.streaming.StreamingIngest.viewClickJoinLeftOuter(
+          e.filter(col("event_type") === "view"),
+          e.filter(col("event_type") === "click"),
+          window = "4 hours")
+        .select(col("user_id"), col("view_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          unix_timestamp(col("view_ts")).as("view_epoch"),
+          coalesce(unix_timestamp(col("click_ts")), lit(-1L)).as("click_epoch"))
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))
+    }),
+
     "q76_interval_join" -> ((s, d) => {
       val e = Tables.events(s, d)
       graft.streaming.StreamingIngest.viewClickJoin(
@@ -1145,6 +1162,17 @@ object TrainingQueries {
         |  FROM ch)
         |SELECT k, seg, valid_from, valid_to, valid_to IS NULL AS is_current
         |FROM o ORDER BY k, valid_from""".stripMargin,
+
+    "q93_left_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id,
+        |  coalesce(c.event_id, -1) AS click_id,
+        |  CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch,
+        |  coalesce(CAST(floor(epoch(c.ts)) AS BIGINT), -1) AS click_epoch
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        | AND v.ts <= c.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
 
     "q76_interval_join" ->
       """SELECT c.user_id, v.event_id AS view_id, c.event_id AS click_id,

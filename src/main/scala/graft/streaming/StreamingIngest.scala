@@ -291,6 +291,34 @@ object StreamingIngest {
         col("view_ts"), col("click_ts"))
   }
 
+  /** LEFT OUTER twin of [[viewClickJoin]], views on the outer side — the
+    * unattributed-impression feed: every view emits its matching clicks,
+    * and a view with NO click in its window emits ONE null-click row
+    * once the watermark passes the window end (Spark holds the outer
+    * row in state exactly until then; the interval condition bounds
+    * event time both ways, so state expires at the horizon like the
+    * inner variant). Same condition, same state-size contract — only
+    * the join type and the null-padded emission differ.
+    */
+  def viewClickJoinLeftOuter(
+      views: DataFrame, clicks: DataFrame,
+      window: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    def wm(df: DataFrame, tsCol: String) =
+      if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val v = wm(views.select(col("user_id").as("v_user"),
+      col("event_id").as("view_id"), col("ts").as("view_ts")), "view_ts")
+    val c = wm(clicks.select(col("user_id"),
+      col("event_id").as("click_id"), col("ts").as("click_ts")), "click_ts")
+    v.join(c,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $window"),
+      "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Session windows per user: events closer than `gap` chain into one
     * session (Spark's native `session_window` — works identically over a
     * stream with a watermark or a batch frame; the batch twin is

@@ -254,6 +254,61 @@ class StreamingIngestSpec extends SparkSpec {
     assert(batched === streamed)
   }
 
+  test("viewClickJoinLeftOuter: unmatched views emit null-click rows == batch twin") {
+    val root = tmpDir("stream-ljoin")
+    val vIn = s"$root/views"; val cIn = s"$root/clicks"
+    Files.createDirectories(Paths.get(vIn)); Files.createDirectories(Paths.get(cIn))
+    Files.writeString(Paths.get(vIn, "v.csv"),
+      "event_id,user_id,ts\n" +
+        "10,1,2025-04-01 10:00:00\n" + // gets a click
+        "11,1,2025-04-01 10:20:00\n" + // NO click in window → null row
+        "12,2,2025-04-01 10:00:00\n")  // NO click at all → null row
+    Files.writeString(Paths.get(cIn, "c.csv"),
+      "event_id,user_id,ts\n" +
+        "20,1,2025-04-01 10:05:00\n" +
+        "22,1,2025-04-01 10:31:00\n") // outside view 11's window
+    val sch = "event_id long, user_id long, ts timestamp"
+    def stream(dir: String) = spark.readStream.schema(sch)
+      .option("header", "true").csv(dir)
+    // Outer-row mechanics under the min-of-both-watermarks policy:
+    // state evicts against the watermark computed at the END of the
+    // PREVIOUS batch, and null rows flush on the batch AFTER that — so
+    // the AvailableNow run executes three times against one checkpoint
+    // (the event-driven rerun pattern), each rerun shipping a MATCHED
+    // late sentinel pair on BOTH streams: it advances both watermarks,
+    // provides the flushing batch, and (being matched) emits the same
+    // row in the batch twin instead of lingering as asymmetric state.
+    def sentinel(n: Int, hour: Int): Unit = {
+      Files.writeString(Paths.get(vIn, s"v$n.csv"),
+        s"event_id,user_id,ts\n${90 + n},9,2025-04-01 $hour:00:00\n")
+      Files.writeString(Paths.get(cIn, s"c$n.csv"),
+        s"event_id,user_id,ts\n${80 + n},9,2025-04-01 $hour:01:00\n")
+    }
+    def run(): Unit = {
+      val q = StreamingIngest.viewClickJoinLeftOuter(stream(vIn), stream(cIn))
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    sentinel(1, 12); run()
+    sentinel(2, 13); run()
+    sentinel(3, 14); run()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+    val streamed = spark.read.parquet(s"$root/out").collect().map(key).toSet
+    assert(streamed.contains((1L, 11L, -1L)) && streamed.contains((2L, 12L, -1L)),
+      s"outer rows missing: $streamed")
+    def batch(dir: String) = spark.read.schema(sch)
+      .option("header", "true").csv(dir)
+    val batched = StreamingIngest.viewClickJoinLeftOuter(batch(vIn), batch(cIn))
+      .collect().map(key).toSet
+    assert(batched === streamed)
+  }
+
   test("runningUserActivity: custom mapGroupsWithState counts per user") {
     val root = tmpDir("stream-state")
     val in = s"$root/in"
