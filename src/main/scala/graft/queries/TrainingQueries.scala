@@ -604,6 +604,19 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Weighted sampling without replacement (operators/WeightedSample
+    // .scala, Efraimidis-Spirakis A-ES): 5 docs per language, weighted
+    // by n_chars, with the uniform drawn from the seeded polyHash64 —
+    // the oracle replays hash → u → ln(u)/w → per-group rank exactly.
+    "q94_weighted_sample" -> ((s, d) => {
+      graft.operators.WeightedSample.topKPerGroup(
+          Tables.documents(s, d), "lang", "doc_id", "n_chars",
+          k = 5, seed = "wsamp42")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          round(col("key"), 6).as("key"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // Per-dimension embedding statistics (operators/EmbedNormalize.scala
     // stats pass — the oracle-checkable half; the map-only z-transform
     // apply pass is property-tested in EmbedNormalizeSpec: mean→0,
@@ -1295,6 +1308,39 @@ object TrainingQueries {
         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Replays WeightedSample: polyHash64('wsamp42|' || doc_id) part-for-
+    // part, u = (h mod 1e9+7 + 1)/(1e9+8), key = ln(u)/n_chars, rank
+    // per language.
+    "q94_weighted_sample" -> {
+      val parts = graft.functions.expressions.PolyHash64.Parts
+      val partCols = parts.zipWithIndex.map { case ((b, p), i) =>
+        s"${polyPartSql(b, p)} AS p$i"
+      }.mkString(",\n    ")
+      val hashExpr = parts.indices.map(i => s"p$i * ${1L << (i * 16)}")
+        .mkString(" + ")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    'wsamp42|' || doc_id::VARCHAR AS t
+         |  FROM documents),
+         |ph AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    $partCols
+         |  FROM s),
+         |h AS (SELECT doc_id, lang, n_chars, $hashExpr AS h FROM ph),
+         |kx AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    ln(((h % 1000000007) + 1)::DOUBLE / 1000000008.0) / n_chars AS key
+         |  FROM h),
+         |r AS (
+         |  SELECT lang, doc_id, n_chars, key,
+         |    row_number() OVER (PARTITION BY lang
+         |                       ORDER BY key DESC, doc_id) AS rank
+         |  FROM kx)
+         |SELECT lang, doc_id, n_chars, round(key, 6) AS key, rank
+         |FROM r WHERE rank <= 5
+         |ORDER BY lang, rank""".stripMargin
+    },
 
     // posexplode is 0-based; DuckDB's generate_subscripts/unnest
     // ordinality is 1-based — shift to match.
