@@ -537,6 +537,20 @@ object ParityQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Percentage-based data-quality expectations (operators/
+    // Expectations.scala — the monitor tier beside hard CHECK
+    // constraints and Validator quarantine): all rules in ONE
+    // aggregation pass, pivoted plan-side. The oracle replays each
+    // rule's conditional count.
+    "q95_expectations" -> ((s, d) => {
+      graft.operators.Expectations.check(Tables.orders(s, d), Seq(
+        ("key_nonneg", "o_orderkey >= 0", 1.0),
+        ("price_under_500k", "o_totalprice < 500000.0", 0.999),
+        ("open_share", "o_orderstatus = 'O'", 0.40),
+        ("priority_nonnull", "o_orderpriority IS NOT NULL", 1.0)))
+        .orderBy(col("rule_idx"))
+    }),
+
     // Pivot with an EXPLICIT value list — no driver-side distinct scan to
     // discover columns, so the plan is a single groupBy with conditional
     // aggregates (exactly the oracle's CASE formulation).
@@ -1267,6 +1281,25 @@ object ParityQueries {
         |  FROM orders
         |  WHERE o_orderkey % 100 = 0 AND o_totalprice > 200000.0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q95_expectations" ->
+      """WITH c AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN o_orderkey >= 0 THEN 1 ELSE 0 END) AS p1,
+        |    sum(CASE WHEN o_totalprice < 500000.0 THEN 1 ELSE 0 END) AS p2,
+        |    sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS p3,
+        |    sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END) AS p4
+        |  FROM orders)
+        |SELECT 1 AS rule_idx, 'key_nonneg' AS rule, n AS n_rows,
+        |       p1 AS n_pass, round(p1::DOUBLE / n, 6) AS pass_rate,
+        |       1.0 AS min_rate, p1::DOUBLE / n >= 1.0 AS ok FROM c
+        |UNION ALL SELECT 2, 'price_under_500k', n, p2,
+        |       round(p2::DOUBLE / n, 6), 0.999, p2::DOUBLE / n >= 0.999 FROM c
+        |UNION ALL SELECT 3, 'open_share', n, p3,
+        |       round(p3::DOUBLE / n, 6), 0.40, p3::DOUBLE / n >= 0.40 FROM c
+        |UNION ALL SELECT 4, 'priority_nonnull', n, p4,
+        |       round(p4::DOUBLE / n, 6), 1.0, p4::DOUBLE / n >= 1.0 FROM c
+        |ORDER BY rule_idx""".stripMargin,
 
     // q92: %3 keys take the +1 source image; other keys survive only if
     // not status 'F' (the by-source conditional delete).

@@ -161,6 +161,26 @@ class ConditionalMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("BY SOURCE"))
   }
 
+  test("CHECK constraints gate the clause image; a violating merge leaves the table intact") {
+    val path = tmpDir("cmerge-chk") + "/t"
+    seed(path)
+    graft.sources.Constraints.add(spark, path, "pos_bal", "bal > 0.0")
+    Seq((2L, "neg", -5.0)).toDF("id", "status", "bal")
+      .createOrReplaceTempView("cm_chk")
+    val before = ParquetTable.read(spark, path)
+      .as[(Long, String, Double)].collect().toSet
+    val vBefore = ParquetTable.currentVersion(spark, path)
+    intercept[Exception] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$path` AS t USING cm_chk AS s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(ParquetTable.currentVersion(spark, path) === vBefore)
+    assert(ParquetTable.read(spark, path)
+      .as[(Long, String, Double)].collect().toSet === before)
+  }
+
   test("conditions without explicit aliases fail at parse time with guidance") {
     val path = tmpDir("cmerge-alias") + "/t"
     seed(path)
