@@ -604,6 +604,22 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 retrieval (operators/Bm25.scala — Okapi weighting, Lucene
+    // idf form): query-targeted corpus selection. One inverted-index
+    // pass; each query touches only its own terms' postings. The oracle
+    // replays tf/df/dl/avgdl and the exact scoring formula.
+    "q96_bm25" -> ((s, d) => {
+      val queries = s.createDataFrame(Seq(
+        (1L, "table scan merge"), (2L, "vector batch"),
+        (3L, "customer order data"))).toDF("query_id", "qtext")
+      graft.operators.Bm25.topK(
+          Tables.documents(s, d), "doc_id", "text",
+          queries, "query_id", "qtext", k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Weighted sampling without replacement (operators/WeightedSample
     // .scala, Efraimidis-Spirakis A-ES): 5 docs per language, weighted
     // by n_chars, with the uniform drawn from the seeded polyHash64 —
@@ -1308,6 +1324,38 @@ object TrainingQueries {
         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q96_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |ad AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+        |q(query_id, qtext) AS (VALUES
+        |  (1, 'table scan merge'), (2, 'vector batch'),
+        |  (3, 'customer order data')),
+        |qt AS (SELECT query_id,
+        |         unnest(list_distinct(string_split_regex(lower(qtext), '\s+'))) AS term
+        |       FROM q),
+        |p AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+        |  FROM qt JOIN tf USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  JOIN dfq ON tf.term = dfq.term
+        |  CROSS JOIN nd CROSS JOIN ad),
+        |sc AS (SELECT query_id, doc_id, sum(s) AS score FROM p GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, score,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY score DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT query_id, rank, doc_id, round(score, 4) AS score
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     // Replays WeightedSample: polyHash64('wsamp42|' || doc_id) part-for-
     // part, u = (h mod 1e9+7 + 1)/(1e9+8), key = ln(u)/n_chars, rank

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark merges tables fast"),
+    (2L, "spark spark spark"),      // high tf, short
+    (3L, "tables join tables"),
+    (4L, "unrelated words entirely here")
+  ).toDF("doc_id", "text")
+
+  private def run(q: String, k: Int = 4) = Bm25.topK(
+    docs, "doc_id", "text",
+    Seq((1L, q)).toDF("query_id", "qtext"), "query_id", "qtext", k = k)
+    .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+
+  test("matches a hand-computed single-term score") {
+    // term 'spark': df=2, N=4 → idf = ln((4-2+0.5)/(2+0.5)+1) = ln(2)
+    // doc 2: tf=3, dl=3, avgdl=(4+3+3+4)/4=3.5
+    val r = run("spark")
+    val idf = math.log(2.0)
+    val norm2 = 3 + 1.2 * (0.25 + 0.75 * 3 / 3.5)
+    val expected2 = idf * 3 * 2.2 / norm2
+    assert(r.map(_._3).take(2) == Seq(2L, 1L)) // higher tf ranks first
+    assert(math.abs(r.head._4 - expected2) < 1e-12)
+    assert(r.length == 2) // only matching docs are scored at all
+  }
+
+  test("multi-term queries sum per-term partials; rarer terms weigh more") {
+    // 'join' (df=1) should outweigh 'spark' (df=2) at equal tf
+    val r = run("spark join")
+    assert(r.map(_._3).contains(3L) && r.map(_._3).contains(2L))
+    val byDoc = r.map(x => x._3 -> x._4).toMap
+    // doc 3 has the rare term twice-normalized; sanity: positive scores
+    assert(byDoc.values.forall(_ > 0))
+  }
+
+  test("query terms are deduplicated (repeating a term does not double-count)") {
+    val once = run("spark")
+    val twice = run("spark spark")
+    assert(once.map(x => (x._3, x._4)) == twice.map(x => (x._3, x._4)))
+  }
+
+  test("k bounds the result per query") {
+    assert(run("spark tables", k = 1).length == 1)
+  }
+}
