@@ -620,6 +620,31 @@ object TrainingQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hybrid retrieval: BM25 lexical + embedding-cosine rankings fused
+    // with Reciprocal Rank Fusion (operators/RankFusion.scala). Fused
+    // scores are small sums of exact rationals → bit-deterministic
+    // across engines; the (text query, vector query) pairing by id is
+    // synthetic — the mechanics, not the relevance, are under test.
+    "q97_hybrid_rrf" -> ((s, d) => {
+      val queries = s.createDataFrame(Seq(
+        (1L, "table scan merge"), (2L, "vector batch"),
+        (3L, "customer order data"))).toDF("query_id", "qtext")
+      val lexical = graft.operators.Bm25.topK(
+          Tables.documents(s, d), "doc_id", "text",
+          queries, "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val vector = graft.operators.Ann.bruteForceTopK(
+          emb, emb.filter(col("vec_id").isin(1, 2, 3)),
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.RankFusion.rrf(Seq(lexical, vector),
+          "query_id", "doc_id", "rank", k = 10)
+        .select(col("query"), col("rank"), col("doc"),
+          round(col("fused"), 6).as("fused"), col("n_lists"))
+        .orderBy(col("query"), col("rank"))
+    }),
+
     // Weighted sampling without replacement (operators/WeightedSample
     // .scala, Efraimidis-Spirakis A-ES): 5 docs per language, weighted
     // by n_chars, with the uniform drawn from the seeded polyHash64 —
@@ -1324,6 +1349,60 @@ object TrainingQueries {
         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Replays BOTH rankings (q96's BM25 at k=10; q26-style cosine for
+    // vec_id 1-3) and the exact-rational RRF fusion.
+    "q97_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |ad AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+        |q(query_id, qtext) AS (VALUES
+        |  (1, 'table scan merge'), (2, 'vector batch'),
+        |  (3, 'customer order data')),
+        |qt AS (SELECT query_id,
+        |         unnest(list_distinct(string_split_regex(lower(qtext), '\s+'))) AS term
+        |       FROM q),
+        |p AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+        |  FROM qt JOIN tf USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  JOIN dfq ON tf.term = dfq.term
+        |  CROSS JOIN nd CROSS JOIN ad),
+        |sc AS (SELECT query_id, doc_id, sum(s) AS score FROM p GROUP BY query_id, doc_id),
+        |lex AS (
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS r
+        |  FROM sc),
+        |vq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |       WHERE vec_id IN (1, 2, 3)),
+        |vs AS (
+        |  SELECT vq.query_id, e.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY vq.query_id
+        |      ORDER BY list_cosine_similarity(vq.qv::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+        |               e.vec_id) AS r
+        |  FROM vq JOIN embeddings e ON e.vec_id <> vq.query_id),
+        |u AS (
+        |  SELECT query_id, doc_id, r FROM lex WHERE r <= 10
+        |  UNION ALL
+        |  SELECT query_id, doc_id, r FROM vs WHERE r <= 10),
+        |f AS (SELECT query_id, doc_id, sum(1.0 / (60 + r)) AS fused,
+        |             count(*) AS n_lists
+        |      FROM u GROUP BY query_id, doc_id),
+        |rr AS (
+        |  SELECT query_id AS query, doc_id AS doc, fused, n_lists,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY fused DESC, doc_id) AS rank
+        |  FROM f)
+        |SELECT query, rank, doc, round(fused, 6) AS fused, n_lists
+        |FROM rr WHERE rank <= 10
+        |ORDER BY query, rank""".stripMargin,
 
     "q96_bm25" ->
       """WITH tok AS (
