@@ -68,6 +68,14 @@ class ClauseMergePropertySpec extends SparkSpec {
   }
 
   test("property: SQL clause merge equals the reference fold over random programs") {
+    runTrials(partitioned = false)
+  }
+
+  test("property: partitioned targets — same semantics through the partition-scoped path") {
+    runTrials(partitioned = true)
+  }
+
+  private def runTrials(partitioned: Boolean): Unit = {
     (1 to 6).foreach { trial =>
       val target = batch(trial * 7919L, 20)
       val source = batch(trial * 104729L + 13, 15)
@@ -86,8 +94,15 @@ class ClauseMergePropertySpec extends SparkSpec {
 
       val dir = java.nio.file.Files.createTempDirectory("cmprop").toString
       val path = s"$dir/t"
-      ParquetTable.create(target.toDF(), path)
-      source.toDF().createOrReplaceTempView(s"cmp_src_$trial")
+      // partitioned tier: day derived from id, so the pk→partition
+      // stability contract the merge documents holds by construction
+      def withDay(rs: Seq[R]) = rs.toDF()
+        .withColumn("day", concat(lit("d"), (col("id") % 3).cast("string")))
+      if (partitioned)
+        ParquetTable.createVersioned(withDay(target), path, Seq("day"))
+      else ParquetTable.create(target.toDF(), path)
+      (if (partitioned) withDay(source) else source.toDF())
+        .createOrReplaceTempView(s"cmp_src_$trial")
       val matchedSql = program.map { case (cSql, _, isDel) =>
         val cond = cSql.map(c => s"AND $c ").getOrElse("")
         s"WHEN MATCHED ${cond}THEN ${if (isDel) "DELETE" else "UPDATE SET *"}"
@@ -100,7 +115,7 @@ class ClauseMergePropertySpec extends SparkSpec {
       GraftSql.sql(spark, stmt)
 
       val got = ParquetTable.read(spark, path)
-        .as[R].collect().toSet
+        .select("id", "flag", "v").as[R].collect().toSet
       val expected = referenceMerge(target, source, program, insertCond)
       assert(got == expected,
         s"trial $trial diverged\nstmt:\n$stmt\n" +
