@@ -63,6 +63,21 @@ QUERY_CLASS = {
     "q73_repetition_quality": "linear",
     "q74_shuffle_shard": "nlogn",
     "q75_scd2_fold": "nlogn",
+    "q76_interval_join": "linear", "q77_vocab_build": "nlogn",
+    "q78_embed_quantize": "linear",
+    "q79_funnel": "nlogn", "q80_gapfill": "nlogn",
+    "q81_profile": "linear", "q82_bloom_join": "linear",
+    "q83_incremental_mv": "commit", "q84_c4_filter": "linear",
+    "q85_para_dedup": "linear",
+    # q86: within-cell pairs grow quadratically at FIXED nCentroids
+    # (scale knob: nCentroids ~ n) — classified by its bench config
+    "q86_semdedup": "quad",
+    "q87_pagerank": "iter", "q88_bpe_train": "iter",
+    "q89_lm_score": "linear", "q90_embed_stats": "linear",
+    "q91_conditional_merge": "commit", "q92_sync_merge": "commit",
+    "q93_left_interval_join": "linear", "q94_weighted_sample": "nlogn",
+    "q95_expectations": "linear", "q96_bm25": "linear",
+    "q97_hybrid_rrf": "linear",
 }
 
 
