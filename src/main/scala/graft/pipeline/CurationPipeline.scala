@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators._
+
+/** End-to-end training-data curation: the composition proof that the
+  * operator library actually chains into the pipeline a 100 TB pretraining
+  * corpus needs — each stage is one of the independently oracle-checked
+  * operators, plumbed output-to-input:
+  *
+  *   1. line hygiene    — [[C4Filter]] (zero-shuffle line + doc gates)
+  *   2. paragraph dedup — [[ParagraphDedup]] (corpus-wide first-occurrence)
+  *   3. exact dedup     — [[TextDedup.exactDedup]] (normalized fingerprint)
+  *   4. quality gates   — [[graft.functions.expressions.RepetitionStats]]
+  *                        keep-gate + [[LmScore]] bottom-percentile cut
+  *   5. shard layout    — [[ShardLayout]] (seeded deterministic shuffle)
+  *   6. tokenizer       — [[BpeTrain]] over the SURVIVING corpus
+  *
+  * Every stage is linear or candidate-bounded (see each operator's
+  * scaladoc); the pipeline inherits determinism end-to-end — two runs
+  * produce byte-identical shards and merge tables.
+  *
+  * Returns per-stage survivor counts alongside the artifacts, so the
+  * funnel itself is observable (the "no silent caps" rule).
+  */
+object CurationPipeline {
+
+  final case class Result(
+      corpus: DataFrame,      // surviving (doc_id, text) + shard + pos
+      merges: DataFrame,      // learned BPE merge table
+      funnel: Seq[(String, Long)]) // stage → surviving docs
+
+  def run(
+      spark: SparkSession,
+      docs: DataFrame,        // (doc_id, text)
+      lineSep: String = "\n",
+      minWordsPerLine: Int = 5,
+      blocklist: Seq[String] = Seq("lorem ipsum", "{"),
+      minLines: Int = 1,
+      lmCutQuantile: Double = 0.05,
+      nShards: Int = 8,
+      nMerges: Int = 16,
+      seed: String = "curation42"): Result = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def mark(name: String, df: DataFrame): DataFrame = {
+      stages += name -> df.count(); df
+    }
+
+    mark("input", docs)
+
+    // 1. line hygiene
+    val clean = mark("c4_filter",
+      C4Filter.cleanLines(docs, "text", Seq("doc_id"),
+          lineSep, minWordsPerLine, blocklist, minLines)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("clean_text").as("text")))
+
+    // 2. corpus-wide paragraph dedup (drop docs left empty)
+    val paraDeduped = mark("para_dedup",
+      ParagraphDedup.dedup(clean, "doc_id", "text", paraSep = lineSep)
+        .filter(col("n_paras_kept") > 0)
+        .select(col("doc_id"), col("clean_text").as("text")))
+
+    // 3. exact near-identical removal (normalized fingerprint, keep-first)
+    val exact = mark("exact_dedup",
+      TextDedup.exactDedup(paraDeduped, "doc_id", "text"))
+
+    // 4a. repetition-quality gate (Gopher signals)
+    val repOk = mark("repetition_gate",
+      exact.filter(TextFunctions.repetitionKeep(
+        TextFunctions.repetitionStats(col("text")))))
+
+    // 4b. LM quality: drop the lowest-scoring quantile
+    val scored = LmScore.scoreBigram(repOk, "doc_id", "text")
+      .filter(col("avg_logp").isNotNull)
+    val cut = scored.stat.approxQuantile("avg_logp", Array(lmCutQuantile), 0.01)(0)
+    val quality = mark("lm_gate",
+      repOk.join(scored.filter(col("avg_logp") >= cut)
+        .select("doc_id"), Seq("doc_id"), "left_semi"))
+
+    // 5. deterministic shard layout
+    val sharded = ShardLayout.assign(quality, "doc_id", nShards, seed)
+      .select(col("doc_id"), col("text"), col("shard"), col("pos"))
+
+    // 6. tokenizer trained on the CURATED corpus
+    val merges = BpeTrain.train(quality, "text", nMerges)
+
+    Result(sharded, merges, stages.toSeq)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // synthetic line structure, the q84 trick (the corpus has no newlines)
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    .withColumn("text", replace(col("text"), lit(" merge "), lit("\n")))
+    .select("doc_id", "text")
+
+  private def run() = CurationPipeline.run(spark, docs,
+    minWordsPerLine = 4, blocklist = Seq("slow"), minLines = 1,
+    lmCutQuantile = 0.10, nShards = 4, nMerges = 6)
+
+  private lazy val result = run()
+
+  test("the funnel is observable, ordered, and monotone non-increasing") {
+    val names = result.funnel.map(_._1)
+    assert(names == Seq("input", "c4_filter", "para_dedup", "exact_dedup",
+      "repetition_gate", "lm_gate"))
+    val counts = result.funnel.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: ${result.funnel}")
+    assert(counts.head > counts.last, "fixture should actually filter something")
+    assert(counts.last > 0, "fixture should keep something")
+  }
+
+  test("output shards are well-formed: unique ids, bounded shards, dense positions") {
+    val c = result.corpus.cache()
+    assert(c.select("doc_id").distinct().count() == c.count())
+    assert(c.filter(col("shard") < 0 || col("shard") >= 4).isEmpty)
+    // positions are 1..n within each shard
+    val bad = c.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.isEmpty)
+  }
+
+  test("surviving corpus honors the gates it passed") {
+    // no two surviving docs share a text (exact dedup held)
+    val c = result.corpus
+    assert(c.select("text").distinct().count() == c.count())
+    // every survivor passes the repetition keep-gate
+    import graft.functions.TextFunctions
+    assert(c.filter(!TextFunctions.repetitionKeep(
+      TextFunctions.repetitionStats(col("text")))).isEmpty)
+  }
+
+  test("tokenizer learned from the curated corpus; whole run is deterministic") {
+    val m1 = result.merges.orderBy("rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m1.nonEmpty && m1.map(_._1) == (1 to m1.length))
+    val again = run()
+    val m2 = again.merges.orderBy("rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m1 == m2)
+    val s1 = result.corpus.select("doc_id", "shard", "pos")
+      .as[(Long, Int, Int)].collect().toSet
+    val s2 = again.corpus.select("doc_id", "shard", "pos")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(s1 == s2)
+  }
+}
