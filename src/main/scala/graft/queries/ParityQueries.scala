@@ -1285,20 +1285,20 @@ object ParityQueries {
     "q95_expectations" ->
       """WITH c AS (
         |  SELECT count(*) AS n,
-        |    sum(CASE WHEN o_orderkey >= 0 THEN 1 ELSE 0 END) AS p1,
-        |    sum(CASE WHEN o_totalprice < 500000.0 THEN 1 ELSE 0 END) AS p2,
-        |    sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS p3,
-        |    sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END) AS p4
+        |    sum(CASE WHEN o_orderkey >= 0 THEN 1 ELSE 0 END)::BIGINT AS p1,
+        |    sum(CASE WHEN o_totalprice < 500000.0 THEN 1 ELSE 0 END)::BIGINT AS p2,
+        |    sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS p3,
+        |    sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS p4
         |  FROM orders)
         |SELECT 1 AS rule_idx, 'key_nonneg' AS rule, n AS n_rows,
         |       p1 AS n_pass, round(p1::DOUBLE / n, 6) AS pass_rate,
-        |       1.0 AS min_rate, p1::DOUBLE / n >= 1.0 AS ok FROM c
+        |       1.0::DOUBLE AS min_rate, p1::DOUBLE / n >= 1.0 AS ok FROM c
         |UNION ALL SELECT 2, 'price_under_500k', n, p2,
-        |       round(p2::DOUBLE / n, 6), 0.999, p2::DOUBLE / n >= 0.999 FROM c
+        |       round(p2::DOUBLE / n, 6), 0.999::DOUBLE, p2::DOUBLE / n >= 0.999 FROM c
         |UNION ALL SELECT 3, 'open_share', n, p3,
-        |       round(p3::DOUBLE / n, 6), 0.40, p3::DOUBLE / n >= 0.40 FROM c
+        |       round(p3::DOUBLE / n, 6), 0.40::DOUBLE, p3::DOUBLE / n >= 0.40 FROM c
         |UNION ALL SELECT 4, 'priority_nonnull', n, p4,
-        |       round(p4::DOUBLE / n, 6), 1.0, p4::DOUBLE / n >= 1.0 FROM c
+        |       round(p4::DOUBLE / n, 6), 1.0::DOUBLE, p4::DOUBLE / n >= 1.0 FROM c
         |ORDER BY rule_idx""".stripMargin,
 
     // q92: %3 keys take the +1 source image; other keys survive only if

@@ -104,9 +104,14 @@ object IncrementalView {
     // fold onto current totals; only CHANGED groups enter the merge source
     val cur = ParquetTable.read(spark, viewPath)
       .select((groupCols.map(col) :+ col("total") :+ col("n_rows")): _*)
+    // the zero fallback carries the STORED total's type: a bare 0.0
+    // would widen an integral total to double on first refresh (losing
+    // exactness past 2^53) and silently flip the view's schema
+    val totalType = cur.schema("total").dataType
     val source = delta.join(cur, groupCols, "left")
       .select((groupCols.map(col) :+
-        (coalesce(col("total"), lit(0.0)) + col("__d_total")).as("total") :+
+        (coalesce(col("total"), lit(0).cast(totalType)) + col("__d_total"))
+          .cast(totalType).as("total") :+
         (coalesce(col("n_rows"), lit(0L)) + col("__d_n")).as("n_rows")): _*)
 
     ParquetTable.merge(spark, viewPath, source, groupCols,

@@ -777,6 +777,29 @@ object ParquetTable {
       s"$c=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)}"
     }.mkString("/")
 
+  /** Leaf partition dirs (depth = |partitionColumns|) actually present
+    * under a freshly-written data dir — the ground truth for which
+    * partitions SURVIVED a rewrite. A conditional-clause DELETE can empty
+    * a whole partition; the parquet writer then creates no subdir for it,
+    * and a manifest entry pointing at the missing subdir wedges the
+    * partition (PATH_NOT_FOUND on every later read/merge). Metadata-only:
+    * one listStatus per level, no data read.
+    */
+  private def writtenPartitionDirs(
+      spark: SparkSession, path: String, dataDir: String,
+      partitionColumns: Seq[String]): Seq[String] = {
+    val dd = new Path(path, dataDir)
+    val fs = hadoopFs(spark, dd)
+    def leaves(dir: Path, depth: Int): Seq[String] =
+      if (depth == 0)
+        Seq(dir.toUri.getPath.stripPrefix(dd.toUri.getPath).stripPrefix("/"))
+      else if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).filter(_.isDirectory)
+        .filter(_.getPath.getName.contains('='))
+        .flatMap(st => leaves(st.getPath, depth - 1)).toSeq
+    leaves(dd, partitionColumns.length).sorted
+  }
+
   /** Distinct partition dirs present in `df`, rendered exactly as the
     * parquet writer will name them. Bounded collect: one row per partition
     * in the WRITE SET (not the table).
@@ -885,7 +908,14 @@ object ParquetTable {
       affected: Seq[String], dataDir: String,
       appendBesideOld: Boolean,
       newDvName: Option[String],
-      txn: Option[(String, Long)]): RebaseOutcome = {
+      txn: Option[(String, Long)],
+      mapped: Option[Seq[String]] = None): RebaseOutcome = {
+    // `affected` drives CONFLICT detection (the full set this merge read);
+    // `mapped` (default: affected) is the subset that re-points to the new
+    // data dir — a rewrite whose conditional DELETE emptied a partition
+    // must keep that partition in the conflict check but out of the
+    // manifest (no subdir exists for it).
+    val remap = mapped.getOrElse(affected)
     val affectedSet = affected.toSet
     val baseEntries = partitionEntries(spark, path, baseV)
       .getOrElse(return RebaseConflict)
@@ -919,11 +949,13 @@ object ParquetTable {
           .exists(r => affPrefixes.exists(r.getString(0).startsWith))
         if (touches) return RebaseConflict
       }
-      val rebased =
-        (if (appendBesideOld) newEntries ++ affected.map(_ -> dataDir)
-         else newEntries.filterNot(e => affectedSet(e._1)) ++
-           affected.map(_ -> dataDir))
-          .sorted.map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
+      val rebasedEntries =
+        if (appendBesideOld) newEntries ++ remap.map(_ -> dataDir)
+        else newEntries.filterNot(e => affectedSet(e._1)) ++
+          remap.map(_ -> dataDir)
+      if (rebasedEntries.isEmpty) return RebaseConflict
+      val rebased = rebasedEntries
+        .sorted.map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
       if (commitVersion(spark, path, vNew + 1, rebased, txn,
           dv = newDvs ++ newDvName.toSeq))
         return Rebased(vNew + 1)
@@ -1130,9 +1162,22 @@ object ParquetTable {
             merged.schema)
           validateCommit(spark, path, dataDir)
           // every affected partition consolidates onto the new dir (its
-          // old entries — possibly several — drop out)
-          val newEntries = (entries.filterNot(e => affectedSet(e._1)) ++
-            affected.map(_ -> dataDir)).sorted
+          // old entries — possibly several — drop out). Survivors come
+          // from the WRITTEN layout, not a re-run of the merge plan: a
+          // conditional DELETE clause can empty a whole partition, and
+          // mapping it anyway would publish a dangling manifest entry
+          // (ADVICE r7 high).
+          val survivors = writtenPartitionDirs(
+            spark, path, dataDir, partitionColumns).toSet
+          require(survivors.subsetOf(affectedSet),
+            s"mergeVersioned: merged rows landed outside the affected " +
+              s"partitions at $path (${(survivors -- affectedSet).mkString(", ")})")
+          val kept = entries.filterNot(e => affectedSet(e._1)) ++
+            affected.filter(survivors).map(_ -> dataDir)
+          require(kept.nonEmpty,
+            s"mergeVersioned: merge would empty every partition of $path; " +
+              "an empty partitioned manifest is unreadable — drop the table instead")
+          val newEntries = kept.sorted
             .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
           var committedV =
             if (commitVersion(spark, path, v + 1, newEntries, txn,
@@ -1141,9 +1186,13 @@ object ParquetTable {
           if (committedV < 0)
             // lost the CAS: rebase the rewrite onto the winner when
             // disjoint — the consolidated dir already folded in the base
-            // DVs, which the disjointness check proves still stand
+            // DVs, which the disjointness check proves still stand.
+            // Conflict detection keeps the FULL affected set (a winner
+            // touching an emptied partition still conflicts); only the
+            // surviving partitions re-map to the new dir.
             rebaseVersionedCommit(spark, path, v, affected, dataDir,
-              appendBesideOld = false, newDvName = None, txn) match {
+              appendBesideOld = false, newDvName = None, txn,
+              mapped = Some(affected.filter(survivors))) match {
               case Rebased(vc) => committedV = vc
               case RebaseConflict =>
                 val dd = new Path(path, dataDir)

@@ -361,8 +361,16 @@ object GraftSql {
     import org.apache.spark.sql.functions._
     val cols = t0.columns.toSeq
     val t = t0.withColumn("__graft_tp", lit(true)).alias(tAlias)
-    val s = s0.select(cols.map(col): _*)
-      .withColumn("__graft_sp", lit(true)).alias(sAlias)
+    // the source keeps its EXTRA columns through the join (Delta parity:
+    // clause conditions and SET values may reference source-only columns;
+    // the final select projects back to the target schema). Target
+    // columns the source lacks still fail fast with guidance — the
+    // UPDATE/INSERT star images need every one of them.
+    val missing = cols.filterNot(c => s0.columns.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"MERGE source is missing target column(s) ${missing.mkString(", ")} — " +
+        "UPDATE/INSERT images project the full target schema from the source")
+    val s = s0.withColumn("__graft_sp", lit(true)).alias(sAlias)
     val j = t.join(s, pk, "full_outer")
     val isMatched = col("__graft_tp").isNotNull && col("__graft_sp").isNotNull
     // action codes: matched clause i → i; by-source clause i → 100 + i;
@@ -488,6 +496,20 @@ case class GraftMergeCommand(
               "the whole target, which defeats partition-scoped merging " +
               "on a partitioned table — run it as DELETE/UPDATE with an " +
               "anti-join condition instead")
+        // UPDATE SET on a partition column would move the row into a
+        // partition dir the partition-scoped manifest never maps — the
+        // row silently vanishes from reads (ADVICE r7 high). Mirror
+        // ParquetTable.update's resolveSet guard at the clause layer.
+        if (partitionColumns.nonEmpty)
+          for {
+            cl <- clauses ++ bySourceClauses
+            (key, _) <- cl.sets
+            pc <- partitionColumns.find(_.equalsIgnoreCase(key))
+          } throw new IllegalArgumentException(
+            s"MERGE INTO graft.`$path`: UPDATE SET cannot assign " +
+              s"partition column $pc — a moved row would land in a " +
+              "partition the merge's manifest scope never maps; " +
+              "DELETE + re-INSERT the row to move it across partitions")
         val combine = (t0: DataFrame, s0: DataFrame) =>
           GraftSql.clauseImage(t0, s0, pk, tAlias, sAlias, clauses,
             insertClause, bySourceClauses)

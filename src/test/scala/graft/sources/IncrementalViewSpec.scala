@@ -93,4 +93,24 @@ class IncrementalViewSpec extends SparkSpec {
       IncrementalView.refresh(spark, b, s"$dir/notview", Seq("id"), Seq("grp"), "v")
     }
   }
+
+  test("integral sum column: refresh keeps the view's LongType total exactly (ADVICE r7)") {
+    val dir = tmp()
+    val b = s"$dir/b"; val vw = s"$dir/v"
+    // long v near 2^53, where double arithmetic loses exactness
+    val big = (1L << 53) + 1L
+    ParquetTable.create(
+      Seq((1L, "a", big), (2L, "b", 3L)).toDF("id", "grp", "v"), b)
+    IncrementalView.create(spark, b, vw, Seq("grp"), "v")
+    val created = ParquetTable.read(spark, vw).schema("total").dataType
+    // fold an insert into a NEW group (left-join miss → the zero fallback)
+    ParquetTable.merge(spark, b,
+      Seq((3L, "c", big)).toDF("id", "grp", "v"), Seq("id"), cdf = true)
+    IncrementalView.refresh(spark, b, vw, Seq("id"), Seq("grp"), "v")
+    val after = ParquetTable.read(spark, vw).schema("total").dataType
+    assert(after === created, "refresh must not flip the total's type")
+    val got = IncrementalView.read(spark, vw).select("grp", "total")
+      .as[(String, Long)].collect().toMap
+    assert(got("c") === big) // exact — a double total would round to 2^53
+  }
 }

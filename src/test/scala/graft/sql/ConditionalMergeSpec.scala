@@ -181,6 +181,91 @@ class ConditionalMergeSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().toSet === before)
   }
 
+  test("conditional DELETE that empties a whole partition: manifest drops it, " +
+    "partition stays mergeable (ADVICE r7)") {
+    val path = tmpDir("cmerge-empty-part") + "/t"
+    ParquetTable.createVersioned(Seq(
+      (1L, 10.0, "d1"), (3L, 30.0, "d2")).toDF("id", "bal", "day"),
+      path, Seq("day"))
+    Seq((1L, 0.0, "d1")).toDF("id", "bal", "day")
+      .createOrReplaceTempView("cm_empty")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$path` AS t USING cm_empty AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    // d1 left the manifest entirely — no dangling entry
+    val entries = ParquetTable.partitionEntries(
+      spark, path, ParquetTable.currentVersion(spark, path).get).get
+    assert(entries.map(_._1) === Seq("day=d2"))
+    assert(ParquetTable.read(spark, path).as[(Long, Double, String)]
+      .collect().toSet === Set((3L, 30.0, "d2")))
+    // the emptied partition is NOT wedged: a later merge re-creates it
+    Seq((7L, 70.0, "d1")).toDF("id", "bal", "day")
+      .createOrReplaceTempView("cm_empty2")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$path` AS t USING cm_empty2 AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(ParquetTable.read(spark, path).as[(Long, Double, String)]
+      .collect().toSet === Set((3L, 30.0, "d2"), (7L, 70.0, "d1")))
+  }
+
+  test("conditional DELETE that would empty EVERY partition is refused") {
+    val path = tmpDir("cmerge-empty-all") + "/t"
+    ParquetTable.createVersioned(
+      Seq((1L, 10.0, "d1")).toDF("id", "bal", "day"), path, Seq("day"))
+    Seq((1L, 0.0, "d1")).toDF("id", "bal", "day")
+      .createOrReplaceTempView("cm_empty_all")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$path` AS t USING cm_empty_all AS s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("empty every partition"))
+    // and the refusal left v1 intact and readable
+    assert(ParquetTable.read(spark, path).as[(Long, Double, String)]
+      .collect().toSet === Set((1L, 10.0, "d1")))
+  }
+
+  test("UPDATE SET on a partition column is refused (ADVICE r7)") {
+    val path = tmpDir("cmerge-partcol-set") + "/t"
+    ParquetTable.createVersioned(Seq(
+      (1L, 10.0, "d1"), (2L, 20.0, "d2")).toDF("id", "bal", "day"),
+      path, Seq("day"))
+    Seq((1L, 10.0, "d1")).toDF("id", "bal", "day")
+      .createOrReplaceTempView("cm_partcol")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$path` AS t USING cm_partcol AS s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET day = 'd9'""".stripMargin)
+    }
+    assert(e.getMessage.contains("partition column day"))
+    // nothing vanished
+    assert(ParquetTable.read(spark, path).count() === 2L)
+  }
+
+  test("clause conditions and SET values may reference source-only columns (ADVICE r7)") {
+    val path = tmpDir("cmerge-srconly") + "/t"
+    seed(path)
+    Seq((2L, "src", 5.0, true, 100.0), (3L, "src", 7.0, false, 200.0))
+      .toDF("id", "status", "bal", "apply_it", "boost")
+      .createOrReplaceTempView("cm_srconly")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$path` AS t USING cm_srconly AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.apply_it THEN UPDATE SET bal = t.bal + s.boost""".stripMargin)
+    val got = ParquetTable.read(spark, path)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got.contains((2L, "stale", 120.0))) // apply_it → bal += boost
+    assert(got.contains((3L, "stale", 30.0)))  // apply_it false → untouched
+    // the source-only columns did NOT leak into the target schema
+    assert(ParquetTable.read(spark, path).columns.toSeq ===
+      Seq("id", "status", "bal"))
+  }
+
   test("conditions without explicit aliases fail at parse time with guidance") {
     val path = tmpDir("cmerge-alias") + "/t"
     seed(path)
