@@ -188,4 +188,34 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cosine"))
       .distinct()
   }
+
+  /** Embedding-space benchmark decontamination — the semantic twin of
+    * `TextDedup.decontaminate` (n-gram leakage): drop every corpus row
+    * whose embedding lies within cosine `threshold` of ANY held-out
+    * benchmark embedding (paraphrased contamination that token overlap
+    * misses; the Phi/FineWeb decontamination recipe).
+    *
+    * Scale shape: the benchmark side is small by construction (eval sets
+    * are thousands of rows against a 100 TB corpus), so it broadcasts —
+    * guarded by plan stats ([[Broadcasting.broadcastIfSmall]]) — and the
+    * corpus streams through ONE anti-join stage: no corpus shuffle, no
+    * pair materialization, nothing driver-side. The anti join IS the
+    * "no contaminating neighbor exists" predicate, so there is no
+    * groupBy/max-cosine reduction at all.
+    *
+    * Returns the SURVIVING corpus rows (schema unchanged). Benchmark rows
+    * whose id also appears in the corpus still contaminate (id equality
+    * is not exempted — the benchmark text itself must leave).
+    */
+  def decontaminateByEmbedding(
+      corpus: DataFrame,
+      bench: DataFrame,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"decontaminateByEmbedding: threshold $threshold outside (0, 1]")
+    val b = Broadcasting.broadcastIfSmall(
+      bench.select(col(vecCol).as("__bench_v")))
+    corpus.join(b, cosine(col(vecCol), col("__bench_v")) >= threshold, "left_anti")
+  }
 }

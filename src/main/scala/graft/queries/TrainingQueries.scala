@@ -645,6 +645,45 @@ object TrainingQueries {
         .orderBy(col("query"), col("rank"))
     }),
 
+    // Large-large interval OVERLAP join (operators/IntervalJoin.scala):
+    // view intervals [ts, ts+value+60) × click intervals [ts, ts+120)
+    // through the grid-cell equi-join — a shuffle join on the cell key,
+    // never a nested loop (plan-asserted in IntervalJoinSpec). Each
+    // overlapping pair survives from exactly one cell (the one holding
+    // max(starts)), so no distinct() re-shuffle. The oracle is DuckDB's
+    // native inequality join.
+    "q98_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"),
+          unix_timestamp(col("ts")).as("vs"),
+          (unix_timestamp(col("ts")) + col("value").cast("long") + 60L).as("ve"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          unix_timestamp(col("ts")).as("cs"),
+          (unix_timestamp(col("ts")) + 120L).as("ce"))
+      graft.operators.IntervalJoin.overlap(
+          views, "vs", "ve", clicks, "cs", "ce", cellSize = 600L)
+        .select(col("view_id"), col("click_id"))
+        .orderBy(col("view_id"), col("click_id"))
+    }),
+
+    // Embedding-space benchmark decontamination (Ann
+    // .decontaminateByEmbedding): vec_id % 97 == 0 plays the held-out
+    // eval set; corpus rows within cosine 0.25 of ANY bench vector are
+    // dropped by ONE broadcast anti join — no corpus shuffle, no pair
+    // materialization (plan-asserted in AnnSpec). Semantic twin of
+    // q64's n-gram decontamination. The oracle replays the NOT EXISTS.
+    "q99_embed_decontam" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Ann.decontaminateByEmbedding(
+          emb.filter(col("vec_id") % 97 =!= 0),
+          emb.filter(col("vec_id") % 97 === 0),
+          "embedding", threshold = 0.25)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Weighted sampling without replacement (operators/WeightedSample
     // .scala, Efraimidis-Spirakis A-ES): 5 docs per language, weighted
     // by n_chars, with the uniform drawn from the seeded polyHash64 —
@@ -1403,6 +1442,32 @@ object TrainingQueries {
         |SELECT query, rank, doc, round(fused, 6) AS fused, n_lists
         |FROM rr WHERE rank <= 10
         |ORDER BY query, rank""".stripMargin,
+
+    // Spark's double→long cast truncates toward zero; value ≥ 0, so
+    // floor() replays it.
+    "q98_interval_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS vs,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value) AS BIGINT) + 60 AS ve
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS click_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS cs,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 120 AS ce
+        |  FROM events WHERE event_type = 'click')
+        |SELECT view_id, click_id FROM v JOIN c ON vs < ce AND cs < ve
+        |ORDER BY view_id, click_id""".stripMargin,
+
+    "q99_embed_decontam" ->
+      """SELECT c.vec_id, c.label
+        |FROM embeddings c
+        |WHERE c.vec_id % 97 <> 0 AND NOT EXISTS (
+        |  SELECT 1 FROM embeddings b
+        |  WHERE b.vec_id % 97 = 0
+        |    AND list_cosine_similarity(c.embedding::DOUBLE[],
+        |                               b.embedding::DOUBLE[]) >= 0.25)
+        |ORDER BY c.vec_id""".stripMargin,
 
     "q96_bm25" ->
       """WITH tok AS (

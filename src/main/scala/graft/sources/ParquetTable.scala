@@ -495,8 +495,26 @@ object ParquetTable {
       .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted
   }
 
-  def currentVersion(spark: SparkSession, path: String): Option[Long] =
-    versions(spark, path).lastOption
+  /** Latest committed version. Hot path of EVERY read and commit loop:
+    * resolves through the `_latest` hint (O(commits since the hint)
+    * existence probes, normally 1-2) instead of listing the whole
+    * manifest dir; any doubt about the hint falls back to the listing.
+    * Commits are always v+1-contiguous at the tail (each publish CASes
+    * exactly current+1), so forward probing from a committed floor is
+    * exact.
+    */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+    val md = manifestDir(path)
+    val fs = hadoopFs(spark, md)
+    if (!fs.exists(md)) return None
+    readLatestHint(fs, md) match {
+      case Some(h) if fs.exists(new Path(md, f"v$h%020d")) =>
+        var v = h
+        while (fs.exists(new Path(md, f"v${v + 1}%020d"))) v += 1
+        Some(v)
+      case _ => versions(spark, path).lastOption
+    }
+  }
 
   /** The commit primitive every version publish goes through — pluggable
     * so an object-store deployment can swap in a CAS committer (see
@@ -530,8 +548,52 @@ object ParquetTable {
     // tab is the one separator the body format already forbids in names
     val dvHeader = if (dv.isEmpty) "" else s"#dv=${dv.mkString("\t")}\n"
     val stamped = s"#ts=${System.currentTimeMillis()}\n$txnHeader$dvHeader$content"
-    logCommitter.commit(hadoopFs(spark, md), target, stamped.getBytes("UTF-8"))
+    val won = logCommitter.commit(hadoopFs(spark, md), target, stamped.getBytes("UTF-8"))
+    if (won) writeLatestHint(hadoopFs(spark, md), md, version)
+    won
   }
+
+  /** `_latest` version HINT (Delta's `_last_checkpoint` shape): snapshot
+    * resolution on an object store otherwise pays a paginated LIST of the
+    * whole manifest dir — O(versions) metadata calls per read, ~100
+    * round-trips at 100k commits. The hint is best-effort and advisory:
+    * written with a plain overwrite AFTER a won commit, so it can be
+    * stale (crash between commit and hint, or a slow writer overwriting
+    * with an older value) or torn — [[currentVersion]] therefore treats
+    * it as a LOWER BOUND and probes forward with existence checks,
+    * falling back to the full listing whenever the hinted manifest
+    * doesn't exist (corrupt hint, or vacuumed-away version). Correctness
+    * never depends on the hint: commits still CAS on the real manifest
+    * file.
+    */
+  private val LatestHintName = "_latest"
+
+  private def writeLatestHint(
+      fs: org.apache.hadoop.fs.FileSystem, md: Path, version: Long): Unit =
+    try {
+      val out = fs.create(new Path(md, LatestHintName), true)
+      try out.write(version.toString.getBytes("UTF-8"))
+      finally out.close()
+    } catch { case _: Throwable => () } // advisory — losing it costs a LIST
+
+  private def readLatestHint(
+      fs: org.apache.hadoop.fs.FileSystem, md: Path): Option[Long] =
+    try {
+      val p = new Path(md, LatestHintName)
+      if (!fs.exists(p)) None
+      else {
+        val len = fs.getFileStatus(p).getLen.toInt
+        if (len <= 0 || len > 32) None
+        else {
+          val buf = new Array[Byte](len)
+          val in = fs.open(p)
+          try in.readFully(0, buf)
+          finally in.close()
+          val s = new String(buf, "UTF-8").trim
+          if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+        }
+      }
+    } catch { case _: Throwable => None }
 
   // ---- partitioned versioned layout --------------------------------------
   // Manifest file content formats:

@@ -65,4 +65,28 @@ class AnnSpec extends SparkSpec {
     val p2 = Ann.hyperplanes(4, 8)
     assert(p1 === p2)
   }
+
+  test("decontaminateByEmbedding drops exactly the rows near a bench vector") {
+    val c = corpus()
+    // bench = 2 vectors from cluster 0 → every cluster-0 corpus row is
+    // contaminated at high threshold; clusters 1 and 2 survive intact
+    val bench = c.filter("vec_id IN (0, 3)")
+    val kept = Ann.decontaminateByEmbedding(c, bench, "embedding", 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = (0 until 60).map(_.toLong).filter(_ % 3 != 0).toSet
+    assert(kept === expected)
+    // schema unchanged; no helper columns leak
+    assert(Ann.decontaminateByEmbedding(c, bench, "embedding", 0.95)
+      .columns.toSeq === c.columns.toSeq)
+  }
+
+  test("decontaminateByEmbedding: the anti join never shuffles the corpus") {
+    val c = corpus()
+    val plan = Ann.decontaminateByEmbedding(
+        c, c.limit(2), "embedding", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("LeftAnti"),
+      s"bench side must broadcast under the anti join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

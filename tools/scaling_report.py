@@ -78,6 +78,11 @@ QUERY_CLASS = {
     "q93_left_interval_join": "linear", "q94_weighted_sample": "nlogn",
     "q95_expectations": "linear", "q96_bm25": "linear",
     "q97_hybrid_rrf": "linear",
+    # grid-cell equi-join: pairs grow with per-cell density — linear in
+    # rows at fixed time density, pair-output-bound like the band join
+    "q98_interval_join": "linear",
+    # one broadcast anti-join scan of the corpus
+    "q99_embed_decontam": "linear",
 }
 
 
