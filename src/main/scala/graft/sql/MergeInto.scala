@@ -147,6 +147,8 @@ object GraftSql {
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val DetailStmt =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  private val FsckStmt =
+    """(?is)\s*FSCK\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val CloneStmt =
     ("""(?is)\s*CREATE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+""" +
       """graft\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
@@ -185,6 +187,7 @@ object GraftSql {
           Option(retain).map(_.toInt).getOrElse(2), hours))
       case HistoryStmt(path) => Some(GraftHistoryCommand(path))
       case DetailStmt(path) => Some(GraftDetailCommand(path))
+      case FsckStmt(path) => Some(GraftFsckCommand(path))
       case _ => None
     }
 
@@ -762,6 +765,25 @@ case class GraftVacuumCommand(path: String, retain: Int, hours: Boolean = false)
   * `ParquetTable.history`; manifest-dir listing only, no data I/O, so the
   * collect is one row per version by construction).
   */
+/** `FSCK graft.`path``: integrity report — dangling manifest entries,
+  * missing data/DV dirs, orphaned bytes (see [[ParquetTable.fsck]]).
+  * Report-only: repairs are deliberate verbs (vacuum for orphans; restore
+  * or a corrective merge for dangling entries), never automatic.
+  */
+case class GraftFsckCommand(path: String) extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("detail", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    ParquetTable.fsck(session, path).collect().toSeq
+}
+
 case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
 
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
