@@ -112,6 +112,56 @@ object MixtureSample {
       .drop("__graft_rn", "__graft_quota")
   }
 
+  /** Temperature-scaled mixture weights — the T5 / multilingual-BERT
+    * exponential-smoothing recipe (arXiv:1910.10683 §3.4.3): group g
+    * samples proportionally to c_g^alpha, so alpha = 1 keeps natural
+    * proportions, alpha = 0 equalizes all groups, and the usual
+    * 0.2–0.7 range up-weights low-resource groups without letting a
+    * giant group drown them. Returned as the INTEGER weight map
+    * [[toWeights]]/[[toWeightsApprox]] consume: w_g = floor(c_g^alpha),
+    * ≥ 1 for any non-empty group (common scale factors cancel in the
+    * quota arithmetic, so no normalization is needed).
+    *
+    * One count aggregate, |groups| rows collected — the same bounded
+    * collect the quota frame already does. alpha = 0.5 (sqrt) is
+    * IEEE-correctly-rounded and therefore bit-replayable by external
+    * engines; other exponents go through pow(), whose last-ulp can vary
+    * across libm implementations — fine for sampling, but pin 0.5 when
+    * an external system must reproduce the exact row set.
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      groupCol: String,
+      alpha: Double): Map[String, Long] = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"temperatureWeights: alpha $alpha outside [0, 1]")
+    // sqrt (not pow(·, 0.5)) for alpha 0.5: Math.pow carries a 1-ulp
+    // tolerance that can land floor() on the wrong side of a perfect
+    // square; sqrt is IEEE-correctly-rounded, hence replayable
+    val raised =
+      if (alpha == 0.5) sqrt(col("__graft_c"))
+      else if (alpha == 1.0) col("__graft_c").cast("double")
+      else pow(col("__graft_c"), alpha)
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("__graft_c"))
+      .select(col(groupCol).cast("string"),
+        floor(raised).cast("long").as("__graft_w"))
+      .collect()
+      .map(r => r.getString(0) -> math.max(r.getLong(1), 1L))
+      .toMap
+  }
+
+  /** [[toWeights]] with the weights derived by [[temperatureWeights]]:
+    * one extra count pass, then the exact quota sampler.
+    */
+  def toTemperature(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      alpha: Double,
+      maxGroupRows: Long = 10000000L): DataFrame =
+    toWeights(df, groupCol, idCol, temperatureWeights(df, groupCol, alpha),
+      maxGroupRows)
+
   /** Rate-threshold mixture sample — the 100 TB hot-group path: keep a
     * row iff its hash falls below the group's quota fraction of the hash
     * space (`h·c_g < n_g·P`, exact integer arithmetic in decimal — no

@@ -407,6 +407,19 @@ object TrainingQueries {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Temperature-scaled mixture (T5 §3.4.3): weights derived from the
+    // data itself as floor(sqrt(c_lang)) — alpha 0.5 up-weights
+    // low-resource languages — then the same exact hash-rank quota
+    // sampler as q66. sqrt (IEEE-correctly-rounded) keeps the derived
+    // weights, and therefore the whole selection, bit-replayable; the
+    // oracle recomputes weights → quotas → ranks from scratch.
+    "q100_temperature_mix" -> ((s, d) => {
+      MixtureSample.toTemperature(Tables.documents(s, d), "lang", "doc_id",
+          alpha = 0.5)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // Gopher-style repetition filter (Rae et al. 2021 table A1). The
     // corpus has no newlines, so each document first gets a deterministic
     // "lined" form — its first 40 chars appended twice as injected
@@ -881,6 +894,24 @@ object TrainingQueries {
         |          ORDER BY ((d.doc_id % 1000000007) * 654435747 + 12345)
         |            % 1000000007, d.doc_id) AS rn
         |      FROM documents d JOIN q ON d.lang = q.lang)
+        |SELECT r.lang, r.doc_id FROM r JOIN q ON r.lang = q.lang
+        |WHERE r.rn <= q.quota
+        |ORDER BY r.lang, r.doc_id""".stripMargin,
+
+    "q100_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |w AS (SELECT lang, cnt,
+        |        greatest(floor(sqrt(cnt))::BIGINT, 1) AS wt FROM c),
+        |s AS (SELECT sum(wt) AS bigw FROM w),
+        |n AS (SELECT min(floor(w.cnt * s.bigw / w.wt))::BIGINT AS total
+        |      FROM w CROSS JOIN s),
+        |q AS (SELECT w.lang, floor(w.wt * n.total / s.bigw)::BIGINT AS quota
+        |      FROM w CROSS JOIN n CROSS JOIN s),
+        |r AS (SELECT d.lang, d.doc_id,
+        |        row_number() OVER (PARTITION BY d.lang
+        |          ORDER BY ((d.doc_id % 1000000007) * 654435747 + 12345)
+        |            % 1000000007, d.doc_id) AS rn
+        |      FROM documents d)
         |SELECT r.lang, r.doc_id FROM r JOIN q ON r.lang = q.lang
         |WHERE r.rn <= q.quota
         |ORDER BY r.lang, r.doc_id""".stripMargin,

@@ -88,4 +88,39 @@ class MixtureSampleSpec extends SparkSpec {
     assert(MixtureSample.toWeightsApprox(df, "grp", "id",
       Map("a" -> 1L, "nope" -> 1L)).count() === 0L)
   }
+
+  test("temperatureWeights: floor(c^alpha), every group >= 1, alpha endpoints") {
+    val df = docs((1L to 900L).map(("big", _)) ++ (1L to 10L).map(("small", _)) ++
+      Seq(("tiny", 1L)): _*)
+    // alpha 0.5: sqrt(900)=30, sqrt(10)=3.16→3, sqrt(1)=1
+    assert(MixtureSample.temperatureWeights(df, "grp", 0.5) ===
+      Map("big" -> 30L, "small" -> 3L, "tiny" -> 1L))
+    // alpha 1: natural proportions
+    assert(MixtureSample.temperatureWeights(df, "grp", 1.0) ===
+      Map("big" -> 900L, "small" -> 10L, "tiny" -> 1L))
+    // alpha 0: fully equalized
+    assert(MixtureSample.temperatureWeights(df, "grp", 0.0) ===
+      Map("big" -> 1L, "small" -> 1L, "tiny" -> 1L))
+    intercept[IllegalArgumentException] {
+      MixtureSample.temperatureWeights(df, "grp", 1.5)
+    }
+  }
+
+  test("toTemperature == toWeights over the derived weights (exact row set)") {
+    val df = docs((1L to 400L).map(("en", _)) ++ (1L to 100L).map(("de", _)) ++
+      (1L to 25L).map(("fr", _)): _*)
+    val viaDerived = MixtureSample.toTemperature(df, "grp", "id", 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    val direct = MixtureSample.toWeights(df, "grp", "id",
+        Map("en" -> 20L, "de" -> 10L, "fr" -> 5L)) // sqrt of 400/100/25
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaDerived === direct && viaDerived.nonEmpty)
+    // alpha 0.5 lifts the low-resource share above natural proportions:
+    // natural fr share = 25/525 ≈ 4.8%; sampled share = 5/35 ≈ 14%
+    val counts = MixtureSample.toTemperature(df, "grp", "id", 0.5)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(counts("fr") / total > 0.10, s"fr share not lifted: $counts")
+  }
 }

@@ -83,6 +83,8 @@ QUERY_CLASS = {
     "q98_interval_join": "linear",
     # one broadcast anti-join scan of the corpus
     "q99_embed_decontam": "linear",
+    # two count scans + the q66 window sampler
+    "q100_temperature_mix": "nlogn",
 }
 
 
