@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.GraftColumnBridge
+
+/** Product-quantization ANN (Jégou et al., TPAMI 2011) — the
+  * MEMORY-bounded scale path beside the latency-bounded ones
+  * ([[Ann.lshTopK]] buckets, [[IvfAnn]] cell pruning): each corpus vector
+  * compresses to `m` centroid ids (m·4 bytes here vs dim·4 floats — 8
+  * ints for a 64-dim vector, and the ids fit bytes when k ≤ 256), so a
+  * 100 TB embedding corpus's index fits a fraction of the footprint and
+  * search never touches the original vectors. Ranking uses the
+  * asymmetric distance (ADC): the query stays exact, the corpus side is
+  * its reconstruction — computed straight from the codes by the native
+  * [[graft.functions.expressions.PqDot]] without materializing
+  * reconstructions.
+  *
+  * Scale shape:
+  *   - TRAIN on a bounded sample (`trainRows` in id order — deterministic,
+  *     no RNG), the standard PQ practice (faiss trains on ~10⁵ vectors
+  *     regardless of corpus size): m independent Lloyd loops over a
+  *     CACHED sample frame, never over the corpus.
+  *   - ENCODE is ONE codegen'd projection pass over the corpus
+  *     ([[graft.functions.expressions.PqCodes]] — the codebook is a
+  *     single plan reference object); the reconstruction norm rides
+  *     along, so search needs only (id, code, norm).
+  *   - SEARCH is a guarded-broadcast join of the query set against the
+  *     coded corpus — per pair work is m table lookups + dsub·m mults,
+  *     with no shuffle of the corpus — ranked by the bounded-heap top_k
+  *     aggregate. Compose with [[IvfAnn]] cells for sub-linear probing
+  *     (IVF-PQ) by encoding each cell's residuals.
+  *
+  * Approximate by construction: ranks come from reconstructed cosines,
+  * so recall < 1 (growing with m and k); [[searchTopK]]'s `rerank`
+  * re-scores the ADC top `rerankDepth` against the ORIGINAL vectors and
+  * returns exact-cosine order — the standard two-stage recipe.
+  */
+object PqAnn {
+
+  /** `sub(s)(j)` = centroid j of subspace s (dsub floats each). */
+  final case class Codebook(sub: Array[Array[Array[Float]]]) {
+    def m: Int = sub.length
+    def k: Int = sub(0).length
+    def dsub: Int = sub(0)(0).length
+  }
+
+  private def pqCodes(vecCol: Column, cb: Codebook): Column =
+    GraftColumnBridge.column(graft.functions.expressions.PqCodes(
+      GraftColumnBridge.expression(vecCol), cb.sub))
+
+  private def pqDot(qCol: Column, codeCol: Column, cb: Codebook): Column =
+    GraftColumnBridge.column(graft.functions.expressions.PqDot(
+      GraftColumnBridge.expression(qCol),
+      GraftColumnBridge.expression(codeCol), cb.sub))
+
+  private def pqNorm(codeCol: Column, cb: Codebook): Column =
+    GraftColumnBridge.column(graft.functions.expressions.PqNorm(
+      GraftColumnBridge.expression(codeCol), cb.sub))
+
+  /** Train per-subspace codebooks with Lloyd's iterations over a bounded
+    * deterministic sample (first `trainRows` ids). `maxIter = 0` keeps
+    * the seed centroids (the first k sample rows' slices) — fully
+    * replayable by external engines, which is what the oracle pins.
+    * Requires dim % m == 0.
+    */
+  def train(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int = 16,
+      maxIter: Int = 3,
+      trainRows: Int = 10000): Codebook = {
+    require(m >= 1 && k >= 1 && maxIter >= 0, "pq: m, k >= 1; maxIter >= 0")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"pq: dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val sample = corpus.orderBy(col(idCol)).limit(trainRows)
+      .select(col(vecCol).as("__v")).cache()
+    try {
+      val seeds = sample.limit(k).collect().map(_.getSeq[Float](0).toArray)
+      require(seeds.length == k,
+        s"pq: need at least k=$k training vectors, got ${seeds.length}")
+      val sub = Array.tabulate(m) { s =>
+        var cents: Array[Array[Float]] =
+          seeds.map(v => v.slice(s * dsub, (s + 1) * dsub))
+        val sliceCol = slice(col("__v"), s * dsub + 1, dsub)
+        for (_ <- 1 to maxIter) {
+          // nearest centroid per sample row, then per-dimension means;
+          // k × dsub doubles reach the driver
+          val means = sample
+            .select(element_at(
+                VectorFunctions.nearestCells(sliceCol, cents, 1), 1).as("__c"),
+              posexplode(sliceCol))
+            .groupBy(col("__c"), col("pos"))
+            .agg(avg(col("col")).as("m"))
+            .collect()
+          val next = cents.map(_.clone())
+          means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+          cents = next
+        }
+        cents
+      }
+      Codebook(sub)
+    } finally { sample.unpersist(); () }
+  }
+
+  /** One codegen'd pass: (idCol, pq_code array<int>, pq_norm double). */
+  def encode(
+      corpus: DataFrame, idCol: String, vecCol: String, cb: Codebook): DataFrame = {
+    val codes = pqCodes(col(vecCol), cb)
+    corpus.select(col(idCol), codes.as("pq_code"))
+      .withColumn("pq_norm", pqNorm(col("pq_code"), cb))
+  }
+
+  /** ADC top-k per query over the CODED corpus (one row per (query,
+    * rank): query_id, neighbor_id, cosine, rank — cosine is the
+    * reconstructed approximation). With `rerank`, the ADC top
+    * `rerankDepth` join back to `corpus` for exact re-scoring and the
+    * final order/cosines are exact.
+    */
+  def searchTopK(
+      encoded: DataFrame,
+      cb: Codebook,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Option[(DataFrame, Int)] = None): DataFrame = {
+    val q = Broadcasting.broadcastIfSmall(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = encoded.select(col(idCol).as("neighbor_id"),
+      col("pq_code").as("__code"), col("pq_norm").as("__rn"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (pqDot(col("__qv"), col("__code"), cb) /
+          (sqrt(VectorFunctions.dot(col("__qv"), col("__qv"))) * col("__rn")))
+          .as("__cos"))
+    rerank match {
+      case None => Ann.rankTopK(scored, k)
+      case Some((corpus, depth)) =>
+        require(depth >= k, s"pq: rerankDepth $depth < k $k")
+        val cand = Ann.rankTopK(scored, depth)
+          .select(col("query_id"), col("neighbor_id"))
+        val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+        Ann.rankTopK(
+          cand.join(qv, "query_id").join(cv, "neighbor_id")
+            .select(col("query_id"), col("neighbor_id"),
+              VectorFunctions.cosine(col("__qv"), col("__cv")).as("__cos")),
+          k)
+    }
+  }
+}

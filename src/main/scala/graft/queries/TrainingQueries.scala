@@ -420,6 +420,25 @@ object TrainingQueries {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Product-quantization ANN (operators/PqAnn.scala, Jégou et al.
+    // 2011): codebook pinned to maxIter=0 (seed centroids = the first
+    // 16 vectors' subspace slices — no RNG, no Lloyd drift), so the
+    // oracle replays train → encode (per-subspace argmin, ties to the
+    // smaller id) → ADC cosine against the reconstruction → rank,
+    // entirely in SQL. The codebook rides the plan as ONE reference
+    // object; encode is a single codegen'd pass; search is a guarded
+    // broadcast of the queries over the CODED corpus (m ints + one norm
+    // per row — the original vectors are never touched).
+    "q101_pq_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = graft.operators.PqAnn.train(emb, "vec_id", "embedding",
+        m = 8, k = 16, maxIter = 0, trainRows = 16)
+      val enc = graft.operators.PqAnn.encode(emb, "vec_id", "embedding", cb)
+      graft.operators.PqAnn.searchTopK(enc, cb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Gopher-style repetition filter (Rae et al. 2021 table A1). The
     // corpus has no newlines, so each document first gets a deterministic
     // "lined" form — its first 40 chars appended twice as injected
@@ -915,6 +934,47 @@ object TrainingQueries {
         |SELECT r.lang, r.doc_id FROM r JOIN q ON r.lang = q.lang
         |WHERE r.rn <= q.quota
         |ORDER BY r.lang, r.doc_id""".stripMargin,
+
+    // Replays the full PQ pipeline: seed codebook (first 16 vectors'
+    // 8-dim slices), per-subspace argmin assignment (list_distance is
+    // monotone in the engine's squared-L2; ties to the smaller centroid
+    // id), reconstruction by concatenating chosen centroids in subspace
+    // order (flatten(list(... ORDER BY s)) — the same left-to-right
+    // accumulation order PqDot uses), ADC cosine, rank.
+    "q101_pq_ann" ->
+      """WITH seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |subs AS (SELECT range AS s FROM range(8)),
+        |cb AS (
+        |  SELECT subs.s, seeds.j,
+        |    (seeds.embedding::DOUBLE[])[subs.s*8+1 : subs.s*8+8] AS cent
+        |  FROM seeds CROSS JOIN subs),
+        |asn AS (
+        |  SELECT e.vec_id, cb.s, cb.j,
+        |    row_number() OVER (PARTITION BY e.vec_id, cb.s
+        |      ORDER BY list_distance(
+        |        (e.embedding::DOUBLE[])[cb.s*8+1 : cb.s*8+8], cb.cent), cb.j) AS rn
+        |  FROM embeddings e CROSS JOIN cb),
+        |codes AS (SELECT vec_id, s, j FROM asn WHERE rn = 1),
+        |recon AS (
+        |  SELECT c.vec_id, flatten(list(cb.cent ORDER BY c.s)) AS rv
+        |  FROM codes c JOIN cb ON cb.s = c.s AND cb.j = c.j
+        |  GROUP BY c.vec_id),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, r.vec_id AS neighbor_id,
+        |    list_inner_product(q.qv, r.rv) /
+        |      (sqrt(list_inner_product(q.qv, q.qv)) *
+        |       sqrt(list_inner_product(r.rv, r.rv))) AS c,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_inner_product(q.qv, r.rv) /
+        |        (sqrt(list_inner_product(q.qv, q.qv)) *
+        |         sqrt(list_inner_product(r.rv, r.rv))) DESC, r.vec_id) AS rank
+        |  FROM q JOIN recon r ON r.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cosine, rank
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q28_simhash_neardup" -> simHashOracle,
     "q29_lsh_ann" -> lshAnnOracle,

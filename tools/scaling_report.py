@@ -85,6 +85,8 @@ QUERY_CLASS = {
     "q99_embed_decontam": "linear",
     # two count scans + the q66 window sampler
     "q100_temperature_mix": "nlogn",
+    # fixed query set broadcast over the coded corpus: one linear pass
+    "q101_pq_ann": "linear",
 }
 
 
