@@ -31,6 +31,11 @@ object VectorFunctions {
   def euclidean(a: Column, b: Column): Column =
     GraftColumnBridge.column(VecEuclidean(e(a), e(b)))
 
+  /** Element-wise a − b as array<double> (the IVF-PQ residual). */
+  def vecSub(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      graft.functions.expressions.VecSub(e(a), e(b)))
+
   /** Ids of the `nProbe` centroids nearest to `v` (euclidean, nearest
     * first). The matrix rides into codegen as ONE reference object, so the
     * plan stays O(1) in the number of centroids — see

@@ -157,3 +157,43 @@ case class VecEuclidean(left: Expression, right: Expression) extends VecBinaryEx
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecEuclidean =
     copy(left = l, right = r)
 }
+
+/** sub(a, b): element-wise a − b over min(len), as array<double> — the
+  * residual builder for IVF-PQ (vector minus its cell centroid). Double
+  * output: float−float is exact in double, so downstream PQ assignment
+  * sees the residual bit-exactly (and external replays — DuckDB
+  * `list_zip`+`list_transform` over `::DOUBLE[]` casts — agree).
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(a, b) - element-wise difference of two float/double vectors")
+case class VecSub(left: Expression, right: Expression) extends VecBinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (lt, rt) = (elemType(left), elemType(right))
+    val n = math.min(x.numElements(), y.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = accessEval(x, i, lt) - accessEval(y, i, rt); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      double[] $out = new double[$n];
+      for (int $i = 0; $i < $n; $i++) {
+        $out[$i] = ${access(a, i, elemType(left))} - ${access(b, i, elemType(right))};
+      }
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSub =
+    copy(left = l, right = r)
+}

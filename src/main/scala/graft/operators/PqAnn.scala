@@ -81,7 +81,10 @@ object PqAnn {
     val sample = corpus.orderBy(col(idCol)).limit(trainRows)
       .select(col(vecCol).as("__v")).cache()
     try {
-      val seeds = sample.limit(k).collect().map(_.getSeq[Float](0).toArray)
+      // element type may be float (raw vectors) or double (VecSub
+      // residuals); the codebook is float either way (PQ's storage type)
+      val seeds = sample.limit(k).collect()
+        .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].floatValue).toArray)
       require(seeds.length == k,
         s"pq: need at least k=$k training vectors, got ${seeds.length}")
       val sub = Array.tabulate(m) { s =>
@@ -153,5 +156,91 @@ object PqAnn {
               VectorFunctions.cosine(col("__qv"), col("__cv")).as("__cos")),
           k)
     }
+  }
+
+  // ---- IVF-PQ: cell pruning × code compression ---------------------------
+
+  /** IVF-PQ index: coarse cells from [[IvfAnn]]'s deterministic k-means,
+    * PQ codebooks trained on the RESIDUALS (vector − its cell centroid —
+    * residuals are smaller and more isotropic than raw vectors, so the
+    * same k quantizes them better; the standard faiss `IVFx,PQy` recipe).
+    * `encoded` holds (id, centroid_id, pq_code, recon_norm) — the
+    * reconstruction is centroid + decoded residual, and its norm is
+    * derived at encode time from ‖c‖² + 2·adot(c, code) + rnorm(code)²
+    * without materializing anything.
+    */
+  final case class IvfPqIndex(
+      cells: Array[Array[Float]], cb: Codebook, encoded: DataFrame)
+
+  /** Coarse-quantize, compute residuals (ONE broadcast join + the native
+    * [[graft.functions.expressions.VecSub]] pass), train PQ on a bounded
+    * residual sample, and encode the corpus.
+    */
+  def buildIvfPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      m: Int,
+      k: Int = 16,
+      cellIter: Int = 3,
+      pqIter: Int = 3,
+      trainRows: Int = 10000): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ivf = IvfAnn.build(corpus, idCol, vecCol, nCells, cellIter)
+    val centFrame = broadcast(ivf.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "__cvec"))
+    val withRes = ivf.assigned.join(centFrame, "centroid_id")
+      .withColumn("__res", VectorFunctions.vecSub(col(vecCol), col("__cvec")))
+    val cb = train(withRes, idCol, "__res", m, k, pqIter, trainRows)
+    val encoded = withRes
+      .withColumn("pq_code", pqCodes(col("__res"), cb))
+      .select(col(idCol), col("centroid_id"), col("pq_code"),
+        // greatest(·, 0): ‖c+r‖² is mathematically ≥ 0 but the three-term
+        // double sum can land at -ε when the reconstruction is ~0
+        sqrt(greatest(
+          VectorFunctions.dot(col("__cvec"), col("__cvec")) +
+            lit(2.0) * pqDot(col("__cvec"), col("pq_code"), cb) +
+            pqNorm(col("pq_code"), cb) * pqNorm(col("pq_code"), cb),
+          lit(0.0))).as("recon_norm"))
+    IvfPqIndex(ivf.centroids, cb, encoded)
+  }
+
+  /** ADC top-k probing the `nProbe` nearest cells: queries explode to
+    * (query, cell) and EQUI-join the coded corpus on centroid_id — the
+    * same pruning join as [[IvfAnn.topK]] (partition-prunable when the
+    * encoded frame is saved partitioned by cell), with per-row work of m
+    * lookups instead of a dim-float cosine. The numerator needs no query
+    * residual: dot(q, c + decode(code)) = dot(q, c) + adot(q, code) —
+    * dot(q, c) is computed once per (query, cell).
+    */
+  def searchIvfPq(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centFrame = broadcast(index.cells.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "__cvec"))
+    val q = queries.select(
+        col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(VectorFunctions.nearestCells(
+          col(vecCol), index.cells, nProbe)).as("centroid_id"))
+      .join(centFrame, "centroid_id")
+      .withColumn("__qc", VectorFunctions.dot(col("__qv"), col("__cvec")))
+      .withColumn("__qn", sqrt(VectorFunctions.dot(col("__qv"), col("__qv"))))
+      .drop("__cvec")
+    val scored = Broadcasting.broadcastIfSmall(q)
+      .join(index.encoded.withColumnRenamed(idCol, "neighbor_id"),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ((col("__qc") + pqDot(col("__qv"), col("pq_code"), index.cb)) /
+          (col("__qn") * col("recon_norm"))).as("__cos"))
+    Ann.rankTopK(scored, k)
   }
 }

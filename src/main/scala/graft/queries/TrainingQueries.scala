@@ -439,6 +439,24 @@ object TrainingQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ (faiss `IVFx,PQy` recipe): coarse cells prune the probe set
+    // (EQUI-join on centroid_id), PQ codes over the cell RESIDUALS
+    // compress the scan — the numerator needs no query residual because
+    // dot(q, c + decode(code)) = dot(q, c) + adot(q, code). Pinned fully
+    // deterministic (cellIter=0, pqIter=0), so the oracle replays cell
+    // assignment → residuals → float-cast seed codebook → per-subspace
+    // argmin → the exact three-term recon-norm formula → probe-2 scoring,
+    // all in SQL. nProbe=2 of 4 cells: the oracle replays the PRUNING,
+    // not just the scoring.
+    "q102_ivfpq_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = graft.operators.PqAnn.buildIvfPq(emb, "vec_id", "embedding",
+        nCells = 4, m = 8, k = 8, cellIter = 0, pqIter = 0, trainRows = 8)
+      graft.operators.PqAnn.searchIvfPq(idx, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Gopher-style repetition filter (Rae et al. 2021 table A1). The
     // corpus has no newlines, so each document first gets a deterministic
     // "lined" form — its first 40 chars appended twice as injected
@@ -975,6 +993,72 @@ object TrainingQueries {
         |  FROM q JOIN recon r ON r.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, round(c, 4) AS cosine, rank
         |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Replays IVF-PQ end-to-end. recon_norm deliberately uses the SAME
+    // three-term formula as the engine (‖c‖² + 2·adot(c,code) +
+    // (sqrt(rnorm²))² with the sqrt-then-square kept) rather than the
+    // mathematically-equal ‖c+r‖² — the two differ in last-ulp rounding,
+    // and bit-parity is what makes the hash comparison meaningful.
+    "q102_ivfpq_ann" ->
+      """WITH cells AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |    embedding::DOUBLE[] AS cvec
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)),
+        |casn AS (
+        |  SELECT e.vec_id, cells.cid, cells.cvec, e.embedding::DOUBLE[] AS v,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.embedding::DOUBLE[], cells.cvec),
+        |        cells.cid) AS rn
+        |  FROM embeddings e CROSS JOIN cells),
+        |res AS (
+        |  SELECT vec_id, cid, cvec, v,
+        |    list_transform(list_zip(v, cvec), x -> x[1] - x[2]) AS r
+        |  FROM casn WHERE rn = 1),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+        |    (r::FLOAT[])::DOUBLE[] AS rf
+        |  FROM (SELECT * FROM res ORDER BY vec_id LIMIT 8)),
+        |subs AS (SELECT range AS s FROM range(8)),
+        |cb AS (SELECT subs.s, seeds.j, (seeds.rf)[subs.s*8+1 : subs.s*8+8] AS cent
+        |       FROM seeds CROSS JOIN subs),
+        |pqasn AS (
+        |  SELECT res.vec_id, cb.s, cb.j,
+        |    row_number() OVER (PARTITION BY res.vec_id, cb.s
+        |      ORDER BY list_distance((res.r)[cb.s*8+1 : cb.s*8+8], cb.cent),
+        |        cb.j) AS rn
+        |  FROM res CROSS JOIN cb),
+        |codes AS (SELECT vec_id, s, j FROM pqasn WHERE rn = 1),
+        |reconr AS (
+        |  SELECT c.vec_id, flatten(list(cb.cent ORDER BY c.s)) AS rr
+        |  FROM codes c JOIN cb ON cb.s = c.s AND cb.j = c.j GROUP BY c.vec_id),
+        |enc AS (
+        |  SELECT res.vec_id, res.cid,
+        |    sqrt(greatest(
+        |      list_inner_product(res.cvec, res.cvec)
+        |      + 2.0 * list_inner_product(res.cvec, rr.rr)
+        |      + power(sqrt(list_inner_product(rr.rr, rr.rr)), 2), 0.0)) AS recon_norm,
+        |    rr.rr
+        |  FROM res JOIN reconr rr ON rr.vec_id = res.vec_id),
+        |q AS (
+        |  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv,
+        |    cells.cid, cells.cvec,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.embedding::DOUBLE[], cells.cvec),
+        |        cells.cid) AS cr
+        |  FROM embeddings e CROSS JOIN cells WHERE e.vec_id < 5),
+        |probes AS (SELECT query_id, qv, cid, cvec FROM q WHERE cr <= 2),
+        |scored AS (
+        |  SELECT p.query_id, enc.vec_id AS neighbor_id,
+        |    (list_inner_product(p.qv, p.cvec) + list_inner_product(p.qv, enc.rr)) /
+        |      (sqrt(list_inner_product(p.qv, p.qv)) * enc.recon_norm) AS c
+        |  FROM probes p JOIN enc ON enc.cid = p.cid AND enc.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, c,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY c DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q28_simhash_neardup" -> simHashOracle,
     "q29_lsh_ann" -> lshAnnOracle,

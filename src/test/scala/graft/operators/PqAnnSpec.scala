@@ -130,6 +130,50 @@ class PqAnnSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("IVF-PQ: recon_norm matches the materialized reconstruction; full-probe recall holds") {
+    val c = corpus()
+    val idx = PqAnn.buildIvfPq(c, "vec_id", "embedding",
+      nCells = 3, m = 4, k = 8, cellIter = 3, pqIter = 3)
+    // recon_norm == ||centroid + decoded residual|| computed by hand
+    val vecs = c.orderBy("vec_id").collect().map(_.getSeq[Float](1).toArray)
+    idx.encoded.orderBy("vec_id").collect().take(15).foreach { row =>
+      val cell = row.getInt(1)
+      val codes = row.getSeq[Int](2)
+      val recon = (0 until idx.cb.m).flatMap(s => idx.cb.sub(s)(codes(s)))
+        .zip(idx.cells(cell)).map { case (r, cc) => r.toDouble + cc.toDouble }
+      val manual = math.sqrt(recon.map(x => x * x).sum)
+      assert(math.abs(row.getDouble(3) - manual) < 1e-9,
+        s"recon_norm row ${row.getLong(0)}")
+      // decode error is small relative to the vector (residual PQ works)
+      val v = vecs(row.getLong(0).toInt)
+      val err = math.sqrt(v.zip(recon).map { case (x, y) =>
+        val d = x.toDouble - y; d * d }.sum)
+      assert(err < 0.5, s"row ${row.getLong(0)} decode error $err")
+    }
+    // full-probe search: neighbors stay in the query's cluster
+    val out = PqAnn.searchIvfPq(idx, c.filter("vec_id < 3"),
+      "vec_id", "embedding", k = 5, nProbe = 3)
+    assert(out.count() === 15)
+    out.collect().foreach(r =>
+      assert(r.getLong(0) % 3 === r.getLong(1) % 3,
+        s"query ${r.getLong(0)} got cross-cluster ${r.getLong(1)}"))
+    // nProbe=1 on tight clusters: same answer, touching 1/3 of the codes
+    val pruned = PqAnn.searchIvfPq(idx, c.filter("vec_id < 3"),
+      "vec_id", "embedding", k = 5, nProbe = 1)
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("IVF-PQ search joins on the cell key — no cartesian against the codes") {
+    val c = corpus()
+    val idx = PqAnn.buildIvfPq(c, "vec_id", "embedding",
+      nCells = 3, m = 2, k = 4, cellIter = 1, pqIter = 1)
+    val plan = PqAnn.searchIvfPq(idx, c.limit(2), "vec_id", "embedding",
+      k = 3, nProbe = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("dim not divisible by m / too few training rows fail fast") {
     val c = corpus()
     intercept[IllegalArgumentException] {

@@ -87,6 +87,8 @@ QUERY_CLASS = {
     "q100_temperature_mix": "nlogn",
     # fixed query set broadcast over the coded corpus: one linear pass
     "q101_pq_ann": "linear",
+    # cell equi-join prunes to nProbe/nCells of the codes per query
+    "q102_ivfpq_ann": "linear",
 }
 
 
