@@ -35,16 +35,22 @@ import org.apache.spark.sql.functions._
 object IntervalJoin {
 
   /** Overlapping (left, right) pairs. Output columns = left's ++ right's
-    * (names must be disjoint). One shuffle per side, keyed by grid cell.
+    * (names must be disjoint). One shuffle per side, keyed by grid cell —
+    * or by (equi-keys, cell) when `keys` is given (the per-user /
+    * per-entity overlap join: `keys = Seq(("l_user", "r_user"))` joins
+    * only same-key intervals, and the composite shuffle key spreads hot
+    * time windows across as many partitions as there are active keys).
     *
     * @param cellSize grid cell width in the bounds' units (> 0)
     * @param maxCells fail-fast ceiling on cells ONE interval may span —
     *                 execution raises naming the interval, never truncates
+    * @param keys     additional equi-join pairs (leftCol, rightCol)
     */
   def overlap(
       left: DataFrame, lStart: String, lEnd: String,
       right: DataFrame, rStart: String, rEnd: String,
-      cellSize: Long, maxCells: Int = 256): DataFrame = {
+      cellSize: Long, maxCells: Int = 256,
+      keys: Seq[(String, String)] = Nil): DataFrame = {
     require(cellSize > 0, s"interval_join: cellSize $cellSize must be > 0")
     require(maxCells > 0, s"interval_join: maxCells $maxCells must be > 0")
     val dup = left.columns.map(_.toLowerCase).toSet
@@ -67,16 +73,24 @@ object IntervalJoin {
         .withColumn(cell, explode(cells))
     }
 
+    keys.foreach { case (l, r) =>
+      require(left.columns.exists(_.equalsIgnoreCase(l)),
+        s"interval_join: key column $l not on the left side")
+      require(right.columns.exists(_.equalsIgnoreCase(r)),
+        s"interval_join: key column $r not on the right side")
+    }
     val lc = withCells(left, lStart, lEnd, "__lcell")
     val rc = withCells(right, rStart, rEnd, "__rcell")
     val overlapStart: Column =
       greatest(col(lStart).cast("long"), col(rStart).cast("long"))
-    lc.join(rc,
+    val cond = keys.foldLeft(
         col("__lcell") === col("__rcell") &&
           col(lStart).cast("long") < col(rEnd).cast("long") &&
           col(rStart).cast("long") < col(lEnd).cast("long") &&
           // exactly-once: only the cell containing the overlap's start emits
-          floor(overlapStart / cellSize).cast("long") === col("__lcell"))
-      .drop("__lcell", "__rcell")
+          floor(overlapStart / cellSize).cast("long") === col("__lcell")) {
+      case (c, (l, r)) => c && col(l) === col(r)
+    }
+    lc.join(rc, cond).drop("__lcell", "__rcell")
   }
 }

@@ -71,4 +71,51 @@ object LmScore {
         count(col("logp")).as("n_bigrams"),
         avg(col("logp")).as("avg_logp"))
   }
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): per
+    * `groupCol` (language), rank documents by LM score and cut into
+    * `nBuckets` equal tiers — bucket 1 ("head") = most fluent, last =
+    * gibberish candidates. Ranking uses the ROUNDED (4-digit) score with
+    * an id tiebreak, so the assignment is deterministic and replayable.
+    *
+    * Scale note: ntile needs its group fully ordered — one sort chain
+    * per language, the same single-task hazard as the exact mixture
+    * sampler, so the same guard: fail-fast past `maxGroupRows` (riding
+    * the score frame that is already computed — no extra corpus scan).
+    * Past the cap, cut on approximate quantile thresholds instead (two
+    * cutoffs per language, then a map-side filter).
+    */
+  def perplexityBuckets(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      k: Double = 0.5,
+      nBuckets: Int = 3,
+      maxGroupRows: Long = 10000000L): DataFrame = {
+    require(nBuckets >= 2, s"perplexityBuckets: nBuckets $nBuckets < 2")
+    val scored = corpus.select(col(idCol), col(groupCol))
+      .join(scoreBigram(corpus, idCol, textCol, k), Seq(idCol))
+    if (maxGroupRows != Long.MaxValue) {
+      val worst = scored.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc).limit(1).collect()
+      worst.headOption.foreach { r =>
+        if (r.getLong(1) > maxGroupRows) throw new IllegalArgumentException(
+          s"perplexityBuckets: group $groupCol=${r.get(0)} has " +
+            s"${r.getLong(1)} rows (> $maxGroupRows); ntile sorts the " +
+            "whole group in one task chain. Cut on approximate quantile " +
+            "thresholds instead, or raise maxGroupRows to accept the sort.")
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(round(col("avg_logp"), 4).desc_nulls_last, col(idCol))
+    scored
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .withColumn("tier",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === nBuckets, "tail")
+          .otherwise("middle"))
+  }
 }

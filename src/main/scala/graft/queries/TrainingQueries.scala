@@ -654,6 +654,19 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet head/middle/tail split (Wenzek et al. 2020 §4.4): per-lang
+    // ntile over the q89 LM scores — bucket 1 = most fluent. Ranking is
+    // on the ROUNDED score with a doc_id tiebreak, so assignment is
+    // deterministic in both engines despite FP scores.
+    "q103_ccnet_buckets" -> ((s, d) => {
+      graft.operators.LmScore.perplexityBuckets(
+          Tables.documents(s, d), "doc_id", "text", "lang", k = 0.5)
+        .select(col("doc_id"), col("lang"),
+          round(col("avg_logp"), 4).as("avg_logp"),
+          col("bucket"), col("tier"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 retrieval (operators/Bm25.scala — Okapi weighting, Lucene
     // idf form): query-targeted corpus selection. One inverted-index
     // pass; each query touches only its own terms' postings. The oracle
@@ -1563,6 +1576,33 @@ object TrainingQueries {
         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q89's scoring replayed, then the same rounded-score ntile cut.
+    "q103_ccnet_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |  FROM t, LATERAL unnest(generate_series(1, len(w) - 1)) AS q(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT u.w) AS v
+        |      FROM (SELECT unnest(w) AS w FROM t) u WHERE length(u.w) > 0),
+        |sc AS (
+        |  SELECT bg.doc_id, ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS logp
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |score AS (
+        |  SELECT doc_id, round(avg(logp), 4) AS avg_logp FROM sc GROUP BY doc_id),
+        |b AS (
+        |  SELECT d.doc_id, d.lang, s.avg_logp,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY s.avg_logp DESC NULLS LAST, d.doc_id) AS bucket
+        |  FROM documents d JOIN score s USING (doc_id))
+        |SELECT doc_id, lang, avg_logp, bucket,
+        |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+        |       ELSE 'middle' END AS tier
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // Replays BOTH rankings (q96's BM25 at k=10; q26-style cosine for
     // vec_id 1-3) and the exact-rational RRF fusion.

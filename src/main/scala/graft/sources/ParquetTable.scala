@@ -2572,6 +2572,66 @@ object ParquetTable {
     findings.toSeq.toDF("kind", "version", "detail")
   }
 
+  /** Right-to-be-forgotten purge (the GDPR verb): make every row matching
+    * `condition` irrecoverable from the table DIRECTORY, not merely
+    * absent from the current snapshot. The lakehouse's own guarantees
+    * work AGAINST erasure — time travel keeps old images readable, DVs
+    * mask rows without removing their bytes, and the change feed is a
+    * literal record of deleted rows — so purge composes the verbs:
+    *
+    *   1. copy-on-write [[delete]] (never the DV tier: matching bytes
+    *      must leave the data files, not hide behind a mask);
+    *   2. if the current version still reads through DVs, [[compact]] —
+    *      previously-DV-deleted rows' bytes (which may also match) leave
+    *      the kept files;
+    *   3. [[vacuum]](keepLast = 1): every pre-purge version's manifests
+    *      and data dirs are deleted — time travel to any pre-purge image
+    *      is gone by construction;
+    *   4. the change feed, if present, must be explicitly surrendered:
+    *      purge REFUSES when `_graft_changes` manifests exist unless
+    *      `dropChangeFeed = true` (then the whole feed is deleted) —
+    *      destroying a consumer-visible feed silently is worse than
+    *      making the caller say so;
+    *   5. VERIFY, don't trust: [[fsck]] must report clean and the
+    *      condition must match ZERO rows at every remaining version —
+    *      an erasure verb does not report success on faith.
+    *
+    * Returns the number of live rows erased. Scale shape: one pruned
+    * count + the delete's partition-scoped rewrite + (only if DVs exist)
+    * one compaction; verification is one metadata walk plus a pruned
+    * count per REMAINING version (exactly one after vacuum keepLast=1,
+    * plus any the purge itself committed).
+    */
+  def purge(
+      spark: SparkSession, path: String, condition: Column,
+      dropChangeFeed: Boolean = false): Long = {
+    currentVersion(spark, path).getOrElse(throw new IllegalStateException(
+      s"purge: no versioned table at $path"))
+    val fs = hadoopFs(spark, new Path(path))
+    val hasChanges = fs.exists(changesDir(path)) &&
+      fs.listStatus(changesDir(path)).nonEmpty
+    require(!hasChanges || dropChangeFeed,
+      s"purge: $path has a change feed (_graft_changes) — it records the " +
+        "very rows purge must erase. Pass dropChangeFeed = true to delete " +
+        "it with the history, or drain the feed first.")
+    val matched = read(spark, path).filter(condition).count()
+    if (matched > 0) delete(spark, path, condition)
+    if (dvDirs(spark, path, currentVersion(spark, path).get).nonEmpty)
+      compact(spark, path)
+    vacuum(spark, path, keepLast = 1)
+    if (hasChanges) { fs.delete(changesDir(path), true); () }
+    val findings = fsck(spark, path).collect()
+    require(findings.isEmpty,
+      s"purge: post-purge fsck reports ${findings.length} finding(s): " +
+        findings.take(3).mkString("; "))
+    versions(spark, path).foreach { v =>
+      val still = readAt(spark, path, v).filter(condition).count()
+      require(still == 0,
+        s"purge: version $v still matches $still row(s) after purge")
+    }
+    matched
+  }
+
   /** Fail fast (one linear key-count job across all snapshots) when any
     * snapshot holds a duplicated PK — see `changes` for why spurious
     * fan-out is worse than the probe's cost.

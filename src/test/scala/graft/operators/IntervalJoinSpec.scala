@@ -38,6 +38,34 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("keyed overlap: only same-key intervals pair; still equals brute force") {
+    val rnd = new scala.util.Random(13L)
+    def gen(n: Int, off: Long) = (0 until n).map { i =>
+      val s = rnd.nextLong(500L)
+      (off + i, s"u${rnd.nextInt(5)}", s, s + 1 + rnd.nextLong(80L))
+    }
+    val ls = gen(100, 0L); val rs = gen(100, 10000L)
+    val got = IntervalJoin.overlap(
+        ls.toDF("lid", "luser", "ls", "le"), "ls", "le",
+        rs.toDF("rid", "ruser", "rs", "re"), "rs", "re",
+        cellSize = 32L, keys = Seq(("luser", "ruser")))
+      .select("lid", "rid").as[(Long, Long)].collect()
+    val want = (for {
+      (lid, lu, s1, e1) <- ls; (rid, ru, s2, e2) <- rs
+      if lu == ru && s1 < e2 && s2 < e1
+    } yield (lid, rid)).toSet
+    assert(got.length === got.toSet.size, "duplicate pairs")
+    assert(got.toSet === want)
+    // unknown key column is refused with guidance
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.overlap(
+        ls.toDF("lid", "luser", "ls", "le"), "ls", "le",
+        rs.toDF("rid", "ruser", "rs", "re"), "rs", "re",
+        32L, keys = Seq(("nope", "ruser")))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("touching endpoints do not overlap; empty intervals match nothing") {
     val l = Seq((1L, 0L, 10L), (2L, 50L, 50L)).toDF("lid", "ls", "le")
     val r = Seq((10L, 10L, 20L), (11L, 5L, 6L), (12L, 40L, 60L))

@@ -89,6 +89,8 @@ QUERY_CLASS = {
     "q101_pq_ann": "linear",
     # cell equi-join prunes to nProbe/nCells of the codes per query
     "q102_ivfpq_ann": "linear",
+    # q89 scoring + per-lang ntile window
+    "q103_ccnet_buckets": "nlogn",
 }
 
 
