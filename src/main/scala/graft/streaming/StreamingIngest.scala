@@ -324,6 +324,74 @@ object StreamingIngest {
     * stream with a watermark or a batch frame; the batch twin is
     * oracle-checked as q31_sessions).
     */
+  /** Initialize a STREAMING ANN index dir: persist the frozen coarse
+    * centroids (from an offline [[graft.operators.IvfAnn.build]]) so
+    * [[embeddingStreamIndex]] batches and [[graft.operators.IvfAnn.load]]
+    * searches share one assignment. Centroids are frozen by design (the
+    * faiss practice — retrain offline and re-assign wholesale when drift
+    * matters); a streaming retrain would silently re-bucket old cells.
+    */
+  def initStreamIndex(
+      spark: SparkSession,
+      indexDir: String,
+      centroids: Array[Array[Float]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Streaming ANN index maintenance: embedding batches land in the SAME
+    * partitioned inverted-file layout [[graft.operators.IvfAnn.save]]
+    * uses, so the index stays continuously searchable while it grows —
+    * after any trigger, [[graft.operators.IvfAnn.load]] + `topK` serve
+    * queries with the cell equi-join's pruning intact. Assignment is the
+    * codegen'd NearestCells pass (the centroid matrix rides the stream's
+    * plan as one reference object). Exactly-once comes from the file
+    * sink's own transactional log: each batch's files turn visible
+    * atomically in `_spark_metadata`, plain reads of the dir go through
+    * that log (committed files only), and a restarted/redelivered batch
+    * re-commits nothing — no extra commit machinery needed.
+    *
+    * ALL vectors must arrive through the stream (the sink's log is the
+    * source of truth for the assigned dir; files written beside it are
+    * invisible to readers) — seed the index by dropping the initial
+    * corpus into `inputDir` as the first batch.
+    */
+  def embeddingStreamIndex(
+      spark: SparkSession,
+      inputDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): StreamingQuery = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("centroid_id")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(centroids.nonEmpty,
+      s"embeddingStreamIndex: no centroids at $indexDir/centroids — " +
+        "run initStreamIndex first")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(vecCol,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false),
+        nullable = true)))
+    spark.readStream.schema(schema).parquet(inputDir)
+      .select(col(idCol), col(vecCol),
+        element_at(graft.functions.VectorFunctions.nearestCells(
+          col(vecCol), centroids, 1), 1).as("centroid_id"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("centroid_id")
+      .format("parquet")
+      .option("path", s"$indexDir/assigned")
+      .start()
+  }
+
   def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), gap))

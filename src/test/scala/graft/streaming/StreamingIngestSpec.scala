@@ -376,4 +376,68 @@ class StreamingIngestSpec extends SparkSpec {
     assert(ParquetTable.currentVersion(spark, s"$root/view") === viewV)
     assert(viewState() === recompute())
   }
+
+  test("embeddingStreamIndex: streamed batches keep the IVF index searchable; " +
+    "search == batch-built index on the same centroids") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.operators.IvfAnn
+    val root = tmpDir("stream-ivf")
+    val in = s"$root/in"; val idx = s"$root/index"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = true)))
+    val rnd = new scala.util.Random(11)
+    def vecs(ids: Range) = ids.map { i =>
+      val base = Array.fill(8)(0.0f); base(i % 3) = 1.0f
+      Row(i.toLong, base.map(x => x + rnd.nextGaussian().toFloat * 0.05f).toSeq)
+    }
+    val part1 = frame(schema, vecs(0 until 40))
+    // centroids from an offline build over the initial corpus, then frozen
+    StreamingIngest.initStreamIndex(spark, idx,
+      IvfAnn.build(part1, "vec_id", "embedding", nCentroids = 3).centroids)
+
+    // the file source watches files directly under `in`: stage each
+    // batch and move its part files in with unique names
+    def drop(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val stage = s"$root/stage-$tag"
+      df.write.parquet(stage)
+      var i = 0
+      Files.list(Paths.get(stage)).forEach { f =>
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          Files.move(f, Paths.get(in, s"$tag-$i.parquet")); i += 1
+        }
+      }
+    }
+    drop(part1, "batch1")
+    StreamingIngest.embeddingStreamIndex(spark, in, idx, ckpt)
+      .awaitTermination()
+    val loaded = IvfAnn.load(spark, idx)
+    assert(loaded.assigned.count() === 40)
+    // same centroids → identical assignment → identical search results
+    val batchIdx = IvfAnn.Index(loaded.centroids,
+      part1.select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.element_at(
+          graft.functions.VectorFunctions.nearestCells(
+            org.apache.spark.sql.functions.col("embedding"),
+            loaded.centroids, 1), 1).as("centroid_id")))
+    val q = part1.filter("vec_id < 2")
+    def results(ix: IvfAnn.Index) =
+      IvfAnn.topK(ix, q, "vec_id", "embedding", k = 4, nProbe = 1)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(results(loaded) === results(batchIdx))
+
+    // second batch grows the index through the SAME checkpoint
+    drop(frame(schema, vecs(100 until 120)), "batch2")
+    StreamingIngest.embeddingStreamIndex(spark, in, idx, ckpt)
+      .awaitTermination()
+    assert(IvfAnn.load(spark, idx).assigned.count() === 60)
+    // redelivery: no new files → the file source re-commits nothing
+    StreamingIngest.embeddingStreamIndex(spark, in, idx, ckpt)
+      .awaitTermination()
+    assert(IvfAnn.load(spark, idx).assigned.count() === 60)
+  }
 }
