@@ -14,10 +14,16 @@ import graft.operators._
   *   1. line hygiene    — [[C4Filter]] (zero-shuffle line + doc gates)
   *   2. paragraph dedup — [[ParagraphDedup]] (corpus-wide first-occurrence)
   *   3. exact dedup     — [[TextDedup.exactDedup]] (normalized fingerprint)
-  *   4. quality gates   — [[graft.functions.expressions.RepetitionStats]]
+  *   4. decontamination — [[TextDedup.decontaminate]] against an optional
+  *                        held-out benchmark set (n-gram leakage; the
+  *                        embedding tier is [[Ann.decontaminateByEmbedding]]
+  *                        when the corpus carries vectors)
+  *   5. quality gates   — [[graft.functions.expressions.RepetitionStats]]
   *                        keep-gate + [[LmScore]] bottom-percentile cut
-  *   5. shard layout    — [[ShardLayout]] (seeded deterministic shuffle)
-  *   6. tokenizer       — [[BpeTrain]] over the SURVIVING corpus
+  *   6. mixture         — optional [[MixtureSample.toTemperature]] (T5
+  *                        c^alpha re-balancing over a grouping column)
+  *   7. shard layout    — [[ShardLayout]] (seeded deterministic shuffle)
+  *   8. tokenizer       — [[BpeTrain]] over the SURVIVING corpus
   *
   * Every stage is linear or candidate-bounded (see each operator's
   * scaladoc); the pipeline inherits determinism end-to-end — two runs
@@ -43,7 +49,11 @@ object CurationPipeline {
       lmCutQuantile: Double = 0.05,
       nShards: Int = 8,
       nMerges: Int = 16,
-      seed: String = "curation42"): Result = {
+      seed: String = "curation42",
+      bench: Option[DataFrame] = None,          // held-out (any id, text)
+      maxBenchOverlap: Double = 0.5,
+      mixBy: Option[(String, Double)] = None    // (group col in docs, alpha)
+  ): Result = {
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def mark(name: String, df: DataFrame): DataFrame = {
       stages += name -> df.count(); df
@@ -65,8 +75,16 @@ object CurationPipeline {
         .select(col("doc_id"), col("clean_text").as("text")))
 
     // 3. exact near-identical removal (normalized fingerprint, keep-first)
-    val exact = mark("exact_dedup",
+    val exact0 = mark("exact_dedup",
       TextDedup.exactDedup(paraDeduped, "doc_id", "text"))
+
+    // 3b. benchmark decontamination (only when a held-out set is given)
+    val exact = bench match {
+      case Some(b) => mark("decontaminate",
+        TextDedup.decontaminate(exact0, b, "doc_id", "text", "text",
+          maxOverlap = maxBenchOverlap))
+      case None => exact0
+    }
 
     // 4a. repetition-quality gate (Gopher signals)
     val repOk = mark("repetition_gate",
@@ -81,12 +99,25 @@ object CurationPipeline {
       repOk.join(scored.filter(col("avg_logp") >= cut)
         .select("doc_id"), Seq("doc_id"), "left_semi"))
 
-    // 5. deterministic shard layout
-    val sharded = ShardLayout.assign(quality, "doc_id", nShards, seed)
+    // 6. optional temperature re-balancing (group labels re-joined from
+    // the INPUT frame — intermediate stages carry only doc_id + text)
+    val mixed = mixBy match {
+      case Some((groupCol, alpha)) =>
+        mark(s"temperature_mix($groupCol, $alpha)",
+          MixtureSample.toTemperature(
+              quality.join(docs.select(col("doc_id"), col(groupCol)),
+                Seq("doc_id")),
+              groupCol, "doc_id", alpha)
+            .select(col("doc_id"), col("text")))
+      case None => quality
+    }
+
+    // 7. deterministic shard layout
+    val sharded = ShardLayout.assign(mixed, "doc_id", nShards, seed)
       .select(col("doc_id"), col("text"), col("shard"), col("pos"))
 
-    // 6. tokenizer trained on the CURATED corpus
-    val merges = BpeTrain.train(quality, "text", nMerges)
+    // 8. tokenizer trained on the CURATED corpus
+    val merges = BpeTrain.train(mixed, "text", nMerges)
 
     Result(sharded, merges, stages.toSeq)
   }

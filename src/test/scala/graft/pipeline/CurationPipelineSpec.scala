@@ -19,6 +19,31 @@ class CurationPipelineSpec extends SparkSpec {
 
   private lazy val result = run()
 
+  test("optional stages: benchmark decontamination drops leaked docs; " +
+    "temperature mix rebalances by lang") {
+    val docsWithLang = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("text", replace(col("text"), lit(" merge "), lit("\n")))
+      .select("doc_id", "text", "lang")
+    // held-out set = verbatim copies of some corpus docs → 100% overlap
+    val bench = docsWithLang.filter(col("doc_id") % 7 === 0).select("text")
+    val r = CurationPipeline.run(spark, docsWithLang,
+      minWordsPerLine = 4, blocklist = Seq("slow"), minLines = 1,
+      lmCutQuantile = 0.10, nShards = 4, nMerges = 6,
+      bench = Some(bench), mixBy = Some(("lang", 0.5)))
+    val funnel = r.funnel.toMap
+    assert(r.funnel.map(_._1).contains("decontaminate"))
+    assert(funnel("decontaminate") < funnel("exact_dedup"),
+      s"verbatim-leaked docs must drop: ${r.funnel}")
+    assert(r.funnel.map(_._1).contains("temperature_mix(lang, 0.5)"))
+    assert(funnel("temperature_mix(lang, 0.5)") <= funnel("lm_gate"))
+    assert(funnel("temperature_mix(lang, 0.5)") > 0)
+    // none of the leaked docs survive to the shards
+    val leaked = docsWithLang.filter(col("doc_id") % 7 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val out = r.corpus.select("doc_id").as[Long].collect().toSet
+    assert(out.intersect(leaked) === Set.empty)
+  }
+
   test("the funnel is observable, ordered, and monotone non-increasing") {
     val names = result.funnel.map(_._1)
     assert(names == Seq("input", "c4_filter", "para_dedup", "exact_dedup",
