@@ -23,11 +23,21 @@ import org.apache.spark.sql.types._
   */
 object Pq {
 
-  /** code[s] = argmin_j L2²(vec[s·dsub .. s·dsub+dsub), cb(s)(j)). */
+  private def requireDim(what: String, have: Int, need: Int): Unit =
+    if (have < need) throw new IllegalArgumentException(
+      s"pq: $what has $have element(s), codebook expects $need " +
+        "(m × dsub) — a ragged vector would silently quantize from a " +
+        "truncated slice; fix the data or retrain with matching m")
+
+  /** code[s] = argmin_j L2²(vec[s·dsub .. s·dsub+dsub), cb(s)(j)).
+    * Fails fast on vectors shorter than the codebook's m·dsub — a
+    * truncated slice would degenerate to centroid 0, never truncates.
+    */
   def encode(
       vec: ArrayData, cb: Array[Array[Array[Float]]],
       floatElems: Boolean): ArrayData = {
     val m = cb.length
+    requireDim("vector", vec.numElements(), cb.map(_.head.length).sum)
     val codes = new Array[Int](m)
     var s = 0
     var off = 0
@@ -41,7 +51,7 @@ object Pq {
         val c = cents(j)
         var d2 = 0.0
         var i = 0
-        while (i < dsub && off + i < vec.numElements()) {
+        while (i < dsub) {
           val x = if (floatElems) vec.getFloat(off + i).toDouble
                   else vec.getDouble(off + i)
           val d = x - c(i).toDouble
@@ -65,14 +75,16 @@ object Pq {
   def adot(
       query: ArrayData, codes: ArrayData, cb: Array[Array[Array[Float]]],
       floatElems: Boolean): Double = {
-    val m = math.min(cb.length, codes.numElements())
+    val m = cb.length
+    requireDim("query", query.numElements(), cb.map(_.head.length).sum)
+    requireDim("code", codes.numElements(), m)
     var s = 0
     var off = 0
     var acc = 0.0
     while (s < m) {
       val c = cb(s)(codes.getInt(s))
       var i = 0
-      while (i < c.length && off + i < query.numElements()) {
+      while (i < c.length) {
         val x = if (floatElems) query.getFloat(off + i).toDouble
                 else query.getDouble(off + i)
         acc += x * c(i).toDouble

@@ -77,6 +77,9 @@ object LmScore {
     * `nBuckets` equal tiers — bucket 1 ("head") = most fluent, last =
     * gibberish candidates. Ranking uses the ROUNDED (4-digit) score with
     * an id tiebreak, so the assignment is deterministic and replayable.
+    * Documents with no bigrams (0–1 tokens) still get a bucket: scoreBigram
+    * emits them with a null score, and desc_nulls_last ranks them at the
+    * very end — unscorable lands in "tail", never silently dropped.
     *
     * Scale note: ntile needs its group fully ordered — one sort chain
     * per language, the same single-task hazard as the exact mixture
@@ -94,10 +97,13 @@ object LmScore {
       nBuckets: Int = 3,
       maxGroupRows: Long = 10000000L): DataFrame = {
     require(nBuckets >= 2, s"perplexityBuckets: nBuckets $nBuckets < 2")
-    val scored = corpus.select(col(idCol), col(groupCol))
-      .join(scoreBigram(corpus, idCol, textCol, k), Seq(idCol))
+    // guard on the CORPUS group counts (one cheap count-by-group scan —
+    // scoreBigram emits exactly one row per corpus doc, so the corpus
+    // count IS the scored count), never on the scored frame: collecting
+    // over `scored` would run the whole bigram-scoring pipeline once for
+    // the guard and again for the returned plan
     if (maxGroupRows != Long.MaxValue) {
-      val worst = scored.groupBy(col(groupCol))
+      val worst = corpus.groupBy(col(groupCol))
         .agg(count(lit(1)).as("__n"))
         .orderBy(col("__n").desc).limit(1).collect()
       worst.headOption.foreach { r =>
@@ -108,6 +114,8 @@ object LmScore {
             "thresholds instead, or raise maxGroupRows to accept the sort.")
       }
     }
+    val scored = corpus.select(col(idCol), col(groupCol))
+      .join(scoreBigram(corpus, idCol, textCol, k), Seq(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(round(col("avg_logp"), 4).desc_nulls_last, col(idCol))

@@ -135,9 +135,15 @@ object PqAnn {
       rerank: Option[(DataFrame, Int)] = None): DataFrame = {
     val q = Broadcasting.broadcastIfSmall(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    // zero-norm rows (zero reconstruction, or a zero query vector) have
+    // no defined cosine — 0/0 = NaN would poison the heap ordering and
+    // diverge from the oracle's ORDER BY, so they are excluded up front
     val c = encoded.select(col(idCol).as("neighbor_id"),
-      col("pq_code").as("__code"), col("pq_norm").as("__rn"))
-    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+        col("pq_code").as("__code"), col("pq_norm").as("__rn"))
+      .filter(col("__rn") > 0.0)
+    val scored = q
+      .filter(VectorFunctions.dot(col("__qv"), col("__qv")) > 0.0)
+      .join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (pqDot(col("__qv"), col("__code"), cb) /
           (sqrt(VectorFunctions.dot(col("__qv"), col("__qv"))) * col("__rn")))
@@ -234,8 +240,12 @@ object PqAnn {
       .withColumn("__qc", VectorFunctions.dot(col("__qv"), col("__cvec")))
       .withColumn("__qn", sqrt(VectorFunctions.dot(col("__qv"), col("__qv"))))
       .drop("__cvec")
-    val scored = Broadcasting.broadcastIfSmall(q)
-      .join(index.encoded.withColumnRenamed(idCol, "neighbor_id"),
+    // zero norms excluded for the same reason as searchTopK: NaN cosines
+    // have no defined rank
+    val scored = Broadcasting
+      .broadcastIfSmall(q.filter(col("__qn") > 0.0))
+      .join(index.encoded.withColumnRenamed(idCol, "neighbor_id")
+          .filter(col("recon_norm") > 0.0),
         Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -1197,9 +1197,13 @@ object ParquetTable {
               combine.map(_(t, upd)).getOrElse(mergeFrames(t, upd, pk, evolveSchema))
             case None if combine.isDefined =>
               // all affected partitions are NEW: every source row is
-              // unmatched — the clause image against an empty target
+              // unmatched — the clause image against an empty frame of
+              // the TABLE schema, never upd.schema: the source may carry
+              // extra clause-only columns, and a committed dir with those
+              // columns would break every later multi-dir unionByName read
               combine.get(spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], upd.schema), upd)
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                tableSchema.getOrElse(readVersion(spark, path, v).schema)), upd)
             case None =>
               if (!evolveSchema) upd
               else tableSchema match {
@@ -2608,6 +2612,24 @@ object ParquetTable {
     currentVersion(spark, path).getOrElse(throw new IllegalStateException(
       s"purge: no versioned table at $path"))
     val fs = hadoopFs(spark, new Path(path))
+    // a shallow clone's CURRENT version reads the SOURCE's data dirs by
+    // absolute path — deleting/vacuuming here cannot touch those bytes,
+    // so a "successful" purge of such a clone would be a false erasure
+    // claim. Refuse: purge the SOURCE (and re-clone), or compact the
+    // clone first (compact materializes a local full image). Only the
+    // CURRENT version gates — older absolute-ref manifests are deleted
+    // wholesale by the vacuum(keepLast = 1) below, so nothing that
+    // SURVIVES this purge can reference foreign bytes.
+    currentVersion(spark, path).foreach { v =>
+      val dirs = partitionEntries(spark, path, v)
+        .map(_.map(_._2)).getOrElse(unpartitionedDirs(spark, path, v))
+      val foreign = dirs.filter(d => new Path(d).isAbsolute)
+      require(foreign.isEmpty,
+        s"purge: the current version of $path references data OUTSIDE " +
+          s"the table dir (shallow clone): ${foreign.head} — purging here " +
+          "cannot erase the source's bytes. Purge the source table, or " +
+          "compact this clone first to localize its data.")
+    }
     val hasChanges = fs.exists(changesDir(path)) &&
       fs.listStatus(changesDir(path)).nonEmpty
     require(!hasChanges || dropChangeFeed,

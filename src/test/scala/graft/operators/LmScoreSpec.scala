@@ -38,4 +38,21 @@ class LmScoreSpec extends SparkSpec {
     assert(got(0).getLong(1) == 0L && got(0).isNullAt(2))
     assert(got(1).getLong(1) == 1L && !got(1).isNullAt(2))
   }
+
+  test("perplexityBuckets: every doc gets a tier; unscorable docs land in tail, " +
+    "hot-group guard fires") {
+    val docs = ((1L to 9L).map(i => (i, s"the cat sat on mat $i", "en")) :+
+      ((10L, "loner", "en"))).toDF("doc_id", "text", "lang")
+    val out = LmScore.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .select("doc_id", "bucket", "tier").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out.size === 10, "no doc may be silently dropped")
+    assert(out(10L)._2 === "tail", s"null-score doc must rank last: $out")
+    assert(out.values.count(_._2 == "head") > 0)
+    val e = intercept[IllegalArgumentException] {
+      LmScore.perplexityBuckets(docs, "doc_id", "text", "lang",
+        maxGroupRows = 5L)
+    }
+    assert(e.getMessage.contains("lang=en"))
+  }
 }

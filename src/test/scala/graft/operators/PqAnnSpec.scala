@@ -174,6 +174,35 @@ class PqAnnSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("zero-norm rows are excluded from search, never NaN-ranked (review fix)") {
+    val c = corpus()
+    val withZero = c.union(frame(schema,
+      Seq(Row(999L, Seq.fill(8)(0.0f)))))
+    val cb = PqAnn.train(c, "vec_id", "embedding", m = 4, k = 8, maxIter = 1)
+    val enc = PqAnn.encode(withZero, "vec_id", "embedding", cb)
+    val out = PqAnn.searchTopK(enc, cb, withZero.filter("vec_id IN (0, 999)"),
+      "vec_id", "embedding", k = 5).collect()
+    // the zero QUERY yields no rows; the zero corpus row is never a neighbor
+    assert(out.forall(_.getLong(0) === 0L))
+    assert(out.forall(r => !r.getDouble(2).isNaN))
+    assert(!out.exists(_.getLong(1) === 999L) ||
+      PqAnn.encode(withZero.filter("vec_id = 999"), "vec_id", "embedding", cb)
+        .head().getDouble(2) > 0.0)
+  }
+
+  test("a ragged (short) vector fails fast naming the dimension, never truncates (review fix)") {
+    val c = corpus()
+    val cb = PqAnn.train(c, "vec_id", "embedding", m = 4, k = 8, maxIter = 0)
+    val ragged = frame(schema, Seq(Row(7777L, Seq.fill(6)(0.5f))))
+    val e = intercept[Exception] {
+      PqAnn.encode(ragged, "vec_id", "embedding", cb).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("codebook expects 8")),
+      s"got: ${msgs(e)}")
+  }
+
   test("dim not divisible by m / too few training rows fail fast") {
     val c = corpus()
     intercept[IllegalArgumentException] {

@@ -87,6 +87,23 @@ class PurgeSpec extends SparkSpec {
     assert(!rawIds(path).contains(1L))
   }
 
+  test("purge refuses a shallow clone: the source's bytes are unreachable (review fix)") {
+    val dir = tmpDir("purge-clone")
+    val src = s"$dir/src"; val clone = s"$dir/clone"
+    ParquetTable.create(Seq((1L, "pii"), (2L, "ok")).toDF("id", "v"), src)
+    ParquetTable.shallowClone(spark, src, clone)
+    val e = intercept[IllegalArgumentException] {
+      ParquetTable.purge(spark, clone, col("id") === 1L)
+    }
+    assert(e.getMessage.contains("shallow clone"))
+    // the bytes in the SOURCE are indeed still there — the refusal is honest
+    assert(rawIds(src).contains(1L))
+    // compacting the clone localizes its data; purge then succeeds
+    ParquetTable.compact(spark, clone)
+    assert(ParquetTable.purge(spark, clone, col("id") === 1L) === 1L)
+    assert(!rawIds(clone).contains(1L))
+  }
+
   test("purge of a no-match condition erases nothing but still truncates history") {
     val path = tmpDir("purge-nomatch") + "/t"
     ParquetTable.create(Seq((1L, "a")).toDF("id", "v"), path)

@@ -266,6 +266,37 @@ class ConditionalMergeSpec extends SparkSpec {
       Seq("id", "status", "bal"))
   }
 
+  test("source-only columns into a BRAND-NEW partition: the committed dir keeps " +
+    "the table schema (review fix)") {
+    val path = tmpDir("cmerge-newpart-srconly") + "/t"
+    ParquetTable.createVersioned(
+      Seq((1L, 10.0, "d1")).toDF("id", "bal", "day"), path, Seq("day"))
+    // all source rows land in NEW partition d9, with extra clause-only cols
+    Seq((7L, 70.0, "d9", true, 5.0))
+      .toDF("id", "bal", "day", "apply_it", "boost")
+      .createOrReplaceTempView("cm_newpart")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$path` AS t USING cm_newpart AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.apply_it THEN UPDATE SET bal = t.bal + s.boost
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // a leaked clause-only column would break this multi-dir unionByName read
+    val got = ParquetTable.read(spark, path)
+    assert(got.columns.toSeq === Seq("id", "bal", "day"))
+    assert(got.as[(Long, Double, String)].collect().toSet ===
+      Set((1L, 10.0, "d1"), (7L, 70.0, "d9")))
+    // and the new partition merges again without error
+    Seq((7L, 0.0, "d9", true, 2.0))
+      .toDF("id", "bal", "day", "apply_it", "boost")
+      .createOrReplaceTempView("cm_newpart2")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$path` AS t USING cm_newpart2 AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.apply_it THEN UPDATE SET bal = t.bal + s.boost""".stripMargin)
+    assert(ParquetTable.read(spark, path).filter(col("id") === 7L)
+      .select("bal").as[Double].head() === 72.0)
+  }
+
   test("conditions without explicit aliases fail at parse time with guidance") {
     val path = tmpDir("cmerge-alias") + "/t"
     seed(path)
