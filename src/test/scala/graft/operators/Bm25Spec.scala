@@ -47,4 +47,25 @@ class Bm25Spec extends SparkSpec {
   test("k bounds the result per query") {
     assert(run("spark tables", k = 1).length == 1)
   }
+
+  test("persisted index: topKIndexed == topK bit-for-bit; corpus pass amortized") {
+    val dir = tmpDir("bm25idx") + "/index"
+    Bm25.buildIndex(docs, "doc_id", "text", dir)
+    val queries = Seq((1L, "spark tables"), (2L, "tables join"))
+      .toDF("query_id", "qtext")
+    val direct = Bm25.topK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 4)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val indexed = Bm25.topKIndexed(spark, dir, queries, "query_id", "qtext", k = 4)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(indexed === direct)
+    // the index survives a fresh corpus-free search (amortization proof:
+    // no reference to `docs` anywhere in the indexed plan)
+    val plan = Bm25.topKIndexed(spark, dir,
+      queries, "query_id", "qtext", k = 2).queryExecution.optimizedPlan.toString
+    // index side reads parquet relations; the docs frame appears nowhere
+    assert(plan.contains("parquet") && !plan.contains("ExistingRDD"), plan)
+  }
 }
