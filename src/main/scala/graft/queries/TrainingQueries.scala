@@ -683,6 +683,59 @@ object TrainingQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Same retrieval through the PERSISTED index tier (Bm25.buildIndex
+    // → topKIndexed): the corpus tokenize+count pass is paid once at
+    // build; the search plan joins only the postings/doclens/termstats
+    // parquet — the serving shape for a static corpus. Same oracle as
+    // q96: the tiers are pinned bit-identical (Bm25Spec) and the driver
+    // re-proves it against DuckDB here.
+    "q104_bm25_indexed" -> ((s, d) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_bm25idx").toString
+      graft.operators.Bm25.buildIndex(
+        Tables.documents(s, d), "doc_id", "text", idx)
+      val queries = s.createDataFrame(Seq(
+        (1L, "table scan merge"), (2L, "vector batch"),
+        (3L, "customer order data"))).toDF("query_id", "qtext")
+      graft.operators.Bm25.topKIndexed(
+          s, idx, queries, "query_id", "qtext", k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // URL curation (operators/UrlOps.scala): canonicalize → dedup by
+    // canonical URL → cap 3 docs per domain by n_chars. URLs are
+    // synthesized deterministically from (source, doc_id) in four
+    // shapes — uppercase host + default port + tracking params +
+    // trailing slash, plain http:80, fragment variant, and a non-URL
+    // that must quarantine to NULL. Shapes 0 and 2 canonicalize to the
+    // SAME string, so dedup must collapse across mess variants. The
+    // oracle does NOT replay the regexes: it states the expected
+    // canonical form from the constituents — ground truth, not echo.
+    "q105_url_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val shape = expr("doc_id div 20") % 4
+      val n = (col("doc_id") % 10).cast("string")
+      val k = (col("doc_id") % 3).cast("string")
+      val url = when(shape === 0, concat(
+          lit("https://WWW."), col("source"), lit(".example.com:443/docs/"),
+          n, lit("/?utm_source=feed&id="), k))
+        .when(shape === 1, concat(
+          lit("http://"), col("source"), lit(".example.com:80/docs/"), n))
+        .when(shape === 2, concat(
+          lit("https://www."), col("source"), lit(".example.com/docs/"),
+          n, lit("?id="), k, lit("#frag")))
+        .otherwise(concat(lit("not a url "), col("doc_id").cast("string")))
+      val deduped = graft.operators.UrlOps.dedupByUrl(
+        docs.withColumn("url", url), "url", "doc_id")
+      graft.operators.UrlOps.capPerDomain(
+          deduped, "url", "doc_id", "n_chars", cap = 3)
+        .select(col("domain"), col("domain_rank"), col("doc_id"),
+          col("canonical_url"), col("n_chars"))
+        .orderBy(col("domain"), col("domain_rank"))
+    }),
+
     // Hybrid retrieval: BM25 lexical + embedding-cosine rankings fused
     // with Reciprocal Rank Fusion (operators/RankFusion.scala). Fused
     // scores are small sums of exact rationals → bit-deterministic
@@ -1685,6 +1738,72 @@ object TrainingQueries {
         |ORDER BY c.vec_id""".stripMargin,
 
     "q96_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |ad AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+        |q(query_id, qtext) AS (VALUES
+        |  (1, 'table scan merge'), (2, 'vector batch'),
+        |  (3, 'customer order data')),
+        |qt AS (SELECT query_id,
+        |         unnest(list_distinct(string_split_regex(lower(qtext), '\s+'))) AS term
+        |       FROM q),
+        |p AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+        |  FROM qt JOIN tf USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  JOIN dfq ON tf.term = dfq.term
+        |  CROSS JOIN nd CROSS JOIN ad),
+        |sc AS (SELECT query_id, doc_id, sum(s) AS score FROM p GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, score,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY score DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT query_id, rank, doc_id, round(score, 4) AS score
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Ground-truth canonical forms stated from the URL constituents
+    // (shapes 0 and 2 collapse; shape 3 quarantines), then the same
+    // min-id dedup + top-3-per-domain window.
+    "q105_url_curation" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars, source, ((doc_id // 20) % 4) AS shape
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_chars,
+        |    source || '.example.com' AS domain,
+        |    CASE WHEN shape = 1
+        |           THEN 'http://' || source || '.example.com/docs/'
+        |                || (doc_id % 10)::VARCHAR
+        |         WHEN shape IN (0, 2)
+        |           THEN 'https://www.' || source || '.example.com/docs/'
+        |                || (doc_id % 10)::VARCHAR || '?id='
+        |                || (doc_id % 3)::VARCHAR
+        |         ELSE NULL END AS canonical_url
+        |  FROM u),
+        |w AS (SELECT canonical_url, min(doc_id) AS doc_id FROM c
+        |      WHERE canonical_url IS NOT NULL GROUP BY 1),
+        |d AS (SELECT c.* FROM c
+        |      JOIN w ON c.canonical_url = w.canonical_url
+        |            AND c.doc_id = w.doc_id),
+        |r AS (SELECT domain, doc_id, canonical_url, n_chars,
+        |        row_number() OVER (PARTITION BY domain
+        |                           ORDER BY n_chars DESC, doc_id)
+        |          AS domain_rank
+        |      FROM d)
+        |SELECT domain, domain_rank, doc_id, canonical_url, n_chars
+        |FROM r WHERE domain_rank <= 3
+        |ORDER BY domain, domain_rank""".stripMargin,
+
+    // Indexed tier returns the identical result set — same oracle.
+    "q104_bm25_indexed" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
         |  FROM documents),
