@@ -2347,6 +2347,70 @@ object ParquetTable {
     }
   }
 
+  /** Delta-parity `GENERATE symlink_format_manifest`: export the CURRENT
+    * version's live data files as plain text manifests readable by
+    * Presto/Trino/Athena's SymlinkTextInputFormat — the interop tier the
+    * reference leans on when Athena queries its lakehouse tables
+    * (reference: README.md Athena section; Delta requires the same
+    * manifest generation for Athena/Presto reads). Layout matches Delta:
+    * `_symlink_format_manifest/manifest` for unpartitioned tables, one
+    * `_symlink_format_manifest/<partition-dir>/manifest` per partition
+    * otherwise, each listing fully-qualified file URIs one per line.
+    *
+    * Refused when the current version carries deletion vectors: a path
+    * list cannot express row-level deletes, and exporting the raw files
+    * would resurrect deleted rows (Delta refuses identically). Run
+    * [[compact]]/[[compactWhere]] first to materialize the DVs.
+    *
+    * The export is a snapshot, not a subscription: later commits +
+    * [[vacuum]] can remove files a stale manifest still lists —
+    * regenerate after write batches (Delta's auto-generate table
+    * property is this call in a commit hook). Stale partition manifests
+    * from earlier exports are removed wholesale (the whole export dir is
+    * rewritten), so dropped partitions do not linger as ghost listings.
+    *
+    * Returns (manifest file path, file count) per manifest written.
+    * Metadata-only: one listing per referenced data dir, no data I/O.
+    */
+  def generateSymlinkManifest(
+      spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"generateSymlinkManifest: no versioned table at $path"))
+    if (dvDirs(spark, path, v).nonEmpty) {
+      throw new IllegalStateException(
+        s"generateSymlinkManifest: version $v of $path carries deletion " +
+          "vectors; a symlink manifest lists whole files and would " +
+          "resurrect deleted rows. Run compact()/compactWhere() first.")
+    }
+    val root = new Path(path, "_symlink_format_manifest")
+    val fs = hadoopFs(spark, root)
+    fs.delete(root, true)
+    def dataFiles(dir: Path): Seq[String] =
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => fs.makeQualified(s.getPath).toUri.toString).sorted
+    def write(rel: String, files: Seq[String]): (String, Long) = {
+      val mf = new Path(root, rel)
+      val out = fs.create(mf, true)
+      try out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      (mf.toString, files.size.toLong)
+    }
+    partitionEntries(spark, path, v) match {
+      case None =>
+        val files = unpartitionedDirs(spark, path, v)
+          .flatMap(dd => dataFiles(new Path(path, dd)))
+        Seq(write("manifest", files))
+      case Some(entries) =>
+        entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (partDir, es) =>
+          val files = es.map(_._2).distinct.flatMap(dd =>
+            dataFiles(new Path(new Path(path, dd), partDir)))
+          write(s"$partDir/manifest", files)
+        }
+    }
+  }
+
   /** Partition-scoped compaction — Delta's `OPTIMIZE … WHERE` tier:
     * rewrite ONLY the partitions matching `predicate`, consolidating
     * their append-entry dir chains and materializing their deletion

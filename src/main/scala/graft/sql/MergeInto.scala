@@ -149,6 +149,9 @@ object GraftSql {
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val FsckStmt =
     """(?is)\s*FSCK\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  private val GenerateStmt =
+    ("""(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+""" +
+      """graft\s*\.\s*`([^`]+)`\s*;?\s*""").r
   private val CloneStmt =
     ("""(?is)\s*CREATE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+""" +
       """graft\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
@@ -188,6 +191,7 @@ object GraftSql {
       case HistoryStmt(path) => Some(GraftHistoryCommand(path))
       case DetailStmt(path) => Some(GraftDetailCommand(path))
       case FsckStmt(path) => Some(GraftFsckCommand(path))
+      case GenerateStmt(path) => Some(GraftGenerateManifestCommand(path))
       case _ => None
     }
 
@@ -782,6 +786,26 @@ case class GraftFsckCommand(path: String) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] =
     ParquetTable.fsck(session, path).collect().toSeq
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE graft.`path``: Delta's
+  * Presto/Athena interop verb (see [[ParquetTable.generateSymlinkManifest]]).
+  * One row per manifest file written — per partition for partitioned
+  * tables; the collect is metadata-sized by construction.
+  */
+case class GraftGenerateManifestCommand(path: String)
+    extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("manifest", StringType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    ParquetTable.generateSymlinkManifest(session, path)
+      .map { case (m, n) => Row(m, n) }
 }
 
 case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
