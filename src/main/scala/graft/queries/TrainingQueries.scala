@@ -704,6 +704,21 @@ object TrainingQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Exact duplicated-substring dedup (operators/SubstringDedup.scala,
+    // Lee et al. arXiv:2107.06499 ExactSubstr): every >=5-token span
+    // occurring twice corpus-wide is cut from ALL documents. The engine
+    // groups 64-bit gram fingerprints; the oracle groups the gram
+    // STRINGS themselves — so a fingerprint collision (or a broken fp)
+    // would hash-mismatch, making the fp≡string equivalence itself the
+    // thing under driver test.
+    "q106_substring_dedup" -> ((s, d) => {
+      graft.operators.SubstringDedup.removeDuplicatedSpans(
+          Tables.documents(s, d), "doc_id", "text", minLen = 5)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL curation (operators/UrlOps.scala): canonicalize → dedup by
     // canonical URL → cap 3 docs per domain by n_chars. URLs are
     // synthesized deterministically from (source, doc_id) in four
@@ -1768,6 +1783,39 @@ object TrainingQueries {
         |SELECT query_id, rank, doc_id, round(score, 4) AS score
         |FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Independent formulation: duplicated grams found by grouping the
+    // gram STRINGS (not the engine's fingerprints), same bounded-window
+    // coverage rule, string_agg re-join. ORDER BY pos inside string_agg
+    // keeps the re-join deterministic; all-covered docs coalesce to ''.
+    "q106_substring_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i - 1 AS pos, toks[i] AS term
+        |  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS q(i)),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         array_to_string(toks[i:i+4], ' ') AS gram
+        |  FROM t, LATERAL unnest(generate_series(1, len(toks) - 4)) AS q(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |ds AS (SELECT doc_id, pos, TRUE AS dup_start
+        |       FROM g JOIN dup USING (gram)),
+        |m AS (
+        |  SELECT tok.doc_id, tok.pos, tok.term,
+        |    max(CASE WHEN ds.dup_start THEN tok.pos END)
+        |      OVER (PARTITION BY tok.doc_id ORDER BY tok.pos
+        |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |      IS NOT NULL AS covered
+        |  FROM tok LEFT JOIN ds
+        |    ON tok.doc_id = ds.doc_id AND tok.pos = ds.pos)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  count(*) FILTER (WHERE covered)::BIGINT AS n_removed,
+        |  coalesce(string_agg(CASE WHEN NOT covered THEN term END, ' '
+        |                      ORDER BY pos), '') AS cleaned
+        |FROM m GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // Ground-truth canonical forms stated from the URL constituents
     // (shapes 0 and 2 collapse; shape 3 quarantines), then the same
