@@ -704,6 +704,22 @@ object TrainingQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // fastText-style hashed linear quality scoring (operators/
+    // HashClassifier.scala): every doc scored by a 64-bucket hashed
+    // bag-of-words model in ONE codegen'd map-only pass — no vocabulary
+    // broadcast, no shuffle. Integer milli-unit weights make the sums
+    // exact (order-independent), so the oracle rebuilds the identical
+    // weight table from the seed and replays per-token hash → bucket →
+    // weight → mean.
+    "q107_hash_classifier" -> ((s, d) => {
+      val w = graft.operators.HashClassifier.seededWeights("clf8", 64)
+      graft.operators.HashClassifier.score(
+          Tables.documents(s, d), "text", w)
+        .select(col("doc_id"), col("n_tokens"), col("bow_sum"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact duplicated-substring dedup (operators/SubstringDedup.scala,
     // Lee et al. arXiv:2107.06499 ExactSubstr): every >=5-token span
     // occurring twice corpus-wide is cut from ALL documents. The engine
@@ -1783,6 +1799,34 @@ object TrainingQueries {
         |SELECT query_id, rank, doc_id, round(score, 4) AS score
         |FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Replays HashedBowSum end-to-end: weight table from
+    // polyHash64('clf8|' || j) % 2001 - 1000 over j < 64, then per-token
+    // polyHash64 → % 64 bucket → weight join → exact BIGINT sum + mean.
+    "q107_hash_classifier" -> {
+      val parts = graft.functions.expressions.PolyHash64.Parts
+      val partCols = parts.zipWithIndex.map { case ((b, p), i) =>
+        s"${polyPartSql(b, p)} AS p$i"
+      }.mkString(",\n    ")
+      val hashExpr = parts.indices.map(i => s"p$i * ${1L << (i * 16)}")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+         |  FROM documents),
+         |tph AS (SELECT doc_id, $partCols FROM tok),
+         |tb AS (SELECT doc_id, (($hashExpr) % 64) AS b FROM tph),
+         |wseed AS (
+         |  SELECT j, 'clf8|' || j::VARCHAR AS t
+         |  FROM (SELECT unnest(generate_series(0, 63)) AS j)),
+         |wph AS (SELECT j, $partCols FROM wseed),
+         |wt AS (SELECT j, (($hashExpr) % 2001) - 1000 AS w FROM wph)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  sum(w)::BIGINT AS bow_sum,
+         |  round(sum(w)::DOUBLE / (1000.0 * count(*)), 6) AS score
+         |FROM tb JOIN wt ON tb.b = wt.j
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Independent formulation: duplicated grams found by grouping the
     // gram STRINGS (not the engine's fingerprints), same bounded-window
