@@ -58,6 +58,62 @@ object HashClassifier {
             (lit(1000.0) * col("n_tokens"))))
   }
 
+  /** A trained hashed-NB model: per-bucket log-odds weights in
+    * milli-units (feed straight into [[score]]/[[filterByScore]]) plus
+    * the class-prior bias, and the raw per-bucket counts for audit.
+    */
+  final case class NbModel(
+      weights: Array[Long],
+      biasMilli: Long,
+      counts: Array[(Long, Long)])
+
+  /** TRAIN the classifier: multinomial Naive Bayes over the same hashed
+    * buckets, Laplace-smoothed — w(j) = ln P(bucket j | pos) − ln
+    * P(bucket j | neg), quantized to milli-units. NB is the one
+    * classical text classifier whose training statistic is a pure COUNT
+    * aggregation, which is exactly what makes it right for a 100 TB
+    * engine: ONE explode + hash-aggregate by (bucket) with map-side
+    * combine — integer arithmetic end-to-end, so the trained model is
+    * bit-deterministic under any partitioning (a gradient-descent
+    * trainer's float sums are summation-order-dependent; its Spark
+    * formulation would not be replayable). The collect is `dim` rows —
+    * model-sized, not data-sized.
+    *
+    * `labelCol` must be boolean (positive class = true). Quantization
+    * is floor(x·1000 + 0.5) — explicitly NOT Math.round-on-negatives
+    * ambiguous; an external SQL engine replays it verbatim.
+    */
+  def trainNaiveBayes(
+      df: DataFrame, textCol: String, labelCol: String, dim: Int): NbModel = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val bucket = TextFunctions.polyHash64(col("term")) % dim
+    val rows = df
+      .select(col(labelCol).cast("boolean").as("pos"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .select(col("pos"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("c_neg"))
+      .collect()
+    val counts = Array.fill(dim)((0L, 0L))
+    rows.foreach(r =>
+      counts(r.getLong(0).toInt) = (r.getLong(1), r.getLong(2)))
+    val nPos = counts.map(_._1).sum
+    val nNeg = counts.map(_._2).sum
+    def logp(c: Long, n: Long): Double =
+      math.log((c + 1.0) / (n + dim.toDouble))
+    val w = counts.map { case (cp, cn) =>
+      math.floor((logp(cp, nPos) - logp(cn, nNeg)) * 1000.0 + 0.5).toLong
+    }
+    val docs = df.select(col(labelCol).cast("boolean").as("pos"))
+      .groupBy(col("pos")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val bias = math.floor(math.log(
+      (docs.getOrElse(true, 0L) + 1.0) / (docs.getOrElse(false, 0L) + 1.0))
+      * 1000.0 + 0.5).toLong
+    NbModel(w, bias, counts)
+  }
+
   /** Gate: keep documents whose mean weight clears `threshold` — the
     * quality-filter composition (`score` ≥ threshold ⇒ keep). Same
     * map-only shape: the gate evaluates inside the scan stage, nothing

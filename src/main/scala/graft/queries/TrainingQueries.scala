@@ -720,6 +720,23 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Distributed Naive-Bayes TRAINING over hashed buckets
+    // (HashClassifier.trainNaiveBayes): label = (lang = 'en'). The
+    // trained model — per-bucket counts and quantized log-odds — comes
+    // back as a 64-row frame. Integer count statistics make training
+    // bit-deterministic under any partitioning (spec-pinned); the
+    // oracle recomputes counts AND the floor(x·1000+0.5) quantization.
+    "q108_nb_train" -> ((s, d) => {
+      val m = graft.operators.HashClassifier.trainNaiveBayes(
+        Tables.documents(s, d).withColumn("is_en", col("lang") === "en"),
+        "text", "is_en", 64)
+      import s.implicits._
+      m.counts.zipWithIndex.map { case ((cp, cn), j) =>
+        (j.toLong, cp, cn, m.weights(j))
+      }.toSeq.toDF("bucket", "c_pos", "c_neg", "w_milli")
+        .orderBy(col("bucket"))
+    }),
+
     // Exact duplicated-substring dedup (operators/SubstringDedup.scala,
     // Lee et al. arXiv:2107.06499 ExactSubstr): every >=5-token span
     // occurring twice corpus-wide is cut from ALL documents. The engine
@@ -1799,6 +1816,43 @@ object TrainingQueries {
         |SELECT query_id, rank, doc_id, round(score, 4) AS score
         |FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Replays NB training: per-token bucket counts split by label,
+    // densified over all 64 buckets (zero-count buckets still carry a
+    // smoothed weight), then the exact floor(x*1000+0.5) quantization
+    // of the Laplace log-odds.
+    "q108_nb_train" -> {
+      val parts = graft.functions.expressions.PolyHash64.Parts
+      val partCols = parts.zipWithIndex.map { case ((b, p), i) =>
+        s"${polyPartSql(b, p)} AS p$i"
+      }.mkString(",\n    ")
+      val hashExpr = parts.indices.map(i => s"p$i * ${1L << (i * 16)}")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT (lang = 'en') AS pos,
+         |    unnest(string_split_regex(lower(text), '\\s+')) AS t
+         |  FROM documents),
+         |tph AS (SELECT pos, $partCols FROM tok),
+         |tb AS (SELECT pos, (($hashExpr) % 64) AS b FROM tph),
+         |c AS (
+         |  SELECT b,
+         |    count(*) FILTER (WHERE pos)::BIGINT AS c_pos,
+         |    count(*) FILTER (WHERE NOT pos)::BIGINT AS c_neg
+         |  FROM tb GROUP BY b),
+         |dense AS (
+         |  SELECT j AS bucket, coalesce(c_pos, 0)::BIGINT AS c_pos,
+         |    coalesce(c_neg, 0)::BIGINT AS c_neg
+         |  FROM (SELECT unnest(generate_series(0, 63)) AS j)
+         |  LEFT JOIN c ON c.b = j),
+         |tot AS (SELECT sum(c_pos)::DOUBLE AS n_pos,
+         |               sum(c_neg)::DOUBLE AS n_neg FROM dense)
+         |SELECT bucket, c_pos, c_neg,
+         |  floor((ln((c_pos + 1.0) / (n_pos + 64)) -
+         |         ln((c_neg + 1.0) / (n_neg + 64))) * 1000.0 + 0.5)::BIGINT
+         |    AS w_milli
+         |FROM dense CROSS JOIN tot
+         |ORDER BY bucket""".stripMargin
+    },
 
     // Replays HashedBowSum end-to-end: weight table from
     // polyHash64('clf8|' || j) % 2001 - 1000 over j < 64, then per-token

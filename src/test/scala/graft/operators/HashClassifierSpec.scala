@@ -69,6 +69,50 @@ class HashClassifierSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("trainNaiveBayes counts tokens per bucket exactly; totals reconcile") {
+    val df = Seq(
+      (true, "alpha alpha beta"),
+      (false, "beta gamma")
+    ).toDF("label", "text")
+    val m = HashClassifier.trainNaiveBayes(df, "text", "label", 8)
+    assert(m.counts(bucket("alpha"))._1 >= 2L)
+    assert(m.counts.map(_._1).sum == 3L) // pos tokens
+    assert(m.counts.map(_._2).sum == 2L) // neg tokens
+    // hand-check one weight: bucket of 'gamma' (assuming no collision
+    // with alpha/beta, which holds for these tokens at dim=8 -> verify)
+    val gb = bucket("gamma")
+    if (Seq("alpha", "beta").forall(t => bucket(t) != gb)) {
+      val expected = math.floor(
+        (math.log(1.0 / (3 + 8)) - math.log(2.0 / (2 + 8))) * 1000.0 + 0.5)
+      assert(m.weights(gb) == expected.toLong)
+    }
+  }
+
+  test("a trained model separates the classes it was trained on") {
+    val pos = (1 to 20).map(i => (true, s"good clean prose number $i"))
+    val neg = (1 to 20).map(i => (false, s"spam junk casino click $i"))
+    val df = scala.util.Random.shuffle(pos ++ neg).toDF("label", "text")
+    val m = HashClassifier.trainNaiveBayes(df, "text", "label", 64)
+    val scored = HashClassifier.score(df, "text", m.weights)
+      .select("label", "score")
+      .as[(Boolean, Double)].collect()
+    val posMin = scored.filter(_._1).map(_._2).min
+    val negMax = scored.filterNot(_._1).map(_._2).max
+    assert(posMin > negMax,
+      s"positive scores must dominate: posMin=$posMin negMax=$negMax")
+    assert(m.biasMilli == 0L) // balanced classes -> ln(21/21) = 0
+  }
+
+  test("training is partitioning-invariant (exact integer statistics)") {
+    val df = (1 to 50).map(i => (i % 3 == 0, s"tok$i word${i % 7} x$i"))
+      .toDF("label", "text")
+    val m1 = HashClassifier.trainNaiveBayes(df.repartition(1), "text", "label", 32)
+    val m2 = HashClassifier.trainNaiveBayes(df.repartition(7), "text", "label", 32)
+    assert(m1.weights.toSeq == m2.weights.toSeq)
+    assert(m1.biasMilli == m2.biasMilli)
+    assert(m1.counts.toSeq == m2.counts.toSeq)
+  }
+
   test("null text propagates null; empty text is ONE empty token (tokens convention)") {
     val df = frame(
       org.apache.spark.sql.types.StructType(Seq(
