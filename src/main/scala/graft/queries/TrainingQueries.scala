@@ -720,6 +720,30 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DLT-shape APPLY CHANGES INTO (sources/ApplyChanges.scala): events
+    // replayed as CDC — key user_id, sequence event_id, 'error' rows as
+    // tombstones — applied in DELIBERATELY reversed batches (high ids
+    // first, then low): every low-batch row is late and must be skipped
+    // per-key, so the final visible state equals the global
+    // latest-per-user with error-latest users tombstoned away. The
+    // oracle states that end state directly from the raw events.
+    "q109_apply_changes" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_ac").toString + "/t"
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      Seq(ev.filter(col("event_id") >= 5000),
+          ev.filter(col("event_id") < 5000)).foreach { b =>
+        graft.sources.ApplyChanges.applyInto(s, out, b,
+          Seq("user_id"), "event_id",
+          deleteWhen = Some(col("event_type") === "error"))
+      }
+      graft.sources.ApplyChanges.readApplied(s, out)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Distributed Naive-Bayes TRAINING over hashed buckets
     // (HashClassifier.trainNaiveBayes): label = (lang = 'en'). The
     // trained model — per-bucket counts and quantized log-odds — comes
@@ -1816,6 +1840,19 @@ object TrainingQueries {
         |SELECT query_id, rank, doc_id, round(score, 4) AS score
         |FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // End-state oracle: out-of-order application must converge to the
+    // global latest change per key, minus keys whose latest is a
+    // tombstone.
+    "q109_apply_changes" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value
+        |FROM latest WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
 
     // Replays NB training: per-token bucket counts split by label,
     // densified over all 64 buckets (zero-count buckets still carry a

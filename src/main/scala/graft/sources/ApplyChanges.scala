@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DLT-shape `APPLY CHANGES INTO` — CDC application with out-of-order
+  * tolerance (Databricks Delta Live Tables' apply_changes semantics):
+  * each batch of change rows is reduced to the LATEST change per key by
+  * a sequence column, then merged so that a change only lands if its
+  * sequence EXCEEDS the sequence already stored for that key. Late
+  * arrivals and redeliveries are skipped per-row, which gives the verb
+  * its two operational guarantees: batches may arrive in any order
+  * (states converge to the global latest), and re-applying a batch is a
+  * no-op (equal sequence keeps the stored row — idempotence without a
+  * txn marker).
+  *
+  * `deleteWhen` marks tombstones. A winning tombstone is STORED, not
+  * physically removed — `__tombstone = true` rows keep the per-key
+  * sequence watermark committed, so a change arriving LATE for a
+  * deleted key is recognized as stale instead of resurrecting it (the
+  * reason DLT's backing table retains tombstones behind its view).
+  * [[readApplied]] is the consumer view: tombstones filtered, marker
+  * dropped. Tombstoned bytes still exist until [[ParquetTable.purge]] —
+  * CDC delete is ordering state, purge is erasure.
+  *
+  * Scale shape: one window over the batch (keyed shuffle of the BATCH,
+  * not the table), then [[ParquetTable.merge]]'s partition-scoped
+  * rewrite with a single full-outer join per affected slice — the
+  * combine hook composes with the manifest/CAS commit machinery, so
+  * concurrency, time travel and fsck all hold for CDC-applied tables.
+  *
+  * Partitioned targets require `partitionColumns ⊆ keys`: the merge
+  * rewrites only the partitions the batch names, so a change that MOVED
+  * a key between partitions would strand the key's old row in an
+  * untouched partition (the same hazard ParquetTable.update refuses for
+  * partition-column SETs) — refused up front with guidance.
+  */
+object ApplyChanges {
+
+  /** Stored beside the data columns; true = the key's latest change was
+    * a delete.
+    */
+  val TombstoneCol = "__tombstone"
+
+  def applyInto(
+      spark: SparkSession,
+      path: String,
+      changes: DataFrame,
+      keys: Seq[String],
+      sequenceCol: String,
+      deleteWhen: Option[Column] = None,
+      partitionColumns: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "applyInto: empty key list")
+    require(!keys.contains(sequenceCol),
+      s"applyInto: sequence column '$sequenceCol' cannot be a key")
+    require(!changes.columns.contains(TombstoneCol),
+      s"applyInto: change frame already carries '$TombstoneCol'")
+    require(partitionColumns.forall(keys.contains), "applyInto: partitioned " +
+      s"targets need partition columns within the keys (got partitions " +
+      s"${partitionColumns.mkString(",")} vs keys ${keys.mkString(",")}): " +
+      "the merge is partition-scoped, so a key moving between partitions " +
+      "would strand its old row; repartition the table or widen the keys")
+
+    // duplicate (keys, sequence) has no defined application order — the
+    // "latest" row would be a partitioning accident. Fail fast, naming
+    // an offender.
+    val dup = changes.groupBy((keys :+ sequenceCol).map(col): _*)
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).head(1)
+    if (dup.nonEmpty) {
+      throw new IllegalArgumentException(
+        "applyInto: duplicate (key, sequence) in the change batch — " +
+          s"first offender: ${dup(0).toSeq.init.mkString("(", ",", ")")}; " +
+          "application order would be undefined. Deduplicate upstream or " +
+          "refine the sequence column.")
+    }
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(sequenceCol).desc)
+    val latest = changes
+      .withColumn(TombstoneCol, deleteWhen.getOrElse(lit(false)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    if (!ParquetTable.exists(spark, path)) {
+      ParquetTable.merge(spark, path, latest, keys, partitionColumns)
+      return
+    }
+
+    val tableCols = ParquetTable.read(spark, path).columns.toSeq
+    require(tableCols.contains(sequenceCol),
+      s"applyInto: target $path lacks the sequence column '$sequenceCol' " +
+        "— APPLY CHANGES targets store it as the per-key watermark")
+    require(tableCols.contains(TombstoneCol),
+      s"applyInto: target $path lacks '$TombstoneCol' — not an APPLY " +
+        "CHANGES target (create it through applyInto)")
+    require(tableCols.toSet == latest.columns.toSet,
+      s"applyInto: change columns ${latest.columns.sorted.mkString(",")} " +
+        s"must match target columns ${tableCols.sorted.mkString(",")}")
+
+    val combine: (DataFrame, DataFrame) => DataFrame = (target, src) => {
+      val joined = target.as("t").join(src.as("s"), keys, "full_outer")
+      val sSeq = col(s"s.$sequenceCol")
+      val tSeq = col(s"t.$sequenceCol")
+      // strict '>' is the contract: equal sequence keeps the stored row
+      // (idempotent redelivery), older is a late arrival
+      val srcWins = sSeq.isNotNull && (tSeq.isNull || sSeq > tSeq)
+      joined.select(tableCols.map { c =>
+        if (keys.contains(c)) col(c)
+        else when(srcWins, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+      }: _*)
+    }
+    ParquetTable.merge(spark, path, latest, keys, partitionColumns,
+      combine = Some(combine))
+  }
+
+  /** The consumer view of an APPLY CHANGES target: live rows only,
+    * marker dropped. Tombstones stay in the backing table as the
+    * ordering watermark (see class doc).
+    */
+  def readApplied(spark: SparkSession, path: String): DataFrame =
+    ParquetTable.read(spark, path)
+      .filter(!col(TombstoneCol)).drop(TombstoneCol)
+}
