@@ -91,6 +91,20 @@ QUERY_CLASS = {
     "q102_ivfpq_ann": "linear",
     # q89 scoring + per-lang ntile window
     "q103_ccnet_buckets": "nlogn",
+    # first run pays the linear index build; steady state is
+    # query-side posting joins over a fixed query set
+    "q104_bm25_indexed": "linear",
+    # canonicalize map + exact-dedup window + domain-cap window
+    "q105_url_curation": "nlogn",
+    # two shuffles (by fingerprint, by doc) + bounded per-doc windows —
+    # duplicated-span mass is candidate-bounded like the gram joins
+    "q106_substring_dedup": "cand",
+    # codegen'd map-only scoring pass, plan-asserted no-Exchange
+    "q107_hash_classifier": "linear",
+    # one explode + hash-agg of integer count statistics
+    "q108_nb_train": "linear",
+    # latest-change-per-key reduce + full-outer merge commit
+    "q109_apply_changes": "commit",
 }
 
 
