@@ -236,21 +236,29 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }
     spark.stop()
-    // stdout carries ONE COMPACT line sized to fit the driver's tail cap
-    // whole: millisecond-rounded timings, and extras only if they still
-    // fit — emitted after spark.stop() so nothing can follow it on stdout.
-    def r3(v: Double) = if (v < 0) "-1.0"
-      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs3 = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    // stdout carries ONE COMPACT line that MUST fit the driver's
+    // 2,000-byte stdout tail whole (with room for a trailing sbt
+    // "[success]" line): round 8's line used full query names + 3
+    // decimals and overflowed the tail — "parsed": null. Short keys
+    // (the qNN prefix — unique by construction, verified below, full
+    // name kept on any collision), 2-decimal timings, extras only if
+    // they still fit, and a final keys-only fallback guarantee <1900.
+    // Emitted after spark.stop() so nothing can follow it on stdout.
+    def r2(v: Double) = if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val shortOk = results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size
+    def key(k: String) = if (shortOk) k.takeWhile(_ != '_') else k
+    val qs2 = results.map { case (k, v) => "\"" + key(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    val ex3 = ex.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val ex2 = ex.map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    def compact(withExtras: Boolean) = {
-      val e = if (withExtras) s""","extras":$ex3""" else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3$e,"sf":"$sfDir"}"""
+    def compact(withExtras: Boolean, withQueries: Boolean = true) = {
+      val e = if (withExtras) s""","extras":$ex2""" else ""
+      val q = if (withQueries) s""","queries":$qs2""" else ""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec"$q$e,"sf":"$sfDir"}"""
     }
-    val full = compact(withExtras = true)
-    println(if (full.length <= 1950) full else compact(withExtras = false))
+    val candidates = Seq(compact(true), compact(false), compact(false, false))
+    println(candidates.find(_.length <= 1900).getOrElse(candidates.last))
   }
 
   /** Supplementary scale measurements, reported beside (not inside) the

@@ -108,7 +108,11 @@ object Bm25 {
       dl.cache()
       try {
         dl.write.mode("overwrite").parquet(s"$dir/doclens")
-        val n = dl.count().toDouble
+        // N must be the same statistic [[topK]] uses (docs.count(), i.e.
+        // ALL docs including null/empty-text ones), not dl.count() (docs
+        // with >=1 token) — otherwise the two tiers compute different idf
+        // on corpora containing tokenless rows
+        val n = docs.count().toDouble
         val avgdl = dl.agg(avg(col("dl"))).head.getDouble(0)
         Seq((n, avgdl)).toDF("n", "avgdl")
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")

@@ -15,14 +15,28 @@ import org.apache.spark.sql.functions._
   * vocabulary size.
   *
   * Scale shape — three linear passes, no per-doc state beyond its own
-  * bigrams:
-  *   1. bigram + context counts: explode adjacent word pairs → two
-  *      groupBys (map-side partials; the frames are vocab²- and
+  * bigrams, and NOTHING string-keyed ever shuffles (the
+  * [[SubstringDedup]] gram-fp discipline): each bigram is reduced to a
+  * 64-bit xxhash fingerprint inside the per-doc map pass, so every
+  * shuffle/join below keys on 8-byte longs instead of word-pair strings
+  * — on text corpora that is most of the shuffle bytes:
+  *   1. bigram + context counts: explode adjacent pair FINGERPRINTS →
+  *      two groupBys (map-side partials; the frames are vocab²- and
   *      vocab-bounded, corpus-independent once counts saturate);
-  *   2. V: one scalar distinct-count, broadcast as a literal cross join
-  *      of a 1-row aggregate;
-  *   3. score: doc bigrams equi-join the count frames on their keys,
-  *      then a per-doc mean — one shuffle keyed by bigram, one by doc.
+  *   2. V: one scalar distinct-count over word fingerprints, broadcast
+  *      as a literal cross join of a 1-row aggregate;
+  *   3. score: doc bigram fps equi-join the count frames on their fp
+  *      keys, then a per-doc mean — one shuffle keyed by fp, one by doc.
+  *
+  * Fingerprint collisions merge two distinct bigrams' (or words')
+  * counts, perturbing only those items' smoothed probabilities: with B
+  * distinct bigrams the expected number of colliding pairs is ≈
+  * B²/2⁶⁵ — at B = 10⁹ (far past 100 TB text vocab saturation) that is
+  * ~0.03 expected collisions corpus-wide, and a single collision shifts
+  * one bigram's logp by at most ln((c+c'+k)/(c+k)). Same acceptance as
+  * [[SubstringDedup]]'s gram fps; the DuckDB oracle groups the bigram
+  * STRINGS, so the driver's hash compare itself certifies the
+  * collision-free equivalence at test scale.
   *
   * Scoring the training corpus itself (as here) guarantees every scored
   * bigram was seen; the smoothing term still shapes the distribution and
@@ -44,26 +58,34 @@ object LmScore {
     val toks = split(lower(col(textCol)), "\\s+")
     val n = size(toks)
     val idx = when(n > 1, sequence(lit(1), n - 1)).otherwise(array())
+    // fingerprints computed INSIDE the map pass — the exploded frame
+    // carries only (id, f1 = fp(w1), f2 = fp(w1,w2)); bigram strings
+    // never reach a shuffle. xxhash64 folds per-VALUE (not a string
+    // concat), so ("ab","c") and ("a","bc") fingerprint differently.
     val docBigrams = corpus.select(
       col(idCol),
       explode_outer(transform(idx, i =>
-        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+        struct(
+          xxhash64(element_at(toks, i)).as("f1"),
+          xxhash64(element_at(toks, i), element_at(toks, i + 1)).as("f2"))))
         .as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(col(idCol), col("bg.f1").as("f1"), col("bg.f2").as("f2"))
 
-    val pairCounts = docBigrams.filter(col("w1").isNotNull)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val ctxCounts = pairCounts.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    // f2 is null exactly where explode_outer emitted the no-bigram row
+    // (docs with < 2 tokens) — the old w1.isNotNull condition
+    val pairCounts = docBigrams.filter(col("f2").isNotNull)
+      .groupBy(col("f1"), col("f2")).agg(count(lit(1)).as("c2"))
+    val ctxCounts = pairCounts.groupBy(col("f1")).agg(sum(col("c2")).as("c1"))
     val vocab = corpus
       .select(explode(toks).as("w")).filter(length(col("w")) > 0)
-      .agg(count_distinct(col("w")).as("v"))
+      .agg(count_distinct(xxhash64(col("w"))).as("v"))
 
     docBigrams
-      .join(pairCounts, Seq("w1", "w2"), "left")
-      .join(ctxCounts, Seq("w1"), "left")
+      .join(pairCounts.select(col("f2"), col("c2")), Seq("f2"), "left")
+      .join(ctxCounts, Seq("f1"), "left")
       .crossJoin(vocab)
       .withColumn("logp",
-        when(col("w1").isNotNull,
+        when(col("f2").isNotNull,
           log((coalesce(col("c2"), lit(0L)) + lit(k)) /
             (coalesce(col("c1"), lit(0L)) + lit(k) * col("v")))))
       .groupBy(col(idCol))

@@ -213,6 +213,56 @@ object PqAnn {
     IvfPqIndex(ivf.centroids, cb, encoded)
   }
 
+  /** Persist an IVF-PQ index: cells and codebook as tiny parquets
+    * (model-sized — nCells·dim and m·k·dsub floats), the ENCODED corpus
+    * partitioned by `centroid_id` — so [[searchIvfPq]] over the loaded
+    * index prunes its cell equi-join to exactly the probed cells'
+    * partition directories at scan time (the [[IvfAnn.save]] layout, at
+    * PQ-code footprint: m ints + a double per vector instead of dim
+    * floats). Build once per corpus version; serve searches from the
+    * layout.
+    */
+  def saveIvfPq(
+      spark: org.apache.spark.sql.SparkSession, index: IvfPqIndex, dir: String): Unit = {
+    import spark.implicits._
+    index.cells.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cells")
+    val cbRows = for {
+      s <- 0 until index.cb.m
+      j <- 0 until index.cb.k
+    } yield (s, j, index.cb.sub(s)(j).toSeq)
+    cbRows.toDF("sub", "cent", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    // cluster rows onto their cells first: one file per cell instead of
+    // every task writing into every cell directory
+    index.encoded.repartition(col("centroid_id"))
+      .write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"$dir/encoded")
+  }
+
+  /** Reload a [[saveIvfPq]]-persisted index. The encoded side comes back
+    * partition-pruned: [[searchIvfPq]]'s centroid_id equi-join lets Spark
+    * skip every unprobed cell directory (spec-asserted via the plan's
+    * partition filters).
+    */
+  def loadIvfPq(
+      spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex = {
+    val cells = spark.read.parquet(s"$dir/cells")
+      .orderBy(col("centroid_id")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val cbRows = spark.read.parquet(s"$dir/codebook")
+      .orderBy(col("sub"), col("cent")).collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val k = cbRows.map(_.getInt(1)).max + 1
+    val sub = Array.ofDim[Array[Float]](m, k)
+    cbRows.foreach { r =>
+      sub(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+    }
+    IvfPqIndex(cells, Codebook(sub), spark.read.parquet(s"$dir/encoded"))
+  }
+
   /** ADC top-k probing the `nProbe` nearest cells: queries explode to
     * (query, cell) and EQUI-join the coded corpus on centroid_id — the
     * same pruning join as [[IvfAnn.topK]] (partition-prunable when the
@@ -240,11 +290,20 @@ object PqAnn {
       .withColumn("__qc", VectorFunctions.dot(col("__qv"), col("__cvec")))
       .withColumn("__qn", sqrt(VectorFunctions.dot(col("__qv"), col("__qv"))))
       .drop("__cvec")
+    // static cell pruning: the probed cell set is at most nCells ids no
+    // matter how large the query batch (distinct over the probe column),
+    // so collecting it is model-sized — and the isin literal becomes a
+    // PARTITION FILTER over a [[saveIvfPq]] layout: the scan reads only
+    // the probed cells' directories (spec-asserted; no reliance on
+    // runtime dynamic partition pruning firing).
+    val probed = q.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
     // zero norms excluded for the same reason as searchTopK: NaN cosines
     // have no defined rank
     val scored = Broadcasting
       .broadcastIfSmall(q.filter(col("__qn") > 0.0))
       .join(index.encoded.withColumnRenamed(idCol, "neighbor_id")
+          .filter(col("centroid_id").isin(probed: _*))
           .filter(col("recon_norm") > 0.0),
         Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))

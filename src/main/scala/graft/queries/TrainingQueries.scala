@@ -457,6 +457,31 @@ object TrainingQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Same search through the PERSISTED index tier (PqAnn.saveIvfPq →
+    // loadIvfPq → searchIvfPq): the encoded corpus is written PARTITIONED
+    // BY centroid_id, so the probe equi-join prunes to exactly the probed
+    // cells' directories at scan time (plan-asserted in IvfPqPersistSpec).
+    // Build amortizes like q104's BM25 index: once per corpus version,
+    // keyed on (dir, row count). Same oracle as q102 — the tiers are
+    // pinned bit-identical and the driver re-proves it against DuckDB.
+    "q110_ivfpq_persisted" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val nVecs = emb.count()
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivfpq_${math.abs(d.hashCode)}_$nVecs").toString
+      if (!new java.io.File(s"$dir/encoded").exists()) {
+        val idx = graft.operators.PqAnn.buildIvfPq(emb, "vec_id", "embedding",
+          nCells = 4, m = 8, k = 8, cellIter = 0, pqIter = 0, trainRows = 8)
+        graft.operators.PqAnn.saveIvfPq(s, idx, dir)
+      }
+      graft.operators.PqAnn.searchIvfPq(
+          graft.operators.PqAnn.loadIvfPq(s, dir),
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Gopher-style repetition filter (Rae et al. 2021 table A1). The
     // corpus has no newlines, so each document first gets a deterministic
     // "lined" form — its first 40 chars appended twice as injected
@@ -692,13 +717,17 @@ object TrainingQueries {
     "q104_bm25_indexed" -> ((s, d) => {
       // the index is PERSISTED state: build once per corpus dir, then
       // every later search (including this query's re-runs) pays only
-      // the query-side joins — that is the tier's contract
+      // the query-side joins — that is the tier's contract. The cache
+      // key includes the corpus ROW COUNT, not just the path: if the
+      // data at the same path is regenerated (e.g. rebuilt at another
+      // scale factor in place), the stale index must not be reused.
+      val corpus = Tables.documents(s, d)
+      val nDocs = corpus.count()
       val idx = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        s"graft_bm25idx_${math.abs(d.hashCode)}").toString
+        s"graft_bm25idx_${math.abs(d.hashCode)}_$nDocs").toString
       if (!new java.io.File(s"$idx/meta").exists()) {
-        graft.operators.Bm25.buildIndex(
-          Tables.documents(s, d), "doc_id", "text", idx)
+        graft.operators.Bm25.buildIndex(corpus, "doc_id", "text", idx)
       }
       val queries = s.createDataFrame(Seq(
         (1L, "table scan merge"), (2L, "vector batch"),
@@ -1025,7 +1054,14 @@ object TrainingQueries {
        |SELECT id AS doc_id, min(r) AS component, min(r) = id AS is_canonical
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** Persisted tiers are pinned bit-identical to their in-memory twins,
+    * so they share the twin's oracle — the driver re-proves the
+    * equivalence against DuckDB instead of trusting the spec pin.
+    */
+  lazy val oracles: Map[String, String] = oraclesBase +
+    ("q110_ivfpq_persisted" -> oraclesBase("q102_ivfpq_ann"))
+
+  private val oraclesBase: Map[String, String] = Map(
     "q64_decontaminate" ->
       s"""WITH bench AS (
          |  SELECT DISTINCT unnest(${gramsSql("text")}) AS gram

@@ -77,8 +77,12 @@ object ApplyChanges {
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(sequenceCol).desc)
+    // a deleteWhen that evaluates to NULL (e.g. col("op") === "D" with a
+    // null op) is NOT a delete — coalesce to false, else readApplied's
+    // `!__tombstone` filter would silently hide the row as if tombstoned
     val latest = changes
-      .withColumn(TombstoneCol, deleteWhen.getOrElse(lit(false)))
+      .withColumn(TombstoneCol,
+        coalesce(deleteWhen.getOrElse(lit(false)), lit(false)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
 

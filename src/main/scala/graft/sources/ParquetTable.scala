@@ -2706,7 +2706,14 @@ object ParquetTable {
       compact(spark, path)
     vacuum(spark, path, keepLast = 1)
     if (hasChanges) { fs.delete(changesDir(path), true); () }
-    val findings = fsck(spark, path).collect()
+    // orphan_dir/orphan_dv are bytes NO live version references — an
+    // in-flight concurrent writer's uncommitted staging dirs show up as
+    // exactly that kind. They cannot hold rows any reader reaches, so
+    // they do not affect erasure; failing on them would report failure
+    // for a purge that actually succeeded (after destructively deleting
+    // history). Gate only on findings that break live-version integrity.
+    val findings = fsck(spark, path)
+      .filter(!col("kind").isin("orphan_dir", "orphan_dv")).collect()
     require(findings.isEmpty,
       s"purge: post-purge fsck reports ${findings.length} finding(s): " +
         findings.take(3).mkString("; "))
