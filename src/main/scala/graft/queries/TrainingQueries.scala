@@ -779,6 +779,32 @@ object TrainingQueries {
         .orderBy(col("user_id"))
     }),
 
+    // APPLY CHANGES ... STORED AS SCD TYPE 2 (ApplyChanges.applyIntoScd2):
+    // the same out-of-order CDC stream as q109, but the target keeps the
+    // full per-key version HISTORY as validity intervals — __START_AT =
+    // the change's sequence, __END_AT = the key's next change, 'error'
+    // rows stored as hidden tombstones that close the preceding interval.
+    // The stream is applied OUT OF ORDER (later half first), so the green
+    // hash also certifies the order-independence of the stored history.
+    // The oracle folds the interval history from the raw change stream
+    // with one window pass.
+    "q111_apply_changes_scd2" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_ac2").toString + "/t"
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      Seq(ev.filter(col("event_id") >= 5000),
+          ev.filter(col("event_id") < 5000)).foreach { b =>
+        graft.sources.ApplyChanges.applyIntoScd2(s, out, b,
+          Seq("user_id"), "event_id",
+          deleteWhen = Some(col("event_type") === "error"))
+      }
+      graft.sources.ApplyChanges.readScd2(s, out)
+        .select(col("user_id"), col("__START_AT"), col("__END_AT"),
+          col("event_type"), col("value"), col("is_current"))
+        .orderBy(col("user_id"), col("__START_AT"))
+    }),
+
     // Distributed Naive-Bayes TRAINING over hashed buckets
     // (HashClassifier.trainNaiveBayes): label = (lang = 'en'). The
     // trained model — per-bucket counts and quantized log-odds — comes
@@ -1895,6 +1921,22 @@ object TrainingQueries {
         |SELECT user_id, event_id, event_type, value
         |FROM latest WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+
+    // SCD2 interval history from the raw change stream: every (user,
+    // event) observation opens an interval at its own sequence and
+    // closes at the user's next change; tombstones ('error') close the
+    // preceding interval and are hidden from the view.
+    "q111_apply_changes_scd2" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    (event_type = 'error') AS tomb,
+        |    lead(event_id) OVER (PARTITION BY user_id
+        |                         ORDER BY event_id) AS end_at
+        |  FROM events)
+        |SELECT user_id, event_id AS "__START_AT", end_at AS "__END_AT",
+        |  event_type, value, (end_at IS NULL) AS is_current
+        |FROM iv WHERE NOT tomb
+        |ORDER BY user_id, "__START_AT"""".stripMargin,
 
     // Replays NB training: per-token bucket counts split by label,
     // densified over all 64 buckets (zero-count buckets still carry a

@@ -125,4 +125,126 @@ object ApplyChanges {
   def readApplied(spark: SparkSession, path: String): DataFrame =
     ParquetTable.read(spark, path)
       .filter(!col(TombstoneCol)).drop(TombstoneCol)
+
+  // ---- SCD type-2 storage (DLT `stored_as_scd_type = 2`) ------------------
+
+  /** Interval start: the change's sequence value (DLT's column name). */
+  val StartCol = "__START_AT"
+
+  /** Interval end: the NEXT change's sequence for the key, null while
+    * open (DLT's column name).
+    */
+  val EndCol = "__END_AT"
+
+  /** `APPLY CHANGES ... STORED AS SCD TYPE 2`: instead of keeping only
+    * each key's latest row, the target stores the key's full version
+    * HISTORY as validity intervals — one row per distinct (key,
+    * sequence) observation, valid from its own sequence ([[StartCol]])
+    * until the key's next change ([[EndCol]], null for the open
+    * interval). A `deleteWhen` change row is stored as a tombstone
+    * observation: it CLOSES the preceding interval (its sequence becomes
+    * that row's [[EndCol]]) and is itself hidden from [[readScd2]], so a
+    * deleted key has no open interval — and a later re-insert simply
+    * opens a new one.
+    *
+    * Out-of-order and redelivery guarantees are STRONGER than type 1's:
+    * the stored state is the SET of observations (target wins on a
+    * redelivered (key, sequence) — deterministic idempotence), and the
+    * interval columns are a pure window function of that set — so any
+    * arrival order of any batch partition of the change stream converges
+    * to the identical history (spec-pinned, and q111 applies the stream
+    * out of order). A late arrival SPLITS the interval it lands inside:
+    * the combine refolds the affected keys' rows, which all live in the
+    * touched partition slice because `partitionColumns ⊆ keys`.
+    *
+    * Scale shape: the batch dedup probe + ONE window over the affected
+    * slice ∪ batch (keyed shuffle of slice-sized data, not the table),
+    * riding [[ParquetTable.merge]]'s partition-scoped rewrite and commit
+    * machinery like [[applyInto]].
+    */
+  def applyIntoScd2(
+      spark: SparkSession,
+      path: String,
+      changes: DataFrame,
+      keys: Seq[String],
+      sequenceCol: String,
+      deleteWhen: Option[Column] = None,
+      partitionColumns: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "applyIntoScd2: empty key list")
+    require(!keys.contains(sequenceCol),
+      s"applyIntoScd2: sequence column '$sequenceCol' cannot be a key")
+    Seq(TombstoneCol, StartCol, EndCol).foreach { c =>
+      require(!changes.columns.contains(c),
+        s"applyIntoScd2: change frame already carries reserved column '$c'")
+    }
+    require(partitionColumns.forall(keys.contains), "applyIntoScd2: " +
+      s"partitioned targets need partition columns within the keys (got " +
+      s"${partitionColumns.mkString(",")} vs keys ${keys.mkString(",")}): " +
+      "the refold is partition-scoped, so a key straddling partitions " +
+      "would fold incomplete histories")
+
+    val dup = changes.groupBy((keys :+ sequenceCol).map(col): _*)
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).head(1)
+    if (dup.nonEmpty) {
+      throw new IllegalArgumentException(
+        "applyIntoScd2: duplicate (key, sequence) in the change batch — " +
+          s"first offender: ${dup(0).toSeq.init.mkString("(", ",", ")")}; " +
+          "two observations cannot share one interval start. Deduplicate " +
+          "upstream or refine the sequence column.")
+    }
+
+    // null deleteWhen defaults to upsert semantics, same as applyInto
+    val observed = changes
+      .withColumn(TombstoneCol,
+        coalesce(deleteWhen.getOrElse(lit(false)), lit(false)))
+      .withColumnRenamed(sequenceCol, StartCol)
+    val mergeKeys = keys :+ StartCol
+
+    if (!ParquetTable.exists(spark, path)) {
+      ParquetTable.merge(spark, path, scd2Image(observed, keys),
+        mergeKeys, partitionColumns)
+      return
+    }
+
+    val tableCols = ParquetTable.read(spark, path).columns.toSeq
+    Seq(StartCol, EndCol, TombstoneCol).foreach { c =>
+      require(tableCols.contains(c),
+        s"applyIntoScd2: target $path lacks '$c' — not an SCD2 APPLY " +
+          "CHANGES target (create it through applyIntoScd2)")
+    }
+    val obsCols = tableCols.filterNot(_ == EndCol)
+    require(obsCols.toSet == observed.columns.toSet,
+      s"applyIntoScd2: change columns ${observed.columns.sorted.mkString(",")} " +
+        s"must match target columns ${obsCols.sorted.mkString(",")}")
+
+    val combine: (DataFrame, DataFrame) => DataFrame = (target, src) => {
+      // target wins on a redelivered (key, sequence): deterministic
+      // idempotence — the stored observation set never flaps
+      val srcNew = src.select(obsCols.map(col): _*)
+        .join(target.select(mergeKeys.map(col): _*), mergeKeys, "left_anti")
+      scd2Image(
+        target.select(obsCols.map(col): _*).unionByName(srcNew), keys)
+        .select(tableCols.map(col): _*)
+    }
+    ParquetTable.merge(spark, path, scd2Image(observed, keys),
+      mergeKeys, partitionColumns, combine = Some(combine))
+  }
+
+  /** The pure interval fold: [[EndCol]] = the key's next observation
+    * sequence. A function of the observation SET only — the heart of the
+    * order-independence guarantee.
+    */
+  private def scd2Image(obs: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(StartCol))
+    obs.withColumn(EndCol, lead(col(StartCol), 1).over(w))
+  }
+
+  /** The consumer view of an SCD2 target: the interval history, tombstone
+    * observations hidden (their closing effect on [[EndCol]] remains),
+    * plus `is_current` for the open intervals.
+    */
+  def readScd2(spark: SparkSession, path: String): DataFrame =
+    ParquetTable.read(spark, path)
+      .filter(!col(TombstoneCol)).drop(TombstoneCol)
+      .withColumn("is_current", col(EndCol).isNull)
 }

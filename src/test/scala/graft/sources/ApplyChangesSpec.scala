@@ -103,6 +103,100 @@ class ApplyChangesSpec extends SparkSpec {
     assert(e.getMessage.contains("partition columns within the keys"))
   }
 
+  test("a NULL deleteWhen predicate is an upsert, not a hidden tombstone") {
+    val path = tmpDir("ac-null") + "/t"
+    // op is null for id=1: col("op") === "D" evaluates NULL, which must
+    // coalesce to NOT-a-delete — the row stays visible
+    ApplyChanges.applyInto(spark, path,
+      Seq((1L, "a", 1L, null.asInstanceOf[String]), (2L, "b", 1L, "D"))
+        .toDF("id", "v", "seq", "op"),
+      Seq("id"), "seq", deleteWhen = Some(col("op") === "D"))
+    val visible = ApplyChanges.readApplied(spark, path)
+      .select("id").as[Long].collect().toSet
+    assert(visible === Set(1L))
+  }
+
+  // ---- SCD type 2 ----------------------------------------------------------
+
+  private def scd2(path: String): Seq[(Long, Long, Option[Long], String, Boolean)] =
+    ApplyChanges.readScd2(spark, path)
+      .select(col("id"), col(ApplyChanges.StartCol), col(ApplyChanges.EndCol),
+        col("v"), col("is_current"))
+      .as[(Long, Long, Option[Long], String, Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("scd2: intervals chain per key, tombstones close them, re-insert reopens") {
+    val path = tmpDir("ac2") + "/t"
+    ApplyChanges.applyIntoScd2(spark, path,
+      Seq((1L, "a1", 1L, false), (1L, "a2", 3L, false), (2L, "b1", 2L, false))
+        .toDF("id", "v", "seq", "del"),
+      Seq("id"), "seq", deleteWhen = Some(col("del")))
+    assert(scd2(path) === Seq(
+      (1L, 1L, Some(3L), "a1", false),
+      (1L, 3L, None, "a2", true),
+      (2L, 2L, None, "b1", true)))
+
+    // tombstone for 1 at seq 5 closes the open interval; re-insert at 8
+    ApplyChanges.applyIntoScd2(spark, path,
+      Seq((1L, "x", 5L, true), (1L, "a3", 8L, false))
+        .toDF("id", "v", "seq", "del"),
+      Seq("id"), "seq", deleteWhen = Some(col("del")))
+    assert(scd2(path) === Seq(
+      (1L, 1L, Some(3L), "a1", false),
+      (1L, 3L, Some(5L), "a2", false), // closed BY the hidden tombstone
+      (1L, 8L, None, "a3", true),      // re-opened
+      (2L, 2L, None, "b1", true)))
+  }
+
+  test("scd2: any arrival order converges to the identical history; redelivery is a no-op") {
+    val b1 = Seq((1L, "v1", 1L, false)).toDF("id", "v", "seq", "del")
+    val b2 = Seq((1L, "v2", 5L, false), (2L, "w1", 2L, false))
+      .toDF("id", "v", "seq", "del")
+    val b3 = Seq((1L, "mid", 3L, false), (2L, "gone", 6L, true))
+      .toDF("id", "v", "seq", "del")
+    val perms = Seq(Seq(b1, b2, b3), Seq(b3, b2, b1), Seq(b2, b3, b1))
+    val states = perms.zipWithIndex.map { case (order, i) =>
+      val p = tmpDir(s"ac2-ord$i") + "/t"
+      order.foreach(b => ApplyChanges.applyIntoScd2(spark, p, b,
+        Seq("id"), "seq", Some(col("del"))))
+      scd2(p)
+    }
+    // the late arrival (seq 3) SPLIT the 1→5 interval in every order
+    assert(states.head === Seq(
+      (1L, 1L, Some(3L), "v1", false),
+      (1L, 3L, Some(5L), "mid", false),
+      (1L, 5L, None, "v2", true),
+      (2L, 2L, Some(6L), "w1", false)))
+    assert(states.distinct.size === 1, "arrival order changed the history")
+    // redelivery: target wins, history unchanged
+    val p0 = tmpDir("ac2-redeliver") + "/t"
+    Seq(b1, b2, b3, b2, b1).foreach(b => ApplyChanges.applyIntoScd2(
+      spark, p0, b, Seq("id"), "seq", Some(col("del"))))
+    assert(scd2(p0) === states.head)
+  }
+
+  test("scd2: duplicate (key, sequence) in a batch fails fast") {
+    val e = intercept[IllegalArgumentException] {
+      ApplyChanges.applyIntoScd2(spark, tmpDir("ac2-dup") + "/t",
+        Seq((1L, "x", 1L, false), (1L, "y", 1L, false))
+          .toDF("id", "v", "seq", "del"),
+        Seq("id"), "seq", Some(col("del")))
+    }
+    assert(e.getMessage.contains("duplicate (key, sequence)"))
+  }
+
+  test("scd2 targets stay real lakehouse tables: versioned and fsck-clean") {
+    val path = tmpDir("ac2-tt") + "/t"
+    ApplyChanges.applyIntoScd2(spark, path,
+      Seq((1L, "a1", 1L)).toDF("id", "v", "seq"), Seq("id"), "seq", None)
+    ApplyChanges.applyIntoScd2(spark, path,
+      Seq((1L, "a2", 2L)).toDF("id", "v", "seq"), Seq("id"), "seq", None)
+    // v1 had one open interval; current has the chained history
+    assert(ParquetTable.readAt(spark, path, 1L).count() === 1L)
+    assert(ParquetTable.read(spark, path).count() === 2L)
+    assert(ParquetTable.fsck(spark, path).isEmpty)
+  }
+
   test("applied tables stay real lakehouse tables: versioned, time-travelable, fsck-clean") {
     val path = tmpDir("ac-tt") + "/t"
     val b1 = Seq((1L, "a1", 1L)).toDF("id", "v", "seq")
