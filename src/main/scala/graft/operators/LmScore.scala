@@ -55,19 +55,27 @@ object LmScore {
       textCol: String,
       k: Double = 0.5): DataFrame = {
     require(k > 0, s"scoreBigram: smoothing k must be positive, got $k")
-    val toks = split(lower(col(textCol)), "\\s+")
-    val n = size(toks)
+    // the token array MUST materialize once per row in its own
+    // projection: higher-order functions are CodegenFallback (no
+    // subexpression elimination), so an element_at(split(...), i) inside
+    // the lambda would re-run the split regex per ACCESS — O(tokens²)
+    // per document. The multi-reference alias also stops CollapseProject
+    // from re-inlining it.
+    val tokenized = corpus.select(
+      col(idCol), split(lower(col(textCol)), "\\s+").as("__t"))
+    val t = col("__t")
+    val n = size(t)
     val idx = when(n > 1, sequence(lit(1), n - 1)).otherwise(array())
     // fingerprints computed INSIDE the map pass — the exploded frame
     // carries only (id, f1 = fp(w1), f2 = fp(w1,w2)); bigram strings
     // never reach a shuffle. xxhash64 folds per-VALUE (not a string
     // concat), so ("ab","c") and ("a","bc") fingerprint differently.
-    val docBigrams = corpus.select(
+    val docBigrams = tokenized.select(
       col(idCol),
       explode_outer(transform(idx, i =>
         struct(
-          xxhash64(element_at(toks, i)).as("f1"),
-          xxhash64(element_at(toks, i), element_at(toks, i + 1)).as("f2"))))
+          xxhash64(element_at(t, i)).as("f1"),
+          xxhash64(element_at(t, i), element_at(t, i + 1)).as("f2"))))
         .as("bg"))
       .select(col(idCol), col("bg.f1").as("f1"), col("bg.f2").as("f2"))
 
@@ -76,8 +84,8 @@ object LmScore {
     val pairCounts = docBigrams.filter(col("f2").isNotNull)
       .groupBy(col("f1"), col("f2")).agg(count(lit(1)).as("c2"))
     val ctxCounts = pairCounts.groupBy(col("f1")).agg(sum(col("c2")).as("c1"))
-    val vocab = corpus
-      .select(explode(toks).as("w")).filter(length(col("w")) > 0)
+    val vocab = tokenized
+      .select(explode(t).as("w")).filter(length(col("w")) > 0)
       .agg(count_distinct(xxhash64(col("w"))).as("v"))
 
     docBigrams
