@@ -236,22 +236,35 @@ object TextFunctions {
   def tokenChunks(text: Column, chunkSize: Int, stride: Int): Column = {
     require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
       "tokenChunks: need 1 <= stride <= chunkSize (stride > chunkSize drops tokens)")
-    val toks = tokens(text)
-    val nChunks = ceil(size(toks).cast("double") / stride).cast("int")
-    transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1), i =>
-      struct(
-        i.cast("long").as("chunk_idx"),
-        concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))).as("chunk_text"),
-        least(size(toks) - i * stride, lit(chunkSize)).as("n_tokens")))
+    bindArray(tokens(text)) { toks =>
+      val nChunks = ceil(size(toks).cast("double") / stride).cast("int")
+      transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1), i =>
+        struct(
+          i.cast("long").as("chunk_idx"),
+          concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))).as("chunk_text"),
+          least(size(toks) - i * stride, lit(chunkSize)).as("n_tokens")))
+    }
   }
+
+  /** Evaluate `arr` ONCE per row and hand it to `body` as a lambda
+    * VARIABLE: higher-order functions are CodegenFallback with no
+    * subexpression elimination, so a lambda body that references a
+    * computed array expression (e.g. `split(...)`) re-evaluates it on
+    * every element ACCESS — O(n²) per row for a per-element reference.
+    * Binding through a one-element transform makes each access O(1).
+    * (Lambda bodies referencing plain column ATTRIBUTES are already
+    * fine — attributes read the row, they don't recompute.)
+    */
+  def bindArray(arr: Column)(body: Column => Column): Column =
+    element_at(transform(array(arr), body), 1)
 
   /** Tokens with immediate repeats collapsed ("the the" → "the") — cheap
     * stutter/boilerplate normalization ahead of dedup.
     */
-  def collapsedTokens(text: Column): Column = {
-    val toks = tokens(text)
-    filter(toks, (t, i) => i === 0 || t =!= element_at(toks, i))
-  }
+  def collapsedTokens(text: Column): Column =
+    bindArray(tokens(text)) { toks =>
+      filter(toks, (t, i) => i === 0 || t =!= element_at(toks, i))
+    }
 
   def collapseRepeats(text: Column): Column =
     concat_ws(" ", collapsedTokens(text))

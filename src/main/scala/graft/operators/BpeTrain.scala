@@ -58,14 +58,16 @@ object BpeTrain {
       array_join(split(col("word"), ""), " ").as("seg"))
       .localCheckpoint(true)
 
-    def adjacentPairs(seg: Column): Column = {
-      val toks = split(seg, " ")
-      val n = size(toks)
-      // sequence(1, 0) would yield a DESCENDING [1, 0] — guard 1-token segs
-      val idx = when(n > 1, sequence(lit(1), n - 1)).otherwise(array())
-      transform(idx, i =>
-        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
-    }
+    // bindArray: the lambda would otherwise re-split `seg` per element
+    // access (HOFs have no subexpression elimination) — O(len²) per word
+    def adjacentPairs(seg: Column): Column =
+      graft.functions.TextFunctions.bindArray(split(seg, " ")) { toks =>
+        val n = size(toks)
+        // sequence(1, 0) would yield a DESCENDING [1, 0] — guard 1-token segs
+        val idx = when(n > 1, sequence(lit(1), n - 1)).otherwise(array())
+        transform(idx, i =>
+          concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+      }
 
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
