@@ -56,15 +56,96 @@ object UrlOps {
       .otherwise(concat(scheme, lit("://"), host, path, queryPart))
   }
 
-  /** Registrable-ish domain: lowercased host, port and leading `www.`
-    * stripped. (True eTLD+1 needs the public-suffix list; `www.` covers
-    * the dominant crawl alias and keeps the rule oracle-replayable.)
+  /** Vendored snapshot SUBSET of the Public Suffix List
+    * (publicsuffix.org, ICANN section — public data): the two-label
+    * public suffixes covering the dominant ccTLD registry conventions,
+    * so `a.b.co.uk` resolves to registrable domain `b.co.uk` instead of
+    * `co.uk`. Single-label suffixes (com, org, uk, …) need no entry —
+    * they are the default rule (`eTLD+1 = last two labels`). Snapshot
+    * limits, documented honestly: three-label PSL entries (e.g.
+    * `act.edu.au`), wildcard rules (`*.ck`) and exceptions (`!www.ck`)
+    * are out of scope — hosts under them fall back to the default rule.
+    */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    // United Kingdom
+    "co.uk", "org.uk", "me.uk", "net.uk", "ltd.uk", "plc.uk", "ac.uk",
+    "gov.uk", "sch.uk", "nhs.uk", "police.uk",
+    // Australia
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    // Japan
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    // New Zealand
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "kiwi.nz", "maori.nz",
+    // South Africa
+    "co.za", "org.za", "net.za", "web.za", "gov.za", "ac.za", "edu.za",
+    // Brazil
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br",
+    // India
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "res.in", "gov.in", "nic.in",
+    // China
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    // Korea
+    "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
+    // Taiwan / Hong Kong / Singapore / Malaysia
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    // Indonesia / Thailand / Vietnam / Philippines
+    "co.id", "net.id", "or.id", "web.id", "ac.id", "go.id", "sch.id",
+    "co.th", "net.th", "or.th", "go.th", "ac.th", "in.th",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+    // Mexico / Argentina / Colombia / Peru / Venezuela / Uruguay
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "net.co", "org.co", "gov.co", "edu.co", "nom.co",
+    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe", "nom.pe",
+    "com.ve", "net.ve", "org.ve", "co.ve", "gob.ve", "edu.ve",
+    "com.uy", "net.uy", "org.uy", "gub.uy", "edu.uy",
+    // Turkey / Ukraine / Poland (registry second-levels)
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "gen.tr", "web.tr",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "biz.pl", "waw.pl",
+    // Israel / Egypt / Saudi Arabia / Pakistan / Bangladesh
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "sci.eg",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk", "gok.pk",
+    "com.bd", "net.bd", "org.bd", "gov.bd", "edu.bd", "ac.bd",
+    // Kenya / Nigeria / Ghana
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "info.ke",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng", "name.ng",
+    "com.gh", "org.gh", "gov.gh", "edu.gh")
+
+  /** Registrable domain (eTLD+1): lowercased host, port stripped, then
+    * the longest matching public suffix from [[MultiLabelSuffixes]] plus
+    * one label — `a.b.co.uk` → `b.co.uk`, `www.example.com` →
+    * `example.com` (the default rule needs no `www.`-strip: the last two
+    * labels already drop every subdomain alias). Pure literal-set column
+    * expression — map-only, zero shuffle, constant-folded membership.
+    * A bare public suffix (`https://co.uk/`) has no registrable domain →
+    * NULL; IP-address hosts group as themselves; single-label hosts
+    * (`localhost`) pass through.
     */
   def domain(url: Column): Column = {
     val host = regexp_replace(
       lower(regexp_extract(url, "^[^:/?#]+://([^/?#]+)", 1)), ":[0-9]+$", "")
-    val bare = regexp_replace(host, "^www\\.", "")
-    when(bare === "", lit(null).cast("string")).otherwise(bare)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    val last3 = concat_ws(".", slice(labels, -3, 3))
+    val suffixes = lit(MultiLabelSuffixes.toArray)
+    when(host === "", lit(null).cast("string"))
+      .when(host.rlike("^[0-9.]+$"), host)
+      .when(n >= 3 && array_contains(suffixes, last2), last3)
+      .when(n === 2 && array_contains(suffixes, last2), lit(null).cast("string"))
+      .when(n >= 2, last2)
+      .otherwise(host)
   }
 
   /** Keep exactly one row per canonical URL — the one with the smallest

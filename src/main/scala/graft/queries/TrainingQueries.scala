@@ -851,13 +851,17 @@ object TrainingQueries {
       val shape = expr("doc_id div 20") % 4
       val n = (col("doc_id") % 10).cast("string")
       val k = (col("doc_id") % 3).cast("string")
+      // three host shapes exercise the eTLD+1 tiers: a PSL multi-label
+      // suffix under a www alias ({source}.co.uk), the default rule
+      // collapsing a subdomain (…example.com → example.com), and a
+      // second multi-label registry under a deep label ({source}.com.au)
       val url = when(shape === 0, concat(
-          lit("https://WWW."), col("source"), lit(".example.com:443/docs/"),
+          lit("https://WWW."), col("source"), lit(".co.uk:443/docs/"),
           n, lit("/?utm_source=feed&id="), k))
         .when(shape === 1, concat(
           lit("http://"), col("source"), lit(".example.com:80/docs/"), n))
         .when(shape === 2, concat(
-          lit("https://www."), col("source"), lit(".example.com/docs/"),
+          lit("https://docs."), col("source"), lit(".com.au/docs/"),
           n, lit("?id="), k, lit("#frag")))
         .otherwise(concat(lit("not a url "), col("doc_id").cast("string")))
       val deduped = graft.operators.UrlOps.dedupByUrl(
@@ -2045,12 +2049,19 @@ object TrainingQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_chars,
-        |    source || '.example.com' AS domain,
-        |    CASE WHEN shape = 1
+        |    CASE WHEN shape = 0 THEN source || '.co.uk'
+        |         WHEN shape = 1 THEN 'example.com'
+        |         WHEN shape = 2 THEN source || '.com.au'
+        |         ELSE NULL END AS domain,
+        |    CASE WHEN shape = 0
+        |           THEN 'https://www.' || source || '.co.uk/docs/'
+        |                || (doc_id % 10)::VARCHAR || '?id='
+        |                || (doc_id % 3)::VARCHAR
+        |         WHEN shape = 1
         |           THEN 'http://' || source || '.example.com/docs/'
         |                || (doc_id % 10)::VARCHAR
-        |         WHEN shape IN (0, 2)
-        |           THEN 'https://www.' || source || '.example.com/docs/'
+        |         WHEN shape = 2
+        |           THEN 'https://docs.' || source || '.com.au/docs/'
         |                || (doc_id % 10)::VARCHAR || '?id='
         |                || (doc_id % 3)::VARCHAR
         |         ELSE NULL END AS canonical_url

@@ -46,11 +46,24 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon("") === None)
   }
 
-  test("domain lowercases, strips port and www") {
-    assert(dom("https://WWW.News.Site.ORG:8443/a?b=1") ===
-      Some("news.site.org"))
+  test("domain is registrable eTLD+1 under the default rule") {
+    // every subdomain alias (www or deeper) collapses to the last two labels
+    assert(dom("https://WWW.News.Site.ORG:8443/a?b=1") === Some("site.org"))
     assert(dom("http://example.com/x") === Some("example.com"))
+    assert(dom("http://deep.sub.example.com/x") === Some("example.com"))
     assert(dom("nonsense") === None)
+  }
+
+  test("domain resolves PSL multi-label suffixes to suffix + one label") {
+    assert(dom("https://a.b.co.uk/x") === Some("b.co.uk"))
+    assert(dom("https://www.bbc.co.uk/news") === Some("bbc.co.uk"))
+    assert(dom("http://shop.example.com.au/") === Some("example.com.au"))
+    assert(dom("https://www.u-tokyo.ac.jp/") === Some("u-tokyo.ac.jp"))
+    // a bare public suffix has no registrable domain
+    assert(dom("https://co.uk/") === None)
+    // IP hosts and single-label hosts group as themselves
+    assert(dom("http://192.168.0.1:8080/x") === Some("192.168.0.1"))
+    assert(dom("http://localhost/x") === Some("localhost"))
   }
 
   test("dedupByUrl collapses tracking/fragment/port variants to min id") {
