@@ -120,6 +120,67 @@ object Bm25 {
     } finally { tf.unpersist(); () }
   }
 
+  /** Append NEW documents to a [[buildIndex]]-persisted index without a
+    * rebuild: tokenize + count ONLY the new docs, append their postings
+    * and doclens files, merge the per-term df deltas, and refresh the
+    * two scalars — O(new docs) work against an O(corpus) rebuild, the
+    * same amortization as the streaming ANN index maintenance. The
+    * updated index is equivalent to `buildIndex(old ∪ new)` — integer
+    * count statistics merge exactly, and the scalars recompute over the
+    * full doclens/docs (spec-pinned: incremental == rebuild, identical
+    * topKIndexed results).
+    *
+    * New doc ids must be DISJOINT from the indexed corpus (probed
+    * against the postings' doc set, fail-fast): BM25 count statistics
+    * cannot distinguish an update from a duplicate, so re-ingesting a
+    * changed document needs delete-then-append or a rebuild.
+    */
+  def appendToIndex(
+      newDocs: DataFrame, docIdCol: String, textCol: String, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val dup = spark.read.parquet(s"$dir/postings")
+      .select(col("doc_id")).distinct()
+      .join(newDocs.select(col(docIdCol).as("doc_id")), Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty, s"appendToIndex: doc_id ${dup.headOption.map(_.get(0))
+      .getOrElse("")} is already indexed at $dir — BM25 statistics cannot " +
+      "distinguish an update from a duplicate; delete-then-append or rebuild")
+    val oldN = spark.read.parquet(s"$dir/meta").head().getDouble(0)
+    val nNew = newDocs.count().toDouble
+    val toks = newDocs.select(col(docIdCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.cache()
+    try {
+      tf.write.mode("append").parquet(s"$dir/postings")
+      toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .write.mode("append").parquet(s"$dir/doclens")
+      // termstats is read AND replaced — stage to a sibling dir, then
+      // swap (overwriting a path the plan is lazily reading corrupts it)
+      val mergedStats = spark.read.parquet(s"$dir/termstats")
+        .unionByName(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      replaceDir(spark, s"$dir/termstats", mergedStats)
+      val avgdl = spark.read.parquet(s"$dir/doclens")
+        .agg(avg(col("dl"))).head.getDouble(0)
+      replaceDir(spark,
+        s"$dir/meta", Seq((oldN + nNew, avgdl)).toDF("n", "avgdl").coalesce(1))
+    } finally { tf.unpersist(); () }
+  }
+
+  private def replaceDir(
+      spark: org.apache.spark.sql.SparkSession, path: String, df: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_staged")
+    val fs = p.getFileSystem(conf)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"replaceDir: rename $tmp -> $p failed")
+  }
+
   /** BM25 top-k over a [[buildIndex]]-persisted index — identical results
     * to [[topK]] on the same corpus (spec-pinned), at query-side cost.
     */

@@ -68,4 +68,42 @@ class Bm25Spec extends SparkSpec {
     // index side reads parquet relations; the docs frame appears nowhere
     assert(plan.contains("parquet") && !plan.contains("ExistingRDD"), plan)
   }
+
+  test("appendToIndex == full rebuild: stats and search results identical") {
+    val more = Seq(
+      (5L, "spark tables again"),
+      (6L, "join join fast"),
+      (7L, "")                       // tokenless doc: counts toward N only
+    ).toDF("doc_id", "text")
+    val incDir = tmpDir("bm25inc") + "/index"
+    Bm25.buildIndex(docs, "doc_id", "text", incDir)
+    Bm25.appendToIndex(more, "doc_id", "text", incDir)
+    val fullDir = tmpDir("bm25full") + "/index"
+    Bm25.buildIndex(docs.unionByName(more), "doc_id", "text", fullDir)
+
+    def stats(dir: String) = (
+      spark.read.parquet(s"$dir/postings")
+        .as[(Long, String, Long)].collect().sorted.toSeq,
+      spark.read.parquet(s"$dir/doclens")
+        .as[(Long, Long)].collect().sorted.toSeq,
+      spark.read.parquet(s"$dir/termstats")
+        .as[(String, Long)].collect().sorted.toSeq,
+      spark.read.parquet(s"$dir/meta").as[(Double, Double)].head())
+    assert(stats(incDir) === stats(fullDir))
+
+    val queries = Seq((1L, "spark tables"), (2L, "join fast"))
+      .toDF("query_id", "qtext")
+    def res(dir: String) =
+      Bm25.topKIndexed(spark, dir, queries, "query_id", "qtext", k = 5)
+        .orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(res(incDir) === res(fullDir))
+
+    // re-appending an already-indexed doc fails fast
+    val e = intercept[IllegalArgumentException] {
+      Bm25.appendToIndex(Seq((5L, "dup")).toDF("doc_id", "text"),
+        "doc_id", "text", incDir)
+    }
+    assert(e.getMessage.contains("already indexed"))
+  }
 }
