@@ -154,6 +154,66 @@ abstract class CommitterBattery(mk: () => LogCommitter) extends SparkSpec {
     ParquetTable.insertInto(spark, path, df(Row(3, "c")))
     assert(rowsOf(path) === Map(1 -> "a", 2 -> "b", 3 -> "c"))
   } }
+
+  // round-8/9 verbs, same guarantee: behavior proven through every
+  // committer, not just the local-FS default
+
+  test("fsck reports clean after a verb chain; _latest hint tracks the head") { withCommitter {
+    val path = tmpDir("cb-fsck") + "/t"
+    ParquetTable.create(df(Row(1, "a")), path)
+    ParquetTable.merge(spark, path, df(Row(2, "b")), Seq("id"))
+    ParquetTable.deleteVectors(spark, path, col("id") === 1)
+    ParquetTable.compact(spark, path)
+    assert(ParquetTable.fsck(spark, path).isEmpty)
+    assert(ParquetTable.currentVersion(spark, path).get === 4L)
+  } }
+
+  test("purge erases matching rows from every surviving version") { withCommitter {
+    val path = tmpDir("cb-purge") + "/t"
+    ParquetTable.create(df(Row(1, "secret"), Row(2, "b")), path)
+    ParquetTable.merge(spark, path, df(Row(3, "c")), Seq("id"))
+    assert(ParquetTable.purge(spark, path, col("v") === "secret") === 1L)
+    assert(rowsOf(path) === Map(2 -> "b", 3 -> "c"))
+    ParquetTable.versions(spark, path).foreach { v =>
+      assert(ParquetTable.readAt(spark, path, v)
+        .filter(col("v") === "secret").count() === 0L, s"version $v")
+    }
+  } }
+
+  private val acSchema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("v", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("del", BooleanType, nullable = false)))
+
+  test("APPLY CHANGES type 1: out-of-order batches converge") { withCommitter {
+    val path = tmpDir("cb-ac1") + "/t"
+    // later batch first — the watermark merge must still converge
+    ApplyChanges.applyInto(spark, path,
+      frame(acSchema, Seq(Row(1, "new", 5L, false), Row(2, "gone", 6L, true))),
+      Seq("id"), "seq", Some(col("del")))
+    ApplyChanges.applyInto(spark, path,
+      frame(acSchema, Seq(Row(1, "old", 1L, false), Row(2, "alive", 2L, false))),
+      Seq("id"), "seq", Some(col("del")))
+    val live = ApplyChanges.readApplied(spark, path).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(live === Map(1 -> "new"))
+  } }
+
+  test("APPLY CHANGES SCD2: interval history identical through this committer") { withCommitter {
+    val path = tmpDir("cb-ac2") + "/t"
+    ApplyChanges.applyIntoScd2(spark, path,
+      frame(acSchema, Seq(Row(1, "v2", 5L, false))),
+      Seq("id"), "seq", Some(col("del")))
+    ApplyChanges.applyIntoScd2(spark, path,
+      frame(acSchema, Seq(Row(1, "v1", 1L, false), Row(1, "mid", 3L, false))),
+      Seq("id"), "seq", Some(col("del")))
+    val hist = ApplyChanges.readScd2(spark, path)
+      .select(col("id"), col(ApplyChanges.StartCol), col(ApplyChanges.EndCol))
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(x => (x._1, x._2)).toSeq
+    assert(hist === Seq((1, 1L, Some(3L)), (1, 3L, Some(5L)), (1, 5L, None)))
+  } }
 }
 
 /** Object-store `If-None-Match: *` shim over a local mirror: a JVM-global
