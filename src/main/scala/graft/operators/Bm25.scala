@@ -45,30 +45,39 @@ object Bm25 {
       explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // dl = Σ tf per doc — identical integers to counting raw tokens, but
+    // it rides the already-shuffled (and much smaller) tf frame instead
+    // of tokenizing the corpus a second time
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.count().toDouble
-    val avgdl = dl.agg(avg(col("dl"))).head.getDouble(0)
-    score(tf, dl, dfreq, n, avgdl, queries, queryIdCol, queryTextCol, k, k1, b)
+    // the two corpus scalars ride INSIDE the plan as a 1-row cross join
+    // (the LmScore vocab pattern) instead of separate .count()/.head()
+    // driver actions — each of those was one more full tokenize pass
+    val scalars = docs.agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(dl.agg(avg(col("dl")).as("avgdl")))
+    score(tf, dl, dfreq, scalars, queries, queryIdCol, queryTextCol, k, k1, b)
   }
 
   /** The query-side scoring over prepared index frames — shared by the
     * recompute tier ([[topK]]) and the persisted tier ([[topKIndexed]]).
+    * `scalars` is a 1-row (n, avgdl) frame, cross-joined as a broadcast
+    * literal.
     */
   private def score(
       tf: DataFrame, dl: DataFrame, dfreq: DataFrame,
-      n: Double, avgdl: Double,
+      scalars: DataFrame,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double, b: Double): DataFrame = {
     val qTerms = queries
       .select(col(queryIdCol).as("query_id"),
         explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
-    val idf = log(((lit(n) - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
-    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
+    val idf = log(((col("n") - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
+    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
     val partial = qTerms
       .join(tf, Seq("term"))
       .join(dl, Seq("doc_id"))
       .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(scalars))
       .select(col("query_id"), col("doc_id"),
         (idf * col("tf") * lit(k1 + 1) / norm).as("s"))
     val scored = partial.groupBy(col("query_id"), col("doc_id"))
@@ -104,7 +113,8 @@ object Bm25 {
       tf.write.mode("overwrite").parquet(s"$dir/postings")
       tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .write.mode("overwrite").parquet(s"$dir/termstats")
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // Σ tf per doc == raw token count, riding the CACHED tf frame
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       dl.cache()
       try {
         dl.write.mode("overwrite").parquet(s"$dir/doclens")
@@ -155,7 +165,7 @@ object Bm25 {
     tf.cache()
     try {
       tf.write.mode("append").parquet(s"$dir/postings")
-      toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
         .write.mode("append").parquet(s"$dir/doclens")
       // termstats is read AND replaced — stage to a sibling dir, then
       // swap (overwriting a path the plan is lazily reading corrupts it)
@@ -192,13 +202,11 @@ object Bm25 {
       queryTextCol: String,
       k: Int = 10,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+      b: Double = 0.75): DataFrame =
     score(
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/doclens"),
       spark.read.parquet(s"$dir/termstats"),
-      meta.getDouble(0), meta.getDouble(1),
+      spark.read.parquet(s"$dir/meta").select(col("n"), col("avgdl")),
       queries, queryIdCol, queryTextCol, k, k1, b)
-  }
 }

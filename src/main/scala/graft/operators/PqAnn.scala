@@ -290,21 +290,32 @@ object PqAnn {
       .withColumn("__qc", VectorFunctions.dot(col("__qv"), col("__cvec")))
       .withColumn("__qn", sqrt(VectorFunctions.dot(col("__qv"), col("__qv"))))
       .drop("__cvec")
-    // static cell pruning: the probed cell set is at most nCells ids no
-    // matter how large the query batch (distinct over the probe column),
-    // so collecting it is model-sized — and the isin literal becomes a
-    // PARTITION FILTER over a [[saveIvfPq]] layout: the scan reads only
-    // the probed cells' directories (spec-asserted; no reliance on
-    // runtime dynamic partition pruning firing).
-    val probed = q.select(col("centroid_id")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // static cell pruning, only when it can pay: for a [[loadIvfPq]]
+    // index (encoded = a bare file relation) the probed cell set — at
+    // most nCells ids regardless of query batch size, so the collect is
+    // model-sized — becomes an isin PARTITION FILTER and the scan reads
+    // only the probed cells' directories (spec-asserted; no reliance on
+    // runtime dynamic partition pruning firing). For an in-memory
+    // encoded frame there are no directories to skip, and the extra
+    // probe job would re-run the encode pipeline — skip it, the
+    // centroid_id equi-join alone carries the restriction.
+    val fileBacked = index.encoded.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+    val enc0 = index.encoded.withColumnRenamed(idCol, "neighbor_id")
+    val enc =
+      if (!fileBacked) enc0
+      else {
+        val probed = q.select(col("centroid_id")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        enc0.filter(col("centroid_id").isin(probed: _*))
+      }
     // zero norms excluded for the same reason as searchTopK: NaN cosines
     // have no defined rank
     val scored = Broadcasting
       .broadcastIfSmall(q.filter(col("__qn") > 0.0))
-      .join(index.encoded.withColumnRenamed(idCol, "neighbor_id")
-          .filter(col("centroid_id").isin(probed: _*))
-          .filter(col("recon_norm") > 0.0),
+      .join(enc.filter(col("recon_norm") > 0.0),
         Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
