@@ -67,6 +67,53 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming `APPLY CHANGES INTO` — the full DLT apply_changes shape:
+    * a CSV change feed streams in and every micro-batch applies through
+    * [[graft.sources.ApplyChanges]] — `scdType = 1` keeps each key's
+    * latest row (tombstones hidden, watermarks stored), `scdType = 2`
+    * stores the interval history (`__START_AT`/`__END_AT`). No txn
+    * marker is needed for replay safety: both tiers are per-row
+    * idempotent BY CONSTRUCTION (type 1 skips `sequence <= stored`;
+    * SCD2's observation set ignores redelivered (key, sequence) rows),
+    * so a batch re-delivered after a checkpoint/commit crash window
+    * converges to the identical state — the same reason DLT's
+    * apply_changes needs no foreachBatch txnVersion.
+    */
+  def streamApplyChanges(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      tablePath: String,
+      checkpointDir: String,
+      keys: Seq[String],
+      sequenceCol: String,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      scdType: Int = 1,
+      partitionColumns: Seq[String] = Nil): StreamingQuery = {
+    require(scdType == 1 || scdType == 2,
+      s"streamApplyChanges: scdType must be 1 or 2, got $scdType")
+    val relaxed = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true)))
+    spark.readStream
+      .option("header", "true")
+      .schema(relaxed)
+      .csv(inputDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (batch.isEmpty) () // an empty trigger must not create/commit
+        else if (scdType == 1)
+          graft.sources.ApplyChanges.applyInto(batch.sparkSession, tablePath,
+            batch, keys, sequenceCol, deleteWhen, partitionColumns)
+        else
+          graft.sources.ApplyChanges.applyIntoScd2(batch.sparkSession, tablePath,
+            batch, keys, sequenceCol, deleteWhen, partitionColumns)
+      }
+      .start()
+  }
+
   /** Streaming APPEND ingest — the O(appended rows) twin of
     * [[csvStreamUpsert]] for append-only feeds (event logs, immutable
     * documents): each micro-batch validates, then commits through
