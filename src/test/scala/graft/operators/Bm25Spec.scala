@@ -69,6 +69,29 @@ class Bm25Spec extends SparkSpec {
     assert(plan.contains("parquet") && !plan.contains("ExistingRDD"), plan)
   }
 
+  test("topK construction launches NO driver actions (scalars ride the plan)") {
+    // the old formulation ran docs.count() + dl.agg().head() at CALL
+    // time — two extra full tokenize passes before the query even ran.
+    // Pin the fix: building the frame must start zero Spark jobs.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Bm25.topK(docs, "doc_id", "text",
+        Seq((1L, "spark tables")).toDF("query_id", "qtext"),
+        "query_id", "qtext", k = 3)
+      Thread.sleep(1000) // listener bus is async — let it drain
+      assert(jobs.get() === 0,
+        s"topK construction launched ${jobs.get()} job(s)")
+      assert(df.count() === 3)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("appendToIndex == full rebuild: stats and search results identical") {
     val more = Seq(
       (5L, "spark tables again"),
