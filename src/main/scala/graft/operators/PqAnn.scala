@@ -271,13 +271,19 @@ object PqAnn {
     * residual: dot(q, c + decode(code)) = dot(q, c) + adot(q, code) —
     * dot(q, c) is computed once per (query, cell).
     */
+  /** With `rerank = Some((corpus, depth))`, the ADC top `depth` per query
+    * re-score against the ORIGINAL vectors and the final order/cosines
+    * are exact — the same two-stage recipe as [[searchTopK]], composed
+    * with cell pruning (faiss `IVFx,PQy` + refine).
+    */
   def searchIvfPq(
       index: IvfPqIndex,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      rerank: Option[(DataFrame, Int)] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val centFrame = broadcast(index.cells.zipWithIndex
@@ -321,6 +327,19 @@ object PqAnn {
       .select(col("query_id"), col("neighbor_id"),
         ((col("__qc") + pqDot(col("__qv"), col("pq_code"), index.cb)) /
           (col("__qn") * col("recon_norm"))).as("__cos"))
-    Ann.rankTopK(scored, k)
+    rerank match {
+      case None => Ann.rankTopK(scored, k)
+      case Some((corpus, depth)) =>
+        require(depth >= k, s"ivfpq: rerankDepth $depth < k $k")
+        val cand = Ann.rankTopK(scored, depth)
+          .select(col("query_id"), col("neighbor_id"))
+        val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__rqv"))
+        val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__rcv"))
+        Ann.rankTopK(
+          cand.join(qv, "query_id").join(cv, "neighbor_id")
+            .select(col("query_id"), col("neighbor_id"),
+              VectorFunctions.cosine(col("__rqv"), col("__rcv")).as("__cos")),
+          k)
+    }
   }
 }

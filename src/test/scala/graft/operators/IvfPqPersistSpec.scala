@@ -107,4 +107,20 @@ class IvfPqPersistSpec extends SparkSpec {
     val neighbors = res.collect().map(_.getLong(1)).toSet
     assert(neighbors.forall(_ % 3 === 0), s"cross-cluster neighbor in $neighbors")
   }
+
+  test("rerank: IVF-PQ candidates re-scored exactly match brute force within probed cells") {
+    val c = corpus()
+    val idx = build(c)
+    val q = c.filter("vec_id < 3")
+    // full probe + deep rerank over the original vectors: the final
+    // (query, neighbor, rank) set must equal exact brute-force cosine
+    val reranked = PqAnn.searchIvfPq(idx, q, "vec_id", "embedding",
+        k = 5, nProbe = 3, rerank = Some((c, 30)))
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Ann.bruteForceTopK(c, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(reranked === brute)
+  }
 }

@@ -55,4 +55,38 @@ class LmScoreSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("lang=en"))
   }
+
+  test("fingerprint diet holds in the PLAN: no shuffle carries a string column") {
+    // the scale claim is that bigram strings never leave the map pass —
+    // every Exchange in the scoring plan must move only fp longs /
+    // counts / doubles. Long doc ids so any string in a shuffle schema
+    // is a leaked token.
+    val docs = Seq((1L, "a b c a b"), (2L, "b c d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val df = LmScore.scoreBigram(docs, "doc_id", "text")
+    df.collect()
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = {
+      import org.apache.spark.sql.execution._
+      val self = p match {
+        case e: exchange.ShuffleExchangeExec => Seq(e)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: adaptive.QueryStageExec => Seq(q.plan)
+        case r: exchange.ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      self ++ kids.flatMap(exchanges)
+    }
+    val exs = exchanges(df.queryExecution.executedPlan)
+    assert(exs.nonEmpty, "expected shuffles in the scoring plan")
+    exs.foreach { e =>
+      val stringy = e.child.output.filter(
+        _.dataType == org.apache.spark.sql.types.StringType)
+      assert(stringy.isEmpty,
+        s"shuffle carries string column(s) ${stringy.map(_.name).mkString(",")}")
+    }
+  }
 }
