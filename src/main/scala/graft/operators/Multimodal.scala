@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   *   - `decodeImages` / `decodeWav` / `decodeY4m` / `decodeGif` /
   *     `decodeMjpegAvi` — REAL pure-JVM decodes (javax.imageio and
   *     javax.sound.sampled ship with the JDK: PNG/BMP/GIF/JPEG, PCM WAV
-  *     plus the G.711 μ-law/a-law compressed telephony codecs;
+  *     plus the G.711 μ-law/a-law compressed telephony codecs, plus a
+  *     hand-rolled IMA/DVI ADPCM block decoder for WAV format tag 0x11 —
+  *     the 4-bit game/telephony codec the JDK lacks;
   *     YUV4MPEG2 video is an uncompressed container parseable with no
   *     codec at all; animated GIF and MJPEG-in-AVI are REAL compressed
   *     video containers decoded frame-by-frame with the bundled GIF/JPEG
@@ -341,9 +343,142 @@ object Multimodal {
         }
       } finally ais.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      // not a JDK-readable container — last tier: hand-rolled IMA ADPCM
+      // (WAV format tag 0x11), which javax.sound does not ship a codec for
+      case _: javax.sound.sampled.UnsupportedAudioFileException =>
+        decodeImaAdpcmWav(bytes)
       case _: java.io.IOException => None
     }
+  }
+
+  /** IMA/DVI ADPCM step-size table (the 89-entry table from the IMA
+    * ADPCM reference algorithm — public, identical across every
+    * implementation since the 1992 IMA Digital Audio Focus Group spec).
+    */
+  private val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Index adjustment per 4-bit code (sign bit excluded — codes 8..15
+    * mirror 0..7).
+    */
+  private val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM nibble against (predictor, index) → next state. The
+    * canonical bit-exact update: diff = (step·magnitude)/4 + step/8 via
+    * shifts, predictor clamped to int16, index clamped to [0, 88].
+    */
+  private def imaStep(nibble: Int, predictor: Int, index: Int): (Int, Int) = {
+    val step = ImaStepTable(index)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    val p0 = if ((nibble & 8) != 0) predictor - diff else predictor + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, index + ImaIndexTable(nibble & 7)))
+    (p, i)
+  }
+
+  /** REAL IMA ADPCM (WAV format tag 0x11) decode — the 4-bit block-coded
+    * telephony/game-audio codec the JDK lacks. Parses the RIFF chunks
+    * directly, then per block and channel: a 4-byte state header
+    * (int16 LE predictor, uint8 step index, reserved byte) followed by
+    * channel-interleaved 4-byte nibble groups, low nibble first. Output
+    * is channel-mixed [-1, 1] like the PCM path. None for anything that
+    * is not a well-formed mono/stereo 4-bit tag-0x11 WAV.
+    */
+  private def decodeImaAdpcmWav(bytes: Array[Byte]): Option[(Int, Array[Double])] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u8(o: Int) = bytes(o) & 0xff
+    def u16(o: Int) = u8(o) | (u8(o + 1) << 8)
+    def s16(o: Int) = u16(o).toShort.toInt
+    def u32(o: Int) = (u8(o).toLong | (u8(o + 1).toLong << 8) |
+      (u8(o + 2).toLong << 16) | (u8(o + 3).toLong << 24))
+    if (!(bytes.startsWith("RIFF".getBytes) &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE")) return None
+    // chunk walk for fmt + data
+    var off = 12
+    var fmtOff = -1; var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val len = u32(off + 4).toInt
+      if (id == "fmt ") fmtOff = off + 8
+      else if (id == "data") { dataOff = off + 8; dataLen = len }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (fmtOff < 0 || dataOff < 0) return None
+    val tag = u16(fmtOff)
+    val ch = u16(fmtOff + 2)
+    val rate = u32(fmtOff + 4).toInt
+    val blockAlign = u16(fmtOff + 12)
+    val bits = u16(fmtOff + 14)
+    if (tag != 0x11 || bits != 4 || ch < 1 || ch > 2 ||
+      blockAlign < 4 * ch) return None
+    val end = math.min(dataOff + dataLen, bytes.length)
+    val samplesPerBlock = (blockAlign - 4 * ch) * 2 / ch + 1
+    val out = scala.collection.mutable.ArrayBuilder.make[Double]
+    var block = dataOff
+    while (block + 4 * ch <= end) {
+      val blockEnd = math.min(block + blockAlign, end)
+      val pred = new Array[Int](ch)
+      val idx = new Array[Int](ch)
+      var c = 0
+      while (c < ch) {
+        pred(c) = s16(block + 4 * c)
+        idx(c) = math.max(0, math.min(88, u8(block + 4 * c + 2)))
+        c += 1
+      }
+      // the header predictor IS sample 0 of the block
+      var mix = 0.0
+      c = 0
+      while (c < ch) { mix += pred(c) / 32768.0; c += 1 }
+      out += mix / ch
+      // channel-interleaved 4-byte groups: 8 samples per channel per pass
+      val perCh = new Array[Array[Double]](ch)
+      c = 0
+      while (c < ch) { perCh(c) =
+        new Array[Double](samplesPerBlock - 1); c += 1 }
+      val written = new Array[Int](ch)
+      var p = block + 4 * ch
+      while (p < blockEnd) {
+        c = ((p - block - 4 * ch) / 4) % ch
+        var b = 0
+        while (b < 4 && p + b < blockEnd) {
+          val byte = u8(p + b)
+          var n = 0
+          while (n < 2) {
+            val nib = if (n == 0) byte & 0xf else (byte >> 4) & 0xf
+            if (written(c) < perCh(c).length) {
+              val (np, ni) = imaStep(nib, pred(c), idx(c))
+              pred(c) = np; idx(c) = ni
+              perCh(c)(written(c)) = np / 32768.0
+              written(c) += 1
+            }
+            n += 1
+          }
+          b += 1
+        }
+        p += 4
+      }
+      val nOut = written.min
+      var s = 0
+      while (s < nOut) {
+        var m = 0.0
+        c = 0
+        while (c < ch) { m += perCh(c)(s); c += 1 }
+        out += m / ch
+        s += 1
+      }
+      block += blockAlign
+    }
+    val samples = out.result()
+    if (samples.isEmpty) None else Some((rate, samples))
   }
 
   /** REAL perceptual-audio features: Hann-windowed radix-2 FFT power

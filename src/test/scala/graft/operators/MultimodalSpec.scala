@@ -116,6 +116,92 @@ class MultimodalSpec extends SparkSpec {
     assert(f(3) > 0.49f && f(3) < 0.51f)
   }
 
+  /** Independent test-side IMA ADPCM ENCODER + RIFF writer (format tag
+    * 0x11, mono) — reimplements the public reference algorithm rather
+    * than calling anything in Multimodal, so decode(encode(x)) ≈ x is a
+    * genuine differential check, not a mirror.
+    */
+  private def imaAdpcmWav(
+      rate: Int, samples: Array[Double], blockAlign: Int = 256): Array[Byte] = {
+    val stepTab = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+      598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+      1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+      5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+      15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    val idxAdj = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+    val spb = (blockAlign - 4) * 2 + 1
+    require(samples.length % spb == 0, "test fixture: whole blocks only")
+    val s16 = samples.map(v =>
+      math.max(-32768, math.min(32767, math.round(v * 32767).toInt)))
+    val data = new java.io.ByteArrayOutputStream()
+    var index = 0
+    s16.grouped(spb).foreach { blk =>
+      var pred = blk(0)
+      data.write(pred & 0xff); data.write((pred >> 8) & 0xff)
+      data.write(index); data.write(0)
+      val codes = scala.collection.mutable.ArrayBuffer[Int]()
+      blk.drop(1).foreach { s =>
+        val st = stepTab(index)
+        var diff = s - pred
+        var code = 0
+        if (diff < 0) { code = 8; diff = -diff }
+        if (diff >= st) { code |= 4; diff -= st }
+        if (diff >= (st >> 1)) { code |= 2; diff -= st >> 1 }
+        if (diff >= (st >> 2)) code |= 1
+        var d = st >> 3
+        if ((code & 1) != 0) d += st >> 2
+        if ((code & 2) != 0) d += st >> 1
+        if ((code & 4) != 0) d += st
+        pred = math.max(-32768, math.min(32767,
+          if ((code & 8) != 0) pred - d else pred + d))
+        index = math.max(0, math.min(88, index + idxAdj(code & 7)))
+        codes += code
+      }
+      codes.grouped(2).foreach { g =>
+        data.write((g.head & 0xf) |
+          ((if (g.length > 1) g(1) else 0) << 4))
+      }
+    }
+    val body = data.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    out.write("RIFF".getBytes); w32(4 + 8 + 20 + 8 + body.length)
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); w32(20)
+    w16(0x11); w16(1); w32(rate); w32(rate.toLong * blockAlign / spb)
+    w16(blockAlign); w16(4); w16(2); w16(spb)
+    out.write("data".getBytes); w32(body.length); out.write(body)
+    out.toByteArray
+  }
+
+  test("decodeWav: IMA ADPCM (tag 0x11) — hand-rolled decode, round-trip fidelity") {
+    val rate = 8000
+    val spb = (256 - 4) * 2 + 1 // 505 samples per 256-byte block
+    val n = spb * 2
+    val amp = 0.5
+    val sine = Array.tabulate(n)(i =>
+      amp * math.sin(2 * math.Pi * 200.0 * i / rate))
+    val out = Multimodal.decodeWav(
+      mediaFrame("tone.wav", imaAdpcmWav(rate, sine), "audio"), windows = 2)
+      .selectExpr("meta.sample_rate", "meta.n_frames", "features").head()
+    assert(out.getInt(0) === rate)
+    assert(out.getInt(1) === n)
+    // a 200 Hz sine tracks through ADPCM almost losslessly: windowed RMS
+    // must sit at amp/sqrt(2) within a few percent
+    val f = out.getSeq[Float](2)
+    val want = (amp / math.sqrt(2)).toFloat
+    f.foreach(r => assert(math.abs(r - want) < 0.03f, s"RMS $r != $want"))
+    // and the spectral front end hears the right pitch: centroid ≈ f/Nyquist
+    val spec = Multimodal.spectralAudioFeatures(
+      mediaFrame("tone2.wav", imaAdpcmWav(rate, sine), "audio"))
+      .selectExpr("features").head().getSeq[Float](0)
+    assert(math.abs(spec(0) - 200.0 / (rate / 2)) < 0.02, s"centroid ${spec(0)}")
+  }
+
   test("decodeWav: G.711 u-law compressed audio transcodes and decodes") {
     val rate = 8000
     val frames = 4096
