@@ -133,10 +133,11 @@ object ParquetTable {
           // columns only resolve on the scan relation); file-level stats
           // pruning stays conservative — a DV only removes rows
           val dv = dvOf(spark, path, v)
-          groups.filter(_._2.nonEmpty).map { case (base, rels) =>
-            align(dvFilterLeg(spark.read.option("basePath", base)
-              .parquet(rels.map(r => s"$base/$r"): _*), dv))
-          }.reduce(_.unionByName(_)).filter(predicate)
+          applyColmap(spark, path, v,
+            groups.filter(_._2.nonEmpty).map { case (base, rels) =>
+              align(dvFilterLeg(spark.read.option("basePath", base)
+                .parquet(rels.map(r => s"$base/$r"): _*), dv))
+            }.reduce(_.unionByName(_))).filter(predicate)
         }
     }
 
@@ -363,6 +364,7 @@ object ParquetTable {
       txn: Option[(String, Long)] = None,
       mergeOnRead: Option[Boolean] = None,
       combine: Option[(DataFrame, DataFrame) => DataFrame] = None): Unit = {
+    requireNoColmap(spark, path, "merge")
     require(!(cdf && evolveSchema),
       "merge: cdf capture and schema evolution cannot share a commit; " +
         "evolve first, then capture from the next merge")
@@ -530,7 +532,8 @@ object ParquetTable {
   private def commitVersion(
       spark: SparkSession, path: String, version: Long, content: String,
       txn: Option[(String, Long)] = None,
-      dv: Seq[String] = Nil): Boolean = {
+      dv: Seq[String] = Nil,
+      colmap: Option[String] = None): Boolean = {
     val md = manifestDir(path)
     val target = new Path(md, f"v$version%020d")
     // `#ts=` header: the commit wall-clock becomes committed state inside
@@ -547,7 +550,12 @@ object ParquetTable {
     // tab-separated: dv entries can be absolute paths (clones), and a
     // tab is the one separator the body format already forbids in names
     val dvHeader = if (dv.isEmpty) "" else s"#dv=${dv.mkString("\t")}\n"
-    val stamped = s"#ts=${System.currentTimeMillis()}\n$txnHeader$dvHeader$content"
+    // `#colmap=` publishes the version's logical column view (renames +
+    // drops) over unchanged physical files — see [[renameColumn]]. NOT
+    // carried forward by default: an ordinary full-image commit writes
+    // logical names physically, which IS the materialization.
+    val cmHeader = colmap.filter(_.nonEmpty).map(m => s"#colmap=$m\n").getOrElse("")
+    val stamped = s"#ts=${System.currentTimeMillis()}\n$txnHeader$dvHeader$cmHeader$content"
     val won = logCommitter.commit(hadoopFs(spark, md), target, stamped.getBytes("UTF-8"))
     if (won) writeLatestHint(hadoopFs(spark, md), md, version)
     won
@@ -758,7 +766,9 @@ object ParquetTable {
     */
   private def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
     val dv = dvOf(spark, path, version)
-    versionLegs(spark, path, version).map(dvFilterLeg(_, dv)).reduce(_.unionByName(_))
+    // colmap LAST: DV filtering and union happen on the physical frame
+    applyColmap(spark, path, version,
+      versionLegs(spark, path, version).map(dvFilterLeg(_, dv)).reduce(_.unionByName(_)))
   }
 
   /** The version's scan legs — each a SINGLE file-source relation (so
@@ -1055,6 +1065,7 @@ object ParquetTable {
       txn: Option[(String, Long)] = None,
       mergeOnRead: Option[Boolean] = None,
       combine: Option[(DataFrame, DataFrame) => DataFrame] = None): Unit = {
+    requireNoColmap(spark, path, "mergeVersioned")
     require(partitionColumns.nonEmpty, "mergeVersioned needs partition columns")
     require(!(cdf && evolveSchema),
       "mergeVersioned: cdf capture and schema evolution cannot share a commit")
@@ -1328,6 +1339,7 @@ object ParquetTable {
       spark: SparkSession, path: String, condition: Column,
       set: Option[Map[String, Column]], cdf: Boolean): Long = {
     val verb = if (set.isEmpty) "delete" else "update"
+    requireNoColmap(spark, path, verb)
     var result = -1L
     var attempts = 0
     while (result < 0) {
@@ -1593,6 +1605,161 @@ object ParquetTable {
       .find(_.startsWith("#dv=")).toSeq
       .flatMap(_.stripPrefix("#dv=").split('\t')).map(_.trim).filter(_.nonEmpty)
 
+  // ---- column mapping: RENAME/DROP COLUMN without rewrite -----------------
+
+  /** `version`'s column mapping from its `#colmap=` header:
+    * (physical → logical renames, dropped physical columns). Entries are
+    * tab-separated `physical>logical`; an empty logical side marks a
+    * drop. Empty maps for unmapped versions.
+    */
+  def columnMapping(
+      spark: SparkSession, path: String, version: Long): (Map[String, String], Seq[String]) =
+    manifestRaw(spark, path, version).linesIterator
+      .find(_.startsWith("#colmap=")) match {
+      case None => (Map.empty, Nil)
+      case Some(line) =>
+        val entries = line.stripPrefix("#colmap=").split('\t')
+          .map(_.trim).filter(_.nonEmpty)
+        val (drops, renames) = entries.partition(_.endsWith(">"))
+        (renames.map { e =>
+          val i = e.indexOf('>')
+          e.substring(0, i) -> e.substring(i + 1)
+        }.toMap, drops.map(_.dropRight(1)).toSeq)
+    }
+
+  /** Serialize a mapping back to the header value. */
+  private def colmapValue(renames: Map[String, String], drops: Seq[String]): String =
+    (renames.toSeq.sorted.map { case (p, l) => s"$p>$l" } ++
+      drops.sorted.map(_ + ">")).mkString("\t")
+
+  /** Apply `version`'s logical column view to an assembled physical
+    * frame: dropped columns projected away, renamed columns aliased.
+    * Identity for unmapped versions (the overwhelmingly common case —
+    * one manifest-header probe, no plan change).
+    */
+  private def applyColmap(
+      spark: SparkSession, path: String, version: Long, df: DataFrame): DataFrame = {
+    val (renames, drops) = columnMapping(spark, path, version)
+    if (renames.isEmpty && drops.isEmpty) df
+    else df.select(df.columns
+      .filterNot(c => drops.exists(_.equalsIgnoreCase(c)))
+      .map(c => col(c).as(
+        renames.collectFirst { case (p, l) if p.equalsIgnoreCase(c) => l }
+          .getOrElse(c))).toIndexedSeq: _*)
+  }
+
+  /** Refuse a data-mutating verb while an unmaterialized column mapping
+    * is in force: a PARTIAL rewrite would mix logical-named new files
+    * with physical-named old files in one version. Reads and time travel
+    * are unaffected; [[compact]] / [[optimize]] rewrite the full image
+    * through the logical view and clear the mapping, after which every
+    * verb works again.
+    */
+  private def requireNoColmap(spark: SparkSession, path: String, verb: String): Unit =
+    if (exists(spark, path)) currentVersion(spark, path).foreach { v =>
+      val (renames, drops) = columnMapping(spark, path, v)
+      if (renames.nonEmpty || drops.nonEmpty) throw new IllegalStateException(
+        s"$verb: table at $path carries an unmaterialized column mapping " +
+          s"(renames: ${renames.map { case (p, l) => s"$p->$l" }.mkString(",")}; " +
+          s"drops: ${drops.mkString(",")}). Run compact/optimize to " +
+          "materialize the logical schema into the data files first — " +
+          "reads and time travel work throughout.")
+    }
+
+  /** Delta-parity `ALTER TABLE … RENAME COLUMN` WITHOUT rewriting data:
+    * an O(1) metadata-only commit republishing the current version's
+    * data dirs under an updated `#colmap=` header. Reads and time travel
+    * serve every version under its own mapping; old versions keep their
+    * old names. Until [[compact]]/[[optimize]] materializes the mapping,
+    * data-mutating verbs are refused (see [[requireNoColmap]] — unlike
+    * Delta, which writes opaque physical names from day one, this table
+    * format writes logical names, so a mapped table defers its rewrite
+    * rather than never paying it). Caveats, each refused up front:
+    * partition columns (dir layout embeds them), CHECK-constrained
+    * columns (constraint expressions hold raw names), name collisions,
+    * and `>`/tab in names (header syntax). Stats-sidecar pruning on a
+    * renamed column resumes after materialization (skipping stays
+    * conservative meanwhile). `changes`/CDF windows must not straddle a
+    * rename commit — snapshots on the two sides disagree on names.
+    */
+  def renameColumn(
+      spark: SparkSession, path: String, from: String, to: String): Long = {
+    val v = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
+      s"renameColumn: no versioned table at $path"))
+    require(!(from.contains('>') || from.contains('\t') ||
+      to.contains('>') || to.contains('\t')),
+      s"renameColumn: '>' and tab are reserved by the mapping header")
+    val logical = read(spark, path).columns.toSeq
+    require(logical.exists(_.equalsIgnoreCase(from)),
+      s"renameColumn: no column '$from' at $path (have ${logical.mkString(",")})")
+    require(!logical.exists(_.equalsIgnoreCase(to)),
+      s"renameColumn: column '$to' already exists at $path")
+    partitionEntries(spark, path, v).foreach { entries =>
+      val partCols = entries.head._1.split('/').toSeq.map(_.split('=')(0))
+      require(!partCols.exists(_.equalsIgnoreCase(from)),
+        s"renameColumn: '$from' is a partition column — the directory " +
+          "layout embeds it; rewrite via createVersioned with new names")
+    }
+    require(!Constraints.list(spark, path).exists(_._2.toLowerCase
+        .contains(from.toLowerCase)),
+      s"renameColumn: a CHECK constraint references '$from' — drop and " +
+        "re-add the constraint around the rename")
+    val (renames, drops) = columnMapping(spark, path, v)
+    // the new entry maps the PHYSICAL name (the inverse image of `from`
+    // under the current mapping) to the new logical name
+    val physical = renames.collectFirst {
+      case (p, l) if l.equalsIgnoreCase(from) => p
+    }.getOrElse(from)
+    val updated = renames - physical + (physical -> to)
+    // a rename back to the physical name clears its entry
+    val compacted = updated.filterNot { case (p, l) => p.equalsIgnoreCase(l) }
+    commitMetadataVersion(spark, path, v, colmapValue(compacted, drops),
+      "renameColumn")
+  }
+
+  /** Delta-parity `ALTER TABLE … DROP COLUMN` without rewrite — the
+    * column disappears from reads of the new version (history still
+    * shows it); bytes are reclaimed at materialization. Same caveats and
+    * mutation freeze as [[renameColumn]].
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
+    val v = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
+      s"dropColumn: no versioned table at $path"))
+    val logical = read(spark, path).columns.toSeq
+    require(logical.exists(_.equalsIgnoreCase(name)),
+      s"dropColumn: no column '$name' at $path (have ${logical.mkString(",")})")
+    require(logical.length > 1, s"dropColumn: cannot drop the only column")
+    partitionEntries(spark, path, v).foreach { entries =>
+      val partCols = entries.head._1.split('/').toSeq.map(_.split('=')(0))
+      require(!partCols.exists(_.equalsIgnoreCase(name)),
+        s"dropColumn: '$name' is a partition column")
+    }
+    require(!Constraints.list(spark, path).exists(_._2.toLowerCase
+        .contains(name.toLowerCase)),
+      s"dropColumn: a CHECK constraint references '$name' — drop it first")
+    val (renames, drops) = columnMapping(spark, path, v)
+    val physical = renames.collectFirst {
+      case (p, l) if l.equalsIgnoreCase(name) => p
+    }.getOrElse(name)
+    commitMetadataVersion(spark, path, v,
+      colmapValue(renames - physical, drops :+ physical), "dropColumn")
+  }
+
+  /** Republish `v`'s body + DV header as version v+1 with a new colmap
+    * header — the shared metadata-only commit of rename/drop.
+    */
+  private def commitMetadataVersion(
+      spark: SparkSession, path: String, v: Long, colmap: String,
+      verb: String): Long = {
+    val next = v + 1
+    require(commitVersion(spark, path, next,
+      manifestContent(spark, path, v).trim,
+      dv = dvDirs(spark, path, v),
+      colmap = Some(colmap)),
+      s"$verb: lost the commit race for version $next at $path — retry")
+    next
+  }
+
   /** The union of `dirs`' DV parquet — rows of (file URI, row index)
     * marking deleted rows. Small by construction (16 B/deleted row), so
     * the read-side anti-join broadcasts it in the common case.
@@ -1733,6 +1900,7 @@ object ParquetTable {
       spark: SparkSession, path: String, updates: DataFrame, pk: Seq[String],
       cdf: Boolean = false, txn: Option[(String, Long)] = None): Long = {
     requireTxnAppId(txn)
+    requireNoColmap(spark, path, "mergeVectors")
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1931,6 +2099,7 @@ object ParquetTable {
       spark: SparkSession, path: String, rows: DataFrame,
       cdf: Boolean = false, txn: Option[(String, Long)] = None): Long = {
     requireTxnAppId(txn)
+    requireNoColmap(spark, path, "insertInto")
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1996,6 +2165,7 @@ object ParquetTable {
   def deleteVectors(
       spark: SparkSession, path: String, condition: Column,
       cdf: Boolean = false): Long = {
+    requireNoColmap(spark, path, "deleteVectors")
     var result = -1L
     var attempts = 0
     while (result < 0) {
@@ -2254,15 +2424,18 @@ object ParquetTable {
       s"restore: version $version not present at $path " +
         s"(have: ${versions(spark, path).mkString(", ")})")
     val content = manifestContent(spark, path, version)
-    // the restored version's deletion vectors are part of its snapshot —
-    // restoring without them would resurrect vector-deleted rows
+    // the restored version's deletion vectors AND column mapping are part
+    // of its snapshot — restoring without them would resurrect
+    // vector-deleted rows / revert logical names
     val dv = dvDirs(spark, path, version)
+    val (cmR, cmD) = columnMapping(spark, path, version)
+    val cm = Some(colmapValue(cmR, cmD)).filter(_.nonEmpty)
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 10, s"restore: lost the version race at $path")
       val v = currentVersion(spark, path).getOrElse(0L) + 1
-      if (commitVersion(spark, path, v, content, dv = dv)) return v
+      if (commitVersion(spark, path, v, content, dv = dv, colmap = cm)) return v
     }
     -1L // unreachable
   }
@@ -2314,8 +2487,11 @@ object ParquetTable {
           .map(d => new Path(sourcePath, d).toString).mkString("\n")
     // the clone reads through the source snapshot's deletion vectors too
     // (absolutized like the data dirs; DV rows already hold absolute URIs)
+    // — and under its column mapping (logical names travel with the view)
     val dvAbs = dvDirs(spark, sourcePath, v).map(d => new Path(sourcePath, d).toString)
-    require(commitVersion(spark, targetPath, 1L, abs, dv = dvAbs),
+    val (cmR, cmD) = columnMapping(spark, sourcePath, v)
+    require(commitVersion(spark, targetPath, 1L, abs, dv = dvAbs,
+      colmap = Some(colmapValue(cmR, cmD)).filter(_.nonEmpty)),
       s"shallowClone: lost the creation race at $targetPath")
     // clones carry the source's CHECK constraints (Delta clones table
     // properties); drop them on the clone independently if unwanted
@@ -2377,6 +2553,9 @@ object ParquetTable {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"generateSymlinkManifest: no versioned table at $path"))
+    // a symlink consumer reads raw files — it would see PHYSICAL column
+    // names, silently diverging from this table's logical view
+    requireNoColmap(spark, path, "generateSymlinkManifest")
     if (dvDirs(spark, path, v).nonEmpty) {
       throw new IllegalStateException(
         s"generateSymlinkManifest: version $v of $path carries deletion " +
@@ -2433,6 +2612,7 @@ object ParquetTable {
   def compactWhere(
       spark: SparkSession, path: String, predicate: Column,
       filesPerPartition: Int = 1): Long = {
+    requireNoColmap(spark, path, "compactWhere")
     var committedV = -1L
     var attempts = 0
     while (committedV < 0) {
@@ -2675,6 +2855,7 @@ object ParquetTable {
       dropChangeFeed: Boolean = false): Long = {
     currentVersion(spark, path).getOrElse(throw new IllegalStateException(
       s"purge: no versioned table at $path"))
+    requireNoColmap(spark, path, "purge")
     val fs = hadoopFs(spark, new Path(path))
     // a shallow clone's CURRENT version reads the SOURCE's data dirs by
     // absolute path — deleting/vacuuming here cannot touch those bytes,

@@ -155,6 +155,12 @@ object GraftSql {
   private val CloneStmt =
     ("""(?is)\s*CREATE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+""" +
       """graft\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+  private val RenameColumnStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+RENAME\s+COLUMN\s+""" +
+      """`?([^`\s]+)`?\s+TO\s+`?([^`\s;]+)`?\s*;?\s*""").r
+  private val DropColumnStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+COLUMN\s+""" +
+      """`?([^`\s;]+)`?\s*;?\s*""").r
   private val AddConstraintStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+ADD\s+CONSTRAINT\s+""" +
       """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
@@ -174,6 +180,10 @@ object GraftSql {
           .toSeq.filter(_.nonEmpty)).getOrElse(Nil)))
       case CloneStmt(target, source, v) =>
         Some(GraftCloneCommand(source, target, Option(v).map(_.toLong)))
+      case RenameColumnStmt(path, from, to) =>
+        Some(GraftColumnCommand(path, from, Some(to)))
+      case DropColumnStmt(path, name) =>
+        Some(GraftColumnCommand(path, name, None))
       case AddConstraintStmt(path, name, check) =>
         Some(GraftConstraintCommand(path, name, Some(check.trim)))
       case DropConstraintStmt(path, name) =>
@@ -712,6 +722,27 @@ case class GraftCloneCommand(
   * `Constraints`: ADD validates existing data in one scan; every later
   * commit validates its own writes before publishing).
   */
+/** `ALTER TABLE graft.`p` RENAME COLUMN a TO b` / `DROP COLUMN a`:
+  * O(1) metadata-only schema change via the `#colmap=` manifest header
+  * (see `ParquetTable.renameColumn`). Returns the committed version.
+  */
+case class GraftColumnCommand(
+    path: String, column: String, renameTo: Option[String])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.LongType)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = renameTo match {
+      case Some(to) => graft.sources.ParquetTable.renameColumn(session, path, column, to)
+      case None => graft.sources.ParquetTable.dropColumn(session, path, column)
+    }
+    Seq(Row(v))
+  }
+}
+
 case class GraftConstraintCommand(
     path: String, name: String, check: Option[String])
     extends LeafRunnableCommand {

@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** RENAME/DROP COLUMN without rewrite (the `#colmap=` manifest header):
+  * O(1) metadata-only commits, per-version logical views under time
+  * travel, the mutation freeze until compact/optimize materializes, and
+  * the carry rules (restore, clone).
+  */
+class ColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(tag: String): String = {
+    val path = tmpDir(s"colmap-$tag") + "/t"
+    ParquetTable.create(
+      Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "v", "amount"), path)
+    path
+  }
+
+  test("rename is metadata-only: same data dirs, new logical name, history keeps the old") {
+    val path = mk("basic")
+    val before = ParquetTable.detail(spark, path).head()
+    val v2 = ParquetTable.renameColumn(spark, path, "amount", "total")
+    assert(v2 === 2L)
+    // logical view renamed, values intact
+    assert(ParquetTable.read(spark, path).columns.toSeq === Seq("id", "v", "total"))
+    assert(ParquetTable.read(spark, path).agg(sum("total")).head.getDouble(0) === 30.0)
+    // O(1): the new version references the SAME data dirs (no rewrite)
+    val after = ParquetTable.detail(spark, path).head()
+    assert(after.getInt(after.fieldIndex("n_data_dirs")) ===
+      before.getInt(before.fieldIndex("n_data_dirs")))
+    // time travel shows each version under its own names
+    assert(ParquetTable.readAt(spark, path, 1L).columns.contains("amount"))
+    assert(!ParquetTable.readAt(spark, path, 1L).columns.contains("total"))
+  }
+
+  test("drop hides the column from the new version only; data survives until materialization") {
+    val path = mk("drop")
+    ParquetTable.dropColumn(spark, path, "v")
+    assert(ParquetTable.read(spark, path).columns.toSeq === Seq("id", "amount"))
+    assert(ParquetTable.readAt(spark, path, 1L).columns.contains("v"))
+  }
+
+  test("chained renames compose; rename back to the physical name clears the entry") {
+    val path = mk("chain")
+    ParquetTable.renameColumn(spark, path, "amount", "total")
+    ParquetTable.renameColumn(spark, path, "total", "grand_total")
+    assert(ParquetTable.read(spark, path).columns.contains("grand_total"))
+    val (renames, _) = ParquetTable.columnMapping(
+      spark, path, ParquetTable.currentVersion(spark, path).get)
+    assert(renames === Map("amount" -> "grand_total"), "chain must collapse to one entry")
+    ParquetTable.renameColumn(spark, path, "grand_total", "amount")
+    val (r2, _) = ParquetTable.columnMapping(
+      spark, path, ParquetTable.currentVersion(spark, path).get)
+    assert(r2.isEmpty, "rename back to physical must clear the mapping")
+    // and with no mapping left, mutations work without compact
+    ParquetTable.merge(spark, path, Seq((3, "c", 30.0)).toDF("id", "v", "amount"), Seq("id"))
+    assert(ParquetTable.read(spark, path).count() === 3)
+  }
+
+  test("mutations are refused while mapped; compact materializes and unfreezes") {
+    val path = mk("freeze")
+    ParquetTable.renameColumn(spark, path, "amount", "total")
+    val e = intercept[IllegalStateException] {
+      ParquetTable.merge(spark, path,
+        Seq((3, "c", 30.0)).toDF("id", "v", "total"), Seq("id"))
+    }
+    assert(e.getMessage.contains("unmaterialized column mapping"))
+    intercept[IllegalStateException] {
+      ParquetTable.delete(spark, path, col("id") === 1)
+    }
+    intercept[IllegalStateException] {
+      ParquetTable.insertInto(spark, path, Seq((9, "z", 1.0)).toDF("id", "v", "total"))
+    }
+    ParquetTable.compact(spark, path)
+    val v = ParquetTable.currentVersion(spark, path).get
+    assert(ParquetTable.columnMapping(spark, path, v)._1.isEmpty, "compact must clear the map")
+    // physical files now carry the logical name
+    assert(ParquetTable.read(spark, path).columns.contains("total"))
+    ParquetTable.merge(spark, path,
+      Seq((3, "c", 30.0)).toDF("id", "v", "total"), Seq("id"))
+    assert(ParquetTable.read(spark, path).agg(sum("total")).head.getDouble(0) === 60.0)
+  }
+
+  test("refusals: missing source, existing target, partition column, constraint reference") {
+    val path = mk("refuse")
+    intercept[IllegalArgumentException] {
+      ParquetTable.renameColumn(spark, path, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      ParquetTable.renameColumn(spark, path, "amount", "v")
+    }
+    Constraints.add(spark, path, "amt_pos", "amount > 0")
+    val e = intercept[IllegalArgumentException] {
+      ParquetTable.renameColumn(spark, path, "amount", "total")
+    }
+    assert(e.getMessage.contains("CHECK constraint"))
+    Constraints.drop(spark, path, "amt_pos")
+
+    val ppath = tmpDir("colmap-part") + "/t"
+    ParquetTable.createVersioned(
+      Seq((1, "d1", 1.0), (2, "d2", 2.0)).toDF("id", "day", "x"), ppath, Seq("day"))
+    val pe = intercept[IllegalArgumentException] {
+      ParquetTable.renameColumn(spark, ppath, "day", "dt")
+    }
+    assert(pe.getMessage.contains("partition column"))
+    // non-partition rename on a partitioned table works and reads back
+    ParquetTable.renameColumn(spark, ppath, "x", "y")
+    assert(ParquetTable.read(spark, ppath).columns.toSeq.sorted === Seq("day", "id", "y"))
+  }
+
+  test("restore and shallow clone carry the mapping of the version they publish") {
+    val path = mk("carry")
+    ParquetTable.renameColumn(spark, path, "amount", "total") // v2 mapped
+    // restore to v1: the republished version must NOT carry the mapping
+    ParquetTable.restore(spark, path, 1L)
+    assert(ParquetTable.read(spark, path).columns.contains("amount"))
+    // restore back to the mapped v2: mapping must come back with it
+    ParquetTable.restore(spark, path, 2L)
+    assert(ParquetTable.read(spark, path).columns.contains("total"))
+    // a clone of the mapped version serves logical names too
+    val clone = tmpDir("colmap-clone") + "/t"
+    ParquetTable.shallowClone(spark, path, clone)
+    assert(ParquetTable.read(spark, clone).columns.contains("total"))
+  }
+
+  test("SQL: ALTER TABLE RENAME/DROP COLUMN and filtered reads over the logical view") {
+    val path = mk("sql")
+    graft.sql.GraftSql.sql(spark,
+      s"ALTER TABLE graft.`$path` RENAME COLUMN amount TO total")
+    val got = graft.sql.GraftSql.sql(spark,
+      s"SELECT id, total FROM graft.`$path` WHERE total > 15").collect()
+    assert(got.map(r => (r.getInt(0), r.getDouble(1))).toSeq === Seq((2, 20.0)))
+    graft.sql.GraftSql.sql(spark, s"ALTER TABLE graft.`$path` DROP COLUMN v")
+    assert(graft.sql.GraftSql.sql(spark,
+      s"SELECT * FROM graft.`$path`").columns.toSeq === Seq("id", "total"))
+  }
+
+  test("readWhere serves the logical view (conservative skipping on renamed columns)") {
+    val path = mk("skip")
+    ParquetTable.renameColumn(spark, path, "amount", "total")
+    val got = ParquetTable.readWhere(spark, path, col("total") > 15)
+      .select("id").as[Int].collect().toSeq
+    assert(got === Seq(2))
+  }
+}
