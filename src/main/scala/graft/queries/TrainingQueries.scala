@@ -739,6 +739,25 @@ object TrainingQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Column mapping (ParquetTable.renameColumn/dropColumn): O(1)
+    // metadata-only RENAME + DROP COLUMN via the #colmap= manifest
+    // header — no data rewrite; the read serves the logical view over
+    // unchanged physical files. The oracle states the post-DDL logical
+    // schema directly over the raw table.
+    "q112_rename_column" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_cm").toString + "/t"
+      graft.sources.ParquetTable.create(
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+          .filter(col("l_orderkey") < 100), out)
+      graft.sources.ParquetTable.renameColumn(s, out, "l_quantity", "qty")
+      graft.sources.ParquetTable.dropColumn(s, out, "l_extendedprice")
+      graft.sources.ParquetTable.read(s, out)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // fastText-style hashed linear quality scoring (operators/
     // HashClassifier.scala): every doc scored by a 64-bucket hashed
     // bag-of-words model in ONE codegen'd map-only pass — no vocabulary
@@ -1925,6 +1944,13 @@ object TrainingQueries {
         |SELECT user_id, event_id, event_type, value
         |FROM latest WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+
+    // The logical view after RENAME l_quantity->qty + DROP
+    // l_extendedprice, stated directly over the raw table.
+    "q112_rename_column" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // SCD2 interval history from the raw change stream: every (user,
     // event) observation opens an interval at its own sequence and
