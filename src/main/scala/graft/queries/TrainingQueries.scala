@@ -739,6 +739,32 @@ object TrainingQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Bloom point-lookup tier (ParquetTable.optimizeBloom + the
+    // DataSkipping bloom probe): native parquet bloom filters on a
+    // high-cardinality scrambled key, equality lookups served through
+    // the bloom-pruned readWhere path (BloomSkippingSpec proves the
+    // file-count drop; this proves end-to-end correctness against the
+    // oracle's replay of the scramble).
+    "q113_bloom_lookup" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_bloom").toString + "/t"
+      graft.sources.ParquetTable.create(
+        s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderkey") < 20000)
+          .select(col("o_orderkey"),
+            concat(lit("k-"), ((col("o_orderkey") * lit(2654435761L)) % 1000000L)
+              .cast("string")).as("uid"),
+            col("o_totalprice"))
+          .repartition(8), out)
+      graft.sources.ParquetTable.optimizeBloom(s, out, Seq("uid"), numFiles = 8)
+      Seq(1L, 7L, 32L)
+        .map(k => s"k-${(k * 2654435761L) % 1000000L}")
+        .map(k => graft.sources.ParquetTable.readWhere(s, out, col("uid") === k))
+        .reduce(_.unionByName(_))
+        .select(col("o_orderkey"), col("uid"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Column mapping (ParquetTable.renameColumn/dropColumn): O(1)
     // metadata-only RENAME + DROP COLUMN via the #colmap= manifest
     // header — no data rewrite; the read serves the logical view over
@@ -1944,6 +1970,15 @@ object TrainingQueries {
         |SELECT user_id, event_id, event_type, value
         |FROM latest WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+
+    // Replays the key scramble and the three point lookups directly.
+    "q113_bloom_lookup" ->
+      """SELECT o_orderkey,
+        |  'k-' || ((o_orderkey * 2654435761) % 1000000)::VARCHAR AS uid,
+        |  o_totalprice
+        |FROM orders
+        |WHERE o_orderkey < 20000 AND o_orderkey IN (1, 7, 32)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // The logical view after RENAME l_quantity->qty + DROP
     // l_extendedprice, stated directly over the raw table.

@@ -50,8 +50,14 @@ object DataSkipping {
 
   /** Stats of one parquet file: row count + per-top-level-column stats.
     * Columns without usable footer stats are simply absent (conservative).
+    * `bloom` names the columns carrying a native parquet bloom filter in
+    * EVERY row group (written via [[ParquetTable.optimizeBloom]]) —
+    * [[candidateFiles]] probes those for equality predicates, the
+    * point-lookup tier min/max cannot serve.
     */
-  case class FileStat(rows: Long, cols: Map[String, ColStat])
+  case class FileStat(
+      rows: Long, cols: Map[String, ColStat],
+      bloom: Set[String] = Set.empty)
 
   /** One data dir's committed sidecar: the table schema of the commit
     * (so reads never re-infer it from footers — Delta keeps it in the
@@ -195,7 +201,19 @@ object DataSkipping {
         (nulls.keySet -- mins.keySet -- minStrs.keySet -- dropped)
           .filter(nulls(_) >= 0)
           .map(c => c -> ColStat("num", "", "", nulls(c))).toMap
-      FileStat(rows, cols)
+      // columns with a bloom filter in EVERY row group (the footer
+      // records the offset; -1 = none) — intersection over blocks
+      var bloomCols: Set[String] = null
+      blocks.forEach { block =>
+        val here = mutable.Set[String]()
+        block.getColumns.forEach { cc =>
+          val pathParts = cc.getPath.toArray
+          if (pathParts.length == 1 && cc.getBloomFilterOffset >= 0)
+            here += pathParts(0)
+        }
+        bloomCols = if (bloomCols == null) here.toSet else bloomCols & here.toSet
+      }
+      FileStat(rows, cols, Option(bloomCols).getOrElse(Set.empty))
     } finally reader.close()
   }
 
@@ -243,7 +261,10 @@ object DataSkipping {
         s"${jstr(c)}:{" + s""""kind":${jstr(cs.kind)},"min":${jstr(cs.min)},""" +
           s""""max":${jstr(cs.max)},"nulls":${cs.nulls}}"""
       }.mkString(",")
-      s"${jstr(f)}:{" + s""""rows":${fs.rows},"cols":{$cols}}"""
+      val bloom =
+        if (fs.bloom.isEmpty) ""
+        else s""","bloom":[${fs.bloom.toSeq.sorted.map(jstr).mkString(",")}]"""
+      s"${jstr(f)}:{" + s""""rows":${fs.rows},"cols":{$cols}$bloom}"""
     }.mkString("{", ",", "}")
     // schema.json is already valid JSON — embedded as a subtree
     schema.map(s => s"""{"schema":${s.json},"files":$files}""")
@@ -267,7 +288,12 @@ object DataSkipping {
         cols(ce.getKey) = ColStat(c.get("kind").asText(), c.get("min").asText(),
           c.get("max").asText(), c.get("nulls").asLong())
       }
-      out(e.getKey) = FileStat(fn.get("rows").asLong(), cols.toMap)
+      val bloom = Option(fn.get("bloom")).map { arr =>
+        val b = mutable.Set[String]()
+        arr.elements().forEachRemaining(n => b += n.asText())
+        b.toSet
+      }.getOrElse(Set.empty[String])
+      out(e.getKey) = FileStat(fn.get("rows").asLong(), cols.toMap, bloom)
     }
     Sidecar(schema, out.toMap)
   }
@@ -340,9 +366,85 @@ object DataSkipping {
     val all = listParquetFiles(spark, dir)
     (cond, readStats(spark, dir)) match {
       case (Some(c), Some(sidecar)) =>
-        all.filter(f => sidecar.files.get(f).forall(mayMatch(c, _)))
+        val kept = all.filter(f => sidecar.files.get(f).forall(mayMatch(c, _)))
+        bloomPrune(spark, dir, c, kept, sidecar)
       case _ => all
     }
+  }
+
+  /** Equality conjuncts `col = literal` (either side) usable for bloom
+    * probing — top-level ANDs only, like a bloom index serves. STRICT on
+    * shape: bare attribute, literal of exactly the column's type — a
+    * cast-wrapped attribute would hash the wrong value domain and turn
+    * the probe into a false NEGATIVE (min/max pruning tolerates
+    * order-preserving casts; hash identity does not).
+    */
+  private def eqConjuncts(cond: Expression): Seq[(String, Any, DataType)] = cond match {
+    case And(l, r) => eqConjuncts(l) ++ eqConjuncts(r)
+    case EqualTo(a: AttributeReference, Literal(v, t))
+        if v != null && t == a.dataType => Seq((a.name, v, t))
+    case EqualTo(Literal(v, t), a: AttributeReference)
+        if v != null && t == a.dataType => Seq((a.name, v, t))
+    case _ => Nil
+  }
+
+  /** Bloom point-lookup tier: for files whose sidecar records a native
+    * parquet bloom filter on an equality-probed column, open the footer
+    * and test each row group's bloom — the file survives only if SOME
+    * row group may contain ALL probed values. Runs strictly AFTER (and
+    * only on) the min/max survivors; one footer+bloom-page read per
+    * probed file, no data I/O. Conservative everywhere: missing bloom,
+    * unhashable type, or any read problem keeps the file.
+    */
+  private def bloomPrune(
+      spark: SparkSession, dir: String, cond: Expression,
+      files: Seq[String], sidecar: Sidecar): Seq[String] = {
+    val eqs = eqConjuncts(cond)
+    if (eqs.isEmpty || !sidecar.files.values.exists(_.bloom.nonEmpty)) return files
+    val conf = spark.sessionState.newHadoopConf()
+    files.filter { rel =>
+      val bloomed = sidecar.files.get(rel).map(_.bloom).getOrElse(Set.empty)
+      val probes = eqs.filter(e => bloomed.contains(e._1))
+      probes.isEmpty || bloomMayContain(
+        new Path(new Path(dir), rel), conf, probes)
+    }
+  }
+
+  private def bloomMayContain(
+      p: Path, conf: org.apache.hadoop.conf.Configuration,
+      probes: Seq[(String, Any, DataType)]): Boolean =
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        (0 until blocks.size()).exists { bi =>
+          val block = blocks.get(bi)
+          val bfr = reader.getBloomFilterDataReader(block)
+          probes.forall { case (name, v, t) =>
+            val ccs = block.getColumns
+            (0 until ccs.size()).find(i =>
+              ccs.get(i).getPath.toArray.toSeq == Seq(name)) match {
+              case None => true
+              case Some(i) =>
+                val bf = bfr.readBloomFilter(ccs.get(i))
+                if (bf == null) true
+                else bloomHash(bf, v, t).forall(bf.findHash)
+            }
+          }
+        }
+      } finally reader.close()
+    } catch { case _: Throwable => true } // conservative on any failure
+
+  private def bloomHash(
+      bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+      v: Any, t: DataType): Option[Long] = t match {
+    case StringType => Some(bf.hash(
+      org.apache.parquet.io.api.Binary.fromString(v.toString)))
+    case IntegerType => Some(bf.hash(v.asInstanceOf[Int]))
+    case LongType => Some(bf.hash(v.asInstanceOf[Long]))
+    case DoubleType => Some(bf.hash(v.asInstanceOf[Double]))
+    case FloatType => Some(bf.hash(v.asInstanceOf[Float]))
+    case _ => None
   }
 
   /** Conservative interval check: can any row of a file with stats `f`

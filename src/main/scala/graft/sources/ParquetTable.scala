@@ -215,6 +215,50 @@ object ParquetTable {
     }
   }
 
+  /** OPTIMIZE with a BLOOM FILTER index build (the Databricks
+    * bloom-index recipe: declare the index, OPTIMIZE writes it): rewrite
+    * the current image with NATIVE parquet bloom filters on `bloomFor`
+    * columns (the standard `parquet.bloom.filter.enabled#col` writer
+    * property — any parquet reader sees ordinary files), optionally
+    * Z-ordered on `zorderBy`. The refreshed stats sidecar records which
+    * columns carry blooms, and [[readWhere]]/[[GraftFileIndex]] pruning
+    * gains a point-lookup tier: equality predicates probe the blooms of
+    * min/max-surviving files and drop the ones that cannot contain the
+    * value — the skipping min/max cannot provide on high-cardinality,
+    * unclustered columns (uuid/fingerprint lookups at 100 TB), at one
+    * footer+bloom-page read per probed file, no data I/O, false
+    * positives only (never false negatives — results never change).
+    */
+  def optimizeBloom(
+      spark: SparkSession, path: String, bloomFor: Seq[String],
+      zorderBy: Seq[String] = Nil, numFiles: Int = 8): Long = {
+    require(bloomFor.nonEmpty, "optimizeBloom: empty bloom column list")
+    currentVersion(spark, path).getOrElse(throw new IllegalStateException(
+      s"optimizeBloom: no versioned table at $path"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val keys = bloomFor.map(c => s"parquet.bloom.filter.enabled#$c")
+    keys.foreach(k => hconf.set(k, "true"))
+    try {
+      if (zorderBy.nonEmpty) optimize(spark, path, zorderBy, numFiles)
+      else {
+        // plain rewrite (compact-shaped, but across numFiles so the
+        // bloom tier has per-file filters worth pruning between)
+        val v = currentVersion(spark, path).get
+        partitionEntries(spark, path, v) match {
+          case None =>
+            atomicReplace(spark, path,
+              readVersion(spark, path, v).repartition(numFiles), Nil)
+          case Some(entries) =>
+            val partitionColumns =
+              entries.head._1.split('/').toSeq.map(_.split('=')(0))
+            createVersioned(readVersion(spark, path, v), path,
+              partitionColumns, filesPerPartition = math.max(1, numFiles))
+        }
+        currentVersion(spark, path).get
+      }
+    } finally keys.foreach(hconf.unset)
+  }
+
   /** Overwrite-create. Partitioned layouts stay plain (hive-style dirs at
     * `path`, catalog-registrable via LOCATION); unpartitioned tables are
     * created as manifest version 1 (or the next version if the path

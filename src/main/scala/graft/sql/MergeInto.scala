@@ -137,6 +137,9 @@ object GraftSql {
     """(?is)\s*RESTORE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
+  private val OptimizeBloomStmt =
+    ("""(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+BLOOM\s+BY\s*\(([^)]+)\)""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
   private val CompactWhereStmt =
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val CompactStmt =
@@ -188,6 +191,11 @@ object GraftSql {
         Some(GraftConstraintCommand(path, name, Some(check.trim)))
       case DropConstraintStmt(path, name) =>
         Some(GraftConstraintCommand(path, name, None))
+      case OptimizeBloomStmt(path, bloomCols, zCols) =>
+        def split(s: String) = s.split(',')
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq.filter(_.nonEmpty)
+        Some(GraftOptimizeBloomCommand(path, split(bloomCols),
+          Option(zCols).map(split).getOrElse(Nil)))
       case OptimizeStmt(path, cols) => Some(GraftOptimizeCommand(path,
         cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
           .filter(_.nonEmpty)))
@@ -722,6 +730,24 @@ case class GraftCloneCommand(
   * `Constraints`: ADD validates existing data in one scan; every later
   * commit validates its own writes before publishing).
   */
+/** `OPTIMIZE graft.`p` BLOOM BY (c1…) [ZORDER BY (z1…)]`: rewrite with
+  * native parquet bloom filters on the named columns (point-lookup
+  * skipping tier — see `ParquetTable.optimizeBloom`). Returns the
+  * committed version.
+  */
+case class GraftOptimizeBloomCommand(
+    path: String, bloomFor: Seq[String], zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.LongType)())
+
+  override def run(session: SparkSession): Seq[Row] = Seq(Row(
+    graft.sources.ParquetTable.optimizeBloom(
+      session, path, bloomFor, zorderBy)))
+}
+
 /** `ALTER TABLE graft.`p` RENAME COLUMN a TO b` / `DROP COLUMN a`:
   * O(1) metadata-only schema change via the `#colmap=` manifest header
   * (see `ParquetTable.renameColumn`). Returns the committed version.
