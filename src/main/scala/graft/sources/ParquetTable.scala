@@ -1608,6 +1608,17 @@ object ParquetTable {
       fromVersion: Long,
       toVersion: Long,
       pk: Seq[String]): DataFrame = {
+    // a window straddling a RENAME/DROP boundary compares snapshots that
+    // disagree on what a column is CALLED — the superset-align below
+    // would misread a renamed column as drop-one-add-another and report
+    // every row changed; refuse with the real explanation instead
+    val cmFrom = columnMapping(spark, path, fromVersion)
+    val cmTo = columnMapping(spark, path, toVersion)
+    require(cmFrom == cmTo,
+      s"changes($fromVersion, $toVersion) at $path: the window straddles " +
+        s"a column-mapping change (v$fromVersion: $cmFrom vs v$toVersion: " +
+        s"$cmTo) — the two snapshots disagree on column names, so a row " +
+        "diff is not well-defined. Split the window at the DDL commit.")
     val beforeRaw = readAt(spark, path, fromVersion)
     val afterRaw = readAt(spark, path, toVersion)
     // across a schema-evolution boundary the snapshots disagree: align

@@ -138,6 +138,18 @@ class ColumnMappingSpec extends SparkSpec {
       s"SELECT * FROM graft.`$path`").columns.toSeq === Seq("id", "total"))
   }
 
+  test("changes refuses a window straddling the rename; same-mapping windows work") {
+    val path = mk("cdf")
+    ParquetTable.renameColumn(spark, path, "amount", "total") // v2
+    val e = intercept[IllegalArgumentException] {
+      ParquetTable.changes(spark, path, 1L, 2L, Seq("id"))
+    }
+    assert(e.getMessage.contains("column-mapping change"))
+    // both endpoints mapped identically: the diff is well-defined (and
+    // empty — the rename commit moved no rows)
+    assert(ParquetTable.changes(spark, path, 2L, 2L, Seq("id")).count() === 0L)
+  }
+
   test("readWhere serves the logical view (conservative skipping on renamed columns)") {
     val path = mk("skip")
     ParquetTable.renameColumn(spark, path, "amount", "total")
