@@ -2400,9 +2400,10 @@ object ParquetTable {
   /** DESCRIBE-DETAIL tier (Delta `DESCRIBE DETAIL`): one metadata-only
     * row for the CURRENT snapshot — version, commit instant, partition
     * shape, file/row counts from the stats sidecars (no data I/O; counts
-    * are None when some dir predates sidecars), history depth, and the
-    * CHECK-constraint count. Plain parquet dirs report format "parquet"
-    * with only the location filled.
+    * are None when some dir predates sidecars), history depth, the
+    * CHECK-constraint count, and the active column mapping (the raw
+    * `#colmap=` value; empty when unmapped). Plain parquet dirs report
+    * format "parquet" with only the location filled.
     */
   def detail(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -2410,7 +2411,7 @@ object ParquetTable {
       case None =>
         Seq((path, "parquet", Option.empty[Long],
           Option.empty[java.sql.Timestamp], false, Seq.empty[String],
-          0, 0, Option.empty[Long], Option.empty[Long], 0L, 0, 0))
+          0, 0, Option.empty[Long], Option.empty[Long], 0L, 0, 0, ""))
       case Some(v) =>
         val entries = partitionEntries(spark, path, v)
         val partCols = entries.map(_.head._1.split('/').toSeq.map(_.split('=')(0)))
@@ -2454,16 +2455,19 @@ object ParquetTable {
               .join(prefixes, Seq("__graft_prefix"), "left_semi").count()
         }
         val nr = nrRaw.map(_ - nDel)
+        val (cmR, cmD) = columnMapping(spark, path, v)
         Seq((path, "graft", Some(v),
           commitTimestamp(spark, path, v).map(new java.sql.Timestamp(_)),
           entries.isDefined, partCols,
           entries.map(_.size).getOrElse(0), dirRefs.size, nf, nr, nDel,
           versions(spark, path).size,
-          Constraints.list(spark, path).size))
+          Constraints.list(spark, path).size,
+          colmapValue(cmR, cmD)))
     }
     row.toDF("location", "format", "version", "commit_ts", "partitioned",
       "partition_columns", "n_partitions", "n_data_dirs", "num_files",
-      "num_rows", "num_deleted_rows", "n_versions", "n_constraints")
+      "num_rows", "num_deleted_rows", "n_versions", "n_constraints",
+      "column_mapping")
   }
 
   /** RESTORE-TABLE tier: republish the image of `version` as the NEXT

@@ -700,7 +700,8 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("num_rows", LongType, nullable = true)(),
     AttributeReference("num_deleted_rows", LongType, nullable = false)(),
     AttributeReference("n_versions", IntegerType, nullable = false)(),
-    AttributeReference("n_constraints", IntegerType, nullable = false)())
+    AttributeReference("n_constraints", IntegerType, nullable = false)(),
+    AttributeReference("column_mapping", StringType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] =
     ParquetTable.detail(session, path).collect().toSeq

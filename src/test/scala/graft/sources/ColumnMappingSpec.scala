@@ -31,6 +31,9 @@ class ColumnMappingSpec extends SparkSpec {
     val after = ParquetTable.detail(spark, path).head()
     assert(after.getInt(after.fieldIndex("n_data_dirs")) ===
       before.getInt(before.fieldIndex("n_data_dirs")))
+    // DESCRIBE DETAIL surfaces the active mapping (empty when unmapped)
+    assert(before.getString(before.fieldIndex("column_mapping")) === "")
+    assert(after.getString(after.fieldIndex("column_mapping")) === "amount>total")
     // time travel shows each version under its own names
     assert(ParquetTable.readAt(spark, path, 1L).columns.contains("amount"))
     assert(!ParquetTable.readAt(spark, path, 1L).columns.contains("total"))
