@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,8 +24,28 @@ import graft.functions.TextFunctions.tokens
   * postings of its own terms (never a corpus scan per query); per-doc
   * partial scores sum keyed by (query, doc); top-k per query by window.
   * The two scalars (N, avgdl) broadcast as literals.
+  *
+  * Fingerprint diet (the SubstringDedup/LmScore discipline): terms are
+  * shuffle/join/index KEYS only — they never appear in any output — so
+  * every tier keys on `xxhash64(term)` instead of the string. The
+  * (doc_id, term) partial-agg shuffle, the df shuffle, the query-term
+  * joins and the persisted postings all carry fixed 8-byte longs. Two
+  * distinct terms colliding (p ≈ V²/2⁶⁵, ~5·10⁻⁸ at a 1M-term vocab)
+  * would merge their tf/df statistics; the driver's q96/q104 oracles
+  * replay the STRING formulation in DuckDB, re-proving the equivalence
+  * on every run.
   */
 object Bm25 {
+
+  /** (id, term-string) explode → (id, xxhash64 fingerprint). The hash is
+    * applied AFTER the explode (term is an attribute, one hash per row) —
+    * hashing inside a `transform` lambda over the computed token array
+    * would re-evaluate the tokenizer per element access (the HOF-lambda
+    * quadratic, see TextFunctions.bindArray).
+    */
+  private def fpTokens(src: DataFrame, idAs: String, idCol: Column, terms: Column): DataFrame =
+    src.select(idCol.as(idAs), explode(terms).as("__t"))
+      .select(col(idAs), xxhash64(col("__t")).as("term"))
 
   /** @param queries (queryIdCol, queryTextCol) frame
     * @return (query_id, rank, doc_id, score) — top-k docs per query by
@@ -41,8 +61,7 @@ object Bm25 {
       k: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(docIdCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("term"))
+    val toks = fpTokens(docs, "doc_id", col(docIdCol), tokens(col(textCol)))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     // dl = Σ tf per doc — identical integers to counting raw tokens, but
@@ -68,9 +87,8 @@ object Bm25 {
       scalars: DataFrame,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double, b: Double): DataFrame = {
-    val qTerms = queries
-      .select(col(queryIdCol).as("query_id"),
-        explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
+    val qTerms = fpTokens(queries, "query_id", col(queryIdCol),
+      array_distinct(tokens(col(queryTextCol))))
     val idf = log(((col("n") - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
     val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
     val partial = qTerms
@@ -89,8 +107,10 @@ object Bm25 {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
-  /** Persist the inverted index: postings (term, doc_id, tf), document
-    * lengths, per-term document frequencies, and the two corpus scalars.
+  /** Persist the inverted index: postings (doc_id, term-fingerprint, tf),
+    * document lengths, per-term document frequencies, and the two corpus
+    * scalars. The stored `term` column is the xxhash64 fingerprint (LONG),
+    * never the string — see the class doc's fingerprint-diet note.
     * The corpus tokenization + counting — the dominant cost of [[topK]] —
     * is paid ONCE per corpus version; every later search is only the
     * query-side joins ([[topKIndexed]]). The same amortization shape as
@@ -102,8 +122,7 @@ object Bm25 {
       docs: DataFrame, docIdCol: String, textCol: String, dir: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(col(docIdCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("term"))
+    val toks = fpTokens(docs, "doc_id", col(docIdCol), tokens(col(textCol)))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     // cache: postings feed BOTH the write and the df aggregation below —
@@ -158,8 +177,7 @@ object Bm25 {
       "distinguish an update from a duplicate; delete-then-append or rebuild")
     val oldN = spark.read.parquet(s"$dir/meta").head().getDouble(0)
     val nNew = newDocs.count().toDouble
-    val toks = newDocs.select(col(docIdCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("term"))
+    val toks = fpTokens(newDocs, "doc_id", col(docIdCol), tokens(col(textCol)))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     tf.cache()

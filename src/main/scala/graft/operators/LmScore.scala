@@ -41,7 +41,9 @@ import org.apache.spark.sql.functions._
   * Scoring the training corpus itself (as here) guarantees every scored
   * bigram was seen; the smoothing term still shapes the distribution and
   * makes the operator correct for scoring HELD-OUT documents against a
-  * persisted count table.
+  * persisted count table — which [[trainBigram]]/[[scoreWithModel]]
+  * provide as the deployment tier (train once per corpus version, score
+  * every incoming shard against the parquet counts).
   */
 object LmScore {
 
@@ -55,22 +57,38 @@ object LmScore {
       textCol: String,
       k: Double = 0.5): DataFrame = {
     require(k > 0, s"scoreBigram: smoothing k must be positive, got $k")
-    // the token array MUST materialize once per row in its own
-    // projection: higher-order functions are CodegenFallback (no
-    // subexpression elimination), so an element_at(split(...), i) inside
-    // the lambda would re-run the split regex per ACCESS — O(tokens²)
-    // per document. The multi-reference alias also stops CollapseProject
-    // from re-inlining it.
-    val tokenized = corpus.select(
-      col(idCol), split(lower(col(textCol)), "\\s+").as("__t"))
+    val docBigrams = bigramFps(corpus, idCol, textCol)
+    val pairCounts = docBigrams.filter(col("f2").isNotNull)
+      .groupBy(col("f1"), col("f2")).agg(count(lit(1)).as("c2"))
+    val ctxCounts = pairCounts.groupBy(col("f1")).agg(sum(col("c2")).as("c1"))
+    val vocab = tokenizedOf(corpus, idCol, textCol)
+      .select(explode(col("__t")).as("w")).filter(length(col("w")) > 0)
+      .agg(count_distinct(xxhash64(col("w"))).as("v"))
+    scoreAgainst(docBigrams, pairCounts, ctxCounts, vocab, idCol, k)
+  }
+
+  /** The token array MUST materialize once per row in its own projection:
+    * higher-order functions are CodegenFallback (no subexpression
+    * elimination), so an element_at(split(...), i) inside the lambda
+    * would re-run the split regex per ACCESS — O(tokens²) per document.
+    * The multi-reference alias also stops CollapseProject from
+    * re-inlining it.
+    */
+  private def tokenizedOf(src: DataFrame, idCol: String, textCol: String) =
+    src.select(col(idCol), split(lower(col(textCol)), "\\s+").as("__t"))
+
+  /** (id, f1 = fp(w1), f2 = fp(w1,w2)) per adjacent word pair; one
+    * all-null-fp row per document with < 2 tokens (explode_outer).
+    * Fingerprints are computed INSIDE the map pass — bigram strings never
+    * reach a shuffle. xxhash64 folds per-VALUE (not a string concat), so
+    * ("ab","c") and ("a","bc") fingerprint differently.
+    */
+  private def bigramFps(src: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokenized = tokenizedOf(src, idCol, textCol)
     val t = col("__t")
     val n = size(t)
     val idx = when(n > 1, sequence(lit(1), n - 1)).otherwise(array())
-    // fingerprints computed INSIDE the map pass — the exploded frame
-    // carries only (id, f1 = fp(w1), f2 = fp(w1,w2)); bigram strings
-    // never reach a shuffle. xxhash64 folds per-VALUE (not a string
-    // concat), so ("ab","c") and ("a","bc") fingerprint differently.
-    val docBigrams = tokenized.select(
+    tokenized.select(
       col(idCol),
       explode_outer(transform(idx, i =>
         struct(
@@ -78,16 +96,17 @@ object LmScore {
           xxhash64(element_at(t, i), element_at(t, i + 1)).as("f2"))))
         .as("bg"))
       .select(col(idCol), col("bg.f1").as("f1"), col("bg.f2").as("f2"))
+  }
 
-    // f2 is null exactly where explode_outer emitted the no-bigram row
-    // (docs with < 2 tokens) — the old w1.isNotNull condition
-    val pairCounts = docBigrams.filter(col("f2").isNotNull)
-      .groupBy(col("f1"), col("f2")).agg(count(lit(1)).as("c2"))
-    val ctxCounts = pairCounts.groupBy(col("f1")).agg(sum(col("c2")).as("c1"))
-    val vocab = tokenized
-      .select(explode(t).as("w")).filter(length(col("w")) > 0)
-      .agg(count_distinct(xxhash64(col("w"))).as("v"))
-
+  /** The scoring join shared by the recompute tier ([[scoreBigram]]) and
+    * the persisted tier ([[scoreWithModel]]): doc bigram fps left-join the
+    * count frames (a bigram the model never saw scores with c2 = 0 — the
+    * add-k mass — which is what makes held-out scoring well-defined),
+    * cross-join the 1-row vocab scalar, per-doc mean.
+    */
+  private def scoreAgainst(
+      docBigrams: DataFrame, pairCounts: DataFrame, ctxCounts: DataFrame,
+      vocab: DataFrame, idCol: String, k: Double): DataFrame =
     docBigrams
       .join(pairCounts.select(col("f2"), col("c2")), Seq("f2"), "left")
       .join(ctxCounts, Seq("f1"), "left")
@@ -100,6 +119,52 @@ object LmScore {
       .agg(
         count(col("logp")).as("n_bigrams"),
         avg(col("logp")).as("avg_logp"))
+
+  /** Persist the trained bigram LM: pair counts (f1, f2, c2), context
+    * counts (f1, c1) and the 1-row vocab scalar. The corpus counting pass
+    * — the dominant cost of [[scoreBigram]] — is paid ONCE per corpus
+    * version; every later batch scores against the parquet counts
+    * ([[scoreWithModel]]), the CCNet deployment shape (train the LM on
+    * the target-domain corpus once, score each incoming crawl shard).
+    * Model size is vocab²-bounded (saturates, corpus-independent), not
+    * corpus-sized.
+    */
+  def trainBigram(
+      corpus: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+    val docBigrams = bigramFps(corpus, idCol, textCol)
+    val pairCounts = docBigrams.filter(col("f2").isNotNull)
+      .groupBy(col("f1"), col("f2")).agg(count(lit(1)).as("c2"))
+    pairCounts.cache()
+    try {
+      pairCounts.write.mode("overwrite").parquet(s"$dir/paircounts")
+      pairCounts.groupBy(col("f1")).agg(sum(col("c2")).as("c1"))
+        .write.mode("overwrite").parquet(s"$dir/ctxcounts")
+      tokenizedOf(corpus, idCol, textCol)
+        .select(explode(col("__t")).as("w")).filter(length(col("w")) > 0)
+        .agg(count_distinct(xxhash64(col("w"))).as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    } finally { pairCounts.unpersist(); () }
+  }
+
+  /** Score documents against a [[trainBigram]]-persisted model — identical
+    * results to [[scoreBigram]] when `docs` IS the training corpus
+    * (spec-pinned), and well-defined held-out scoring otherwise (unseen
+    * bigrams get the add-k floor mass).
+    */
+  def scoreWithModel(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0, s"scoreWithModel: smoothing k must be positive, got $k")
+    scoreAgainst(
+      bigramFps(docs, idCol, textCol),
+      spark.read.parquet(s"$dir/paircounts"),
+      spark.read.parquet(s"$dir/ctxcounts"),
+      spark.read.parquet(s"$dir/meta"),
+      idCol, k)
   }
 
   /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): per

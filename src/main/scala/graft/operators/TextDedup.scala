@@ -167,6 +167,82 @@ object TextDedup {
       novel.select(col("__fp").as(fpCol)).distinct())
   }
 
+  // ---- Bloom-guarded history dedup ---------------------------------------
+
+  /** Serialize a Bloom filter over the history fingerprint `store` (one
+    * long `fp` column, as maintained by [[incrementalExactDedup]]). Built
+    * ONCE per store version by a distributed, mergeable aggregate
+    * ([[BloomJoin.buildFilter]] — Spark's native codegen'd
+    * BloomFilterAggregate); the result is numBits/8 bytes of driver
+    * state (~1.2 MB per million docs at 1% fpp), persistable beside the
+    * store and shipped to executors as a plan literal.
+    */
+  def historyBloom(store: DataFrame, expectedItems: Long): Array[Byte] =
+    BloomJoin.buildFilter(store, store.columns.head, expectedItems)
+
+  /** The pure Bloom tier (the BFF / Bloom-filter-dedup shape used by
+    * large crawl pipelines): keep only batch rows whose normalized
+    * fingerprint the history Bloom filter has NEVER seen. Map-only — zero
+    * shuffles, zero history access at apply time. Drops every true
+    * duplicate (Bloom filters have no false negatives) plus ~fpp of the
+    * novel rows (false positives). The 100 TB "dedup a new crawl on the
+    * map side" path when an fpp-rate over-drop is acceptable; for exact
+    * semantics use [[dedupAgainstHistoryBloom]]. Note: batch-INTERNAL
+    * duplicates are untouched (the filter is frozen history state) —
+    * compose with [[exactDedup]] for within-batch dedup.
+    */
+  def novelByBloom(
+      batch: DataFrame, textCol: String, bloomBytes: Array[Byte]): DataFrame =
+    batch.filter(
+      !BloomJoin.mightContain(bloomBytes, normalizedFingerprint(col(textCol))))
+
+  /** Bloom-guarded EXACT dedup of a new batch against a persisted corpus
+    * history — identical results to [[incrementalExactDedup]]
+    * (spec-pinned), at the 100 TB plan shape:
+    *
+    *   1. map-only probe: each batch fingerprint probes the
+    *      [[historyBloom]] filter inside the scan's filter stage.
+    *      Bloom-NEGATIVE rows are definitely novel (no false negatives)
+    *      and never reach the history at all.
+    *   2. exact confirm: only the bloom-positive survivors (true dups +
+    *      ~fpp·batch false positives) are checked against the store. That
+    *      candidate set is batch-bounded, so it BROADCASTS: the store is
+    *      scanned once with a broadcast semi-probe and the confirmed-seen
+    *      set (≤ candidates) broadcasts back — the history itself never
+    *      shuffles, which is the whole point when the store is 10⁹+ rows
+    *      and the batch is a day's crawl.
+    *
+    * The Bloom filter only REROUTES rows between the map-only and the
+    * confirmed path; membership is always decided exactly.
+    *
+    * @return (novel rows to append to the corpus, their fingerprints to
+    *         append to the store) — the [[incrementalExactDedup]] contract.
+    */
+  def dedupAgainstHistoryBloom(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      store: DataFrame,
+      bloomBytes: Array[Byte]): (DataFrame, DataFrame) = {
+    val fpCol = store.columns.head
+    val withFp = batch.withColumn("__fp", normalizedFingerprint(col(textCol)))
+    // within-batch keep-first, same as incrementalExactDedup
+    val keep = withFp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+    val probe = BloomJoin.mightContain(bloomBytes, col("__fp"))
+    val definite = keep.filter(!probe)
+    val candidates = keep.filter(probe)
+    val seen = store.join(
+      broadcast(candidates.select(col("__fp").as(fpCol)).distinct()),
+      Seq(fpCol), "left_semi")
+    val confirmed = candidates.join(
+      broadcast(seen.select(col(fpCol).as("__fp"))), Seq("__fp"), "left_anti")
+    val novelIds = definite.select(col(idCol))
+      .unionByName(confirmed.select(col(idCol)))
+    val novel = withFp.join(novelIds, Seq(idCol), "left_semi")
+    (novel.drop("__fp"),
+      novel.select(col("__fp").as(fpCol)).distinct())
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** 2^31-1: permutation hashes stay in [0, p); a*x+b never overflows a

@@ -725,7 +725,10 @@ object TrainingQueries {
       val nDocs = corpus.count()
       val idx = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        s"graft_bm25idx_${math.abs(d.hashCode)}_$nDocs").toString
+        // "idxf": the fingerprint-keyed index format — a key bump so a
+        // stale string-keyed index from an older binary is never joined
+        // against long query fingerprints
+        s"graft_bm25idxf_${math.abs(d.hashCode)}_$nDocs").toString
       if (!new java.io.File(s"$idx/meta").exists()) {
         graft.operators.Bm25.buildIndex(corpus, "doc_id", "text", idx)
       }
@@ -782,6 +785,50 @@ object TrainingQueries {
       graft.sources.ParquetTable.dropColumn(s, out, "l_extendedprice")
       graft.sources.ParquetTable.read(s, out)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Bloom-guarded history dedup (TextDedup.dedupAgainstHistoryBloom):
+    // a new batch deduped against a frozen corpus history where
+    // bloom-negative rows never touch the history and the exact-confirm
+    // path broadcasts batch-bounded candidate sets — the history itself
+    // never shuffles. Results are EXACT (the bloom only reroutes); the
+    // oracle replays the whole thing as normalized-text set algebra.
+    "q114_bloom_history_dedup" -> ((s, d) => {
+      import graft.functions.TextFunctions.normalizedFingerprint
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0).unionByName(
+        history.filter(col("doc_id") % 25 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val store = history
+        .select(normalizedFingerprint(col("text")).as("fp")).distinct()
+      val bloom = TextDedup.historyBloom(store, history.count())
+      val (novel, _) = TextDedup.dedupAgainstHistoryBloom(
+        batch, "doc_id", "text", store, bloom)
+      novel.select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
+    }),
+
+    // q89's scoring through the PERSISTED LM tier (LmScore.trainBigram →
+    // scoreWithModel): the corpus counting pass is paid once per corpus
+    // version, every later batch scores against the parquet count
+    // tables — the CCNet deployment shape (train on the target domain
+    // once, score each incoming crawl shard). Same oracle as q89: the
+    // tiers are pinned identical on the training corpus (LmScoreSpec)
+    // and the driver re-proves it against DuckDB here.
+    "q115_lm_persisted" -> ((s, d) => {
+      val corpus = Tables.documents(s, d)
+      val nDocs = corpus.count()
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_lmbg_${math.abs(d.hashCode)}_$nDocs").toString
+      if (!new java.io.File(s"$dir/meta").exists()) {
+        graft.operators.LmScore.trainBigram(corpus, "doc_id", "text", dir)
+      }
+      graft.operators.LmScore
+        .scoreWithModel(s, dir, corpus, "doc_id", "text", k = 0.5)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logp"), 4).as("avg_logp"))
+        .orderBy(col("doc_id"))
     }),
 
     // fastText-style hashed linear quality scoring (operators/
@@ -1819,6 +1866,25 @@ object TrainingQueries {
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // The persisted tier scores the training corpus itself, so the
+    // ground truth is exactly q89's recompute formulation.
+    "q115_lm_persisted" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |  FROM t, LATERAL unnest(generate_series(1, len(w) - 1)) AS q(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT u.w) AS v
+        |      FROM (SELECT unnest(w) AS w FROM t) u WHERE length(u.w) > 0),
+        |sc AS (
+        |  SELECT bg.doc_id, ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS logp
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // q89's scoring replayed, then the same rounded-score ntile cut.
     "q103_ccnet_buckets" ->
       """WITH t AS (
@@ -1986,6 +2052,29 @@ object TrainingQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty
         |FROM lineitem WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // Batch-vs-history dedup as normalized-text set algebra: keep the
+    // lowest batch doc_id per normalized text, then drop texts the
+    // history has seen. The engine decides membership through a Bloom
+    // filter + fingerprint store — this oracle states the ground truth
+    // from the constituents instead.
+    "q114_bloom_history_dedup" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t,
+        |    n_chars
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT t FROM norm WHERE doc_id % 5 <> 0),
+        |batch AS (
+        |  SELECT doc_id, t, n_chars FROM norm WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, t, n_chars FROM norm
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 25 = 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY t)
+        |SELECT b.doc_id, b.n_chars FROM batch b
+        |JOIN keep k ON b.doc_id = k.doc_id
+        |WHERE b.t NOT IN (SELECT t FROM hist)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // SCD2 interval history from the raw change stream: every (user,
     // event) observation opens an interval at its own sequence and

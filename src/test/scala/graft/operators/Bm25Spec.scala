@@ -106,11 +106,11 @@ class Bm25Spec extends SparkSpec {
 
     def stats(dir: String) = (
       spark.read.parquet(s"$dir/postings")
-        .as[(Long, String, Long)].collect().sorted.toSeq,
+        .as[(Long, Long, Long)].collect().sorted.toSeq,
       spark.read.parquet(s"$dir/doclens")
         .as[(Long, Long)].collect().sorted.toSeq,
       spark.read.parquet(s"$dir/termstats")
-        .as[(String, Long)].collect().sorted.toSeq,
+        .as[(Long, Long)].collect().sorted.toSeq,
       spark.read.parquet(s"$dir/meta").as[(Double, Double)].head())
     assert(stats(incDir) === stats(fullDir))
 

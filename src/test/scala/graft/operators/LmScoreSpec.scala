@@ -39,6 +39,36 @@ class LmScoreSpec extends SparkSpec {
     assert(got(1).getLong(1) == 1L && !got(1).isNullAt(2))
   }
 
+  test("persisted model tier == recompute tier on the training corpus") {
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "b c a"), (4L, "loner"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("lmbg") + "/model"
+    LmScore.trainBigram(docs, "doc_id", "text", dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Long, Option[Double])].collect().toSeq
+    val rec = rows(LmScore.scoreBigram(docs, "doc_id", "text", k = 0.5))
+    val per = rows(LmScore.scoreWithModel(spark, dir, docs, "doc_id", "text", k = 0.5))
+    assert(per.map(r => (r._1, r._2)) === rec.map(r => (r._1, r._2)))
+    per.zip(rec).foreach { case (p, r) =>
+      (p._3, r._3) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12)
+        case (a, b) => assert(a === b)
+      }
+    }
+  }
+
+  test("held-out scoring: unseen bigrams get the add-k floor, score is finite") {
+    val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val dir = tmpDir("lmheld") + "/model"
+    LmScore.trainBigram(train, "doc_id", "text", dir)
+    val held = Seq((9L, "z q")).toDF("doc_id", "text") // bigram never trained
+    val got = LmScore.scoreWithModel(spark, dir, held, "doc_id", "text", k = 1.0)
+      .collect().head
+    // c2 = 0, c1 = 0, V = 3 → p = (0+1)/(0+1·3) = 1/3
+    assert(got.getLong(1) === 1L)
+    assert(math.abs(got.getDouble(2) - math.log(1.0 / 3)) < 1e-12)
+  }
+
   test("perplexityBuckets: every doc gets a tier; unscorable docs land in tail, " +
     "hot-group guard fires") {
     val docs = ((1L to 9L).map(i => (i, s"the cat sat on mat $i", "en")) :+

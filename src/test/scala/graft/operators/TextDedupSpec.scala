@@ -53,6 +53,62 @@ class TextDedupSpec extends SparkSpec {
     assert(store1.unionByName(fps2).count() === 5)
   }
 
+  test("dedupAgainstHistoryBloom == incrementalExactDedup (bloom only reroutes)") {
+    // history = the deduped corpus; batch mixes exact dups, normalized
+    // dups, batch-internal dups and genuinely novel rows
+    val (_, histFps) = TextDedup.incrementalExactDedup(
+      corpus, "id", "text",
+      frame(StructType(Seq(StructField("fp", LongType, nullable = false))), Seq.empty))
+    val batch = docs(
+      (20L, "the quick brown fox jumps over the lazy dog", "a"),   // dup of history 1
+      (21L, "The Quick  Brown fox jumps over the lazy dog", "a"),  // normalized dup of 1
+      (22L, "novel row one about streaming watermark semantics", "b"),
+      (23L, "novel row one about streaming watermark semantics", "b"), // internal dup of 22
+      (24L, "novel row two about bloom filter reroute paths", "b"))
+    val (novelB, fpsB) = TextDedup.dedupAgainstHistoryBloom(
+      batch, "id", "text", histFps,
+      TextDedup.historyBloom(histFps, expectedItems = 100))
+    val (novelE, fpsE) = TextDedup.incrementalExactDedup(batch, "id", "text", histFps)
+    assert(novelB.select("id").collect().map(_.getLong(0)).sorted ===
+      novelE.select("id").collect().map(_.getLong(0)).sorted)
+    assert(novelB.select("id").collect().map(_.getLong(0)).sorted === Seq(22L, 24L))
+    assert(fpsB.collect().map(_.getLong(0)).sorted ===
+      fpsE.collect().map(_.getLong(0)).sorted)
+  }
+
+  test("novelByBloom: no false negatives — every true dup is dropped") {
+    val (_, histFps) = TextDedup.incrementalExactDedup(
+      corpus, "id", "text",
+      frame(StructType(Seq(StructField("fp", LongType, nullable = false))), Seq.empty))
+    val bloom = TextDedup.historyBloom(histFps, expectedItems = 100)
+    val batch = docs(
+      (20L, "the quick brown fox jumps over the lazy dog", "a"), // dup
+      (21L, "unrelated  TEXT talking about large scale data pipelines", "b"), // norm dup
+      (22L, "a genuinely novel document mentioning nothing familiar", "b"))
+    val kept = TextDedup.novelByBloom(batch, "text", bloom)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(20L) && !kept.contains(21L)) // bloom never misses a dup
+    // kept ⊆ truly-novel (false positives may drop novel rows, never add dups)
+    assert(kept.subsetOf(Set(22L)))
+  }
+
+  test("dedupAgainstHistoryBloom plan: history side broadcast-probed, not shuffled") {
+    val (_, histFps) = TextDedup.incrementalExactDedup(
+      corpus, "id", "text",
+      frame(StructType(Seq(StructField("fp", LongType, nullable = false))), Seq.empty))
+    val batch = docs((20L, "the quick brown fox jumps over the lazy dog", "a"),
+      (22L, "a genuinely novel document mentioning nothing familiar", "b"))
+    val (novel, _) = TextDedup.dedupAgainstHistoryBloom(
+      batch, "id", "text", histFps,
+      TextDedup.historyBloom(histFps, expectedItems = 100))
+    val plan = novel.queryExecution.executedPlan.toString
+    // both history-touching joins are broadcast hash joins: the store is
+    // scanned (streamed) but never exchanged by the confirm path
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.toLowerCase.contains("mightcontain") ||
+      plan.contains("might_contain") || plan.contains("BloomFilterMightContain"))
+  }
+
   test("ngramJaccardPairs finds near-dups within blocks only") {
     val pairs = TextDedup.ngramJaccardPairs(corpus, "id", "text",
         n = 2, threshold = 0.5, blockCols = Seq("block"))
