@@ -268,11 +268,13 @@ object ParquetTable {
     */
   def create(
       df: DataFrame, path: String, partitionColumns: Seq[String] = Nil,
-      filesPerPartition: Int = 1): Unit =
+      filesPerPartition: Int = 1): Unit = {
+    val g = GeneratedColumns.fill(df.sparkSession, path, df)
     if (partitionColumns.nonEmpty) {
-      Constraints.validateFrame(df.sparkSession, path, df)
-      writePlain(df, path, partitionColumns, filesPerPartition)
-    } else atomicReplace(df.sparkSession, path, df, Nil)
+      Constraints.validateFrame(g.sparkSession, path, g)
+      writePlain(g, path, partitionColumns, filesPerPartition)
+    } else atomicReplace(g.sparkSession, path, g, Nil)
+  }
 
   /** Cluster rows onto their target partitions before a `partitionBy`
     * write. Without this every write task opens a writer for every
@@ -308,10 +310,11 @@ object ParquetTable {
   def append(
       df: DataFrame, path: String, partitionColumns: Seq[String] = Nil,
       filesPerPartition: Int = 1): Unit = {
+    val g = GeneratedColumns.fill(df.sparkSession, path, df)
     // plain layout: no pre-publish dir to read back, so the incoming
     // frame is validated instead (one pass; no-op without constraints)
-    Constraints.validateFrame(df.sparkSession, path, df)
-    val w = clusterByPartitions(df, partitionColumns, filesPerPartition)
+    Constraints.validateFrame(g.sparkSession, path, g)
+    val w = clusterByPartitions(g, partitionColumns, filesPerPartition)
       .write.mode(SaveMode.Append)
     (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
       .parquet(path)
@@ -466,7 +469,7 @@ object ParquetTable {
       // pruning via a dynamic IN-filter on collected partition values — the
       // partition-value set is small by construction: one row per partition
       // directory), merge, and rewrite just those partitions.
-      val upd = updates.dropDuplicates(pk)
+      val upd = GeneratedColumns.fill(spark, path, updates).dropDuplicates(pk)
       // plain layout: no pre-publish dir to read back — validate the
       // incoming rows like append does (existing rows passed at their
       // own write time)
@@ -490,8 +493,9 @@ object ParquetTable {
       // and txn re-delivery handled inside)
       mergeVectors(spark, path, updates, pk, cdf, txn)
     } else {
-      val merged = combine.map(_(target, updates.dropDuplicates(pk)))
-        .getOrElse(mergeFrames(target, updates, pk))
+      val updG = GeneratedColumns.fill(spark, path, updates)
+      val merged = combine.map(_(target, updG.dropDuplicates(pk)))
+        .getOrElse(mergeFrames(target, updG, pk))
       val v = atomicReplace(spark, path, merged, Nil, txn)
       // capture is derived from the COMMITTED image, not by re-evaluating
       // the update plan: a lazy dedup could pick a different row per
@@ -932,7 +936,8 @@ object ParquetTable {
   def createVersioned(
       df: DataFrame, path: String, partitionColumns: Seq[String],
       filesPerPartition: Int = 1, txn: Option[(String, Long)] = None): Unit =
-    publishVersioned(df, path, partitionColumns, filesPerPartition,
+    publishVersioned(GeneratedColumns.fill(df.sparkSession, path, df),
+      path, partitionColumns, filesPerPartition,
       preserveLayout = false, txn)
 
   /** Shared partitioned-version publish. `preserveLayout = true` writes
@@ -1119,7 +1124,7 @@ object ParquetTable {
     require(!(combine.isDefined && mergeOnRead.contains(true)),
       "mergeVersioned: conditional clauses (combine) take the rewrite tier")
     requireTxnAppId(txn)
-    val upd = updates.dropDuplicates(pk)
+    val upd = GeneratedColumns.fill(spark, path, updates).dropDuplicates(pk)
     var committed = false
     var attempts = 0
     while (!committed) {
@@ -1551,10 +1556,11 @@ object ParquetTable {
   def atomicReplace(
       spark: SparkSession,
       path: String,
-      df: DataFrame,
+      df0: DataFrame,
       partitionColumns: Seq[String],
       txn: Option[(String, Long)] = None): Long = {
     requireTxnAppId(txn)
+    val df = GeneratedColumns.fill(spark, path, df0)
     val dataDir = freshDataDirName()
     writePlain(df, new Path(path, dataDir).toString, partitionColumns)
     DataSkipping.writeStats(spark, new Path(path, dataDir).toString, df.schema)
@@ -1969,7 +1975,8 @@ object ParquetTable {
           "already partition-scoped (mergeVersioned)")
       val target = readVersion(spark, path, v)
       val cols = target.columns.toSeq
-      val upd = updates.dropDuplicates(pk).select(cols.map(col): _*)
+      val upd = GeneratedColumns.fill(spark, path, updates)
+        .dropDuplicates(pk).select(cols.map(col): _*)
       // retire matched target rows by DV: per-leg (file, row_index) of
       // rows whose pk is in the update set, prior DVs already excluded
       val updKeys = upd.select(pk.map(col): _*).distinct()
@@ -2151,10 +2158,11 @@ object ParquetTable {
   }
 
   def insertInto(
-      spark: SparkSession, path: String, rows: DataFrame,
+      spark: SparkSession, path: String, rows0: DataFrame,
       cdf: Boolean = false, txn: Option[(String, Long)] = None): Long = {
     requireTxnAppId(txn)
     requireNoColmap(spark, path, "insertInto")
+    val rows = GeneratedColumns.fill(spark, path, rows0)
     var attempts = 0
     while (true) {
       attempts += 1
@@ -2552,9 +2560,11 @@ object ParquetTable {
     require(commitVersion(spark, targetPath, 1L, abs, dv = dvAbs,
       colmap = Some(colmapValue(cmR, cmD)).filter(_.nonEmpty)),
       s"shallowClone: lost the creation race at $targetPath")
-    // clones carry the source's CHECK constraints (Delta clones table
-    // properties); drop them on the clone independently if unwanted
+    // clones carry the source's CHECK constraints and generation rules
+    // (Delta clones table properties); drop them on the clone
+    // independently if unwanted
     Constraints.copy(spark, sourcePath, targetPath)
+    GeneratedColumns.copy(spark, sourcePath, targetPath)
     1L
   }
 

@@ -169,6 +169,12 @@ object GraftSql {
       """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
   private val DropConstraintStmt =
     """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val AddGeneratedStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+ADD\s+COLUMN\s+""" +
+      """(\w+)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""").r
+  private val DropGeneratedStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+GENERATED\s+""" +
+      """COLUMN\s+(\w+)\s*;?\s*""").r
   private val ConvertStmt =
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
@@ -191,6 +197,10 @@ object GraftSql {
         Some(GraftConstraintCommand(path, name, Some(check.trim)))
       case DropConstraintStmt(path, name) =>
         Some(GraftConstraintCommand(path, name, None))
+      case AddGeneratedStmt(path, name, genExpr) =>
+        Some(GraftGeneratedCommand(path, name, Some(genExpr.trim)))
+      case DropGeneratedStmt(path, name) =>
+        Some(GraftGeneratedCommand(path, name, None))
       case OptimizeBloomStmt(path, bloomCols, zCols) =>
         def split(s: String) = s.split(',')
           .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq.filter(_.nonEmpty)
@@ -780,6 +790,26 @@ case class GraftConstraintCommand(
     check match {
       case Some(c) => graft.sources.Constraints.add(session, path, name, c)
       case None => graft.sources.Constraints.drop(session, path, name)
+    }
+    Nil
+  }
+}
+
+/** `ALTER TABLE graft.`p` ADD COLUMN c GENERATED ALWAYS AS (expr)` /
+  * `… DROP GENERATED COLUMN c` — Delta's generated-column DDL (see
+  * `GeneratedColumns`: ingest verbs fill the column when absent, the
+  * paired `_gen_<c>` CHECK invariant validates every commit).
+  */
+case class GraftGeneratedCommand(
+    path: String, name: String, genExpr: Option[String])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    genExpr match {
+      case Some(e) => graft.sources.GeneratedColumns.add(session, path, name, e)
+      case None => graft.sources.GeneratedColumns.drop(session, path, name)
     }
     Nil
   }
