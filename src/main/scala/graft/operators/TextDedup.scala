@@ -299,6 +299,23 @@ object TextDedup {
     * as individual buckets stay small (they do unless the corpus is mostly
     * one duplicate cluster; salt the band key if so).
     */
+  /** One row per (doc, band): `idCol`, `sig` (kept for signature-level
+    * estimates), `band`, `key` (the band's slice rendered as a join key).
+    */
+  private def bandRows(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, seed: Long): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    minHashSignatures(df, idCol, textCol, n, numHashes, seed).select(
+      col(idCol), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+            .as("key")))).as("__b"))
+      .select(col(idCol), col("sig"), col("__b.band"), col("__b.key"))
+  }
+
   def minHashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -307,16 +324,8 @@ object TextDedup {
       numHashes: Int = 32,
       bands: Int = 8,
       seed: Long = 42L): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
-    val sig = minHashSignatures(df, idCol, textCol, n, numHashes, seed)
-    val banded = sig.select(
-      col(idCol),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-            .as("key")))).as("__b"))
-      .select(col(idCol), col("__b.band"), col("__b.key"))
+    val banded = bandRows(df, idCol, textCol, n, numHashes, bands, seed)
+      .drop("sig")
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r,
@@ -346,6 +355,104 @@ object TextDedup {
       .withColumn("__j", jaccard(col("ga.__grams"), col("gb.__grams")))
       .filter(col("__j") >= threshold) // filter BEFORE rounding (oracle parity)
       .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+  }
+
+  // ---- Persisted MinHash-LSH history index --------------------------------
+
+  /** Persist a MinHash-LSH index over a history corpus so NEW batches can
+    * be near-dup-checked against it without ever re-minhashing the
+    * history — the near-dup twin of the exact-dedup fingerprint store:
+    * `bands` (id, band, key) bucket rows for the candidate equi-join,
+    * `sigs` (id, sig) for signature-level similarity estimates, and
+    * `meta` pinning (n, numHashes, bands, seed) so probes provably hash
+    * with the SAME permutations. One corpus pass at build; per-batch
+    * probe cost is O(batch) signatures + one equi-join against the
+    * bucket table. At serving scale, bucket `bands` by `key`
+    * ([[graft.sources.Bucketing]]) to make the probe join exchange-free
+    * on the index side.
+    */
+  def minHashIndexSave(
+      history: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      seed: Long = 42L): Unit = {
+    val spark = history.sparkSession
+    import spark.implicits._
+    val rows = bandRows(history, idCol, textCol, n, numHashes, bands, seed)
+    rows.cache()
+    try {
+      rows.select(col(idCol).as("hist_id"), col("band"), col("key"))
+        .write.mode("overwrite").parquet(s"$dir/bands")
+      rows.select(col(idCol).as("hist_id"), col("sig")).distinct()
+        .write.mode("overwrite").parquet(s"$dir/sigs")
+      Seq((n, numHashes, bands, seed)).toDF("n", "num_hashes", "bands", "seed")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    } finally { rows.unpersist(); () }
+  }
+
+  /** Near-dup pairs between a new `batch` and a [[minHashIndexSave]]d
+    * history (CROSS pairs only — compose with [[minHashDedupPairs]] for
+    * within-batch pairs). The batch is signed with the index's own
+    * parameters (read from meta), candidates come from the band-bucket
+    * equi-join, and similarity is:
+    *
+    *   - EXACT n-gram Jaccard when `verifyAgainst` supplies the history
+    *     (id, text) frame — the verify join touches only candidate rows,
+    *     and the result equals brute-force cross Jaccard ≥ threshold up
+    *     to the LSH miss probability (1-j^r)^b;
+    *   - otherwise the SIGNATURE estimate (fraction of agreeing minhash
+    *     positions, an unbiased Jaccard estimator) from the persisted
+    *     sigs — no corpus access at all, for when the history text is
+    *     cold storage.
+    *
+    * @return (batch_id, hist_id, jaccard) with jaccard rounded to 4
+    *         digits, threshold-filtered before rounding.
+    */
+  def minHashProbeHistory(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      threshold: Double,
+      verifyAgainst: Option[(DataFrame, String, String)] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (n, numHashes, bandCount, seed) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
+    val probeRows = bandRows(batch, idCol, textCol, n, numHashes, bandCount, seed)
+    val cands = probeRows
+      .join(spark.read.parquet(s"$dir/bands"), Seq("band", "key"))
+      .select(col(idCol).as("batch_id"), col("hist_id"))
+      .distinct()
+    verifyAgainst match {
+      case Some((hist, hid, htext)) =>
+        val bg = batch.select(col(idCol).as("batch_id"),
+          wordNGrams(col(textCol), n).as("__ga"))
+        val hg = hist.select(col(hid).as("hist_id"),
+          wordNGrams(col(htext), n).as("__gb"))
+        cands.join(bg, Seq("batch_id")).join(hg, Seq("hist_id"))
+          .withColumn("__j", jaccard(col("__ga"), col("__gb")))
+          .filter(col("__j") >= threshold)
+          .select(col("batch_id"), col("hist_id"),
+            round(col("__j"), 4).as("jaccard"))
+      case None =>
+        val bs = probeRows
+          .select(col(idCol).as("batch_id"), col("sig").as("__sb")).distinct()
+        val hs = spark.read.parquet(s"$dir/sigs")
+          .select(col("hist_id"), col("sig").as("__sh"))
+        cands.join(bs, Seq("batch_id")).join(hs, Seq("hist_id"))
+          .withColumn("__j",
+            aggregate(zip_with(col("__sb"), col("__sh"), (a, b) =>
+              when(a === b, 1.0).otherwise(0.0)),
+              lit(0.0), (acc, x) => acc + x) / lit(numHashes.toDouble))
+          .filter(col("__j") >= threshold)
+          .select(col("batch_id"), col("hist_id"),
+            round(col("__j"), 4).as("jaccard"))
+    }
   }
 
   // ---- SimHash ----------------------------------------------------------

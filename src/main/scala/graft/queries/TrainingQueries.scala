@@ -808,6 +808,53 @@ object TrainingQueries {
       novel.select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))
     }),
 
+    // Generated columns (sources/GeneratedColumns.scala — Delta's
+    // GENERATED ALWAYS AS): the rule is registered before the first
+    // write; neither the create frame nor the inserted rows carry
+    // o_year — ingest computes it row-locally and the paired _gen_
+    // CHECK invariant validates every commit. The oracle states the
+    // generation expression directly.
+    "q116_generated_columns" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_gen").toString + "/t"
+      graft.sources.GeneratedColumns.add(s, out, "o_year", "year(o_orderdate)")
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      graft.sources.ParquetTable.create(
+        orders.filter(col("o_orderkey") < 500), out)
+      graft.sources.ParquetTable.insertInto(s, out,
+        orders.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000))
+      graft.sources.ParquetTable.read(s, out).orderBy(col("o_orderkey"))
+    }),
+
+    // Near-dup dedup of a NEW batch against a PERSISTED MinHash-LSH
+    // index (TextDedup.minHashIndexSave/minHashProbeHistory): the
+    // history is minhashed once per version; each batch pays its own
+    // signatures + one equi-join against the persisted band buckets,
+    // with exact n-gram Jaccard verification over candidates only.
+    // Oracle = brute-force cross Jaccard (the q24 determinism argument:
+    // q24 proves LSH == brute force over this corpus at 0.5, and band
+    // keys are per-document, so the cross restriction inherits it).
+    "q117_minhash_history" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 =!= 0).unionByName(
+        history.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val nHist = history.count()
+      val idx = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_mhidx_${math.abs(d.hashCode)}_$nHist").toString
+      if (!new java.io.File(s"$idx/meta").exists()) {
+        graft.operators.TextDedup.minHashIndexSave(
+          history, "doc_id", "text", idx)
+      }
+      graft.operators.TextDedup.minHashProbeHistory(
+          batch, "doc_id", "text", idx, threshold = 0.5,
+          verifyAgainst = Some((history, "doc_id", "text")))
+        .orderBy(col("batch_id"), col("hist_id"))
+    }),
+
     // q89's scoring through the PERSISTED LM tier (LmScore.trainBigram →
     // scoreWithModel): the corpus counting pass is paid once per corpus
     // version, every later batch scores against the parquet count
@@ -1865,6 +1912,31 @@ object TrainingQueries {
         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Brute-force cross Jaccard between the batch and history splits —
+    // the engine's LSH candidates + exact verification must equal it.
+    "q117_minhash_history" ->
+      s"""WITH g AS (SELECT doc_id, ${gramsSql("text")} AS grams FROM documents),
+         |hist AS (SELECT doc_id, grams FROM g WHERE doc_id % 2 = 0),
+         |batch AS (
+         |  SELECT doc_id, grams FROM g WHERE doc_id % 2 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, grams FROM g
+         |  WHERE doc_id % 20 = 0)
+         |SELECT b.doc_id AS batch_id, h.doc_id AS hist_id,
+         |  round(len(list_intersect(b.grams, h.grams))::DOUBLE
+         |    / len(list_distinct(list_concat(b.grams, h.grams))), 4) AS jaccard
+         |FROM batch b JOIN hist h ON
+         |  len(list_intersect(b.grams, h.grams))::DOUBLE
+         |    / len(list_distinct(list_concat(b.grams, h.grams))) >= 0.5
+         |ORDER BY batch_id, hist_id""".stripMargin,
+
+    // The generated column stated as its defining expression.
+    "q116_generated_columns" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice,
+        |  year(o_orderdate) AS o_year
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin,
 
     // The persisted tier scores the training corpus itself, so the
     // ground truth is exactly q89's recompute formulation.

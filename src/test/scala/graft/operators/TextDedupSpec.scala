@@ -109,6 +109,36 @@ class TextDedupSpec extends SparkSpec {
       plan.contains("might_contain") || plan.contains("BloomFilterMightContain"))
   }
 
+  test("minHashProbeHistory: verified tier finds cross near-dups, exact jaccard") {
+    val dir = tmpDir("mhidx") + "/index"
+    TextDedup.minHashIndexSave(corpus, "id", "text", dir)
+    val batch = docs(
+      (20L, "the quick brown fox jumps over the lazy dog", "a"), // = hist 1/4/5
+      (22L, "a genuinely novel document mentioning nothing familiar", "b"))
+    val got = TextDedup.minHashProbeHistory(
+        batch, "id", "text", dir, threshold = 0.5,
+        verifyAgainst = Some((corpus, "id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact copies (j = 1.0) share every band — LSH can never miss them
+    val exact = got.filter(_._3 == 1.0).map(p => (p._1, p._2)).toSet
+    assert(Set((20L, 1L), (20L, 4L), (20L, 5L)).subsetOf(exact))
+    // the novel doc pairs with nothing; every returned pair clears the bar
+    assert(!got.exists(_._1 == 22L))
+    assert(got.forall(_._3 >= 0.5))
+  }
+
+  test("minHashProbeHistory: signature-estimate tier needs no corpus access") {
+    val dir = tmpDir("mhidx-est") + "/index"
+    TextDedup.minHashIndexSave(corpus, "id", "text", dir)
+    val batch = docs((20L, "the quick brown fox jumps over the lazy dog", "a"))
+    val got = TextDedup.minHashProbeHistory(
+        batch, "id", "text", dir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // identical text → identical signature → estimate exactly 1.0
+    assert(got.filter(_._3 == 1.0).map(p => p._2).toSet
+      .intersect(Set(1L, 4L, 5L)) === Set(1L, 4L, 5L))
+  }
+
   test("ngramJaccardPairs finds near-dups within blocks only") {
     val pairs = TextDedup.ngramJaccardPairs(corpus, "id", "text",
         n = 2, threshold = 0.5, blockCols = Seq("block"))
