@@ -827,6 +827,31 @@ object TrainingQueries {
       graft.sources.ParquetTable.read(s, out).orderBy(col("o_orderkey"))
     }),
 
+    // Identity columns (sources/IdentityColumns.scala — Delta's
+    // GENERATED BY DEFAULT AS IDENTITY): two insert verbs assign from
+    // the persisted watermark. Assignment ORDER is partition-layout
+    // dependent (any order is a correct identity assignment), so the
+    // query emits the sequence's INVARIANTS — count, distinctness,
+    // bounds and the arithmetic-series sum — which the oracle derives
+    // from start/step and the row count alone.
+    "q118_identity_columns" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_id").toString + "/t"
+      graft.sources.IdentityColumns.add(s, out, "row_uid", start = 1000L, step = 3L)
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.ParquetTable.create(
+        orders.filter(col("o_orderkey") < 500), out)
+      graft.sources.ParquetTable.insertInto(s, out,
+        orders.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000))
+      graft.sources.ParquetTable.read(s, out).agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("row_uid")).as("n_uids"),
+        min(col("row_uid")).as("min_uid"),
+        max(col("row_uid")).as("max_uid"),
+        sum(col("row_uid")).as("sum_uid"))
+    }),
+
     // Near-dup dedup of a NEW batch against a PERSISTED MinHash-LSH
     // index (TextDedup.minHashIndexSave/minHashProbeHistory): the
     // history is minhashed once per version; each batch pays its own
@@ -1912,6 +1937,17 @@ object TrainingQueries {
         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The identity sequence's invariants derived from start=1000,
+    // step=3 and the row count alone: contiguous unique values whose
+    // sum is the arithmetic series.
+    "q118_identity_columns" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_uids,
+        |  CAST(1000 AS BIGINT) AS min_uid,
+        |  CAST(1000 + 3 * (count(*) - 1) AS BIGINT) AS max_uid,
+        |  CAST(count(*) * (2000 + 3 * (count(*) - 1)) / 2 AS BIGINT) AS sum_uid
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin,
 
     // Brute-force cross Jaccard between the batch and history splits —
     // the engine's LSH candidates + exact verification must equal it.

@@ -57,7 +57,15 @@ object ParquetTable {
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    // DDL registered BEFORE the first write (constraints, generation or
+    // identity rules) must not make the table "exist": those files are
+    // rules about future data, not data — a path holding only them still
+    // takes the create path
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("._graft_") && n != "_graft_constraints" &&
+        n != "_graft_generated" && n != "_graft_identity"
+    }
   }
 
   /** Current table state: the newest manifest version when `path` is a
@@ -269,7 +277,8 @@ object ParquetTable {
   def create(
       df: DataFrame, path: String, partitionColumns: Seq[String] = Nil,
       filesPerPartition: Int = 1): Unit = {
-    val g = GeneratedColumns.fill(df.sparkSession, path, df)
+    val g = GeneratedColumns.fill(df.sparkSession, path,
+      IdentityColumns.fill(df.sparkSession, path, df))
     if (partitionColumns.nonEmpty) {
       Constraints.validateFrame(g.sparkSession, path, g)
       writePlain(g, path, partitionColumns, filesPerPartition)
@@ -310,7 +319,8 @@ object ParquetTable {
   def append(
       df: DataFrame, path: String, partitionColumns: Seq[String] = Nil,
       filesPerPartition: Int = 1): Unit = {
-    val g = GeneratedColumns.fill(df.sparkSession, path, df)
+    val g = GeneratedColumns.fill(df.sparkSession, path,
+      IdentityColumns.fill(df.sparkSession, path, df))
     // plain layout: no pre-publish dir to read back, so the incoming
     // frame is validated instead (one pass; no-op without constraints)
     Constraints.validateFrame(g.sparkSession, path, g)
@@ -1560,7 +1570,8 @@ object ParquetTable {
       partitionColumns: Seq[String],
       txn: Option[(String, Long)] = None): Long = {
     requireTxnAppId(txn)
-    val df = GeneratedColumns.fill(spark, path, df0)
+    val df = GeneratedColumns.fill(spark, path,
+      IdentityColumns.fill(spark, path, df0))
     val dataDir = freshDataDirName()
     writePlain(df, new Path(path, dataDir).toString, partitionColumns)
     DataSkipping.writeStats(spark, new Path(path, dataDir).toString, df.schema)
@@ -2162,7 +2173,8 @@ object ParquetTable {
       cdf: Boolean = false, txn: Option[(String, Long)] = None): Long = {
     requireTxnAppId(txn)
     requireNoColmap(spark, path, "insertInto")
-    val rows = GeneratedColumns.fill(spark, path, rows0)
+    val rows = GeneratedColumns.fill(spark, path,
+      IdentityColumns.fill(spark, path, rows0))
     var attempts = 0
     while (true) {
       attempts += 1

@@ -175,6 +175,13 @@ object GraftSql {
   private val DropGeneratedStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+GENERATED\s+""" +
       """COLUMN\s+(\w+)\s*;?\s*""").r
+  private val AddIdentityStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+ADD\s+COLUMN\s+(\w+)\s+""" +
+      """GENERATED\s+BY\s+DEFAULT\s+AS\s+IDENTITY""" +
+      """(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+(-?\d+)\s*\))?\s*;?\s*""").r
+  private val DropIdentityStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+IDENTITY\s+""" +
+      """COLUMN\s+(\w+)\s*;?\s*""").r
   private val ConvertStmt =
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
@@ -201,6 +208,12 @@ object GraftSql {
         Some(GraftGeneratedCommand(path, name, Some(genExpr.trim)))
       case DropGeneratedStmt(path, name) =>
         Some(GraftGeneratedCommand(path, name, None))
+      case AddIdentityStmt(path, name, start, step) =>
+        Some(GraftIdentityCommand(path, name, add = true,
+          Option(start).map(_.toLong).getOrElse(1L),
+          Option(step).map(_.toLong).getOrElse(1L)))
+      case DropIdentityStmt(path, name) =>
+        Some(GraftIdentityCommand(path, name, add = false, 0L, 0L))
       case OptimizeBloomStmt(path, bloomCols, zCols) =>
         def split(s: String) = s.split(',')
           .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq.filter(_.nonEmpty)
@@ -811,6 +824,24 @@ case class GraftGeneratedCommand(
       case Some(e) => graft.sources.GeneratedColumns.add(session, path, name, e)
       case None => graft.sources.GeneratedColumns.drop(session, path, name)
     }
+    Nil
+  }
+}
+
+/** `ALTER TABLE graft.`p` ADD COLUMN c GENERATED BY DEFAULT AS IDENTITY
+  * [(START WITH s INCREMENT BY i)]` / `… DROP IDENTITY COLUMN c` —
+  * Delta's identity-column DDL (see `IdentityColumns`: create-time
+  * registration, insert verbs assign from the persisted watermark).
+  */
+case class GraftIdentityCommand(
+    path: String, name: String, add: Boolean, start: Long, step: Long)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    if (add) graft.sources.IdentityColumns.add(session, path, name, start, step)
+    else graft.sources.IdentityColumns.drop(session, path, name)
     Nil
   }
 }
