@@ -827,6 +827,26 @@ object TrainingQueries {
       graft.sources.ParquetTable.read(s, out).orderBy(col("o_orderkey"))
     }),
 
+    // TBLPROPERTIES (sources/TableProperties.scala — Delta parity,
+    // with graft.appendOnly ENFORCED by every mutation verb): SET two
+    // properties + an appendOnly flag through SQL, SHOW them back. The
+    // oracle states the expected key/value rows literally.
+    "q119_tblproperties" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_props").toString + "/t"
+      graft.sources.ParquetTable.create(
+        s.read.parquet(s"$d/region.parquet"), out)
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE graft.`$out` SET TBLPROPERTIES " +
+          "('graft.appendOnly' = 'true', 'owner' = 'ingest')")
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE graft.`$out` SET TBLPROPERTIES ('tier' = 'raw')")
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE graft.`$out` UNSET TBLPROPERTIES ('owner')")
+      graft.sql.GraftSql.sql(s, s"SHOW TBLPROPERTIES graft.`$out`")
+        .orderBy(col("key"))
+    }),
+
     // Identity columns (sources/IdentityColumns.scala — Delta's
     // GENERATED BY DEFAULT AS IDENTITY): two insert verbs assign from
     // the persisted watermark. Assignment ORDER is partition-layout
@@ -1937,6 +1957,13 @@ object TrainingQueries {
         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The surviving property set stated literally.
+    "q119_tblproperties" ->
+      """SELECT * FROM (VALUES
+        |  ('graft.appendOnly', 'true'),
+        |  ('tier', 'raw')) AS t(key, value)
+        |ORDER BY key""".stripMargin,
 
     // The identity sequence's invariants derived from start=1000,
     // step=3 and the row count alone: contiguous unique values whose

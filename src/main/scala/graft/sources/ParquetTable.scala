@@ -64,7 +64,8 @@ object ParquetTable {
     fs.exists(p) && fs.listStatus(p).exists { st =>
       val n = st.getPath.getName
       !n.startsWith("._graft_") && n != "_graft_constraints" &&
-        n != "_graft_generated" && n != "_graft_identity"
+        n != "_graft_generated" && n != "_graft_identity" &&
+        n != "_graft_properties"
     }
   }
 
@@ -457,6 +458,7 @@ object ParquetTable {
       }
       return
     }
+    TableProperties.requireNotAppendOnly(spark, path, "merge")
     // a partitioned VERSIONED table (manifest with partition entries)
     // always merges through the manifest, regardless of how it was opened
     if (currentVersion(spark, path)
@@ -1134,6 +1136,7 @@ object ParquetTable {
     require(!(combine.isDefined && mergeOnRead.contains(true)),
       "mergeVersioned: conditional clauses (combine) take the rewrite tier")
     requireTxnAppId(txn)
+    TableProperties.requireNotAppendOnly(spark, path, "mergeVersioned")
     val upd = GeneratedColumns.fill(spark, path, updates).dropDuplicates(pk)
     var committed = false
     var attempts = 0
@@ -1399,6 +1402,7 @@ object ParquetTable {
       set: Option[Map[String, Column]], cdf: Boolean): Long = {
     val verb = if (set.isEmpty) "delete" else "update"
     requireNoColmap(spark, path, verb)
+    TableProperties.requireNotAppendOnly(spark, path, verb)
     var result = -1L
     var attempts = 0
     while (result < 0) {
@@ -1973,6 +1977,7 @@ object ParquetTable {
       cdf: Boolean = false, txn: Option[(String, Long)] = None): Long = {
     requireTxnAppId(txn)
     requireNoColmap(spark, path, "mergeVectors")
+    TableProperties.requireNotAppendOnly(spark, path, "mergeVectors")
     var attempts = 0
     while (true) {
       attempts += 1
@@ -2241,6 +2246,7 @@ object ParquetTable {
       spark: SparkSession, path: String, condition: Column,
       cdf: Boolean = false): Long = {
     requireNoColmap(spark, path, "deleteVectors")
+    TableProperties.requireNotAppendOnly(spark, path, "deleteVectors")
     var result = -1L
     var attempts = 0
     while (result < 0) {
@@ -2577,6 +2583,7 @@ object ParquetTable {
     // independently if unwanted
     Constraints.copy(spark, sourcePath, targetPath)
     GeneratedColumns.copy(spark, sourcePath, targetPath)
+    TableProperties.copy(spark, sourcePath, targetPath)
     1L
   }
 
@@ -2937,6 +2944,7 @@ object ParquetTable {
     currentVersion(spark, path).getOrElse(throw new IllegalStateException(
       s"purge: no versioned table at $path"))
     requireNoColmap(spark, path, "purge")
+    TableProperties.requireNotAppendOnly(spark, path, "purge")
     val fs = hadoopFs(spark, new Path(path))
     // a shallow clone's CURRENT version reads the SOURCE's data dirs by
     // absolute path — deleting/vacuuming here cannot touch those bytes,

@@ -182,6 +182,16 @@ object GraftSql {
   private val DropIdentityStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+IDENTITY\s+""" +
       """COLUMN\s+(\w+)\s*;?\s*""").r
+  private val SetPropsStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+SET\s+""" +
+      """TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""").r
+  private val UnsetPropsStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+UNSET\s+""" +
+      """TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\(([^)]*)\)\s*;?\s*""").r
+  private val ShowPropsStmt =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  private val PropPair = """'((?:[^'\\]|\\.)*)'\s*=\s*'((?:[^'\\]|\\.)*)'""".r
+  private val PropKey = """'((?:[^'\\]|\\.)*)'""".r
   private val ConvertStmt =
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
@@ -208,6 +218,17 @@ object GraftSql {
         Some(GraftGeneratedCommand(path, name, Some(genExpr.trim)))
       case DropGeneratedStmt(path, name) =>
         Some(GraftGeneratedCommand(path, name, None))
+      case SetPropsStmt(path, pairs) =>
+        val props = PropPair.findAllMatchIn(pairs)
+          .map(m => m.group(1) -> m.group(2)).toSeq
+        require(props.nonEmpty,
+          "SET TBLPROPERTIES: expected at least one 'key' = 'value' pair")
+        Some(GraftPropertiesCommand(path, set = props, unset = Nil))
+      case UnsetPropsStmt(path, keys) =>
+        val ks = PropKey.findAllMatchIn(keys).map(_.group(1)).toSeq
+        require(ks.nonEmpty, "UNSET TBLPROPERTIES: expected at least one 'key'")
+        Some(GraftPropertiesCommand(path, set = Nil, unset = ks))
+      case ShowPropsStmt(path) => Some(GraftShowPropertiesCommand(path))
       case AddIdentityStmt(path, name, start, step) =>
         Some(GraftIdentityCommand(path, name, add = true,
           Option(start).map(_.toLong).getOrElse(1L),
@@ -844,6 +865,40 @@ case class GraftIdentityCommand(
     else graft.sources.IdentityColumns.drop(session, path, name)
     Nil
   }
+}
+
+/** `ALTER TABLE graft.`p` SET TBLPROPERTIES ('k'='v', …)` /
+  * `… UNSET TBLPROPERTIES [IF EXISTS] ('k', …)` (see `TableProperties`;
+  * `graft.appendOnly = 'true'` is enforced by every row-mutating verb).
+  */
+case class GraftPropertiesCommand(
+    path: String, set: Seq[(String, String)], unset: Seq[String])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    if (set.nonEmpty)
+      graft.sources.TableProperties.set(session, path, set.toMap)
+    if (unset.nonEmpty)
+      graft.sources.TableProperties.unset(session, path, unset)
+    Nil
+  }
+}
+
+/** `SHOW TBLPROPERTIES graft.`p``: one (key, value) row per property. */
+case class GraftShowPropertiesCommand(path: String)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "key", org.apache.spark.sql.types.StringType, nullable = false)(),
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "value", org.apache.spark.sql.types.StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    graft.sources.TableProperties.list(session, path)
+      .map { case (k, v) => Row(k, v) }
 }
 
 /** `OPTIMIZE graft.`path` ZORDER BY (c1, c2…)`: republishes the current
