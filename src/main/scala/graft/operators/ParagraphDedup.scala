@@ -68,4 +68,78 @@ object ParagraphDedup {
         col("n_paras_in"),
         coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"))
   }
+
+  // ---- Paragraph scrub against a persisted history -----------------------
+
+  /** The distinct normalized paragraph fingerprints of a corpus — the
+    * HISTORY STORE for [[scrubSeenParagraphs]] (one `fp` long column;
+    * ~8 bytes per distinct paragraph, billions of rows stay joinable).
+    * Maintain it like the exact-dedup store: union each ingested batch's
+    * fps back in.
+    */
+  def paragraphFps(
+      df: DataFrame, textCol: String, paraSep: String = "\n\n"): DataFrame =
+    df.select(
+        explode(split(col(textCol), java.util.regex.Pattern.quote(paraSep)))
+          .as("para"))
+      .select(graft.functions.TextFunctions
+        .normalizedFingerprint(trim(col("para"))).as("fp"))
+      .distinct()
+
+  /** Strip from every batch document each paragraph the HISTORY has
+    * already seen — the paragraph-granular dedup-against-history pass
+    * (the Dolma/BFF shape: dedup a new crawl's boilerplate against the
+    * accumulated corpus, keeping the rest of each document). EXACT, via
+    * the [[graft.operators.TextDedup.dedupAgainstHistoryBloom]]
+    * discipline: every batch paragraph probes the history Bloom filter
+    * map-side; bloom-NEGATIVE paragraphs are definitely unseen and skip
+    * the history entirely; the bloom-positive candidates (batch-bounded)
+    * broadcast against the fingerprint store, which is scanned once and
+    * never shuffles. Documents reassemble from surviving paragraphs in
+    * position order; a fully-scrubbed document comes back with empty
+    * `clean_text` and `n_paras_kept = 0` (callers gate on it).
+    *
+    * @param store [[paragraphFps]]-shaped history store (one long col)
+    * @return (idCol, clean_text, n_paras_in, n_paras_kept)
+    */
+  def scrubSeenParagraphs(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      store: DataFrame,
+      bloomBytes: Array[Byte],
+      paraSep: String = "\n\n"): DataFrame = {
+    val fpCol = store.columns.head
+    val exploded = batch
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(paraSep)))
+          .as(Seq("pos", "para")))
+      .withColumn("para", trim(col("para")))
+      .withColumn("__fp",
+        graft.functions.TextFunctions.normalizedFingerprint(col("para")))
+    val probe = graft.operators.BloomJoin.mightContain(bloomBytes, col("__fp"))
+    val negatives = exploded.filter(!probe)
+    val candidates = exploded.filter(probe)
+    val seen = store.join(
+      broadcast(candidates.select(col("__fp").as(fpCol)).distinct()),
+      Seq(fpCol), "left_semi")
+    val confirmedUnseen = candidates.join(
+      broadcast(seen.select(col(fpCol).as("__fp"))), Seq("__fp"), "left_anti")
+    val kept = negatives.unionByName(confirmedUnseen)
+    val counts = exploded.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras_in"))
+    kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            s => s("para")),
+          paraSep).as("clean_text"),
+        count(lit(1)).as("n_paras_kept"))
+      .join(counts, Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_paras_in"),
+        coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"))
+  }
 }

@@ -827,6 +827,23 @@ object TrainingQueries {
       graft.sources.ParquetTable.read(s, out).orderBy(col("o_orderkey"))
     }),
 
+    // Paragraph scrub against history (ParagraphDedup.scrubSeenParagraphs
+    // — the Dolma/BFF paragraph-granular pass): batch docs lose every
+    // paragraph the history corpus has seen, reassembling the rest in
+    // position order. Exact (bloom reroutes, broadcast confirm); the
+    // oracle replays the whole thing as normalized-paragraph set algebra.
+    "q120_para_scrub" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+      val store = graft.operators.ParagraphDedup.paragraphFps(history, "text")
+      val bloom = graft.operators.TextDedup.historyBloom(
+        store, history.count() * 20)
+      graft.operators.ParagraphDedup.scrubSeenParagraphs(
+          batch, "doc_id", "text", store, bloom)
+        .orderBy(col("doc_id"))
+    }),
+
     // TBLPROPERTIES (sources/TableProperties.scala — Delta parity,
     // with graft.appendOnly ENFORCED by every mutation verb): SET two
     // properties + an appendOnly flag through SQL, SHOW them back. The
@@ -1957,6 +1974,34 @@ object TrainingQueries {
         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Batch paragraphs minus history paragraphs, compared on NORMALIZED
+    // text (the engine compares 64-bit fingerprints — the equivalence
+    // itself is what this gate proves, the q22/q114 pattern).
+    "q120_para_scrub" ->
+      """WITH bp AS (
+        |  SELECT doc_id, i, trim(parts[i]) AS para
+        |  FROM (SELECT doc_id, string_split(text, e'\n\n') AS parts
+        |        FROM documents WHERE doc_id % 3 <> 0),
+        |  LATERAL unnest(generate_series(1, len(parts))) AS q(i)),
+        |hp AS (
+        |  SELECT DISTINCT
+        |    regexp_replace(trim(lower(p)), '\s+', ' ', 'g') AS t
+        |  FROM (SELECT unnest(string_split(text, e'\n\n')) AS p
+        |        FROM documents WHERE doc_id % 3 = 0)),
+        |keep AS (
+        |  SELECT doc_id, i, para FROM bp
+        |  WHERE regexp_replace(trim(lower(para)), '\s+', ' ', 'g')
+        |    NOT IN (SELECT t FROM hp)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(para, e'\n\n' ORDER BY i) AS clean_text,
+        |    count(*) AS n_paras_kept
+        |  FROM keep GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n_paras_in FROM bp GROUP BY doc_id)
+        |SELECT c.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  c.n_paras_in, coalesce(a.n_paras_kept, 0) AS n_paras_kept
+        |FROM cnt c LEFT JOIN agg a ON c.doc_id = a.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     // The surviving property set stated literally.
     "q119_tblproperties" ->

@@ -18,6 +18,26 @@ class ParagraphDedupSpec extends SparkSpec {
     .orderBy("doc_id")
     .as[(Long, String, Long, Long)].collect().toSeq
 
+  test("scrubSeenParagraphs: history paragraphs vanish, order survives, exact") {
+    val history = Seq(
+      (100L, s"common header${sep}history-only body")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"common header${sep}fresh body${sep}COMMON  HEADER"), // norm dups x2
+      (11L, "common header"),                                      // fully scrubbed
+      (12L, s"all new alpha${sep}all new beta")                    // untouched
+    ).toDF("doc_id", "text")
+    val store = ParagraphDedup.paragraphFps(history, "text")
+    val bloom = TextDedup.historyBloom(store, expectedItems = 100)
+    val got = ParagraphDedup
+      .scrubSeenParagraphs(batch, "doc_id", "text", store, bloom)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (10L, "fresh body", 3L, 1L),
+      (11L, "", 1L, 0L),
+      (12L, s"all new alpha${sep}all new beta", 2L, 2L)))
+  }
+
   test("repeated paragraphs survive only at their first (doc, pos) occurrence") {
     assert(out == Seq(
       (1L, s"shared boilerplate${sep}unique one", 2L, 2L),
