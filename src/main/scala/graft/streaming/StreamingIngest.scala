@@ -295,6 +295,101 @@ object StreamingIngest {
       .start()
   }
 
+  /** The persisted Bloom filter beside a fingerprint store, or a fresh
+    * empty filter sized to `expectedItems` when none exists yet.
+    */
+  def readBloom(
+      spark: SparkSession, bloomPath: String, expectedItems: Long): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(bloomPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf)
+      finally in.close()
+      buf
+    } else {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(expectedItems)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+  }
+
+  private def writeBloom(
+      spark: SparkSession, bloomPath: String, bytes: Array[Byte]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(bloomPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(bloomPath + s".tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes)
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"bloom store: rename failed at $p")
+    }
+  }
+
+  /** [[streamDedupIngest]] at the 100 TB plan shape: each micro-batch
+    * dedups against history through the Bloom-guarded two-phase path
+    * ([[TextDedup.dedupAgainstHistoryBloom]] — bloom-negative rows never
+    * touch the store; candidates broadcast; the store never shuffles),
+    * then the batch's novel fingerprints are folded into the persisted
+    * filter INCREMENTALLY: a batch-sized distributed Bloom aggregate
+    * merged into the running filter (`mergeInPlace` — filters built with
+    * the same `expectedItems` sizing are mergeable), never a store-sized
+    * rebuild. Same failure contract as [[streamDedupIngest]] (docs merge
+    * idempotently BEFORE fingerprints/bloom advance; a stale-by-one
+    * bloom only costs extra confirms, never correctness).
+    */
+  def streamBloomDedupIngest(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      textCol: String,
+      outPath: String,
+      storePath: String,
+      bloomPath: String,
+      expectedItems: Long,
+      checkpointDir: String): StreamingQuery = {
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val bloomBytes = readBloom(s, bloomPath, expectedItems)
+        val (novel, fps) = TextDedup.dedupAgainstHistoryBloom(
+          batch, idCol, textCol, fingerprintStore(s, storePath), bloomBytes)
+        val cachedNovel = novel.cache()
+        val cachedFps = fps.cache() // two consumers: store append + bloom fold
+        try {
+          ParquetTable.merge(s, outPath, cachedNovel, Seq(idCol))
+          cachedFps.write.mode("append").parquet(storePath)
+          // fold the batch's novel fingerprints into the running filter:
+          // a MICRO-BATCH-bounded collect of 8-byte hashes (never the
+          // store), put through the same xxhash64 the probe side applies
+          // (BloomJoin.mightContain hashes the fp before the filter).
+          // putLong avoids cross-builder bit-size mismatches that
+          // mergeInPlace of separately-sized filters would hit.
+          val hashed = cachedFps.select(xxhash64(col("fp")))
+            .collect().map(_.getLong(0))
+          if (hashed.nonEmpty) {
+            val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bloomBytes))
+            hashed.foreach(merged.putLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            merged.writeTo(bos)
+            writeBloom(s, bloomPath, bos.toByteArray)
+          }
+        } finally { cachedNovel.unpersist(); cachedFps.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Watermarked hourly aggregate per event type — the streaming twin of
     * the batch q15 (late rows beyond the watermark are dropped; emitted
     * once final in Append mode).

@@ -140,6 +140,49 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/fps").select("fp").distinct().count() === 3)
   }
 
+  test("streamBloomDedupIngest: bloom-guarded cross-batch dedup, filter folds forward") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = tmpDir("stream-bloom")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    def write(name: String, rows: (Long, String)*): Unit =
+      frame(schema, rows.map(r => org.apache.spark.sql.Row(r._1, r._2)))
+        .coalesce(1).write.parquet(s"$in/$name")
+    def run(): Unit = StreamingIngest.streamBloomDedupIngest(
+      spark, s"$in/*", schema, "doc_id", "text",
+      s"$root/corpus", s"$root/fps", s"$root/bloom",
+      expectedItems = 1000L, s"$root/ckpt").awaitTermination()
+
+    write("b1", 1L -> "the quick brown fox", 2L -> "something else entirely",
+      3L -> "  The QUICK  brown fox ") // 3 folds into 1
+    run()
+    assert(ParquetTable.read(spark, s"$root/corpus")
+      .collect().map(_.getLong(0)).sorted === Seq(1L, 2L))
+
+    // batch 2: replay of 2 under a new id + genuinely new doc; the bloom
+    // persisted by batch 1 must flag the replay (and only confirm it)
+    write("b2", 10L -> "something  ELSE entirely", 11L -> "fresh batch-two content")
+    run()
+    assert(ParquetTable.read(spark, s"$root/corpus")
+      .collect().map(_.getLong(0)).sorted === Seq(1L, 2L, 11L))
+    assert(spark.read.parquet(s"$root/fps").select("fp").distinct().count() === 3)
+    // the persisted filter knows all three fingerprints: a third batch of
+    // pure replays adds nothing
+    write("b3", 20L -> "the quick brown fox", 21L -> "fresh BATCH-TWO content")
+    run()
+    assert(ParquetTable.read(spark, s"$root/corpus").count() === 3)
+    // and the filter actually answers positively for a stored fingerprint
+    val bloom = StreamingIngest.readBloom(spark, s"$root/bloom", 1000L)
+    val hit = spark.read.parquet(s"$root/fps").limit(1)
+      .select(graft.operators.BloomJoin.mightContain(bloom,
+        org.apache.spark.sql.functions.col("fp")).as("m"))
+      .head.getBoolean(0)
+    assert(hit)
+  }
+
   test("hourlyEventCounts: watermarked windowed aggregation over a file stream") {
     val root = tmpDir("stream-agg")
     val in = s"$root/in"
