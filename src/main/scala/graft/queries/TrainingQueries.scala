@@ -827,6 +827,28 @@ object TrainingQueries {
       graft.sources.ParquetTable.read(s, out).orderBy(col("o_orderkey"))
     }),
 
+    // Incremental small-dir compaction (ParquetTable.compactSmall +
+    // OPTIMIZE ... COMPACT SMALL SQL): a bulk load plus three small
+    // inserts fold back without rewriting the settled bulk (spec-pinned
+    // in CompactSmallSpec); the read after the fold must be the plain
+    // union, which the oracle states directly.
+    "q121_compact_small" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_csmall").toString + "/t"
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.ParquetTable.create(
+        orders.filter(col("o_orderkey") < 2000), out)
+      Seq((2000L, 2100L), (2100L, 2200L), (2200L, 2300L)).foreach {
+        case (lo, hi) =>
+          graft.sources.ParquetTable.insertInto(s, out,
+            orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi))
+      }
+      graft.sql.GraftSql.sql(s,
+        s"OPTIMIZE graft.`$out` COMPACT SMALL BELOW 50000")
+      graft.sources.ParquetTable.read(s, out).orderBy(col("o_orderkey"))
+    }),
+
     // Paragraph scrub against history (ParagraphDedup.scrubSeenParagraphs
     // — the Dolma/BFF paragraph-granular pass): batch docs lose every
     // paragraph the history corpus has seen, reassembling the rest in
@@ -1974,6 +1996,12 @@ object TrainingQueries {
         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS avg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The post-fold table is the plain union of the loads.
+    "q121_compact_small" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey < 2300
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Batch paragraphs minus history paragraphs, compared on NORMALIZED
     // text (the engine compares 64-bit fingerprints — the equivalence

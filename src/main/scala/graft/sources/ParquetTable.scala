@@ -2697,6 +2697,64 @@ object ParquetTable {
     * the same carry rule as the merge rewrite path. Returns the
     * committed version (or the current one when nothing matches).
     */
+  /** Incremental small-dir compaction for UNPARTITIONED versioned
+    * tables: fold ONLY the data dirs whose on-disk footprint is below
+    * `minBytes` into one fresh dir and republish the manifest with the
+    * large dirs untouched — the 100 TB shape for absorbing a stream of
+    * small [[insertInto]] appends without [[compact]]'s O(table)
+    * full-image rewrite (Delta OPTIMIZE's bin-packing contract: files
+    * already at target size are never rewritten). Partitioned tables
+    * fold hot partitions through [[compactWhere]] instead.
+    *
+    * Refused while the version carries deletion vectors: DV'd dirs are
+    * not independent row sets, so subset folding could separate a DV
+    * from its leg — [[compact]] materializes them first. No-op (returns
+    * the current version) when fewer than two dirs qualify. Dir sizing
+    * is one metadata listing per dir; data I/O is O(small dirs) only.
+    */
+  def compactSmall(
+      spark: SparkSession, path: String,
+      minBytes: Long = 32L * 1024 * 1024): Long = {
+    requireNoColmap(spark, path, "compactSmall")
+    var committedV = -1L
+    var attempts = 0
+    while (committedV < 0) {
+      attempts += 1
+      require(attempts <= 10, s"compactSmall: lost the version race at $path")
+      val v = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
+        s"compactSmall: no versioned table at $path"))
+      require(partitionEntries(spark, path, v).isEmpty,
+        s"compactSmall: $path is partitioned — fold hot partitions with " +
+          "compactWhere (partition dirs, not dir chains, are its small unit)")
+      require(dvDirs(spark, path, v).isEmpty,
+        s"compactSmall: version $v carries deletion vectors — run compact() " +
+          "to materialize them first (subset folding could orphan a DV)")
+      val dirs = unpartitionedDirs(spark, path, v)
+      val fs = hadoopFs(spark, new Path(path))
+      val (small, big) = dirs.partition(d =>
+        fs.getContentSummary(new Path(path, d)).getLength < minBytes)
+      if (small.size < 2) return v
+      val tableSchema = versionSchema(spark, path, v)
+      val merged = small.map { d =>
+        val df = spark.read.parquet(new Path(path, d).toString)
+        tableSchema.map(alignTo(df, _)).getOrElse(df)
+      }.reduce(_.unionByName(_))
+      val dataDir = freshDataDirName()
+      writePlain(merged, new Path(path, dataDir).toString, Nil)
+      DataSkipping.writeStats(spark, new Path(path, dataDir).toString, merged.schema)
+      validateCommit(spark, path, dataDir)
+      val content = (big :+ dataDir).mkString("\n")
+      if (commitVersion(spark, path, v + 1, content,
+        dv = dvDirs(spark, path, v)))
+        committedV = v + 1
+      else {
+        val dd = new Path(path, dataDir)
+        hadoopFs(spark, dd).delete(dd, true)
+      }
+    }
+    committedV
+  }
+
   def compactWhere(
       spark: SparkSession, path: String, predicate: Column,
       filesPerPartition: Int = 1): Long = {

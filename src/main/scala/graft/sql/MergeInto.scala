@@ -182,6 +182,9 @@ object GraftSql {
   private val DropIdentityStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+IDENTITY\s+""" +
       """COLUMN\s+(\w+)\s*;?\s*""").r
+  private val CompactSmallStmt =
+    ("""(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+COMPACT\s+SMALL""" +
+      """(?:\s+BELOW\s+(\d+))?\s*;?\s*""").r
   private val SetPropsStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+SET\s+""" +
       """TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""").r
@@ -245,6 +248,9 @@ object GraftSql {
           .filter(_.nonEmpty)))
       case CompactWhereStmt(path, cond) =>
         Some(GraftCompactWhereCommand(path, cond.trim))
+      case CompactSmallStmt(path, below) =>
+        Some(GraftCompactSmallCommand(path,
+          Option(below).map(_.toLong).getOrElse(32L * 1024 * 1024)))
       case CompactStmt(path) => Some(GraftCompactCommand(path))
       case VacuumStmt(path, retain, unit) =>
         val hours = Option(unit).exists(_.equalsIgnoreCase("HOURS"))
@@ -865,6 +871,21 @@ case class GraftIdentityCommand(
     else graft.sources.IdentityColumns.drop(session, path, name)
     Nil
   }
+}
+
+/** `OPTIMIZE graft.`p` COMPACT SMALL [BELOW <bytes>]`: incremental
+  * small-dir compaction (see `ParquetTable.compactSmall` — large dirs
+  * are never rewritten). Returns the committed (or current) version.
+  */
+case class GraftCompactSmallCommand(path: String, minBytes: Long)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.LongType)())
+
+  override def run(session: SparkSession): Seq[Row] = Seq(Row(
+    graft.sources.ParquetTable.compactSmall(session, path, minBytes)))
 }
 
 /** `ALTER TABLE graft.`p` SET TBLPROPERTIES ('k'='v', …)` /
