@@ -2584,6 +2584,10 @@ object ParquetTable {
     Constraints.copy(spark, sourcePath, targetPath)
     GeneratedColumns.copy(spark, sourcePath, targetPath)
     TableProperties.copy(spark, sourcePath, targetPath)
+    // identity rules carry WITH their watermark (Delta clones identity
+    // state the same way): the clone's data contains the source's
+    // assigned values, so a reset watermark would re-issue them
+    IdentityColumns.copy(spark, sourcePath, targetPath)
     1L
   }
 
