@@ -186,6 +186,36 @@ abstract class CommitterBattery(mk: () => LogCommitter) extends SparkSpec {
     StructField("seq", LongType, nullable = false),
     StructField("del", BooleanType, nullable = false)))
 
+  test("generated + identity columns fill through this committer; compactSmall folds") { withCommitter {
+    val path = tmpDir("cb-gen") + "/t"
+    IdentityColumns.add(spark, path, "uid", start = 100, step = 1)
+    GeneratedColumns.add(spark, path, "vv", "upper(v)")
+    ParquetTable.create(df(Row(1, "a")), path)
+    ParquetTable.insertInto(spark, path, df(Row(2, "b")))
+    ParquetTable.insertInto(spark, path, df(Row(3, "c")))
+    val got = ParquetTable.read(spark, path)
+      .orderBy("uid").collect().map(r => (r.getInt(0), r.getString(1),
+        r.getLong(2), r.getString(3))).toSeq
+    assert(got === Seq((1, "a", 100L, "A"), (2, "b", 101L, "B"), (3, "c", 102L, "C")))
+    val vBefore = ParquetTable.currentVersion(spark, path).get
+    val vNew = ParquetTable.compactSmall(spark, path, minBytes = 1000000L)
+    assert(vNew === vBefore + 1)
+    assert(ParquetTable.read(spark, path).count() === 3)
+    assert(ParquetTable.fsck(spark, path).isEmpty)
+  } }
+
+  test("appendOnly property refuses mutation through this committer") { withCommitter {
+    val path = tmpDir("cb-props") + "/t"
+    ParquetTable.create(df(Row(1, "a")), path)
+    TableProperties.set(spark, path, Map(TableProperties.AppendOnlyKey -> "true"))
+    ParquetTable.insertInto(spark, path, df(Row(2, "b")))
+    val e = intercept[IllegalArgumentException] {
+      ParquetTable.delete(spark, path, col("id") === 1)
+    }
+    assert(e.getMessage.contains("appendOnly"))
+    assert(rowsOf(path) === Map(1 -> "a", 2 -> "b"))
+  } }
+
   test("APPLY CHANGES type 1: out-of-order batches converge") { withCommitter {
     val path = tmpDir("cb-ac1") + "/t"
     // later batch first — the watermark merge must still converge
