@@ -617,9 +617,32 @@ object ParquetTable {
     val cmHeader = colmap.filter(_.nonEmpty).map(m => s"#colmap=$m\n").getOrElse("")
     val stamped = s"#ts=${System.currentTimeMillis()}\n$txnHeader$dvHeader$cmHeader$content"
     val won = logCommitter.commit(hadoopFs(spark, md), target, stamped.getBytes("UTF-8"))
-    if (won) writeLatestHint(hadoopFs(spark, md), md, version)
+    if (won) {
+      writeLatestHint(hadoopFs(spark, md), md, version)
+      maybeAutoSymlink(spark, path, dv, colmap)
+    }
     won
   }
+
+  /** Delta's `delta.compatibility.symlinkFormatManifest.enabled` parity:
+    * with `graft.symlink.autoGenerate = true` every won commit
+    * regenerates the symlink export, so Presto/Trino/Athena keep reading
+    * the head without a manual GENERATE after each write. Best-effort,
+    * like the `_latest` hint: the commit is already PUBLISHED when this
+    * runs, so ineligible snapshots (live DVs, unmaterialized column
+    * mappings — the manual verb's refusal conditions) and races are
+    * SKIPPED, never failed; the next eligible commit catches the export
+    * up, and the manual verb stays available for a synchronous refresh.
+    */
+  private def maybeAutoSymlink(
+      spark: SparkSession, path: String,
+      dv: Seq[String], colmap: Option[String]): Unit =
+    if (dv.isEmpty && colmap.forall(_.isEmpty) &&
+        TableProperties.get(spark, path, "graft.symlink.autoGenerate")
+          .exists(_.equalsIgnoreCase("true"))) {
+      try { generateSymlinkManifest(spark, path); () }
+      catch { case scala.util.control.NonFatal(_) => () } // advisory export
+    }
 
   /** `_latest` version HINT (Delta's `_last_checkpoint` shape): snapshot
     * resolution on an object store otherwise pays a paginated LIST of the

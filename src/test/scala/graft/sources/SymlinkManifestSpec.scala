@@ -92,6 +92,30 @@ class SymlinkManifestSpec extends SparkSpec {
     assert(rows.filter("id = 7 AND v = 'u'").count() == 1L)
   }
 
+  test("graft.symlink.autoGenerate: commits regenerate the export; ineligible " +
+    "snapshots are skipped, not failed") {
+    val path = tmpDir("symlink-auto") + "/t"
+    ParquetTable.create(Seq((1L, "a")).toDF("id", "v"), path)
+    TableProperties.set(spark, path,
+      Map("graft.symlink.autoGenerate" -> "true"))
+    // an insert commit auto-refreshes the export
+    ParquetTable.insertInto(spark, path, Seq((2L, "b")).toDF("id", "v"))
+    val manifest = s"$path/_symlink_format_manifest/manifest"
+    val after2 = manifestLines(manifest)
+    assert(spark.read.parquet(
+      after2.map(new Path(_).toUri.getPath): _*).count() === 2)
+    // a DV-carrying commit SKIPS the refresh (manual verb refuses there);
+    // the export stays at the last eligible snapshot instead of failing
+    ParquetTable.deleteVectors(spark, path,
+      org.apache.spark.sql.functions.col("id") === 1L)
+    assert(manifestLines(manifest) === after2)
+    // compact materializes the DVs — its commit catches the export up
+    ParquetTable.compact(spark, path)
+    val afterCompact = manifestLines(manifest)
+    assert(spark.read.parquet(
+      afterCompact.map(new Path(_).toUri.getPath): _*).count() === 1)
+  }
+
   test("SQL verb returns one row per manifest with counts") {
     val path = tmpDir("symlink-sql") + "/t"
     ParquetTable.createVersioned(
