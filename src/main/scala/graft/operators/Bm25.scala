@@ -143,10 +143,37 @@ object Bm25 {
         // on corpora containing tokenless rows
         val n = docs.count().toDouble
         val avgdl = dl.agg(avg(col("dl"))).head.getDouble(0)
-        Seq((n, avgdl)).toDF("n", "avgdl")
+        // n_postings is the torn-index marker: meta commits LAST, so any
+        // earlier crash leaves it disagreeing with the postings dir and
+        // [[requireConsistent]] refuses to serve (ADVICE r9 low)
+        Seq((n, avgdl, tf.count()))
+          .toDF("n", "avgdl", "n_postings")
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
       } finally { dl.unpersist(); () }
     } finally { tf.unpersist(); () }
+  }
+
+  /** Fail fast when the persisted index is torn: [[appendToIndex]] is a
+    * multi-step update (postings append → doclens append → termstats swap
+    * → meta swap, meta LAST), so a crash mid-sequence leaves the postings
+    * row count disagreeing with the `n_postings` marker the last complete
+    * update committed — without the check, every later [[topKIndexed]]
+    * would silently score against inconsistent tf/df statistics.
+    * Pre-marker indexes (no `n_postings` column) skip the check. The
+    * postings count is a column-less parquet scan (footer-driven, no
+    * column I/O) — cheap relative to the query joins it guards.
+    */
+  private def requireConsistent(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta")
+    if (meta.columns.contains("n_postings")) {
+      val expected = meta.select(col("n_postings")).head.getLong(0)
+      val actual = spark.read.parquet(s"$dir/postings").count()
+      require(actual == expected,
+        s"BM25 index at $dir is torn: postings hold $actual rows but the " +
+          s"meta marker committed $expected — an appendToIndex crashed " +
+          "mid-update. Rebuild the index (buildIndex) before serving.")
+    }
   }
 
   /** Append NEW documents to a [[buildIndex]]-persisted index without a
@@ -168,6 +195,9 @@ object Bm25 {
       newDocs: DataFrame, docIdCol: String, textCol: String, dir: String): Unit = {
     val spark = newDocs.sparkSession
     import spark.implicits._
+    // refuse to compound a torn index — appending onto inconsistent
+    // postings/termstats would bake the skew in permanently
+    requireConsistent(spark, dir)
     val dup = spark.read.parquet(s"$dir/postings")
       .select(col("doc_id")).distinct()
       .join(newDocs.select(col(docIdCol).as("doc_id")), Seq("doc_id"), "left_semi")
@@ -175,13 +205,19 @@ object Bm25 {
     require(dup.isEmpty, s"appendToIndex: doc_id ${dup.headOption.map(_.get(0))
       .getOrElse("")} is already indexed at $dir — BM25 statistics cannot " +
       "distinguish an update from a duplicate; delete-then-append or rebuild")
-    val oldN = spark.read.parquet(s"$dir/meta").head().getDouble(0)
+    val oldMeta = spark.read.parquet(s"$dir/meta")
+    val oldN = oldMeta.select(col("n")).head().getDouble(0)
+    val oldPostings =
+      if (oldMeta.columns.contains("n_postings"))
+        oldMeta.select(col("n_postings")).head().getLong(0)
+      else spark.read.parquet(s"$dir/postings").count() // pre-marker index
     val nNew = newDocs.count().toDouble
     val toks = fpTokens(newDocs, "doc_id", col(docIdCol), tokens(col(textCol)))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     tf.cache()
     try {
+      val nTf = tf.count() // materializes the cache; the delta's marker share
       tf.write.mode("append").parquet(s"$dir/postings")
       tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
         .write.mode("append").parquet(s"$dir/doclens")
@@ -193,8 +229,11 @@ object Bm25 {
       replaceDir(spark, s"$dir/termstats", mergedStats)
       val avgdl = spark.read.parquet(s"$dir/doclens")
         .agg(avg(col("dl"))).head.getDouble(0)
-      replaceDir(spark,
-        s"$dir/meta", Seq((oldN + nNew, avgdl)).toDF("n", "avgdl").coalesce(1))
+      // meta LAST: its n_postings marker is what declares the whole
+      // multi-step update complete (see [[requireConsistent]])
+      replaceDir(spark, s"$dir/meta",
+        Seq((oldN + nNew, avgdl, oldPostings + nTf))
+          .toDF("n", "avgdl", "n_postings").coalesce(1))
     } finally { tf.unpersist(); () }
   }
 
@@ -220,11 +259,13 @@ object Bm25 {
       queryTextCol: String,
       k: Int = 10,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame =
+      b: Double = 0.75): DataFrame = {
+    requireConsistent(spark, dir)
     score(
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/doclens"),
       spark.read.parquet(s"$dir/termstats"),
       spark.read.parquet(s"$dir/meta").select(col("n"), col("avgdl")),
       queries, queryIdCol, queryTextCol, k, k1, b)
+  }
 }

@@ -159,10 +159,25 @@ object ParquetTable {
   private[graft] def prunedFileGroups(
       spark: SparkSession, path: String, version: Long,
       predicate: Column): Seq[(String, Seq[String])] = {
-    val cond = readVersion(spark, path, version).filter(predicate)
+    val analyzedCond = readVersion(spark, path, version).filter(predicate)
       .queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }
+    // stats sidecars and bloom indexes key on PHYSICAL column names; the
+    // analyzed predicate references the LOGICAL view (readVersion applies
+    // the colmap last). Rewrite attributes logical→physical before any
+    // probe — with a vacated name reused (rename a→x, then c→a) the raw
+    // predicate would consult the OLD physical a's min/max (or bloom) and
+    // silently skip files that match (ADVICE r9 high).
+    val inv = columnMapping(spark, path, version)._1
+      .map { case (p, l) => l.toLowerCase -> p }
+    val cond =
+      if (inv.isEmpty) analyzedCond
+      else analyzedCond.map(_.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if inv.contains(a.name.toLowerCase) =>
+          a.withName(inv(a.name.toLowerCase))
+      })
     partitionEntries(spark, path, version) match {
       case None =>
         unpartitionedDirs(spark, path, version).map { dd =>
@@ -191,13 +206,15 @@ object ParquetTable {
     */
   def optimize(
       spark: SparkSession, path: String, zorderBy: Seq[String],
-      numFiles: Int = 8, bits: Int = 8): Long = {
+      numFiles: Int = 8, bits: Int = 8,
+      writeOptions: Map[String, String] = Map.empty): Long = {
     val v = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
       s"optimize: no versioned table at $path"))
     partitionEntries(spark, path, v) match {
       case None =>
         atomicReplace(spark, path,
-          DataSkipping.zorder(readVersion(spark, path, v), zorderBy, numFiles, bits), Nil)
+          DataSkipping.zorder(readVersion(spark, path, v), zorderBy, numFiles, bits),
+          Nil, writeOptions = writeOptions)
       case Some(entries) =>
         // partitioned: cluster WITHIN partitions in ONE job — range-
         // partition by (partitionCols…, z) so each task holds a
@@ -219,7 +236,8 @@ object ParquetTable {
           .sortWithinPartitions(keys: _*)
           .drop("__graft_z")
         publishVersioned(clustered, path, partitionColumns,
-          filesPerPartition = 1, preserveLayout = true)
+          filesPerPartition = 1, preserveLayout = true,
+          writeOptions = writeOptions)
         currentVersion(spark, path).get
     }
   }
@@ -244,28 +262,32 @@ object ParquetTable {
     require(bloomFor.nonEmpty, "optimizeBloom: empty bloom column list")
     currentVersion(spark, path).getOrElse(throw new IllegalStateException(
       s"optimizeBloom: no versioned table at $path"))
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val keys = bloomFor.map(c => s"parquet.bloom.filter.enabled#$c")
-    keys.foreach(k => hconf.set(k, "true"))
-    try {
-      if (zorderBy.nonEmpty) optimize(spark, path, zorderBy, numFiles)
-      else {
-        // plain rewrite (compact-shaped, but across numFiles so the
-        // bloom tier has per-file filters worth pruning between)
-        val v = currentVersion(spark, path).get
-        partitionEntries(spark, path, v) match {
-          case None =>
-            atomicReplace(spark, path,
-              readVersion(spark, path, v).repartition(numFiles), Nil)
-          case Some(entries) =>
-            val partitionColumns =
-              entries.head._1.split('/').toSeq.map(_.split('=')(0))
-            createVersioned(readVersion(spark, path, v), path,
-              partitionColumns, filesPerPartition = math.max(1, numFiles))
-        }
-        currentVersion(spark, path).get
+    // per-write options, NOT SparkContext.hadoopConfiguration: mutating
+    // the shared conf let concurrent writes in the same session pick up
+    // bloom writer props, and the unconditional unset clobbered any
+    // user-set values (ADVICE r9 low)
+    val bloomOpts = bloomFor
+      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+    if (zorderBy.nonEmpty)
+      optimize(spark, path, zorderBy, numFiles, writeOptions = bloomOpts)
+    else {
+      // plain rewrite (compact-shaped, but across numFiles so the
+      // bloom tier has per-file filters worth pruning between)
+      val v = currentVersion(spark, path).get
+      partitionEntries(spark, path, v) match {
+        case None =>
+          atomicReplace(spark, path,
+            readVersion(spark, path, v).repartition(numFiles), Nil,
+            writeOptions = bloomOpts)
+        case Some(entries) =>
+          val partitionColumns =
+            entries.head._1.split('/').toSeq.map(_.split('=')(0))
+          createVersioned(readVersion(spark, path, v), path,
+            partitionColumns, filesPerPartition = math.max(1, numFiles),
+            writeOptions = bloomOpts)
       }
-    } finally keys.foreach(hconf.unset)
+      currentVersion(spark, path).get
+    }
   }
 
   /** Overwrite-create. Partitioned layouts stay plain (hive-style dirs at
@@ -310,9 +332,14 @@ object ParquetTable {
 
   private def writePlain(
       df: DataFrame, path: String, partitionColumns: Seq[String],
-      filesPerPartition: Int = 1): Unit = {
+      filesPerPartition: Int = 1,
+      writeOptions: Map[String, String] = Map.empty): Unit = {
+    // writer options land in THIS job's hadoop conf only (Spark's
+    // newHadoopConfWithOptions), so parquet writer properties — bloom
+    // filters, per-column settings — never leak into concurrent writes
+    // through the shared SparkContext configuration (ADVICE r9 low)
     val w = clusterByPartitions(df, partitionColumns, filesPerPartition)
-      .write.mode(SaveMode.Overwrite)
+      .write.mode(SaveMode.Overwrite).options(writeOptions)
     (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
       .parquet(path)
   }
@@ -970,10 +997,11 @@ object ParquetTable {
     */
   def createVersioned(
       df: DataFrame, path: String, partitionColumns: Seq[String],
-      filesPerPartition: Int = 1, txn: Option[(String, Long)] = None): Unit =
+      filesPerPartition: Int = 1, txn: Option[(String, Long)] = None,
+      writeOptions: Map[String, String] = Map.empty): Unit =
     publishVersioned(GeneratedColumns.fill(df.sparkSession, path, df),
       path, partitionColumns, filesPerPartition,
-      preserveLayout = false, txn)
+      preserveLayout = false, txn, writeOptions)
 
   /** Shared partitioned-version publish. `preserveLayout = true` writes
     * `df`'s task layout as-is (no per-partition re-clustering) — the
@@ -983,17 +1011,19 @@ object ParquetTable {
   private def publishVersioned(
       df: DataFrame, path: String, partitionColumns: Seq[String],
       filesPerPartition: Int, preserveLayout: Boolean,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      writeOptions: Map[String, String] = Map.empty): Unit = {
     require(partitionColumns.nonEmpty,
       "createVersioned is for partitioned tables; use create for unpartitioned")
     val spark = df.sparkSession
     val dataDir = freshDataDirName()
     if (preserveLayout)
-      df.write.mode(SaveMode.Overwrite).partitionBy(partitionColumns: _*)
+      df.write.mode(SaveMode.Overwrite).options(writeOptions)
+        .partitionBy(partitionColumns: _*)
         .parquet(new Path(path, dataDir).toString)
     else
       writePlain(df, new Path(path, dataDir).toString, partitionColumns,
-        filesPerPartition)
+        filesPerPartition, writeOptions)
     DataSkipping.writeStats(spark, new Path(path, dataDir).toString, df.schema)
     validateCommit(spark, path, dataDir)
     val entries = partitionDirsOf(df, partitionColumns)
@@ -1595,12 +1625,14 @@ object ParquetTable {
       path: String,
       df0: DataFrame,
       partitionColumns: Seq[String],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      writeOptions: Map[String, String] = Map.empty): Long = {
     requireTxnAppId(txn)
     val df = GeneratedColumns.fill(spark, path,
       IdentityColumns.fill(spark, path, df0))
     val dataDir = freshDataDirName()
-    writePlain(df, new Path(path, dataDir).toString, partitionColumns)
+    writePlain(df, new Path(path, dataDir).toString, partitionColumns,
+      writeOptions = writeOptions)
     DataSkipping.writeStats(spark, new Path(path, dataDir).toString, df.schema)
     validateCommit(spark, path, dataDir)
     var attempts = 0
@@ -1803,6 +1835,13 @@ object ParquetTable {
         .contains(from.toLowerCase)),
       s"renameColumn: a CHECK constraint references '$from' — drop and " +
         "re-add the constraint around the rename")
+    // identity rules are keyed by column NAME (_graft_identity lines);
+    // renaming the column would leave the rule pointing at the vacated
+    // name, and later ingest would fill a spurious column under it
+    // (ADVICE r9 medium) — mirror the partition-column refusal
+    require(!IdentityColumns.list(spark, path).exists(_._1.equalsIgnoreCase(from)),
+      s"renameColumn: '$from' carries an identity rule keyed by name — " +
+        "drop the rule first, or keep the name")
     val (renames, drops) = columnMapping(spark, path, v)
     // the new entry maps the PHYSICAL name (the inverse image of `from`
     // under the current mapping) to the new logical name
@@ -1836,6 +1875,10 @@ object ParquetTable {
     require(!Constraints.list(spark, path).exists(_._2.toLowerCase
         .contains(name.toLowerCase)),
       s"dropColumn: a CHECK constraint references '$name' — drop it first")
+    // see renameColumn: a dropped identity column's rule would re-fill
+    // the column on the next ingest as if it were never dropped
+    require(!IdentityColumns.list(spark, path).exists(_._1.equalsIgnoreCase(name)),
+      s"dropColumn: '$name' carries an identity rule — drop the rule first")
     val (renames, drops) = columnMapping(spark, path, v)
     val physical = renames.collectFirst {
       case (p, l) if l.equalsIgnoreCase(name) => p

@@ -160,4 +160,49 @@ class ColumnMappingSpec extends SparkSpec {
       .select("id").as[Int].collect().toSeq
     assert(got === Seq(2))
   }
+
+  test("readWhere prunes on PHYSICAL stats under a reused logical name (ADVICE r9 high)") {
+    // rename a→x then c→a: logical `a` now reads physical `c`, while the
+    // sidecars still carry stats for the OLD physical `a`. Pruning that
+    // resolves the predicate name against raw sidecar keys would consult
+    // the wrong column's [min, max] and silently drop every file.
+    val path = tmpDir("colmap-reuse") + "/t"
+    val rows = (0 until 100).map(i => (i, i.toLong, (1000 - i).toLong))
+      .toDF("id", "a", "c")
+      // disjoint per-file ranges make the wrong-column prune decisive
+      .repartitionByRange(4, col("a"))
+    ParquetTable.create(rows, path)
+    ParquetTable.renameColumn(spark, path, "a", "x")
+    ParquetTable.renameColumn(spark, path, "c", "a")
+    // ground truth through the unpruned read
+    val expected = ParquetTable.read(spark, path)
+      .filter(col("a") === 950L).select("id").as[Int].collect().toSeq
+    assert(expected === Seq(50))
+    val pruned = ParquetTable.readWhere(spark, path, col("a") === 950L)
+      .select("id").as[Int].collect().toSeq
+    assert(pruned === expected,
+      "stats pruning resolved a logical name against physical sidecar stats")
+    // and the rename chain still prunes correctly on the moved column
+    val viaX = ParquetTable.readWhere(spark, path, col("x") === 50L)
+      .select("id").as[Int].collect().toSeq
+    assert(viaX === Seq(50))
+  }
+
+  test("identity-ruled columns refuse rename and drop (rule is keyed by name)") {
+    val path = tmpDir("colmap-ident") + "/t"
+    IdentityColumns.add(spark, path, "rid", start = 1L, step = 1L)
+    ParquetTable.create(Seq(("a", 1.0), ("b", 2.0)).toDF("v", "amount"), path)
+    val e = intercept[IllegalArgumentException] {
+      ParquetTable.renameColumn(spark, path, "rid", "row_id")
+    }
+    assert(e.getMessage.contains("identity rule"))
+    val e2 = intercept[IllegalArgumentException] {
+      ParquetTable.dropColumn(spark, path, "rid")
+    }
+    assert(e2.getMessage.contains("identity rule"))
+    // dropping the RULE unblocks the DDL
+    IdentityColumns.drop(spark, path, "rid")
+    ParquetTable.renameColumn(spark, path, "rid", "row_id")
+    assert(ParquetTable.read(spark, path).columns.contains("row_id"))
+  }
 }
