@@ -849,6 +849,38 @@ object TrainingQueries {
       graft.sources.ParquetTable.read(s, out).orderBy(col("o_orderkey"))
     }),
 
+    // Mutations under an ACTIVE column mapping (Delta's
+    // mutate-under-mapping model, ParquetTable.toPhysical): after an
+    // O(1) RENAME COLUMN, merge/update/delete keep working through the
+    // logical name on a partitioned versioned table — partial commits
+    // write physical-named files and carry the `#colmap=` header; only
+    // the touched partitions rewrite. The oracle states the final
+    // logical contents from the mutation algebra alone.
+    "q122_mapped_mutations" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_cmut").toString + "/t"
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .filter(col("o_orderkey") < 2000)
+      graft.sources.ParquetTable.createVersioned(
+        orders, out, Seq("o_orderstatus"))
+      graft.sources.ParquetTable.renameColumn(s, out, "o_totalprice", "price")
+      // MERGE through the new name: double the price of keys < 100
+      graft.sources.ParquetTable.merge(s, out,
+        orders.filter(col("o_orderkey") < 100)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") * 2).as("price")),
+        Seq("o_orderkey"), Seq("o_orderstatus"))
+      // UPDATE and DELETE through it
+      graft.sources.ParquetTable.update(s, out,
+        col("o_orderkey") >= 100 && col("o_orderkey") < 200,
+        Map("price" -> (col("price") + lit(1.0))))
+      graft.sources.ParquetTable.delete(s, out, col("price") < lit(1000.0))
+      graft.sources.ParquetTable.read(s, out)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Paragraph scrub against history (ParagraphDedup.scrubSeenParagraphs
     // — the Dolma/BFF paragraph-granular pass): batch docs lose every
     // paragraph the history corpus has seen, reassembling the rest in
@@ -2252,6 +2284,22 @@ object TrainingQueries {
         |  o_totalprice
         |FROM orders
         |WHERE o_orderkey < 20000 AND o_orderkey IN (1, 7, 32)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The final LOGICAL contents after rename → merge(×2 for keys<100)
+    // → update(+1 for 100..199) → delete(price<1000), derived from the
+    // mutation algebra over the raw table — the engine's colmap
+    // translation machinery never appears here.
+    "q122_mapped_mutations" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey < 100 THEN o_totalprice * 2
+        |         WHEN o_orderkey >= 100 AND o_orderkey < 200
+        |           THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_orderkey < 2000)
+        |SELECT o_orderkey, o_orderstatus, price FROM base
+        |WHERE price >= 1000.0
         |ORDER BY o_orderkey""".stripMargin,
 
     // The logical view after RENAME l_quantity->qty + DROP

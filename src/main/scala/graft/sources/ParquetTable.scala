@@ -449,7 +449,12 @@ object ParquetTable {
       txn: Option[(String, Long)] = None,
       mergeOnRead: Option[Boolean] = None,
       combine: Option[(DataFrame, DataFrame) => DataFrame] = None): Unit = {
-    requireNoColmap(spark, path, "merge")
+    // column mapping: the COW tiers below compute in LOGICAL space and
+    // publish through atomicReplace, a full-image commit that writes
+    // logical names and does NOT carry the map — i.e. the merge
+    // materializes the mapping as a side effect, like compact. The MOR
+    // tier translates its appended dir to physical names and carries the
+    // map (see mergeVectors).
     require(!(cdf && evolveSchema),
       "merge: cdf capture and schema evolution cannot share a commit; " +
         "evolve first, then capture from the next merge")
@@ -1119,6 +1124,11 @@ object ParquetTable {
       val newDvs = dvDirs(spark, path, vNew)
       if (newEntries.filter(e => affectedSet(e._1)).sorted != baseAff)
         return RebaseConflict
+      // a winner that changed the COLUMN MAPPING invalidates this commit's
+      // physical translation (its dir was written under the base map) —
+      // recompute rather than publish files named for the wrong schema
+      if (columnMapping(spark, path, vNew) != columnMapping(spark, path, baseV))
+        return RebaseConflict
       if (!baseDvs.forall(newDvs.contains)) return RebaseConflict
       val addedDvs = newDvs.filterNot(baseDvs.contains)
       if (addedDvs.nonEmpty) {
@@ -1143,7 +1153,8 @@ object ParquetTable {
       val rebased = rebasedEntries
         .sorted.map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
       if (commitVersion(spark, path, vNew + 1, rebased, txn,
-          dv = newDvs ++ newDvName.toSeq))
+          dv = newDvs ++ newDvName.toSeq,
+          colmap = carriedColmap(spark, path, vNew)))
         return Rebased(vNew + 1)
     }
     RebaseConflict
@@ -1179,7 +1190,6 @@ object ParquetTable {
       txn: Option[(String, Long)] = None,
       mergeOnRead: Option[Boolean] = None,
       combine: Option[(DataFrame, DataFrame) => DataFrame] = None): Unit = {
-    requireNoColmap(spark, path, "mergeVersioned")
     require(partitionColumns.nonEmpty, "mergeVersioned needs partition columns")
     require(!(cdf && evolveSchema),
       "mergeVersioned: cdf capture and schema evolution cannot share a commit")
@@ -1215,8 +1225,15 @@ object ParquetTable {
           val affectedEntries = entries.filter(e => affectedSet(e._1))
           // the version's table schema (sidecars only — no listing): the
           // anchor both for aligning mixed-schema affected dirs after an
-          // earlier evolution and for widening inserts into new partitions
+          // earlier evolution and for widening inserts into new partitions.
+          // PHYSICAL names; under an active column mapping the slice gets
+          // the logical view applied after alignment, the merge computes
+          // in logical space, and the write translates back (toPhysical)
+          // so every committed file stays physical-named and the map
+          // carries forward — Delta's mutate-under-mapping model.
           val tableSchema = versionSchema(spark, path, v)
+          val (cmRenames, cmDrops) = columnMapping(spark, path, v)
+          val logicalSchema = tableSchema.map(colmapSchema(cmRenames, cmDrops, _))
           // deletion vectors apply to the target slice (per leg, before
           // align/union — see dvFilterLeg) so a merge can never resurrect
           // vector-deleted rows; the header is carried into the commit
@@ -1229,7 +1246,8 @@ object ParquetTable {
                 val base = new Path(path, dataDir).toString
                 val df = dvFilterLeg(spark.read.option("basePath", base)
                   .parquet(es.map(e => s"$base/${e._1}"): _*), dv)
-                tableSchema.map(alignTo(df, _)).getOrElse(df)
+                applyColmapTo(cmRenames, cmDrops,
+                  tableSchema.map(alignTo(df, _)).getOrElse(df))
             }.reduce(_.unionByName(_)))
           // merge-on-read tier for HOT partitions (the partitioned twin
           // of [[mergeVectors]], possible now that a partition may span
@@ -1265,17 +1283,21 @@ object ParquetTable {
                 val withMeta = leg
                   .withColumn(DvFileCol, dvFileKey(col("_metadata.file_path")))
                   .withColumn(DvIdxCol, col("_metadata.row_index"))
-                dv.fold(withMeta)(d =>
-                  withMeta.join(d, Seq(DvFileCol, DvIdxCol), "left_anti"))
+                // logical view over the physical leg (pk names are
+                // logical; the row-address columns pass through the map)
+                applyColmapTo(cmRenames, cmDrops,
+                  dv.fold(withMeta)(d =>
+                    withMeta.join(d, Seq(DvFileCol, DvIdxCol), "left_anti")))
                   .select(pk.map(col) ++ Seq(col(DvFileCol), col(DvIdxCol)): _*)
             }.reduce(_.unionByName(_))
               .join(updKeys, pk, "left_semi")
               .select(col(DvFileCol), col(DvIdxCol))
             val dataDir = freshDataDirName()
-            writePlain(updAligned, new Path(path, dataDir).toString,
+            val updPhys = toPhysical(spark, path, v, updAligned)
+            writePlain(updPhys, new Path(path, dataDir).toString,
               partitionColumns, filesPerPartition)
             DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
-              updAligned.schema)
+              updPhys.schema)
             validateCommit(spark, path, dataDir)
             val dvName = s"$DvDirName/dv${System.currentTimeMillis()}_${System.nanoTime() % 1000000}"
             val dvPath = new Path(path, dvName)
@@ -1286,7 +1308,8 @@ object ParquetTable {
               .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
             val dvs = dvDirs(spark, path, v) ++ (if (hasMatches) Seq(dvName) else Nil)
             var committedV =
-              if (commitVersion(spark, path, v + 1, newEntries, txn, dvs)) v + 1
+              if (commitVersion(spark, path, v + 1, newEntries, txn, dvs,
+                carriedColmap(spark, path, v))) v + 1
               else -1L
             if (committedV < 0)
               // lost the CAS: rebase onto the winner when disjoint (keep
@@ -1309,8 +1332,9 @@ object ParquetTable {
               // join hoists pk columns) — valid under rebase too: the
               // disjointness check proved no winner touched the slice
               val base = new Path(path, dataDir).toString
-              val committedSlice = spark.read.option("basePath", base)
-                .parquet(affected.map(p => s"$base/$p"): _*)
+              val committedSlice = applyColmapTo(cmRenames, cmDrops,
+                spark.read.option("basePath", base)
+                  .parquet(affected.map(p => s"$base/$p"): _*))
                 .select(cols.map(col): _*)
               writeChangeManifest(spark, path, committedV,
                 changeRowsBetween(
@@ -1324,15 +1348,16 @@ object ParquetTable {
             case None if combine.isDefined =>
               // all affected partitions are NEW: every source row is
               // unmatched — the clause image against an empty frame of
-              // the TABLE schema, never upd.schema: the source may carry
-              // extra clause-only columns, and a committed dir with those
-              // columns would break every later multi-dir unionByName read
+              // the TABLE schema (its LOGICAL view under a mapping),
+              // never upd.schema: the source may carry extra clause-only
+              // columns, and a committed dir with those columns would
+              // break every later multi-dir unionByName read
               combine.get(spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                tableSchema.getOrElse(readVersion(spark, path, v).schema)), upd)
+                logicalSchema.getOrElse(readVersion(spark, path, v).schema)), upd)
             case None =>
               if (!evolveSchema) upd
-              else tableSchema match {
+              else logicalSchema match {
                 // only NEW partitions touched: inserts still align with
                 // the table — missing table columns carry typed NULLs,
                 // genuinely new columns append after them
@@ -1348,10 +1373,11 @@ object ParquetTable {
               }
           }
           val dataDir = freshDataDirName()
-          writePlain(merged, new Path(path, dataDir).toString, partitionColumns,
+          val mergedPhys = toPhysical(spark, path, v, merged)
+          writePlain(mergedPhys, new Path(path, dataDir).toString, partitionColumns,
             filesPerPartition)
           DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
-            merged.schema)
+            mergedPhys.schema)
           validateCommit(spark, path, dataDir)
           // every affected partition consolidates onto the new dir (its
           // old entries — possibly several — drop out). Survivors come
@@ -1373,7 +1399,8 @@ object ParquetTable {
             .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
           var committedV =
             if (commitVersion(spark, path, v + 1, newEntries, txn,
-              dv = dvDirs(spark, path, v))) v + 1
+              dv = dvDirs(spark, path, v),
+              colmap = carriedColmap(spark, path, v))) v + 1
             else -1L
           if (committedV < 0)
             // lost the CAS: rebase the rewrite onto the winner when
@@ -1399,8 +1426,9 @@ object ParquetTable {
             // rebase too: disjointness proved no winner touched the
             // before-side slice.
             val base = new Path(path, dataDir).toString
-            val newSlice = spark.read.option("basePath", base)
-              .parquet(affected.map(p => s"$base/$p"): _*)
+            val newSlice = applyColmapTo(cmRenames, cmDrops,
+              spark.read.option("basePath", base)
+                .parquet(affected.map(p => s"$base/$p"): _*))
             val before = target.getOrElse(newSlice.filter(lit(false)))
             writeChangeManifest(spark, path, committedV,
               changeRowsBetween(before, newSlice, pk, "right_outer"))
@@ -1454,7 +1482,6 @@ object ParquetTable {
       spark: SparkSession, path: String, condition: Column,
       set: Option[Map[String, Column]], cdf: Boolean): Long = {
     val verb = if (set.isEmpty) "delete" else "update"
-    requireNoColmap(spark, path, verb)
     TableProperties.requireNotAppendOnly(spark, path, verb)
     var result = -1L
     var attempts = 0
@@ -1498,8 +1525,12 @@ object ParquetTable {
             val affectedEntries = entries.filter(e => affectedSet(e._1))
             // rewrite ONLY the affected partitions' slice (each dir
             // aligned to the version schema — post-evolution old dirs
-            // read appended columns as typed NULLs)
+            // read appended columns as typed NULLs). Under an active
+            // column mapping: logical view for the predicate/SET,
+            // physical names back on the way out (toPhysical), map
+            // carried — the partial-rewrite discipline of mergeVersioned.
             val sliceSchema = versionSchema(spark, path, v)
+            val (cmR, cmD) = columnMapping(spark, path, v)
             // vector-deleted rows stay deleted through the rewrite (per-leg
             // DV filter, before align/union); the dv header is carried into
             // the commit for the untouched partitions' sake
@@ -1509,16 +1540,18 @@ object ParquetTable {
                 val base = new Path(path, dataDir).toString
                 val df = dvFilterLeg(spark.read.option("basePath", base)
                   .parquet(es.map(e => s"$base/${e._1}"): _*), dv)
-                sliceSchema.map(alignTo(df, _)).getOrElse(df)
+                applyColmapTo(cmR, cmD,
+                  sliceSchema.map(alignTo(df, _)).getOrElse(df))
             }.reduce(_.unionByName(_))
             val newSlice = resolvedSet match {
               case None => slice.filter(!condition)
               case Some(s) => applySet(slice, condition, s)
             }
             val dataDir = freshDataDirName()
-            writePlain(newSlice, new Path(path, dataDir).toString, partitionColumns)
+            val newSlicePhys = toPhysical(spark, path, v, newSlice)
+            writePlain(newSlicePhys, new Path(path, dataDir).toString, partitionColumns)
             DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
-              newSlice.schema)
+              newSlicePhys.schema)
             validateCommit(spark, path, dataDir)
             // a fully-deleted partition leaves the manifest; every
             // affected partition's old entries drop out wholesale
@@ -1531,7 +1564,8 @@ object ParquetTable {
             val content = newEntries.sorted
               .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
             if (commitVersion(spark, path, v + 1, content,
-                dv = dvDirs(spark, path, v))) {
+                dv = dvDirs(spark, path, v),
+                colmap = carriedColmap(spark, path, v))) {
               if (cdf) writeChangeManifest(spark, path, v + 1,
                 captureRewrite(matched, resolvedSet))
               result = v + 1
@@ -1771,20 +1805,87 @@ object ParquetTable {
   private def applyColmap(
       spark: SparkSession, path: String, version: Long, df: DataFrame): DataFrame = {
     val (renames, drops) = columnMapping(spark, path, version)
+    applyColmapTo(renames, drops, df)
+  }
+
+  /** The logical-view projection itself: dropped physical columns
+    * projected away, renamed ones aliased; columns outside the mapping
+    * (including reader metadata like [[DvFileCol]]) pass through — so
+    * mutation verbs can put a PHYSICAL leg under the logical names while
+    * keeping their row-address columns.
+    */
+  private def applyColmapTo(
+      renames: Map[String, String], drops: Seq[String], df: DataFrame): DataFrame =
     if (renames.isEmpty && drops.isEmpty) df
     else df.select(df.columns
       .filterNot(c => drops.exists(_.equalsIgnoreCase(c)))
       .map(c => col(c).as(
         renames.collectFirst { case (p, l) if p.equalsIgnoreCase(c) => l }
           .getOrElse(c))).toIndexedSeq: _*)
+
+  /** Inverse of [[applyColmap]] for OUTGOING writes under an active
+    * column mapping — what lets mutation verbs commit PARTIAL rewrites
+    * without materializing the map (Delta's model: files keep physical
+    * names for the table's whole life): logical names translate back to
+    * physical, dropped physical columns are re-added as typed NULLs (new
+    * files must stay union-compatible with the version's old files; the
+    * null values never surface — the read view projects them away), and
+    * columns take the physical schema's order with genuinely new columns
+    * (schema evolution) appended. Identity when the version is unmapped.
+    */
+  private def toPhysical(
+      spark: SparkSession, path: String, version: Long, df: DataFrame): DataFrame = {
+    val (renames, drops) = columnMapping(spark, path, version)
+    if (renames.isEmpty && drops.isEmpty) return df
+    val phys = versionSchema(spark, path, version)
+      .orElse(supersetSchema(versionLegs(spark, path, version).map(_.schema)))
+      .getOrElse(return df)
+    val inv = renames.map { case (p, l) => l.toLowerCase -> p }
+    val renamed = df.select(df.columns.map(c =>
+      col(c).as(inv.getOrElse(c.toLowerCase, c))).toIndexedSeq: _*)
+    val withDropped = drops.foldLeft(renamed)((d, p) =>
+      phys.fields.find(_.name.equalsIgnoreCase(p)) match {
+        case Some(f) if !d.columns.exists(_.equalsIgnoreCase(p)) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType))
+        case _ => d
+      })
+    val physOrder = phys.fieldNames.filter(n =>
+      withDropped.columns.exists(_.equalsIgnoreCase(n))).toSeq
+    val extras = withDropped.columns.filterNot(c =>
+      phys.fieldNames.exists(_.equalsIgnoreCase(c))).toSeq
+    withDropped.select((physOrder ++ extras).map(col): _*)
   }
 
-  /** Refuse a data-mutating verb while an unmaterialized column mapping
-    * is in force: a PARTIAL rewrite would mix logical-named new files
-    * with physical-named old files in one version. Reads and time travel
-    * are unaffected; [[compact]] / [[optimize]] rewrite the full image
-    * through the logical view and clear the mapping, after which every
-    * verb works again.
+  /** The logical view of a PHYSICAL schema under a mapping — the schema
+    * twin of [[applyColmapTo]].
+    */
+  private def colmapSchema(
+      renames: Map[String, String], drops: Seq[String], s: StructType): StructType =
+    if (renames.isEmpty && drops.isEmpty) s
+    else StructType(s.fields
+      .filterNot(f => drops.exists(_.equalsIgnoreCase(f.name)))
+      .map(f => f.copy(name = renames.collectFirst {
+        case (p, l) if p.equalsIgnoreCase(f.name) => l
+      }.getOrElse(f.name))))
+
+  /** The current mapping rendered for a carry-forward commit (None when
+    * unmapped) — every PARTIAL commit under an active map must pass this
+    * to [[commitVersion]], or the new version would read raw physical
+    * names.
+    */
+  private def carriedColmap(
+      spark: SparkSession, path: String, version: Long): Option[String] = {
+    val (r, d) = columnMapping(spark, path, version)
+    Some(colmapValue(r, d)).filter(_.nonEmpty)
+  }
+
+  /** Refuse a verb that cannot serve an unmaterialized column mapping
+    * (symlink export: external readers consume raw files, which carry
+    * PHYSICAL names). Mutation verbs no longer freeze — they translate
+    * through the map on the way in ([[toPhysical]]) and carry it forward
+    * ([[carriedColmap]]); full-image rewrites ([[compact]], [[optimize]],
+    * unpartitioned merge/update/delete) write logical names and clear
+    * the map, which IS the materialization.
     */
   private def requireNoColmap(spark: SparkSession, path: String, verb: String): Unit =
     if (exists(spark, path)) currentVersion(spark, path).foreach { v =>
@@ -1801,17 +1902,21 @@ object ParquetTable {
     * an O(1) metadata-only commit republishing the current version's
     * data dirs under an updated `#colmap=` header. Reads and time travel
     * serve every version under its own mapping; old versions keep their
-    * old names. Until [[compact]]/[[optimize]] materializes the mapping,
-    * data-mutating verbs are refused (see [[requireNoColmap]] — unlike
-    * Delta, which writes opaque physical names from day one, this table
-    * format writes logical names, so a mapped table defers its rewrite
-    * rather than never paying it). Caveats, each refused up front:
-    * partition columns (dir layout embeds them), CHECK-constrained
-    * columns (constraint expressions hold raw names), name collisions,
-    * and `>`/tab in names (header syntax). Stats-sidecar pruning on a
-    * renamed column resumes after materialization (skipping stays
-    * conservative meanwhile). `changes`/CDF windows must not straddle a
-    * rename commit — snapshots on the two sides disagree on names.
+    * old names. Data-mutating verbs keep working under the mapping
+    * (Delta's mutate-under-mapping model): partial commits translate
+    * their outgoing files to PHYSICAL names ([[toPhysical]]) and carry
+    * the map forward, while full-image rewrites ([[compact]],
+    * [[optimize]], unpartitioned merge/update/delete) write logical
+    * names and clear it — the materialization. Stats/bloom pruning stays
+    * exact throughout ([[prunedFileGroups]] rewrites predicate names
+    * logical→physical). Caveats, each refused up front: partition
+    * columns (dir layout embeds them), CHECK-constrained columns
+    * (constraint expressions hold raw names), identity-ruled columns
+    * (the rule file is keyed by name), name collisions, and `>`/tab in
+    * names (header syntax). `changes`/CDF windows must not straddle a
+    * rename commit — snapshots on the two sides disagree on names — and
+    * symlink export stays refused while mapped (external readers see raw
+    * physical names).
     */
   def renameColumn(
       spark: SparkSession, path: String, from: String, to: String): Long = {
@@ -1858,7 +1963,9 @@ object ParquetTable {
   /** Delta-parity `ALTER TABLE … DROP COLUMN` without rewrite — the
     * column disappears from reads of the new version (history still
     * shows it); bytes are reclaimed at materialization. Same caveats and
-    * mutation freeze as [[renameColumn]].
+    * mutate-under-mapping rules as [[renameColumn]] (partial commits
+    * keep writing the dropped column as typed NULLs so every dir of the
+    * version stays union-compatible).
     */
   def dropColumn(spark: SparkSession, path: String, name: String): Long = {
     val v = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
@@ -2042,7 +2149,6 @@ object ParquetTable {
       spark: SparkSession, path: String, updates: DataFrame, pk: Seq[String],
       cdf: Boolean = false, txn: Option[(String, Long)] = None): Long = {
     requireTxnAppId(txn)
-    requireNoColmap(spark, path, "mergeVectors")
     TableProperties.requireNotAppendOnly(spark, path, "mergeVectors")
     var attempts = 0
     while (true) {
@@ -2057,25 +2163,31 @@ object ParquetTable {
           "already partition-scoped (mergeVersioned)")
       val target = readVersion(spark, path, v)
       val cols = target.columns.toSeq
+      val (cmR, cmD) = columnMapping(spark, path, v)
       val upd = GeneratedColumns.fill(spark, path, updates)
         .dropDuplicates(pk).select(cols.map(col): _*)
       // retire matched target rows by DV: per-leg (file, row_index) of
-      // rows whose pk is in the update set, prior DVs already excluded
+      // rows whose pk is in the update set, prior DVs already excluded.
+      // Legs are physical — the logical view goes on AFTER the DV join
+      // (row addresses are name-agnostic; pk names are logical)
       val updKeys = upd.select(pk.map(col): _*).distinct()
       val dv = dvOf(spark, path, v)
       val matched = versionLegs(spark, path, v).map { leg =>
         val withMeta = leg.withColumn(DvFileCol, dvFileKey(col("_metadata.file_path")))
           .withColumn(DvIdxCol, col("_metadata.row_index"))
-        dv.fold(withMeta)(d => withMeta.join(d, Seq(DvFileCol, DvIdxCol), "left_anti"))
+        applyColmapTo(cmR, cmD,
+          dv.fold(withMeta)(d => withMeta.join(d, Seq(DvFileCol, DvIdxCol), "left_anti")))
       }.reduce(_.unionByName(_))
         .join(updKeys, pk, "left_semi")
         .select(col(DvFileCol), col(DvIdxCol))
       // the append dir carries the full update set (matched rows'
-      // replacements AND inserts); written before the commit loop's CAS
-      // so losers can clean up
+      // replacements AND inserts) in PHYSICAL names under an active
+      // mapping; written before the commit loop's CAS so losers can
+      // clean up
       val dataDir = freshDataDirName()
-      writePlain(upd, new Path(path, dataDir).toString, Nil)
-      DataSkipping.writeStats(spark, new Path(path, dataDir).toString, upd.schema)
+      val updPhys = toPhysical(spark, path, v, upd)
+      writePlain(updPhys, new Path(path, dataDir).toString, Nil)
+      DataSkipping.writeStats(spark, new Path(path, dataDir).toString, updPhys.schema)
       validateCommit(spark, path, dataDir)
       // ONE job computes the matches: write the DV dir, then probe what
       // landed (an isEmpty pre-check would run the snapshot-join twice)
@@ -2086,7 +2198,8 @@ object ParquetTable {
       if (!hasMatches) hadoopFs(spark, dvPath).delete(dvPath, true)
       val content = manifestContent(spark, path, v).trim + "\n" + dataDir
       val dvs = dvDirs(spark, path, v) ++ (if (hasMatches) Seq(dvName) else Nil)
-      if (commitVersion(spark, path, v + 1, content, txn, dvs)) {
+      if (commitVersion(spark, path, v + 1, content, txn, dvs,
+          carriedColmap(spark, path, v))) {
         // CDF capture scoped to the affected keys: rows outside the
         // update-key set are byte-identical across the commit (same
         // files), so diffing the pre-snapshot's affected slice against
@@ -2098,7 +2211,8 @@ object ParquetTable {
         if (cdf) writeChangeManifest(spark, path, v + 1,
           changeRowsBetween(
             target.join(updKeys, pk, "left_semi").select(cols.map(col): _*),
-            spark.read.parquet(new Path(path, dataDir).toString),
+            applyColmapTo(cmR, cmD,
+              spark.read.parquet(new Path(path, dataDir).toString)),
             pk, "right_outer"))
         return v + 1
       } else { // lost the race: recompute against the winner's snapshot
@@ -2243,7 +2357,6 @@ object ParquetTable {
       spark: SparkSession, path: String, rows0: DataFrame,
       cdf: Boolean = false, txn: Option[(String, Long)] = None): Long = {
     requireTxnAppId(txn)
-    requireNoColmap(spark, path, "insertInto")
     val rows = GeneratedColumns.fill(spark, path,
       IdentityColumns.fill(spark, path, rows0))
     var attempts = 0
@@ -2256,16 +2369,22 @@ object ParquetTable {
           "through ParquetTable.append)"))
       partitionEntries(spark, path, v) match {
         case None =>
+          // the insert aligns to the LOGICAL schema; the appended dir is
+          // written physical under an active mapping, which carries
           val aligned = alignInsert(rows, readVersion(spark, path, v).schema)
-          val cols = aligned.columns.toSeq
+          val (cmR, cmD) = columnMapping(spark, path, v)
           val dataDir = freshDataDirName()
-          writePlain(aligned, new Path(path, dataDir).toString, Nil)
-          DataSkipping.writeStats(spark, new Path(path, dataDir).toString, aligned.schema)
+          val alignedPhys = toPhysical(spark, path, v, aligned)
+          writePlain(alignedPhys, new Path(path, dataDir).toString, Nil)
+          DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
+            alignedPhys.schema)
           validateCommit(spark, path, dataDir)
           val content = manifestContent(spark, path, v).trim + "\n" + dataDir
-          if (commitVersion(spark, path, v + 1, content, txn, dvDirs(spark, path, v))) {
+          if (commitVersion(spark, path, v + 1, content, txn, dvDirs(spark, path, v),
+              carriedColmap(spark, path, v))) {
             if (cdf) writeChangeManifest(spark, path, v + 1,
-              spark.read.parquet(new Path(path, dataDir).toString)
+              applyColmapTo(cmR, cmD,
+                spark.read.parquet(new Path(path, dataDir).toString))
                 .withColumn("_change_type", lit("insert")))
             return v + 1
           } else {
@@ -2283,19 +2402,24 @@ object ParquetTable {
           // back onto a single dir.
           val partitionColumns = entries.head._1.split('/').toSeq.map(_.split('=')(0))
           val aligned = alignInsert(rows, readVersion(spark, path, v).schema)
+          val (cmR, cmD) = columnMapping(spark, path, v)
           val affected = partitionDirsOf(aligned, partitionColumns)
           val dataDir = freshDataDirName()
-          writePlain(aligned, new Path(path, dataDir).toString, partitionColumns)
-          DataSkipping.writeStats(spark, new Path(path, dataDir).toString, aligned.schema)
+          val alignedPhys = toPhysical(spark, path, v, aligned)
+          writePlain(alignedPhys, new Path(path, dataDir).toString, partitionColumns)
+          DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
+            alignedPhys.schema)
           validateCommit(spark, path, dataDir)
           val newEntries = (entries ++ affected.map(_ -> dataDir)).sorted
             .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
-          if (commitVersion(spark, path, v + 1, newEntries, txn, dvDirs(spark, path, v))) {
+          if (commitVersion(spark, path, v + 1, newEntries, txn, dvDirs(spark, path, v),
+              carriedColmap(spark, path, v))) {
             // capture from the COMMITTED dir, never the row plan: the
             // appended dir IS exactly the inserted multiset
             if (cdf) writeChangeManifest(spark, path, v + 1,
-              spark.read.option("basePath", new Path(path, dataDir).toString)
-                .parquet(affected.map(p => s"$path/$dataDir/$p"): _*)
+              applyColmapTo(cmR, cmD,
+                spark.read.option("basePath", new Path(path, dataDir).toString)
+                  .parquet(affected.map(p => s"$path/$dataDir/$p"): _*))
                 .select(aligned.columns.map(col).toSeq: _*)
                 .withColumn("_change_type", lit("insert")))
             return v + 1
@@ -2311,7 +2435,6 @@ object ParquetTable {
   def deleteVectors(
       spark: SparkSession, path: String, condition: Column,
       cdf: Boolean = false): Long = {
-    requireNoColmap(spark, path, "deleteVectors")
     TableProperties.requireNotAppendOnly(spark, path, "deleteVectors")
     var result = -1L
     var attempts = 0
@@ -2322,13 +2445,17 @@ object ParquetTable {
         s"deleteVectors: no versioned table at $path (deletion vectors " +
           "need manifest isolation)"))
       val dv = dvOf(spark, path, v)
+      val (cmR, cmD) = columnMapping(spark, path, v)
       // legs with the reader's (file, row_index) attached, previous DVs
       // already excluded — so re-deleting an already-deleted row is a
-      // no-op and the new DV holds only live matches
+      // no-op and the new DV holds only live matches. Logical view over
+      // each physical leg so `condition` resolves under a column mapping
+      // (a DV is pure row addressing — the commit carries the map).
       val snap = versionLegs(spark, path, v).map { leg =>
         val withMeta = leg.withColumn(DvFileCol, dvFileKey(col("_metadata.file_path")))
           .withColumn(DvIdxCol, col("_metadata.row_index"))
-        dv.fold(withMeta)(d => withMeta.join(d, Seq(DvFileCol, DvIdxCol), "left_anti"))
+        applyColmapTo(cmR, cmD,
+          dv.fold(withMeta)(d => withMeta.join(d, Seq(DvFileCol, DvIdxCol), "left_anti")))
       }.reduce(_.unionByName(_))
       requireDeterministic(snap.drop(DvFileCol, DvIdxCol), condition, None, "deleteVectors")
       val matched = snap.filter(condition)
@@ -2339,7 +2466,8 @@ object ParquetTable {
           .write.mode(SaveMode.Overwrite).parquet(new Path(path, dvName).toString)
         val content = manifestContent(spark, path, v)
         if (commitVersion(spark, path, v + 1, content,
-            dv = dvDirs(spark, path, v) :+ dvName)) {
+            dv = dvDirs(spark, path, v) :+ dvName,
+            colmap = carriedColmap(spark, path, v))) {
           if (cdf) writeChangeManifest(spark, path, v + 1,
             matched.drop(DvFileCol, DvIdxCol).withColumn("_change_type", lit("delete")))
           result = v + 1
@@ -2785,7 +2913,6 @@ object ParquetTable {
   def compactSmall(
       spark: SparkSession, path: String,
       minBytes: Long = 32L * 1024 * 1024): Long = {
-    requireNoColmap(spark, path, "compactSmall")
     var committedV = -1L
     var attempts = 0
     while (committedV < 0) {
@@ -2814,8 +2941,11 @@ object ParquetTable {
       DataSkipping.writeStats(spark, new Path(path, dataDir).toString, merged.schema)
       validateCommit(spark, path, dataDir)
       val content = (big :+ dataDir).mkString("\n")
+      // physical in, physical out: the fold unions raw dirs and rewrites
+      // them byte-compatible, so an active column mapping simply carries
       if (commitVersion(spark, path, v + 1, content,
-        dv = dvDirs(spark, path, v)))
+        dv = dvDirs(spark, path, v),
+        colmap = carriedColmap(spark, path, v)))
         committedV = v + 1
       else {
         val dd = new Path(path, dataDir)
@@ -2828,7 +2958,6 @@ object ParquetTable {
   def compactWhere(
       spark: SparkSession, path: String, predicate: Column,
       filesPerPartition: Int = 1): Long = {
-    requireNoColmap(spark, path, "compactWhere")
     var committedV = -1L
     var attempts = 0
     while (committedV < 0) {
@@ -2877,8 +3006,11 @@ object ParquetTable {
       val newEntries = (entries.filterNot(e => affectedSet(e._1)) ++
         affected.map(_ -> dataDir)).sorted
         .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
+      // partition-scoped fold of raw physical dirs: the mapping carries
+      // (predicates reference partition columns, which are never renamed)
       if (commitVersion(spark, path, v + 1, newEntries,
-        dv = dvDirs(spark, path, v)))
+        dv = dvDirs(spark, path, v),
+        colmap = carriedColmap(spark, path, v)))
         committedV = v + 1
       else {
         // lost the CAS — drop the orphaned dir and recompute against the

@@ -63,28 +63,132 @@ class ColumnMappingSpec extends SparkSpec {
     assert(ParquetTable.read(spark, path).count() === 3)
   }
 
-  test("mutations are refused while mapped; compact materializes and unfreezes") {
-    val path = mk("freeze")
+  test("unpartitioned COW merge through the logical name materializes the map") {
+    val path = mk("cowmerge")
     ParquetTable.renameColumn(spark, path, "amount", "total")
-    val e = intercept[IllegalStateException] {
-      ParquetTable.merge(spark, path,
-        Seq((3, "c", 30.0)).toDF("id", "v", "total"), Seq("id"))
-    }
-    assert(e.getMessage.contains("unmaterialized column mapping"))
-    intercept[IllegalStateException] {
-      ParquetTable.delete(spark, path, col("id") === 1)
-    }
-    intercept[IllegalStateException] {
-      ParquetTable.insertInto(spark, path, Seq((9, "z", 1.0)).toDF("id", "v", "total"))
-    }
-    ParquetTable.compact(spark, path)
-    val v = ParquetTable.currentVersion(spark, path).get
-    assert(ParquetTable.columnMapping(spark, path, v)._1.isEmpty, "compact must clear the map")
-    // physical files now carry the logical name
-    assert(ParquetTable.read(spark, path).columns.contains("total"))
     ParquetTable.merge(spark, path,
-      Seq((3, "c", 30.0)).toDF("id", "v", "total"), Seq("id"))
-    assert(ParquetTable.read(spark, path).agg(sum("total")).head.getDouble(0) === 60.0)
+      Seq((2, "b2", 25.0), (3, "c", 30.0)).toDF("id", "v", "total"), Seq("id"),
+      mergeOnRead = Some(false))
+    // a full-image rewrite writes logical names physically = materialization
+    val v = ParquetTable.currentVersion(spark, path).get
+    assert(ParquetTable.columnMapping(spark, path, v)._1.isEmpty,
+      "COW merge must clear the map")
+    val got = ParquetTable.read(spark, path).orderBy("id")
+      .select("id", "v", "total").as[(Int, String, Double)].collect().toSeq
+    assert(got === Seq((1, "a", 10.0), (2, "b2", 25.0), (3, "c", 30.0)))
+    // history still serves v2 under the mapping and v1 under raw names
+    assert(ParquetTable.readAt(spark, path, 2L).columns.contains("total"))
+    assert(ParquetTable.readAt(spark, path, 1L).columns.contains("amount"))
+  }
+
+  test("merge-on-read merge under a mapping appends PHYSICAL files and carries the map") {
+    val path = mk("mormerge")
+    ParquetTable.renameColumn(spark, path, "amount", "total")
+    ParquetTable.merge(spark, path,
+      Seq((2, "b2", 25.0), (3, "c", 30.0)).toDF("id", "v", "total"), Seq("id"),
+      mergeOnRead = Some(true))
+    val v = ParquetTable.currentVersion(spark, path).get
+    assert(ParquetTable.columnMapping(spark, path, v)._1 === Map("amount" -> "total"),
+      "MOR merge must carry the map")
+    val got = ParquetTable.read(spark, path).orderBy("id")
+      .select("id", "v", "total").as[(Int, String, Double)].collect().toSeq
+    assert(got === Seq((1, "a", 10.0), (2, "b2", 25.0), (3, "c", 30.0)))
+    // the appended dir is physical-named: compact (materialize) then check
+    // nothing changes logically
+    ParquetTable.compact(spark, path)
+    assert(ParquetTable.read(spark, path).orderBy("id")
+      .select("id", "v", "total").as[(Int, String, Double)].collect().toSeq === got)
+  }
+
+  test("insertInto under a mapping (with a drop) stays union-compatible and carries") {
+    val path = mk("insert")
+    ParquetTable.renameColumn(spark, path, "amount", "total")
+    ParquetTable.dropColumn(spark, path, "v")
+    // the insert aligns to the LOGICAL schema (id, total)
+    ParquetTable.insertInto(spark, path, Seq((9, 90.0)).toDF("id", "total"))
+    val got = ParquetTable.read(spark, path).orderBy("id")
+      .select("id", "total").as[(Int, Double)].collect().toSeq
+    assert(got === Seq((1, 10.0), (2, 20.0), (9, 90.0)))
+    assert(ParquetTable.read(spark, path).columns.toSeq === Seq("id", "total"))
+    // time travel to the pre-DDL version still shows raw names, old rows only
+    assert(ParquetTable.readAt(spark, path, 1L).columns.toSeq === Seq("id", "v", "amount"))
+    assert(ParquetTable.readAt(spark, path, 1L).count() === 2)
+    // materialize and re-check (the dropped column's bytes leave here)
+    ParquetTable.compact(spark, path)
+    assert(ParquetTable.read(spark, path).orderBy("id")
+      .select("id", "total").as[(Int, Double)].collect().toSeq === got)
+  }
+
+  test("UPDATE/DELETE on a mapped PARTITIONED table: partial rewrite, map carried") {
+    val path = tmpDir("colmap-rewrite") + "/t"
+    ParquetTable.createVersioned(
+      Seq((1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0))
+        .toDF("id", "day", "amount"), path, Seq("day"))
+    ParquetTable.renameColumn(spark, path, "amount", "total")
+    ParquetTable.update(spark, path, col("id") === 1, Map("total" -> lit(11.0)))
+    ParquetTable.delete(spark, path, col("total") === 20.0)
+    val v = ParquetTable.currentVersion(spark, path).get
+    assert(ParquetTable.columnMapping(spark, path, v)._1 === Map("amount" -> "total"))
+    val got = ParquetTable.read(spark, path).orderBy("id")
+      .select("id", "day", "total").as[(Int, String, Double)].collect().toSeq
+    assert(got === Seq((1, "d1", 11.0), (3, "d2", 30.0)))
+    // the UNTOUCHED d2 partition kept its original physical dir; only d1 rewrote
+    val entries = ParquetTable.partitionEntries(spark, path, v).get.toMap
+    val entriesV1 = ParquetTable.partitionEntries(spark, path, 1L).get.toMap
+    assert(entries("day=d2") === entriesV1("day=d2"), "untouched partition rewrote")
+    assert(entries("day=d1") !== entriesV1("day=d1"))
+  }
+
+  test("mutating through a REUSED logical name hits the right physical column") {
+    // rename a→x then c→a: logical `a` is physical `c`. An UPDATE on
+    // logical a must rewrite physical c and leave physical a (now x) alone.
+    val path = tmpDir("colmap-reuse-mut") + "/t"
+    ParquetTable.create(Seq((1, 100L, 900L), (2, 200L, 800L)).toDF("id", "a", "c"), path)
+    ParquetTable.renameColumn(spark, path, "a", "x")
+    ParquetTable.renameColumn(spark, path, "c", "a")
+    ParquetTable.insertInto(spark, path, Seq((3, 300L, 700L)).toDF("id", "x", "a"))
+    val got = ParquetTable.read(spark, path).orderBy("id")
+      .select("id", "x", "a").as[(Int, Long, Long)].collect().toSeq
+    assert(got === Seq((1, 100L, 900L), (2, 200L, 800L), (3, 300L, 700L)))
+    // deleteVectors through the reused name: logical a===800 is row id=2
+    ParquetTable.deleteVectors(spark, path, col("a") === 800L)
+    assert(ParquetTable.read(spark, path).orderBy("id")
+      .select("id", "x", "a").as[(Int, Long, Long)].collect().toSeq ===
+      Seq((1, 100L, 900L), (3, 300L, 700L)))
+  }
+
+  test("mergeVersioned under a mapping: partition-scoped, physical files, map carried") {
+    val path = tmpDir("colmap-mv") + "/t"
+    ParquetTable.createVersioned(
+      Seq((1, "d1", 10.0), (3, "d2", 30.0)).toDF("id", "day", "amount"),
+      path, Seq("day"))
+    ParquetTable.renameColumn(spark, path, "amount", "total")
+    ParquetTable.merge(spark, path,
+      Seq((1, "d1", 11.0), (4, "d3", 40.0)).toDF("id", "day", "total"),
+      Seq("id"), Seq("day"))
+    val v = ParquetTable.currentVersion(spark, path).get
+    assert(ParquetTable.columnMapping(spark, path, v)._1 === Map("amount" -> "total"))
+    val got = ParquetTable.read(spark, path).orderBy("id")
+      .select("id", "day", "total").as[(Int, String, Double)].collect().toSeq
+    assert(got === Seq((1, "d1", 11.0), (3, "d2", 30.0), (4, "d3", 40.0)))
+    // untouched d2 kept its dir
+    val entries = ParquetTable.partitionEntries(spark, path, v).get.toMap
+    val entriesV1 = ParquetTable.partitionEntries(spark, path, 1L).get.toMap
+    assert(entries("day=d2") === entriesV1("day=d2"))
+    // readWhere on the logical name still prunes/filters correctly
+    assert(ParquetTable.readWhere(spark, path, col("total") > 35.0)
+      .select("id").as[Int].collect().toSeq === Seq(4))
+  }
+
+  test("CDF capture under a mapping carries LOGICAL column names") {
+    val path = mk("cdfcap")
+    ParquetTable.renameColumn(spark, path, "amount", "total")
+    val v = ParquetTable.insertInto(spark, path,
+      Seq((7, "g", 70.0)).toDF("id", "v", "total"), cdf = true)
+    val feed = ParquetTable.tableChanges(spark, path, v, v, Seq("id"))
+    assert(feed.columns.contains("total") && !feed.columns.contains("amount"))
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("id").as[Int].collect().toSeq === Seq(7))
   }
 
   test("refusals: missing source, existing target, partition column, constraint reference") {

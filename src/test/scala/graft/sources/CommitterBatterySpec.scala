@@ -244,6 +244,32 @@ abstract class CommitterBattery(mk: () => LogCommitter) extends SparkSpec {
         Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(x => (x._1, x._2)).toSeq
     assert(hist === Seq((1, 1L, Some(3L)), (1, 3L, Some(5L)), (1, 5L, None)))
   } }
+
+  test("mutations under an active column mapping commit through this committer") { withCommitter {
+    val path = tmpDir("cb-colmap") + "/t"
+    ParquetTable.createVersioned(
+      frame(pschema, Seq(Row(1, "a", "d1"), Row(2, "b", "d2"))), path, Seq("day"))
+    ParquetTable.renameColumn(spark, path, "v", "val")
+    // partial rewrite through the logical name: the commit must carry
+    // the `#colmap=` header or the next read serves raw physical names
+    ParquetTable.mergeVersioned(spark, path,
+      frame(StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("val", StringType, nullable = false),
+        StructField("day", StringType, nullable = false))),
+        Seq(Row(2, "B", "d2"), Row(3, "c", "d3"))), Seq("id"), Seq("day"))
+    ParquetTable.update(spark, path, col("id") === 1, Map("val" -> lit("A")))
+    val v = ParquetTable.currentVersion(spark, path).get
+    assert(ParquetTable.columnMapping(spark, path, v)._1 === Map("v" -> "val"))
+    val got = ParquetTable.read(spark, path).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got === Map(1 -> "A", 2 -> "B", 3 -> "c"))
+    // materialization (full compact) clears the map through this committer
+    ParquetTable.compact(spark, path)
+    val v2 = ParquetTable.currentVersion(spark, path).get
+    assert(ParquetTable.columnMapping(spark, path, v2)._1.isEmpty)
+    assert(ParquetTable.read(spark, path).columns.contains("val"))
+  } }
 }
 
 /** Object-store `If-None-Match: *` shim over a local mirror: a JVM-global
