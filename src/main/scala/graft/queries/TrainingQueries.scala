@@ -1034,6 +1034,34 @@ object TrainingQueries {
         .orderBy(col("user_id"))
     }),
 
+    // APPLY CHANGES with AUTOMATIC SCHEMA EVOLUTION (DLT's evolving
+    // apply_changes): the odd-event batch carries a NEW `channel`
+    // column and is applied FIRST; the even-event batch arrives narrow
+    // and late. The evolved target converges to the global latest per
+    // key where `channel` is non-null exactly when the winning change
+    // came from the widened feed — which the oracle derives from raw
+    // events with one window pass.
+    "q123_apply_changes_evolve" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_acev").toString + "/t"
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      val wide = ev.filter(col("event_id") % 2 === 1)
+        .withColumn("channel",
+          concat(lit("c"), (col("user_id") % 3).cast("string")))
+      val narrow = ev.filter(col("event_id") % 2 === 0)
+      Seq(wide, narrow).foreach { b =>
+        graft.sources.ApplyChanges.applyInto(s, out, b,
+          Seq("user_id"), "event_id",
+          deleteWhen = Some(col("event_type") === "error"),
+          evolveSchema = true)
+      }
+      graft.sources.ApplyChanges.readApplied(s, out)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("channel"))
+        .orderBy(col("user_id"))
+    }),
+
     // APPLY CHANGES ... STORED AS SCD TYPE 2 (ApplyChanges.applyIntoScd2):
     // the same out-of-order CDC stream as q109, but the target keeps the
     // full per-key version HISTORY as validity intervals — __START_AT =
@@ -2274,6 +2302,21 @@ object TrainingQueries {
         |                       ORDER BY event_id DESC) AS rn
         |  FROM events)
         |SELECT user_id, event_id, event_type, value
+        |FROM latest WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    // End-state after evolved application: global latest change per
+    // key, channel present only when that winning change was odd
+    // (the widened feed), error-latest keys tombstoned away.
+    "q123_apply_changes_evolve" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CASE WHEN event_id % 2 = 1
+        |         THEN 'c' || (user_id % 3)::VARCHAR END AS channel,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value, channel
         |FROM latest WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
 

@@ -43,6 +43,16 @@ object ApplyChanges {
     */
   val TombstoneCol = "__tombstone"
 
+  /** `evolveSchema = true` (DLT's automatic schema evolution for
+    * apply_changes): columns NEW in the change feed are appended to the
+    * target (existing rows read typed NULLs there), and change rows
+    * missing target columns carry typed NULLs — a change row is the
+    * key's full new image, so an omitted column reads as "no value" in
+    * the applied row, exactly the DLT contract. The out-of-order and
+    * idempotence guarantees extend to the evolved schema unchanged: the
+    * per-key watermark is still the sequence column, and the combine
+    * keeps being a pure function of (stored row, winning change row).
+    */
   def applyInto(
       spark: SparkSession,
       path: String,
@@ -50,7 +60,8 @@ object ApplyChanges {
       keys: Seq[String],
       sequenceCol: String,
       deleteWhen: Option[Column] = None,
-      partitionColumns: Seq[String] = Nil): Unit = {
+      partitionColumns: Seq[String] = Nil,
+      evolveSchema: Boolean = false): Unit = {
     require(keys.nonEmpty, "applyInto: empty key list")
     require(!keys.contains(sequenceCol),
       s"applyInto: sequence column '$sequenceCol' cannot be a key")
@@ -91,30 +102,47 @@ object ApplyChanges {
       return
     }
 
-    val tableCols = ParquetTable.read(spark, path).columns.toSeq
+    val targetSchema = ParquetTable.read(spark, path).schema
+    val tableCols = targetSchema.fieldNames.toSeq
     require(tableCols.contains(sequenceCol),
       s"applyInto: target $path lacks the sequence column '$sequenceCol' " +
         "— APPLY CHANGES targets store it as the per-key watermark")
     require(tableCols.contains(TombstoneCol),
       s"applyInto: target $path lacks '$TombstoneCol' — not an APPLY " +
         "CHANGES target (create it through applyInto)")
-    require(tableCols.toSet == latest.columns.toSet,
+    // columns NEW in the feed / MISSING from the feed (vs the target)
+    val extras = latest.columns.toSeq.filterNot(c =>
+      tableCols.exists(_.equalsIgnoreCase(c)))
+    val missing = tableCols.filterNot(c =>
+      latest.columns.exists(_.equalsIgnoreCase(c)))
+    require(evolveSchema || (extras.isEmpty && missing.isEmpty),
       s"applyInto: change columns ${latest.columns.sorted.mkString(",")} " +
-        s"must match target columns ${tableCols.sorted.mkString(",")}")
+        s"must match target columns ${tableCols.sorted.mkString(",")} " +
+        "(pass evolveSchema = true for DLT-style automatic evolution)")
+    // a change row is the key's FULL new image: omitted columns are
+    // typed NULLs in the applied row (DLT semantics)
+    val src0 = missing.foldLeft(latest)((d, c) =>
+      d.withColumn(c, lit(null).cast(targetSchema(c).dataType)))
+    val outCols = tableCols ++ extras
 
-    val combine: (DataFrame, DataFrame) => DataFrame = (target, src) => {
+    val combine: (DataFrame, DataFrame) => DataFrame = (target0, src) => {
+      // evolution: the stored slice gains the feed's new columns as
+      // typed NULLs; the committed dir is wider and the version schema
+      // evolves through the sidecar superset (merge's read-time rule)
+      val target = extras.foldLeft(target0)((d, c) =>
+        d.withColumn(c, lit(null).cast(src.schema(c).dataType)))
       val joined = target.as("t").join(src.as("s"), keys, "full_outer")
       val sSeq = col(s"s.$sequenceCol")
       val tSeq = col(s"t.$sequenceCol")
       // strict '>' is the contract: equal sequence keeps the stored row
       // (idempotent redelivery), older is a late arrival
       val srcWins = sSeq.isNotNull && (tSeq.isNull || sSeq > tSeq)
-      joined.select(tableCols.map { c =>
+      joined.select(outCols.map { c =>
         if (keys.contains(c)) col(c)
         else when(srcWins, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
       }: _*)
     }
-    ParquetTable.merge(spark, path, latest, keys, partitionColumns,
+    ParquetTable.merge(spark, path, src0, keys, partitionColumns,
       combine = Some(combine))
   }
 
@@ -169,7 +197,8 @@ object ApplyChanges {
       keys: Seq[String],
       sequenceCol: String,
       deleteWhen: Option[Column] = None,
-      partitionColumns: Seq[String] = Nil): Unit = {
+      partitionColumns: Seq[String] = Nil,
+      evolveSchema: Boolean = false): Unit = {
     require(keys.nonEmpty, "applyIntoScd2: empty key list")
     require(!keys.contains(sequenceCol),
       s"applyIntoScd2: sequence column '$sequenceCol' cannot be a key")
@@ -206,27 +235,42 @@ object ApplyChanges {
       return
     }
 
-    val tableCols = ParquetTable.read(spark, path).columns.toSeq
+    val targetSchema = ParquetTable.read(spark, path).schema
+    val tableCols = targetSchema.fieldNames.toSeq
     Seq(StartCol, EndCol, TombstoneCol).foreach { c =>
       require(tableCols.contains(c),
         s"applyIntoScd2: target $path lacks '$c' — not an SCD2 APPLY " +
           "CHANGES target (create it through applyIntoScd2)")
     }
     val obsCols = tableCols.filterNot(_ == EndCol)
-    require(obsCols.toSet == observed.columns.toSet,
+    // schema evolution, same contract as [[applyInto]]: feed-new columns
+    // evolve the target (older observations read typed NULLs), feed rows
+    // missing target columns observe typed NULLs there
+    val extras = observed.columns.toSeq.filterNot(c =>
+      obsCols.exists(_.equalsIgnoreCase(c)))
+    val missing = obsCols.filterNot(c =>
+      observed.columns.exists(_.equalsIgnoreCase(c)))
+    require(evolveSchema || (extras.isEmpty && missing.isEmpty),
       s"applyIntoScd2: change columns ${observed.columns.sorted.mkString(",")} " +
-        s"must match target columns ${obsCols.sorted.mkString(",")}")
+        s"must match target columns ${obsCols.sorted.mkString(",")} " +
+        "(pass evolveSchema = true for DLT-style automatic evolution)")
+    val obs0 = missing.foldLeft(observed)((d, c) =>
+      d.withColumn(c, lit(null).cast(targetSchema(c).dataType)))
+    val outCols = tableCols ++ extras
 
-    val combine: (DataFrame, DataFrame) => DataFrame = (target, src) => {
+    val combine: (DataFrame, DataFrame) => DataFrame = (target0, src) => {
+      val target = extras.foldLeft(target0)((d, c) =>
+        d.withColumn(c, lit(null).cast(src.schema(c).dataType)))
       // target wins on a redelivered (key, sequence): deterministic
       // idempotence — the stored observation set never flaps
-      val srcNew = src.select(obsCols.map(col): _*)
+      val srcObsCols = obsCols ++ extras
+      val srcNew = src.select(srcObsCols.map(col): _*)
         .join(target.select(mergeKeys.map(col): _*), mergeKeys, "left_anti")
       scd2Image(
-        target.select(obsCols.map(col): _*).unionByName(srcNew), keys)
-        .select(tableCols.map(col): _*)
+        target.select(srcObsCols.map(col): _*).unionByName(srcNew), keys)
+        .select(outCols.map(col): _*)
     }
-    ParquetTable.merge(spark, path, scd2Image(observed, keys),
+    ParquetTable.merge(spark, path, scd2Image(obs0, keys),
       mergeKeys, partitionColumns, combine = Some(combine))
   }
 

@@ -89,7 +89,8 @@ object StreamingIngest {
       sequenceCol: String,
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
       scdType: Int = 1,
-      partitionColumns: Seq[String] = Nil): StreamingQuery = {
+      partitionColumns: Seq[String] = Nil,
+      evolveSchema: Boolean = false): StreamingQuery = {
     require(scdType == 1 || scdType == 2,
       s"streamApplyChanges: scdType must be 1 or 2, got $scdType")
     val relaxed = org.apache.spark.sql.types.StructType(
@@ -106,10 +107,10 @@ object StreamingIngest {
         if (batch.isEmpty) () // an empty trigger must not create/commit
         else if (scdType == 1)
           graft.sources.ApplyChanges.applyInto(batch.sparkSession, tablePath,
-            batch, keys, sequenceCol, deleteWhen, partitionColumns)
+            batch, keys, sequenceCol, deleteWhen, partitionColumns, evolveSchema)
         else
           graft.sources.ApplyChanges.applyIntoScd2(batch.sparkSession, tablePath,
-            batch, keys, sequenceCol, deleteWhen, partitionColumns)
+            batch, keys, sequenceCol, deleteWhen, partitionColumns, evolveSchema)
       }
       .start()
   }

@@ -207,4 +207,62 @@ class ApplyChangesSpec extends SparkSpec {
       .select("v").as[String].head() == "a1")
     assert(ParquetTable.fsck(spark, path).isEmpty)
   }
+
+  test("schema evolution: a widened change batch evolves the target; narrow batches null-fill") {
+    val path = tmpDir("ac-evo") + "/t"
+    // create with the narrow schema
+    ApplyChanges.applyInto(spark, path,
+      Seq((1L, "a1", 1L), (2L, "b1", 1L)).toDF("id", "v", "seq"),
+      Seq("id"), "seq", None)
+    // strict mode still refuses a widened batch
+    val e = intercept[IllegalArgumentException] {
+      ApplyChanges.applyInto(spark, path,
+        Seq((1L, "a2", 2L, "web")).toDF("id", "v", "seq", "src"),
+        Seq("id"), "seq", None)
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+    // evolved apply: key 1 gains src="web"; untouched key 2 reads NULL
+    ApplyChanges.applyInto(spark, path,
+      Seq((1L, "a2", 2L, "web")).toDF("id", "v", "seq", "src"),
+      Seq("id"), "seq", None, evolveSchema = true)
+    val got = ApplyChanges.readApplied(spark, path)
+      .select("id", "v", "src").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toMap2
+    assert(got === Map(1L -> ("a2", Some("web")), 2L -> ("b1", None)))
+    // a NARROW batch after evolution: omitted column observes NULL when
+    // it wins, stays put when it loses
+    ApplyChanges.applyInto(spark, path,
+      Seq((1L, "a1late", 1L), (2L, "b2", 3L)).toDF("id", "v", "seq"),
+      Seq("id"), "seq", None, evolveSchema = true)
+    val got2 = ApplyChanges.readApplied(spark, path)
+      .select("id", "v", "src").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toMap2
+    assert(got2 === Map(1L -> ("a2", Some("web")), 2L -> ("b2", None)))
+  }
+
+  test("scd2 schema evolution: history refolds across the widened schema, out of order") {
+    val path = tmpDir("ac2-evo") + "/t"
+    ApplyChanges.applyIntoScd2(spark, path,
+      Seq((1L, "v2", 5L)).toDF("id", "v", "seq"), Seq("id"), "seq", None)
+    // widened LATE batch splits the interval; its new column rides along
+    ApplyChanges.applyIntoScd2(spark, path,
+      Seq((1L, "v1", 1L, "imp"), (1L, "mid", 3L, "api"))
+        .toDF("id", "v", "seq", "src"),
+      Seq("id"), "seq", None, evolveSchema = true)
+    val hist = ApplyChanges.readScd2(spark, path)
+      .select(col("id"), col(ApplyChanges.StartCol), col(ApplyChanges.EndCol),
+        col("v"), col("src"))
+      .collect().map(r => (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3),
+        Option(r.getString(4)))).sortBy(_._1).toSeq
+    assert(hist === Seq(
+      (1L, Some(3L), "v1", Some("imp")),
+      (3L, Some(5L), "mid", Some("api")),
+      (5L, None, "v2", None))) // pre-evolution observation reads NULL
+  }
+
+  private implicit class MapOps(rows: Array[(Long, String, Option[String])]) {
+    def toMap2: Map[Long, (String, Option[String])] =
+      rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
 }
