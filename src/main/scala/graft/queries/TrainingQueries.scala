@@ -849,6 +849,32 @@ object TrainingQueries {
       graft.sources.ParquetTable.read(s, out).orderBy(col("o_orderkey"))
     }),
 
+    // Incremental small-SLICE compaction on a PARTITIONED table
+    // (ParquetTable.compactSmall, per-(partition, dir) granularity —
+    // the daily-partitioned ingest shape, reference glue_etl.py:275):
+    // a bulk load plus three small inserts into the status partitions
+    // fold back per partition without rewriting the bulk slices
+    // (spec-pinned in CompactSmallSpec); the post-fold read must be the
+    // plain union, which the oracle states directly.
+    "q124_compact_small_part" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_csmallp").toString + "/t"
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.ParquetTable.createVersioned(
+        orders.filter(col("o_orderkey") < 2000), out, Seq("o_orderstatus"))
+      Seq((2000L, 2100L), (2100L, 2200L), (2200L, 2300L)).foreach {
+        case (lo, hi) =>
+          graft.sources.ParquetTable.insertInto(s, out,
+            orders.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi))
+      }
+      graft.sql.GraftSql.sql(s,
+        s"OPTIMIZE graft.`$out` COMPACT SMALL BELOW 50000")
+      graft.sources.ParquetTable.read(s, out)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Mutations under an ACTIVE column mapping (Delta's
     // mutate-under-mapping model, ParquetTable.toPhysical): after an
     // O(1) RENAME COLUMN, merge/update/delete keep working through the
@@ -2327,6 +2353,13 @@ object TrainingQueries {
         |  o_totalprice
         |FROM orders
         |WHERE o_orderkey < 20000 AND o_orderkey IN (1, 7, 32)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The post-fold table is the plain union of the bulk load and the
+    // three inserted key ranges.
+    "q124_compact_small_part" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey < 2300
         |ORDER BY o_orderkey""".stripMargin,
 
     // The final LOGICAL contents after rename → merge(×2 for keys<100)

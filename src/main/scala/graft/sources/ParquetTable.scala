@@ -2895,20 +2895,28 @@ object ParquetTable {
     * the same carry rule as the merge rewrite path. Returns the
     * committed version (or the current one when nothing matches).
     */
-  /** Incremental small-dir compaction for UNPARTITIONED versioned
-    * tables: fold ONLY the data dirs whose on-disk footprint is below
-    * `minBytes` into one fresh dir and republish the manifest with the
-    * large dirs untouched — the 100 TB shape for absorbing a stream of
+  /** Incremental small-dir compaction: fold ONLY the sub-`minBytes`
+    * footprints into one fresh dir and republish the manifest with the
+    * large ones untouched — the 100 TB shape for absorbing a stream of
     * small [[insertInto]] appends without [[compact]]'s O(table)
     * full-image rewrite (Delta OPTIMIZE's bin-packing contract: files
-    * already at target size are never rewritten). Partitioned tables
-    * fold hot partitions through [[compactWhere]] instead.
+    * already at target size are never rewritten).
+    *
+    * UNPARTITIONED tables fold whole data dirs. PARTITIONED tables fold
+    * per-(partition, dir) SLICES — the unit a daily-partitioned ingest
+    * actually accumulates (reference: glue_etl.py:275 writes
+    * date-partitioned batches): a hot partition's chain of small insert
+    * slices folds into one dir entry while every settled partition —
+    * and the big slices of the hot one (e.g. its original bulk load) —
+    * keeps its entries untouched, zero I/O. A partition folds only when
+    * it holds at least TWO sub-threshold slices.
     *
     * Refused while the version carries deletion vectors: DV'd dirs are
     * not independent row sets, so subset folding could separate a DV
-    * from its leg — [[compact]] materializes them first. No-op (returns
-    * the current version) when fewer than two dirs qualify. Dir sizing
-    * is one metadata listing per dir; data I/O is O(small dirs) only.
+    * from its leg — [[compact]]/[[compactWhere]] materialize them
+    * first. No-op (returns the current version) when nothing qualifies.
+    * Sizing is one metadata summary per dir (or per partition slice);
+    * data I/O is O(small slices) only.
     */
   def compactSmall(
       spark: SparkSession, path: String,
@@ -2920,36 +2928,78 @@ object ParquetTable {
       require(attempts <= 10, s"compactSmall: lost the version race at $path")
       val v = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
         s"compactSmall: no versioned table at $path"))
-      require(partitionEntries(spark, path, v).isEmpty,
-        s"compactSmall: $path is partitioned — fold hot partitions with " +
-          "compactWhere (partition dirs, not dir chains, are its small unit)")
       require(dvDirs(spark, path, v).isEmpty,
         s"compactSmall: version $v carries deletion vectors — run compact() " +
           "to materialize them first (subset folding could orphan a DV)")
-      val dirs = unpartitionedDirs(spark, path, v)
       val fs = hadoopFs(spark, new Path(path))
-      val (small, big) = dirs.partition(d =>
-        fs.getContentSummary(new Path(path, d)).getLength < minBytes)
-      if (small.size < 2) return v
       val tableSchema = versionSchema(spark, path, v)
-      val merged = small.map { d =>
-        val df = spark.read.parquet(new Path(path, d).toString)
-        tableSchema.map(alignTo(df, _)).getOrElse(df)
-      }.reduce(_.unionByName(_))
-      val dataDir = freshDataDirName()
-      writePlain(merged, new Path(path, dataDir).toString, Nil)
-      DataSkipping.writeStats(spark, new Path(path, dataDir).toString, merged.schema)
-      validateCommit(spark, path, dataDir)
-      val content = (big :+ dataDir).mkString("\n")
-      // physical in, physical out: the fold unions raw dirs and rewrites
-      // them byte-compatible, so an active column mapping simply carries
-      if (commitVersion(spark, path, v + 1, content,
-        dv = dvDirs(spark, path, v),
-        colmap = carriedColmap(spark, path, v)))
-        committedV = v + 1
-      else {
-        val dd = new Path(path, dataDir)
-        hadoopFs(spark, dd).delete(dd, true)
+      partitionEntries(spark, path, v) match {
+        case None =>
+          val dirs = unpartitionedDirs(spark, path, v)
+          val (small, big) = dirs.partition(d =>
+            fs.getContentSummary(new Path(path, d)).getLength < minBytes)
+          if (small.size < 2) return v
+          val merged = small.map { d =>
+            val df = spark.read.parquet(new Path(path, d).toString)
+            tableSchema.map(alignTo(df, _)).getOrElse(df)
+          }.reduce(_.unionByName(_))
+          val dataDir = freshDataDirName()
+          writePlain(merged, new Path(path, dataDir).toString, Nil)
+          DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
+            merged.schema)
+          validateCommit(spark, path, dataDir)
+          val content = (big :+ dataDir).mkString("\n")
+          // physical in, physical out: the fold unions raw dirs and
+          // rewrites them byte-compatible, so an active column mapping
+          // simply carries
+          if (commitVersion(spark, path, v + 1, content,
+            colmap = carriedColmap(spark, path, v)))
+            committedV = v + 1
+          else {
+            val dd = new Path(path, dataDir)
+            hadoopFs(spark, dd).delete(dd, true)
+          }
+        case Some(entries) =>
+          val partitionColumns = entries.head._1.split('/').toSeq.map(_.split('=')(0))
+          // per-(partition, dir) slice footprint — a dir may hold a big
+          // slice of one partition and a tiny slice of another
+          val sized = entries.map { case (p, dd) =>
+            (p, dd,
+              fs.getContentSummary(new Path(new Path(path, dd), p)).getLength)
+          }
+          val foldable: Map[String, Set[String]] = sized.groupBy(_._1).collect {
+            case (p, es) if es.count(_._3 < minBytes) >= 2 =>
+              p -> es.filter(_._3 < minBytes).map(_._2).toSet
+          }
+          if (foldable.isEmpty) return v
+          val merged = foldable.toSeq.sortBy(_._1).map { case (p, dds) =>
+            dds.toSeq.sorted.map { dd =>
+              val base = new Path(path, dd).toString
+              val df = spark.read.option("basePath", base).parquet(s"$base/$p")
+              tableSchema.map(alignTo(df, _)).getOrElse(df)
+            }.reduce(_.unionByName(_))
+          }.reduce(_.unionByName(_))
+          val dataDir = freshDataDirName()
+          writePlain(merged, new Path(path, dataDir).toString, partitionColumns)
+          DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
+            merged.schema)
+          validateCommit(spark, path, dataDir)
+          val survivors = writtenPartitionDirs(
+            spark, path, dataDir, partitionColumns).toSet
+          require(survivors == foldable.keySet,
+            s"compactSmall: folded rows landed outside their partitions at " +
+              s"$path (${(survivors diff foldable.keySet).mkString(", ")})")
+          val newEntries = (entries.filterNot { case (p, dd) =>
+            foldable.get(p).exists(_.contains(dd))
+          } ++ foldable.keys.map(_ -> dataDir)).sorted
+            .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
+          if (commitVersion(spark, path, v + 1, newEntries,
+            colmap = carriedColmap(spark, path, v)))
+            committedV = v + 1
+          else {
+            val dd = new Path(path, dataDir)
+            hadoopFs(spark, dd).delete(dd, true)
+          }
       }
     }
     committedV

@@ -47,15 +47,52 @@ class CompactSmallSpec extends SparkSpec {
     assert(ParquetTable.compactSmall(spark, path, minBytes = 20000L) === vNew)
   }
 
-  test("refusals: partitioned tables and DV-carrying versions") {
-    val part = tmpDir("csmall-part") + "/t"
+  test("partitioned: hot partition's small slices fold; settled partitions and big slices stay") {
+    val path = tmpDir("csmall-part") + "/t"
+    // two partitions with BIG bulk slices (50k rows each, well above the
+    // 20 kB threshold), one of which goes hot with three tiny inserts
     ParquetTable.createVersioned(
-      Seq((1, "a", "d1"), (2, "b", "d2")).toDF("id", "v", "day"), part, Seq("day"))
-    val e1 = intercept[IllegalArgumentException] {
-      ParquetTable.compactSmall(spark, part)
+      (1 to 100000).map(i =>
+        (i.toLong, s"v$i", if (i % 2 == 0) "hot" else "cold"))
+        .toDF("id", "v", "day"),
+      path, Seq("day"))
+    val e1 = ParquetTable.partitionEntries(spark, path, 1L).get
+    (1 to 3).foreach { b =>
+      ParquetTable.insertInto(spark, path,
+        Seq((200000L + b, "small", "hot")).toDF("id", "v", "day"))
     }
-    assert(e1.getMessage.contains("compactWhere"))
+    val vBefore = ParquetTable.currentVersion(spark, path).get
+    val entriesBefore = ParquetTable.partitionEntries(spark, path, vBefore).get
+    assert(entriesBefore.count(_._1 == "day=hot") === 4) // bulk + 3 inserts
+    val before = ParquetTable.read(spark, path).orderBy("id").collect().toSeq
 
+    val vNew = ParquetTable.compactSmall(spark, path, minBytes = 20000L)
+    assert(vNew === vBefore + 1)
+    val entries = ParquetTable.partitionEntries(spark, path, vNew).get
+    // cold: untouched entry, the very dir from v1
+    assert(entries.filter(_._1 == "day=cold") === e1.filter(_._1 == "day=cold"))
+    // hot: bulk slice stays on the CREATE dir, 3 small slices folded to 1
+    val hot = entries.filter(_._1 == "day=hot").map(_._2)
+    assert(hot.size === 2)
+    assert(hot.contains(e1.find(_._1 == "day=hot").get._2),
+      "the hot partition's big bulk slice was rewritten")
+    assert(ParquetTable.read(spark, path).orderBy("id").collect().toSeq === before)
+    // nothing left to fold: no-op
+    assert(ParquetTable.compactSmall(spark, path, minBytes = 20000L) === vNew)
+    // history still time-travels to the pre-fold chain
+    assert(ParquetTable.readAt(spark, path, vBefore).count() === before.size)
+    assert(ParquetTable.fsck(spark, path).isEmpty)
+  }
+
+  test("partitioned: a partition with a single small slice does not fold") {
+    val path = tmpDir("csmall-p1") + "/t"
+    ParquetTable.createVersioned(
+      Seq((1, "a", "d1"), (2, "b", "d2")).toDF("id", "v", "day"), path, Seq("day"))
+    // every slice is tiny but no partition has TWO small slices
+    assert(ParquetTable.compactSmall(spark, path, minBytes = 1000000L) === 1L)
+  }
+
+  test("refusals: DV-carrying versions") {
     val dv = tmpDir("csmall-dv") + "/t"
     ParquetTable.create((1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dv)
     ParquetTable.insertInto(spark, dv, Seq((200L, "x")).toDF("id", "v"))
