@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST JSON line of `sbt runMain graft.Bench`
+// stdout. Two things otherwise break that: sbt's logger prefixes every
+// forked-output line with "[info] ", and a "[success] Total time..."
+// line lands after the metric line. StdoutOutput passes the forked
+// JVM's stdout through unprefixed; showSuccess drops the trailer.
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

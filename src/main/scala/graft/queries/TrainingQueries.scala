@@ -849,6 +849,31 @@ object TrainingQueries {
       graft.sources.ParquetTable.read(s, out).orderBy(col("o_orderkey"))
     }),
 
+    // Generated PARTITION column end-to-end (GeneratedColumns + the
+    // partitioned versioned layout — Databricks' generated partition
+    // columns recipe): the table partitions by a `date(o_orderdate)`
+    // column NO writer ever supplies — create and insert both derive it
+    // row-locally inside the write projection — and the read filters on
+    // the generated column, pruning partitions at plan time
+    // (plan-asserted in GeneratedColumnsSpec). The oracle states the
+    // generation expression and the date-range filter directly.
+    "q125_generated_partition" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_genpart").toString + "/t"
+      graft.sources.GeneratedColumns.add(s, out, "o_date", "date(o_orderdate)")
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      graft.sources.ParquetTable.createVersioned(
+        orders.filter(col("o_orderkey") < 1000), out, Seq("o_date"))
+      graft.sources.ParquetTable.insertInto(s, out,
+        orders.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1500))
+      graft.sources.ParquetTable.read(s, out)
+        .filter(col("o_date") >= lit("1995-03-01").cast("date") &&
+          col("o_date") < lit("1995-04-01").cast("date"))
+        .select(col("o_orderkey"), col("o_date"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Incremental small-SLICE compaction on a PARTITIONED table
     // (ParquetTable.compactSmall, per-(partition, dir) granularity —
     // the daily-partitioned ingest shape, reference glue_etl.py:275):
@@ -2353,6 +2378,16 @@ object TrainingQueries {
         |  o_totalprice
         |FROM orders
         |WHERE o_orderkey < 20000 AND o_orderkey IN (1, 7, 32)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The generated column IS date(o_orderdate); the March-1995 slice
+    // stated directly over the raw table.
+    "q125_generated_partition" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey < 1500
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1995-03-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-04-01'
         |ORDER BY o_orderkey""".stripMargin,
 
     // The post-fold table is the plain union of the bulk load and the

@@ -372,26 +372,39 @@ object DataSkipping {
     }
   }
 
-  /** Equality conjuncts `col = literal` (either side) usable for bloom
-    * probing — top-level ANDs only, like a bloom index serves. STRICT on
-    * shape: bare attribute, literal of exactly the column's type — a
-    * cast-wrapped attribute would hash the wrong value domain and turn
-    * the probe into a false NEGATIVE (min/max pruning tolerates
-    * order-preserving casts; hash identity does not).
+  /** Equality-shaped conjuncts usable for bloom probing — top-level ANDs
+    * only, like a bloom index serves. Each conjunct carries the VALUE SET
+    * a matching row must intersect: `col = lit` probes one value,
+    * `col IN (lits)` / InSet probe each value and the file survives when
+    * ANY may be present (the point-lookup batch a bloom index exists
+    * for). STRICT on shape: bare attribute, literals of exactly the
+    * column's type — a cast-wrapped attribute would hash the wrong value
+    * domain and turn the probe into a false NEGATIVE (min/max pruning
+    * tolerates order-preserving casts; hash identity does not).
     */
-  private def eqConjuncts(cond: Expression): Seq[(String, Any, DataType)] = cond match {
+  private def eqConjuncts(cond: Expression): Seq[(String, Seq[Any], DataType)] = cond match {
     case And(l, r) => eqConjuncts(l) ++ eqConjuncts(r)
     case EqualTo(a: AttributeReference, Literal(v, t))
-        if v != null && t == a.dataType => Seq((a.name, v, t))
+        if v != null && t == a.dataType => Seq((a.name, Seq(v), t))
     case EqualTo(Literal(v, t), a: AttributeReference)
-        if v != null && t == a.dataType => Seq((a.name, v, t))
+        if v != null && t == a.dataType => Seq((a.name, Seq(v), t))
+    case In(a: AttributeReference, list)
+        if list.nonEmpty && list.forall {
+          case Literal(v, t) => v != null && t == a.dataType
+          case _ => false
+        } =>
+      Seq((a.name, list.map { case Literal(v, _) => v }, a.dataType))
+    case InSet(a: AttributeReference, set)
+        if set.nonEmpty && !set.contains(null) =>
+      Seq((a.name, set.toSeq, a.dataType))
     case _ => Nil
   }
 
   /** Bloom point-lookup tier: for files whose sidecar records a native
     * parquet bloom filter on an equality-probed column, open the footer
     * and test each row group's bloom — the file survives only if SOME
-    * row group may contain ALL probed values. Runs strictly AFTER (and
+    * row group may contain a value of EVERY probed conjunct (for an
+    * IN-list conjunct: any of its values). Runs strictly AFTER (and
     * only on) the min/max survivors; one footer+bloom-page read per
     * probed file, no data I/O. Conservative everywhere: missing bloom,
     * unhashable type, or any read problem keeps the file.
@@ -412,7 +425,7 @@ object DataSkipping {
 
   private def bloomMayContain(
       p: Path, conf: org.apache.hadoop.conf.Configuration,
-      probes: Seq[(String, Any, DataType)]): Boolean =
+      probes: Seq[(String, Seq[Any], DataType)]): Boolean =
     try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
@@ -420,7 +433,7 @@ object DataSkipping {
         (0 until blocks.size()).exists { bi =>
           val block = blocks.get(bi)
           val bfr = reader.getBloomFilterDataReader(block)
-          probes.forall { case (name, v, t) =>
+          probes.forall { case (name, vs, t) =>
             val ccs = block.getColumns
             (0 until ccs.size()).find(i =>
               ccs.get(i).getPath.toArray.toSeq == Seq(name)) match {
@@ -428,7 +441,9 @@ object DataSkipping {
               case Some(i) =>
                 val bf = bfr.readBloomFilter(ccs.get(i))
                 if (bf == null) true
-                else bloomHash(bf, v, t).forall(bf.findHash)
+                // a matching row holds ONE of the conjunct's values —
+                // the row group survives when any value may be present
+                else vs.exists(v => bloomHash(bf, v, t).forall(bf.findHash))
             }
           }
         }

@@ -94,4 +94,27 @@ class BloomSkippingSpec extends SparkSpec {
       col("code").cast("long") === 13L).select("id").as[Long].collect().toSeq
     assert(got === Seq(1L))
   }
+
+  test("IN-list probing: a 3-key batch prunes to <=3 files' worth of candidates") {
+    val path = mk("inlist")
+    ParquetTable.optimizeBloom(spark, path, Seq("uid"), numFiles = 8)
+    // three present keys: (i*37)%4000*2 for i = 1, 9, 25
+    val keys = Seq(1, 9, 25).map(i => f"uid-${(i * 37) % 4000 * 2}%06d")
+    val inPred = col("uid").isin(keys: _*)
+    val k = kept(path, inPred)
+    assert(k <= 3 + 1, s"3-key IN kept $k of 8 files (expected <=3 + FP slack)")
+    assert(k >= 1)
+    // correctness: identical to the unpruned filter
+    assert(ParquetTable.readWhere(spark, path, inPred)
+      .select("id").as[Long].collect().toSeq.sorted === Seq(1L, 9L, 25L))
+    // an all-absent IN batch prunes to ~0
+    val absent = col("uid").isin("uid-000075", "uid-000077", "uid-000079")
+    assert(kept(path, absent) <= 2)
+    assert(ParquetTable.readWhere(spark, path, absent).count() === 0L)
+    // mixed conjunct: IN on the bloomed column AND equality on another
+    val mixed = col("uid").isin(keys: _*) && col("grp") === 1
+    assert(kept(path, mixed) <= 3 + 1)
+    assert(ParquetTable.readWhere(spark, path, mixed)
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+  }
 }

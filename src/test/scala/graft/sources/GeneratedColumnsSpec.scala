@@ -140,6 +140,56 @@ class GeneratedColumnsSpec extends SparkSpec {
       entries.get.map(_._1).forall(_.startsWith("bucket=")))
   }
 
+  test("generated date(ts) PARTITION column end-to-end: ingest never supplies it, the scan prunes on it") {
+    val path = tmpDir("gen-datepart") + "/t"
+    GeneratedColumns.add(spark, path, "event_date", "date(ts)")
+    import java.sql.Timestamp
+    def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-${i % 3 + 1}%02d 0${i % 9}:00:00"), s"p$i")
+    }.toDF("id", "ts", "payload")
+    // three ingest verbs, NONE carrying the partition key
+    ParquetTable.createVersioned(rows(0, 30), path, Seq("event_date"))
+    ParquetTable.insertInto(spark, path, rows(30, 40))
+    ParquetTable.merge(spark, path, rows(35, 45), Seq("id"), Seq("event_date"))
+    val read = ParquetTable.read(spark, path)
+    assert(read.count() === 45)
+    assert(read.columns.contains("event_date"))
+    // CHECK invariant holds: every stored row satisfies the rule
+    assert(read.filter(!(col("event_date") <=> expr("date(ts)"))).count() === 0)
+
+    // partition pruning on the GENERATED column, asserted at plan level:
+    // the filtered scan must read only the matching date partition's files
+    val pruned = read.filter(col("event_date") === "2024-01-02")
+    val expected = pruned.count()
+    assert(expected > 0)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      import org.apache.spark.sql.execution._
+      val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+      val kids = p match {
+        case a: adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: adaptive.QueryStageExec => Seq(q.plan)
+        case r: exchange.ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      self ++ kids.flatMap(allScans)
+    }
+    val all = ParquetTable.read(spark, path)
+    all.collect()
+    val totalFiles = allScans(all.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    pruned.collect()
+    val prunedFiles = allScans(pruned.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(prunedFiles < totalFiles,
+      s"generated-column filter read $prunedFiles of $totalFiles files — no pruning")
+    // layout check: only 2024-01-02 partition dirs feed the pruned scan
+    val parts = allScans(pruned.queryExecution.executedPlan)
+      .flatMap(_.metadata.get("PartitionFilters"))
+    assert(parts.exists(_.contains("event_date")),
+      s"no partition filter on the generated column: $parts")
+  }
+
   test("SQL: ALTER TABLE ADD COLUMN ... GENERATED ALWAYS AS / DROP GENERATED COLUMN") {
     val path = tmpDir("gen-sql") + "/t"
     graft.sql.GraftSql.sql(spark,
