@@ -1718,19 +1718,55 @@ object ParquetTable {
       fromVersion: Long,
       toVersion: Long,
       pk: Seq[String]): DataFrame = {
-    // a window straddling a RENAME/DROP boundary compares snapshots that
-    // disagree on what a column is CALLED — the superset-align below
-    // would misread a renamed column as drop-one-add-another and report
-    // every row changed; refuse with the real explanation instead
-    val cmFrom = columnMapping(spark, path, fromVersion)
-    val cmTo = columnMapping(spark, path, toVersion)
-    require(cmFrom == cmTo,
-      s"changes($fromVersion, $toVersion) at $path: the window straddles " +
-        s"a column-mapping change (v$fromVersion: $cmFrom vs v$toVersion: " +
-        s"$cmTo) — the two snapshots disagree on column names, so a row " +
-        "diff is not well-defined. Split the window at the DDL commit.")
-    val beforeRaw = readAt(spark, path, fromVersion)
+    // a window straddling a RENAME/DROP commit compares snapshots that
+    // disagree on what a column is CALLED. PHYSICAL identity reconciles
+    // them (Delta diffs CDF through its column ids the same way): the
+    // FROM snapshot's logical names translate logical→physical (its own
+    // inverse map) →TO-logical (the TO map), columns the TO version
+    // DROPPED leave the diff, and both sides then speak TO's schema.
+    // What physical identity cannot reconcile is a MATERIALIZATION in
+    // the window (compact/OPTIMIZE/full rewrite): the files' names
+    // changed underneath, a renamed column looks like drop-one-add-
+    // another, and the diff would report every row changed — that
+    // window is refused with the real explanation.
+    val (rFrom, dFrom) = columnMapping(spark, path, fromVersion)
+    val (rTo, dTo) = columnMapping(spark, path, toVersion)
+    val beforeRaw0 = readAt(spark, path, fromVersion)
     val afterRaw = readAt(spark, path, toVersion)
+    val beforeRaw =
+      if ((rFrom, dFrom) == (rTo, dTo)) beforeRaw0
+      else {
+        val invFrom = rFrom.map { case (p, l) => l.toLowerCase -> p }
+        beforeRaw0.select(beforeRaw0.columns.toSeq.flatMap { c =>
+          val p = invFrom.getOrElse(c.toLowerCase, c)
+          if (dTo.exists(_.equalsIgnoreCase(p))) None // dropped in window
+          else Some(col(c).as(rTo.collectFirst {
+            case (pp, l) if pp.equalsIgnoreCase(p) => l
+          }.getOrElse(p)))
+        }: _*)
+      }
+    // translation done, one guard covers the remaining hazard: columns
+    // unique to EACH side simultaneously is the rename-materialization
+    // shape (compact after RENAME: v_from says `amount`, v_to says
+    // `total`, physical identity lost — this arises with equal-EMPTY
+    // maps too, which is why the check runs unconditionally) and the
+    // superset-align below would misread it as drop-one-add-another,
+    // reporting every row changed. One-sided asymmetry stays legal:
+    // after-only = schema evolution (before reads NULLs), before-only
+    // alone = a reversed (wide→narrow) window, where "the column
+    // vanished" is the honest diff.
+    val beforeOnly = beforeRaw.columns.filterNot(c =>
+      afterRaw.columns.exists(_.equalsIgnoreCase(c)))
+    val afterOnly = afterRaw.columns.filterNot(c =>
+      beforeRaw.columns.exists(_.equalsIgnoreCase(c)))
+    require(beforeOnly.isEmpty || afterOnly.isEmpty,
+      s"changes($fromVersion, $toVersion) at $path: v$fromVersion-only " +
+        s"column(s) ${beforeOnly.mkString(", ")} face v$toVersion-only " +
+        s"column(s) ${afterOnly.mkString(", ")} — the window straddles a " +
+        "column-mapping MATERIALIZATION (or an equivalent full rewrite " +
+        "that renamed physical columns), so the row diff is not " +
+        "well-defined. Split the window at that commit (pure RENAME/" +
+        "DROP windows reconcile automatically).")
     // across a schema-evolution boundary the snapshots disagree: align
     // both to the superset, so the older side reads appended columns as
     // NULL and a value set there reports as a genuine update
@@ -3253,7 +3289,10 @@ object ParquetTable {
       dropChangeFeed: Boolean = false): Long = {
     currentVersion(spark, path).getOrElse(throw new IllegalStateException(
       s"purge: no versioned table at $path"))
-    requireNoColmap(spark, path, "purge")
+    // a column mapping needs no special-casing here: the condition
+    // evaluates against each version's LOGICAL view (delete and the
+    // readAt verification both apply the map), matching bytes leave via
+    // delete's physical rewrite, and vacuum/fsck are name-agnostic
     TableProperties.requireNotAppendOnly(spark, path, "purge")
     val fs = hadoopFs(spark, new Path(path))
     // a shallow clone's CURRENT version reads the SOURCE's data dirs by

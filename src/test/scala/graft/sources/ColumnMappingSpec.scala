@@ -245,16 +245,40 @@ class ColumnMappingSpec extends SparkSpec {
       s"SELECT * FROM graft.`$path`").columns.toSeq === Seq("id", "total"))
   }
 
-  test("changes refuses a window straddling the rename; same-mapping windows work") {
+  test("changes diffs ACROSS a rename window through physical identity") {
     val path = mk("cdf")
     ParquetTable.renameColumn(spark, path, "amount", "total") // v2
+    // the pure-DDL window itself moves no rows — and speaks TO's names
+    val ddlOnly = ParquetTable.changes(spark, path, 1L, 2L, Seq("id"))
+    assert(ddlOnly.count() === 0L)
+    assert(ddlOnly.columns.contains("total") && !ddlOnly.columns.contains("amount"))
+    ParquetTable.insertInto(spark, path,
+      Seq((3, "c", 30.0)).toDF("id", "v", "total")) // v3, still mapped
+    val diff = ParquetTable.changes(spark, path, 1L, 3L, Seq("id"))
+    assert(diff.columns.contains("total"))
+    val rows = diff.collect().map(r =>
+      (r.getInt(r.fieldIndex("id")), r.getDouble(r.fieldIndex("total")),
+        r.getString(r.fieldIndex("_change_type")))).toSeq
+    assert(rows === Seq((3, 30.0, "insert")))
+  }
+
+  test("changes across a DROP window ignores the dropped column; materialization windows refuse") {
+    val path = mk("cdfdrop")
+    ParquetTable.dropColumn(spark, path, "v") // v2
+    // the drop moved no rows; the diff simply omits the dropped column
+    val d = ParquetTable.changes(spark, path, 1L, 2L, Seq("id"))
+    assert(d.count() === 0L && !d.columns.contains("v"))
+    // a MATERIALIZATION inside the window breaks physical identity
+    val mat = mk("cdfmat")
+    ParquetTable.renameColumn(spark, mat, "amount", "total")
+    ParquetTable.compact(spark, mat) // v3: physical names now logical
     val e = intercept[IllegalArgumentException] {
-      ParquetTable.changes(spark, path, 1L, 2L, Seq("id"))
+      ParquetTable.changes(spark, mat, 1L, 3L, Seq("id"))
     }
-    assert(e.getMessage.contains("column-mapping change"))
-    // both endpoints mapped identically: the diff is well-defined (and
-    // empty — the rename commit moved no rows)
-    assert(ParquetTable.changes(spark, path, 2L, 2L, Seq("id")).count() === 0L)
+    assert(e.getMessage.contains("MATERIALIZATION"))
+    // split at the materializing commit: both sub-windows are fine
+    assert(ParquetTable.changes(spark, mat, 1L, 2L, Seq("id")).count() === 0L)
+    assert(ParquetTable.changes(spark, mat, 3L, 3L, Seq("id")).count() === 0L)
   }
 
   test("readWhere serves the logical view (conservative skipping on renamed columns)") {

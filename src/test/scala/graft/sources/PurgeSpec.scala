@@ -112,4 +112,21 @@ class PurgeSpec extends SparkSpec {
     assert(ParquetTable.versions(spark, path).length === 1)
     assert(ParquetTable.read(spark, path).count() === 2L)
   }
+
+  test("purge through an active column mapping: logical condition, physical erasure") {
+    val path = tmpDir("purge-colmap") + "/t"
+    ParquetTable.createVersioned(
+      Seq((1L, "keep", "d1"), (2L, "secret", "d1"), (3L, "keep", "d2"))
+        .toDF("id", "v", "day"), path, Seq("day"))
+    ParquetTable.renameColumn(spark, path, "v", "payload")
+    // the condition names the LOGICAL column; the bytes carry the
+    // physical one — purge must erase them anyway
+    assert(ParquetTable.purge(spark, path, col("payload") === "secret") === 1L)
+    assert(!rawIds(path).contains(2L), "purged row's bytes survive on disk")
+    assert(ParquetTable.read(spark, path).count() === 2L)
+    // the verification pass ran against every surviving version's
+    // logical view — and the mapping itself survives the purge
+    val vNow = ParquetTable.currentVersion(spark, path).get
+    assert(ParquetTable.columnMapping(spark, path, vNow)._1 === Map("v" -> "payload"))
+  }
 }
