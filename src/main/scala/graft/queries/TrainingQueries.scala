@@ -860,17 +860,21 @@ object TrainingQueries {
     "q125_generated_partition" -> ((s, d) => {
       val out = java.nio.file.Files
         .createTempDirectory("graft_genpart").toString + "/t"
-      graft.sources.GeneratedColumns.add(s, out, "o_date", "date(o_orderdate)")
+      // year(ts), not date(ts): a generated PARTITION column must still
+      // obey partition-count hygiene — date-partitioning 1.5k orders
+      // spread over 7 years writes ~1.2k one-row dirs (measured 20+ s
+      // of pure dir/manifest overhead); year keeps dirs O(10) here.
+      // GeneratedColumnsSpec pins the date(ts) shape on dense data.
+      graft.sources.GeneratedColumns.add(s, out, "o_year", "year(o_orderdate)")
       val orders = s.read.parquet(s"$d/orders.parquet")
         .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
       graft.sources.ParquetTable.createVersioned(
-        orders.filter(col("o_orderkey") < 1000), out, Seq("o_date"))
+        orders.filter(col("o_orderkey") < 1000), out, Seq("o_year"))
       graft.sources.ParquetTable.insertInto(s, out,
         orders.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1500))
       graft.sources.ParquetTable.read(s, out)
-        .filter(col("o_date") >= lit("1995-03-01").cast("date") &&
-          col("o_date") < lit("1995-04-01").cast("date"))
-        .select(col("o_orderkey"), col("o_date"), col("o_totalprice"))
+        .filter(col("o_year") === 1995)
+        .select(col("o_orderkey"), col("o_year"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -2380,14 +2384,12 @@ object TrainingQueries {
         |WHERE o_orderkey < 20000 AND o_orderkey IN (1, 7, 32)
         |ORDER BY o_orderkey""".stripMargin,
 
-    // The generated column IS date(o_orderdate); the March-1995 slice
-    // stated directly over the raw table.
+    // The generated column IS year(o_orderdate); the 1995 slice stated
+    // directly over the raw table.
     "q125_generated_partition" ->
-      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+      """SELECT o_orderkey, year(o_orderdate) AS o_year, o_totalprice
         |FROM orders
-        |WHERE o_orderkey < 1500
-        |  AND CAST(o_orderdate AS DATE) >= DATE '1995-03-01'
-        |  AND CAST(o_orderdate AS DATE) < DATE '1995-04-01'
+        |WHERE o_orderkey < 1500 AND year(o_orderdate) = 1995
         |ORDER BY o_orderkey""".stripMargin,
 
     // The post-fold table is the plain union of the bulk load and the

@@ -732,10 +732,31 @@ object ParquetTable {
     * manifest publish (see [[Constraints.validateWritten]]): a violation
     * removes the just-written orphan dir and fails the commit, so
     * readers never see it. No-op when the table has no constraints.
+    *
+    * `physicalNames = true` marks a PARTIAL commit written under an
+    * active column mapping (files carry physical names, map carried
+    * forward): constraint expressions bind against LOGICAL names — a
+    * constraint added after a rename names the renamed column — so the
+    * written files validate through the current logical view. Full
+    * rewrites keep the default (they write logical names and clear the
+    * map; applying the view to an already-logical frame would misfire
+    * under vacated-name reuse).
     */
-  private def validateCommit(spark: SparkSession, path: String, dataDir: String): Unit =
-    try Constraints.validateWritten(spark, path, new Path(path, dataDir).toString)
-    catch {
+  private def validateCommit(
+      spark: SparkSession, path: String, dataDir: String,
+      physicalNames: Boolean = false): Unit =
+    try {
+      val dir = new Path(path, dataDir).toString
+      val (r, d) =
+        if (!physicalNames) (Map.empty[String, String], Seq.empty[String])
+        else currentVersion(spark, path)
+          .map(columnMapping(spark, path, _))
+          .getOrElse((Map.empty[String, String], Seq.empty[String]))
+      if (r.isEmpty && d.isEmpty) Constraints.validateWritten(spark, path, dir)
+      else if (Constraints.list(spark, path).nonEmpty)
+        Constraints.validateFrame(spark, path,
+          applyColmapTo(r, d, spark.read.parquet(dir)))
+    } catch {
       case e: Throwable =>
         val dd = new Path(path, dataDir)
         hadoopFs(spark, dd).delete(dd, true)
@@ -1298,7 +1319,7 @@ object ParquetTable {
               partitionColumns, filesPerPartition)
             DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
               updPhys.schema)
-            validateCommit(spark, path, dataDir)
+            validateCommit(spark, path, dataDir, physicalNames = true)
             val dvName = s"$DvDirName/dv${System.currentTimeMillis()}_${System.nanoTime() % 1000000}"
             val dvPath = new Path(path, dvName)
             matched.write.mode(SaveMode.Overwrite).parquet(dvPath.toString)
@@ -1378,7 +1399,7 @@ object ParquetTable {
             filesPerPartition)
           DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
             mergedPhys.schema)
-          validateCommit(spark, path, dataDir)
+          validateCommit(spark, path, dataDir, physicalNames = true)
           // every affected partition consolidates onto the new dir (its
           // old entries — possibly several — drop out). Survivors come
           // from the WRITTEN layout, not a re-run of the merge plan: a
@@ -1552,7 +1573,7 @@ object ParquetTable {
             writePlain(newSlicePhys, new Path(path, dataDir).toString, partitionColumns)
             DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
               newSlicePhys.schema)
-            validateCommit(spark, path, dataDir)
+            validateCommit(spark, path, dataDir, physicalNames = true)
             // a fully-deleted partition leaves the manifest; every
             // affected partition's old entries drop out wholesale
             val remaining = partitionDirsOf(newSlice, partitionColumns).toSet
@@ -2224,7 +2245,7 @@ object ParquetTable {
       val updPhys = toPhysical(spark, path, v, upd)
       writePlain(updPhys, new Path(path, dataDir).toString, Nil)
       DataSkipping.writeStats(spark, new Path(path, dataDir).toString, updPhys.schema)
-      validateCommit(spark, path, dataDir)
+      validateCommit(spark, path, dataDir, physicalNames = true)
       // ONE job computes the matches: write the DV dir, then probe what
       // landed (an isEmpty pre-check would run the snapshot-join twice)
       val dvName = s"$DvDirName/dv${System.currentTimeMillis()}_${System.nanoTime() % 1000000}"
@@ -2414,7 +2435,7 @@ object ParquetTable {
           writePlain(alignedPhys, new Path(path, dataDir).toString, Nil)
           DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
             alignedPhys.schema)
-          validateCommit(spark, path, dataDir)
+          validateCommit(spark, path, dataDir, physicalNames = true)
           val content = manifestContent(spark, path, v).trim + "\n" + dataDir
           if (commitVersion(spark, path, v + 1, content, txn, dvDirs(spark, path, v),
               carriedColmap(spark, path, v))) {
@@ -2445,7 +2466,7 @@ object ParquetTable {
           writePlain(alignedPhys, new Path(path, dataDir).toString, partitionColumns)
           DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
             alignedPhys.schema)
-          validateCommit(spark, path, dataDir)
+          validateCommit(spark, path, dataDir, physicalNames = true)
           val newEntries = (entries ++ affected.map(_ -> dataDir)).sorted
             .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")
           if (commitVersion(spark, path, v + 1, newEntries, txn, dvDirs(spark, path, v),
@@ -2983,7 +3004,7 @@ object ParquetTable {
           writePlain(merged, new Path(path, dataDir).toString, Nil)
           DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
             merged.schema)
-          validateCommit(spark, path, dataDir)
+          validateCommit(spark, path, dataDir, physicalNames = true)
           val content = (big :+ dataDir).mkString("\n")
           // physical in, physical out: the fold unions raw dirs and
           // rewrites them byte-compatible, so an active column mapping
@@ -3019,7 +3040,7 @@ object ParquetTable {
           writePlain(merged, new Path(path, dataDir).toString, partitionColumns)
           DataSkipping.writeStats(spark, new Path(path, dataDir).toString,
             merged.schema)
-          validateCommit(spark, path, dataDir)
+          validateCommit(spark, path, dataDir, physicalNames = true)
           val survivors = writtenPartitionDirs(
             spark, path, dataDir, partitionColumns).toSet
           require(survivors == foldable.keySet,
@@ -3088,7 +3109,7 @@ object ParquetTable {
       writePlain(slice, new Path(path, dataDir).toString, partitionColumns,
         filesPerPartition)
       DataSkipping.writeStats(spark, new Path(path, dataDir).toString, slice.schema)
-      validateCommit(spark, path, dataDir)
+      validateCommit(spark, path, dataDir, physicalNames = true)
       val newEntries = (entries.filterNot(e => affectedSet(e._1)) ++
         affected.map(_ -> dataDir)).sorted
         .map { case (p, dd) => s"$p\t$dd" }.mkString("\n")

@@ -316,6 +316,23 @@ class ColumnMappingSpec extends SparkSpec {
     assert(viaX === Seq(50))
   }
 
+  test("a CHECK constraint added on the RENAMED name gates physical partial commits") {
+    val path = mk("ck")
+    ParquetTable.renameColumn(spark, path, "amount", "total")
+    // the constraint binds against the LOGICAL schema the user sees
+    Constraints.add(spark, path, "total_pos", "total > 0")
+    ParquetTable.insertInto(spark, path, Seq((5, "e", 50.0)).toDF("id", "v", "total"))
+    assert(ParquetTable.read(spark, path).count() === 3)
+    // a violating row fails with the CHECK message (never an
+    // unresolved-column error against the physical files), commit unpublished
+    val e = intercept[IllegalArgumentException] {
+      ParquetTable.insertInto(spark, path, Seq((6, "f", -1.0)).toDF("id", "v", "total"))
+    }
+    assert(e.getMessage.contains("CHECK"))
+    assert(ParquetTable.read(spark, path).count() === 3)
+    assert(ParquetTable.fsck(spark, path).isEmpty)
+  }
+
   test("identity-ruled columns refuse rename and drop (rule is keyed by name)") {
     val path = tmpDir("colmap-ident") + "/t"
     IdentityColumns.add(spark, path, "rid", start = 1L, step = 1L)
