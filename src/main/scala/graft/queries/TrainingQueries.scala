@@ -849,6 +849,27 @@ object TrainingQueries {
       graft.sources.ParquetTable.read(s, out).orderBy(col("o_orderkey"))
     }),
 
+    // Gopher/MassiveText repetition signals (RepetitionStats.gopherStats,
+    // Rae et al. 2021 §A1.1): per-doc duplicate-line/paragraph fractions
+    // (count + char mass) and top 2-/3-gram character coverage, plus the
+    // threshold keep-flag. Everything shuffles on (doc, xxhash64(unit))
+    // fingerprints; the oracle replays the STRING formulation, proving
+    // fp≡string per run.
+    "q126_gopher_repetition" -> ((s, d) => {
+      val stats = graft.operators.RepetitionStats.gopherStats(
+        Tables.documents(s, d), "doc_id", "text")
+      stats.select(col("doc_id"),
+        round(col("dup_line_frac"), 4).as("dup_line_frac"),
+        round(col("dup_line_char_frac"), 4).as("dup_line_char_frac"),
+        round(col("dup_para_frac"), 4).as("dup_para_frac"),
+        round(col("top_2gram_char_frac"), 4).as("top_2gram_char_frac"),
+        round(col("top_3gram_char_frac"), 4).as("top_3gram_char_frac"),
+        (col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20 &&
+          col("dup_para_frac") <= 0.30 && col("top_2gram_char_frac") <= 0.20 &&
+          col("top_3gram_char_frac") <= 0.18).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Generated PARTITION column end-to-end (GeneratedColumns + the
     // partitioned versioned layout — Databricks' generated partition
     // columns recipe): the table partitions by a `date(o_orderdate)`
@@ -2383,6 +2404,71 @@ object TrainingQueries {
         |FROM orders
         |WHERE o_orderkey < 20000 AND o_orderkey IN (1, 7, 32)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Replays all five repetition signals over the unit STRINGS (the
+    // engine groups xxhash64 fingerprints): trimmed non-empty lines /
+    // blank-line-split paragraphs with per-unit counts and char mass;
+    // word n-grams as 1-based token-slice joins; coverage = the max
+    // count·length product of a duplicated gram over the text length.
+    "q126_gopher_repetition" ->
+      """WITH lines AS (
+        |  SELECT doc_id, trim(l) AS u FROM (
+        |    SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        |    FROM documents) WHERE trim(l) <> ''),
+        |lc AS (SELECT doc_id, u, count(*) AS c, length(u) AS len
+        |       FROM lines GROUP BY doc_id, u),
+        |la AS (SELECT doc_id,
+        |         1.0 - count(*)::DOUBLE / sum(c) AS dlf,
+        |         sum(CASE WHEN c > 1 THEN c * len ELSE 0 END)::DOUBLE
+        |           / sum(c * len) AS dlcf
+        |       FROM lc GROUP BY doc_id),
+        |paras AS (
+        |  SELECT doc_id, trim(p) AS u FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\n{2,}')) AS p
+        |    FROM documents) WHERE trim(p) <> ''),
+        |pc AS (SELECT doc_id, u, count(*) AS c FROM paras GROUP BY doc_id, u),
+        |pa AS (SELECT doc_id, 1.0 - count(*)::DOUBLE / sum(c) AS dpf
+        |       FROM pc GROUP BY doc_id),
+        |tok AS (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'),
+        |                      x -> x <> '') AS ts,
+        |          length(text) AS chars
+        |        FROM documents),
+        |g2 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+        |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |             FROM tok WHERE len(ts) >= 2)),
+        |g2c AS (SELECT doc_id, g, count(*) AS c, length(g) AS len
+        |        FROM g2 GROUP BY doc_id, g),
+        |g2a AS (SELECT doc_id,
+        |          max(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS cov
+        |        FROM g2c GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+        |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |             FROM tok WHERE len(ts) >= 3)),
+        |g3c AS (SELECT doc_id, g, count(*) AS c, length(g) AS len
+        |        FROM g3 GROUP BY doc_id, g),
+        |g3a AS (SELECT doc_id,
+        |          max(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS cov
+        |        FROM g3c GROUP BY doc_id),
+        |s AS (
+        |  SELECT d.doc_id,
+        |    coalesce(la.dlf, 0) AS dlf, coalesce(la.dlcf, 0) AS dlcf,
+        |    coalesce(pa.dpf, 0) AS dpf,
+        |    coalesce(g2a.cov::DOUBLE / nullif(t.chars, 0), 0) AS t2,
+        |    coalesce(g3a.cov::DOUBLE / nullif(t.chars, 0), 0) AS t3
+        |  FROM documents d
+        |  LEFT JOIN tok t USING (doc_id)
+        |  LEFT JOIN la USING (doc_id) LEFT JOIN pa USING (doc_id)
+        |  LEFT JOIN g2a USING (doc_id) LEFT JOIN g3a USING (doc_id))
+        |SELECT doc_id,
+        |  round(dlf, 4) AS dup_line_frac,
+        |  round(dlcf, 4) AS dup_line_char_frac,
+        |  round(dpf, 4) AS dup_para_frac,
+        |  round(t2, 4) AS top_2gram_char_frac,
+        |  round(t3, 4) AS top_3gram_char_frac,
+        |  (dlf <= 0.30 AND dlcf <= 0.20 AND dpf <= 0.30
+        |    AND t2 <= 0.20 AND t3 <= 0.18) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // The generated column IS year(o_orderdate); the 1995 slice stated
     // directly over the raw table.
