@@ -75,6 +75,40 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for retrieval training data (the DPR/ANCE
+    * recipe: a query's best negatives are its nearest NON-relevant
+    * corpus items — random negatives are too easy and the trained
+    * retriever plateaus): exact cosine top-k per query with the query's
+    * POSITIVE pairs excluded by an anti-join BEFORE the ranking, so a
+    * positive can never occupy a negative slot. `positives` is a
+    * (queryIdCol, posIdCol) pair frame — it rides the scored frame as
+    * one equi-anti-join, never a collect. Output shape matches
+    * [[bruteForceTopK]]: (query_id, neighbor_id, cosine, rank). The
+    * scorer inherits the broadcast/bounded-heap discipline; at 100 TB
+    * swap the all-pairs score for an IVF/LSH candidate generator
+    * upstream and mine from its candidate frame the same way.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      positives: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      posIdCol: String,
+      k: Int): DataFrame = {
+    val q = Broadcasting.broadcastIfSmall(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val pos = positives.select(col(queryIdCol).as("query_id"),
+      col(posIdCol).as("neighbor_id")).distinct()
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .join(pos, Seq("query_id", "neighbor_id"), "left_anti")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("__cos"))
+    rankTopK(scored, k)
+  }
+
   /** Deterministic Gaussian hyperplane normals (fixed seed). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -849,6 +849,23 @@ object TrainingQueries {
       graft.sources.ParquetTable.read(s, out).orderBy(col("o_orderkey"))
     }),
 
+    // Hard-negative mining for retrieval training (Ann.hardNegatives —
+    // the DPR/ANCE recipe): per query, the top-k nearest corpus vectors
+    // EXCLUDING its positives (here: every same-label vector), i.e. the
+    // nearest other-topic items — the negatives that actually teach a
+    // retriever. The positive set rides as one anti-join; the oracle
+    // restates it as a label-inequality join condition.
+    "q127_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+      val pos = qs.select(col("vec_id").as("qid"), col("label"))
+        .join(emb.select(col("vec_id").as("nid"), col("label")), Seq("label"))
+        .select(col("qid"), col("nid"))
+      graft.operators.Ann.hardNegatives(emb, qs, pos,
+        "vec_id", "embedding", "qid", "nid", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Gopher/MassiveText repetition signals (RepetitionStats.gopherStats,
     // Rae et al. 2021 §A1.1): per-doc duplicate-line/paragraph fractions
     // (count + char mass) and top 2-/3-gram character coverage, plus the
@@ -2404,6 +2421,23 @@ object TrainingQueries {
         |FROM orders
         |WHERE o_orderkey < 20000 AND o_orderkey IN (1, 7, 32)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // The positive set (same-label pairs) restated as a join
+    // inequality; otherwise exactly the q26 brute-force formulation.
+    "q127_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS c,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qv::DOUBLE[],
+        |        e.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
+        |  FROM q JOIN embeddings e
+        |    ON e.vec_id <> q.query_id AND e.label <> q.label)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cosine, rank
+        |FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     // Replays all five repetition signals over the unit STRINGS (the
     // engine groups xxhash64 fingerprints): trimmed non-empty lines /

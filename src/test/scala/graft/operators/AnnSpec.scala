@@ -38,6 +38,32 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: positives never rank; result == brute-force over the complement") {
+    import spark.implicits._
+    val c = corpus()
+    val qs = c.filter("vec_id < 3")
+    // positives: the query's own cluster (vec_id % 3 == query % 3) — so
+    // hard negatives must all come from OTHER clusters
+    val pos = qs.select(org.apache.spark.sql.functions.col("vec_id").as("qid"))
+      .crossJoin(c.select(org.apache.spark.sql.functions.col("vec_id").as("nid")))
+      .filter("qid % 3 = nid % 3")
+    val negs = Ann.hardNegatives(c, qs, pos,
+      "vec_id", "embedding", "qid", "nid", k = 4).collect()
+    assert(negs.length === 12) // 3 queries × 4
+    negs.foreach { r =>
+      assert(r.getLong(1) % 3 !== r.getLong(0) % 3,
+        s"positive ${r.getLong(1)} mined as a negative of ${r.getLong(0)}")
+    }
+    // equivalence: brute-force over the positives' complement
+    val expected = Ann.bruteForceTopK(
+      c.filter("vec_id % 3 <> 0"), qs.filter("vec_id = 0"),
+      "vec_id", "embedding", k = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val got = negs.filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === expected)
+  }
+
   test("lshTopK with multi-probe recovers most of the exact top-k") {
     val c = corpus()
     val q = c.filter("vec_id < 3")
