@@ -849,6 +849,60 @@ object TrainingQueries {
       graft.sources.ParquetTable.read(s, out).orderBy(col("o_orderkey"))
     }),
 
+    // ADD COLUMN + DEFAULT lifecycle (ParquetTable.addColumn +
+    // ColumnDefaults — Delta's metadata-only schema evolution with the
+    // SQL CURRENT_DEFAULT model): pre-add rows read NULL forever, each
+    // later ingest materializes the default CURRENT at its write, and
+    // explicit values always win. The oracle states the final image as
+    // a CASE over the four ingest windows.
+    "q131_add_column_default" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_addcol").toString + "/t"
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.ParquetTable.create(
+        orders.filter(col("o_orderkey") < 500), out)
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE graft.`$out` ADD COLUMN tier string DEFAULT 'std'")
+      graft.sources.ParquetTable.insertInto(s, out,
+        orders.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000))
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE graft.`$out` ALTER COLUMN tier SET DEFAULT 'bulk'")
+      graft.sources.ParquetTable.insertInto(s, out,
+        orders.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1500))
+      graft.sources.ParquetTable.insertInto(s, out,
+        orders.filter(col("o_orderkey") >= 1500 && col("o_orderkey") < 2000)
+          .withColumn("tier", lit("vip")))
+      graft.sources.ParquetTable.read(s, out).orderBy(col("o_orderkey"))
+    }),
+
+    // DSIR importance-weighted data selection (operators/Dsir.scala,
+    // Xie et al. 2023): raw = the whole corpus, target = its English
+    // slice; every document scores Σ_tokens [log p_en(t) − log p_raw(t)]
+    // under add-k unigram models and the top 20 most-target-like docs
+    // win. Everything shuffles on xxhash64 term fingerprints; the oracle
+    // replays the STRING formulation term-by-term, proving fp≡string.
+    "q128_dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Dsir.selectTop(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text", topK = 20)
+        .orderBy(col("rank"))
+    }),
+
+    // Deterministic content-hash train/val/test split (operators/
+    // Splits.scala): bucket = first two hex chars of md5(doc_id ":0"),
+    // compared lexicographically against the 80/10/10 cumulative
+    // boundaries "cd"/"e6" — stable under repartition and corpus growth,
+    // replayable by ANY engine with md5 (which is exactly what the
+    // oracle does). Pure map-side projection, zero shuffle.
+    "q129_hash_split" -> ((s, d) => {
+      graft.operators.Splits.assign(
+        Tables.documents(s, d),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Hard-negative mining for retrieval training (Ann.hardNegatives —
     // the DPR/ANCE recipe): per query, the top-k nearest corpus vectors
     // EXCLUDING its positives (here: every same-label vector), i.e. the
@@ -2421,6 +2475,59 @@ object TrainingQueries {
         |FROM orders
         |WHERE o_orderkey < 20000 AND o_orderkey IN (1, 7, 32)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // The final image stated directly: NULL for pre-add history, the
+    // default CURRENT at each window's ingest, explicit values verbatim.
+    "q131_add_column_default" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey < 500 THEN NULL
+        |       WHEN o_orderkey < 1000 THEN 'std'
+        |       WHEN o_orderkey < 1500 THEN 'bulk'
+        |       ELSE 'vip' END AS tier
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Replays DSIR over term STRINGS (the engine keys xxhash64 fps):
+    // add-k unigram models for the raw corpus and its English slice over
+    // the raw vocabulary, per-term log-ratio computed once, summed per
+    // document through the token join — the same association order as
+    // the engine's fp equi-join formulation.
+    "q128_dsir_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> x <> '')) AS w
+        |  FROM documents),
+        |rc AS (SELECT w, count(*) AS cr FROM tok GROUP BY w),
+        |tot AS (SELECT sum(cr) AS nr, count(*) AS v FROM rc),
+        |ntc AS (SELECT count(*) AS nt FROM tok WHERE lang = 'en'),
+        |tc AS (SELECT w, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY w),
+        |lr AS (
+        |  SELECT rc.w,
+        |    ln((coalesce(tc.ct, 0) + 0.5) / (ntc.nt + 0.5 * tot.v))
+        |    - ln((rc.cr + 0.5) / (tot.nr + 0.5 * tot.v)) AS lr
+        |  FROM rc LEFT JOIN tc ON tc.w = rc.w CROSS JOIN tot CROSS JOIN ntc),
+        |scored AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens, round(sum(lr.lr), 4) AS weight
+        |  FROM tok t JOIN lr ON lr.w = t.w
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, weight, rank FROM (
+        |  SELECT doc_id, n_tokens, weight,
+        |    row_number() OVER (ORDER BY weight DESC, doc_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // Re-derives the split from the weights alone: md5 bucket, hex
+    // boundaries "cd" (⌊0.8·256⌉ = 205) and "e6" (230), lexicographic
+    // compare — the engine-portability claim, proven per row.
+    "q129_hash_split" ->
+      """SELECT doc_id, lang,
+        |  substr(md5(doc_id::VARCHAR || ':0'), 1, 2) AS bucket,
+        |  CASE
+        |    WHEN substr(md5(doc_id::VARCHAR || ':0'), 1, 2) < 'cd' THEN 'train'
+        |    WHEN substr(md5(doc_id::VARCHAR || ':0'), 1, 2) < 'e6' THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // The positive set (same-label pairs) restated as a join
     // inequality; otherwise exactly the q26 brute-force formulation.

@@ -142,11 +142,12 @@ object ParquetTable {
           // columns only resolve on the scan relation); file-level stats
           // pruning stays conservative — a DV only removes rows
           val dv = dvOf(spark, path, v)
-          applyColmap(spark, path, v,
+          extendDefaults(spark, path, v, applyColmap(spark, path, v,
             groups.filter(_._2.nonEmpty).map { case (base, rels) =>
               align(dvFilterLeg(spark.read.option("basePath", base)
                 .parquet(rels.map(r => s"$base/$r"): _*), dv))
-            }.reduce(_.unionByName(_))).filter(predicate)
+            }.reduce(_.unionByName(_, allowMissingColumns = true))))
+            .filter(predicate)
         }
     }
 
@@ -301,7 +302,8 @@ object ParquetTable {
       df: DataFrame, path: String, partitionColumns: Seq[String] = Nil,
       filesPerPartition: Int = 1): Unit = {
     val g = GeneratedColumns.fill(df.sparkSession, path,
-      IdentityColumns.fill(df.sparkSession, path, df))
+      ColumnDefaults.fill(df.sparkSession, path,
+        IdentityColumns.fill(df.sparkSession, path, df)))
     if (partitionColumns.nonEmpty) {
       Constraints.validateFrame(g.sparkSession, path, g)
       writePlain(g, path, partitionColumns, filesPerPartition)
@@ -348,7 +350,8 @@ object ParquetTable {
       df: DataFrame, path: String, partitionColumns: Seq[String] = Nil,
       filesPerPartition: Int = 1): Unit = {
     val g = GeneratedColumns.fill(df.sparkSession, path,
-      IdentityColumns.fill(df.sparkSession, path, df))
+      ColumnDefaults.fill(df.sparkSession, path,
+        IdentityColumns.fill(df.sparkSession, path, df)))
     // plain layout: no pre-publish dir to read back, so the incoming
     // frame is validated instead (one pass; no-op without constraints)
     Constraints.validateFrame(g.sparkSession, path, g)
@@ -513,7 +516,8 @@ object ParquetTable {
       // pruning via a dynamic IN-filter on collected partition values — the
       // partition-value set is small by construction: one row per partition
       // directory), merge, and rewrite just those partitions.
-      val upd = GeneratedColumns.fill(spark, path, updates).dropDuplicates(pk)
+      val upd = GeneratedColumns.fill(spark, path,
+      ColumnDefaults.fill(spark, path, updates)).dropDuplicates(pk)
       // plain layout: no pre-publish dir to read back — validate the
       // incoming rows like append does (existing rows passed at their
       // own write time)
@@ -537,7 +541,8 @@ object ParquetTable {
       // and txn re-delivery handled inside)
       mergeVectors(spark, path, updates, pk, cdf, txn)
     } else {
-      val updG = GeneratedColumns.fill(spark, path, updates)
+      val updG = GeneratedColumns.fill(spark, path,
+        ColumnDefaults.fill(spark, path, updates))
       val merged = combine.map(_(target, updG.dropDuplicates(pk)))
         .getOrElse(mergeFrames(target, updG, pk))
       val v = atomicReplace(spark, path, merged, Nil, txn)
@@ -902,9 +907,28 @@ object ParquetTable {
     */
   private def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
     val dv = dvOf(spark, path, version)
-    // colmap LAST: DV filtering and union happen on the physical frame
-    applyColmap(spark, path, version,
-      versionLegs(spark, path, version).map(dvFilterLeg(_, dv)).reduce(_.unionByName(_)))
+    // colmap LAST: DV filtering and union happen on the physical frame.
+    // allowMissingColumns = the typed-NULL schema-evolution semantics the
+    // partitioned path already gets from its superset sidecar schema —
+    // after an ADD COLUMN, a merge-on-read dir can legitimately carry
+    // more columns than the base dir it amends.
+    val base = applyColmap(spark, path, version,
+      versionLegs(spark, path, version).map(dvFilterLeg(_, dv))
+        .reduce(_.unionByName(_, allowMissingColumns = true)))
+    extendDefaults(spark, path, version, base)
+  }
+
+  /** Append ADD-COLUMN'd columns the physical frame predates (typed
+    * NULLs — see [[ColumnDefaults]]); versions outside a rule's
+    * [addedAt, droppedAt) window are untouched, and a column whose name
+    * was later colmap-DROPPED stays dropped.
+    */
+  private def extendDefaults(
+      spark: SparkSession, path: String, version: Long, df: DataFrame): DataFrame = {
+    val rules = ColumnDefaults.list(spark, path)
+    if (rules.isEmpty) df
+    else ColumnDefaults.extendSchema(rules, version, df,
+      columnMapping(spark, path, version)._2)
   }
 
   /** The version's scan legs — each a SINGLE file-source relation (so
@@ -1025,7 +1049,8 @@ object ParquetTable {
       df: DataFrame, path: String, partitionColumns: Seq[String],
       filesPerPartition: Int = 1, txn: Option[(String, Long)] = None,
       writeOptions: Map[String, String] = Map.empty): Unit =
-    publishVersioned(GeneratedColumns.fill(df.sparkSession, path, df),
+    publishVersioned(GeneratedColumns.fill(df.sparkSession, path,
+      ColumnDefaults.fill(df.sparkSession, path, df)),
       path, partitionColumns, filesPerPartition,
       preserveLayout = false, txn, writeOptions)
 
@@ -1221,7 +1246,8 @@ object ParquetTable {
       "mergeVersioned: conditional clauses (combine) take the rewrite tier")
     requireTxnAppId(txn)
     TableProperties.requireNotAppendOnly(spark, path, "mergeVersioned")
-    val upd = GeneratedColumns.fill(spark, path, updates).dropDuplicates(pk)
+    val upd = GeneratedColumns.fill(spark, path,
+      ColumnDefaults.fill(spark, path, updates)).dropDuplicates(pk)
     var committed = false
     var attempts = 0
     while (!committed) {
@@ -1684,7 +1710,8 @@ object ParquetTable {
       writeOptions: Map[String, String] = Map.empty): Long = {
     requireTxnAppId(txn)
     val df = GeneratedColumns.fill(spark, path,
-      IdentityColumns.fill(spark, path, df0))
+      ColumnDefaults.fill(spark, path,
+        IdentityColumns.fill(spark, path, df0)))
     val dataDir = freshDataDirName()
     writePlain(df, new Path(path, dataDir).toString, partitionColumns,
       writeOptions = writeOptions)
@@ -2004,6 +2031,12 @@ object ParquetTable {
     require(!IdentityColumns.list(spark, path).exists(_._1.equalsIgnoreCase(from)),
       s"renameColumn: '$from' carries an identity rule keyed by name — " +
         "drop the rule first, or keep the name")
+    // ADD COLUMN rules are keyed by name too (fill + read-side extension
+    // + time-travel windows would all chase the vacated name)
+    require(!ColumnDefaults.list(spark, path).exists(r =>
+        r.live && r.name.equalsIgnoreCase(from)),
+      s"renameColumn: '$from' was ADD COLUMN'd and its rule is keyed by " +
+        "name — drop the column instead, or keep the name")
     val (renames, drops) = columnMapping(spark, path, v)
     // the new entry maps the PHYSICAL name (the inverse image of `from`
     // under the current mapping) to the new logical name
@@ -2044,11 +2077,69 @@ object ParquetTable {
     require(!IdentityColumns.list(spark, path).exists(_._1.equalsIgnoreCase(name)),
       s"dropColumn: '$name' carries an identity rule — drop the rule first")
     val (renames, drops) = columnMapping(spark, path, v)
-    val physical = renames.collectFirst {
-      case (p, l) if l.equalsIgnoreCase(name) => p
-    }.getOrElse(name)
-    commitMetadataVersion(spark, path, v,
-      colmapValue(renames - physical, drops :+ physical), "dropColumn")
+    ColumnDefaults.list(spark, path)
+      .find(r => r.live && r.name.equalsIgnoreCase(name)) match {
+      case Some(_)
+          if !versionSchema(spark, path, v).exists(
+            _.fieldNames.exists(_.equalsIgnoreCase(name))) =>
+        // an ADD COLUMN'd column no write ever materialized: nothing
+        // physical to unmap — closing the rule's version window IS the
+        // drop (the metadata commit marks where history stops serving it)
+        val next = commitMetadataVersion(spark, path, v,
+          colmapValue(renames, drops), "dropColumn")
+        ColumnDefaults.markDropped(spark, path, name, next)
+        next
+      case defRule =>
+        val physical = renames.collectFirst {
+          case (p, l) if l.equalsIgnoreCase(name) => p
+        }.getOrElse(name)
+        val next = commitMetadataVersion(spark, path, v,
+          colmapValue(renames - physical, drops :+ physical), "dropColumn")
+        // a MATERIALIZED added column also closes its rule window, so
+        // ingest stops re-filling it and the extension stops re-adding it
+        if (defRule.isDefined) ColumnDefaults.markDropped(spark, path, name, next)
+        next
+    }
+  }
+
+  /** Delta-parity `ALTER TABLE … ADD COLUMN name type [DEFAULT expr]`
+    * WITHOUT rewriting data: an O(1) metadata commit (the current
+    * version's dirs republished as v+1) plus a [[ColumnDefaults]] rule.
+    * Reads of v+1 onward serve the column — EXISTING rows as typed NULLs
+    * (an ADD COLUMN never invents history); the DEFAULT applies to FUTURE
+    * writes that omit the column (ingest materializes it physically, the
+    * SQL CURRENT_DEFAULT model — change it later with
+    * [[ColumnDefaults.setDefault]]). Time travel below v+1 never shows
+    * the column. Refused names: existing logical columns, and physical
+    * names vacated by RENAME/DROP COLUMN while the mapping is
+    * unmaterialized (stats/bloom sidecars still key the old physical
+    * data — the readWhere hazard ADVICE r9 flagged; compact/optimize
+    * first).
+    */
+  def addColumn(
+      spark: SparkSession, path: String, name: String, typeSql: String,
+      default: Option[String] = None): Long = {
+    val v = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
+      s"addColumn: no versioned table at $path"))
+    val rule = ColumnDefaults.Rule(name, typeSql, default, addedAt = 0L)
+    ColumnDefaults.validateSyntax(spark, rule)
+    val logical = read(spark, path).columns.toSeq
+    require(!logical.exists(_.equalsIgnoreCase(name)),
+      s"addColumn: column '$name' already exists at $path")
+    val (renames, drops) = columnMapping(spark, path, v)
+    require(!drops.exists(_.equalsIgnoreCase(name)) &&
+      !renames.keys.exists(_.equalsIgnoreCase(name)),
+      s"addColumn: '$name' is still a PHYSICAL column name under the " +
+        "active column mapping — data files and their stats/bloom " +
+        "sidecars key it; compact/optimize to materialize the mapping " +
+        "first")
+    require(!ColumnDefaults.list(spark, path).exists(r =>
+        r.live && r.name.equalsIgnoreCase(name)),
+      s"addColumn: column '$name' already added at $path")
+    val next = commitMetadataVersion(spark, path, v,
+      colmapValue(renames, drops), "addColumn")
+    ColumnDefaults.register(spark, path, rule.copy(addedAt = next))
+    next
   }
 
   /** Republish `v`'s body + DV header as version v+1 with a new colmap
@@ -2221,7 +2312,8 @@ object ParquetTable {
       val target = readVersion(spark, path, v)
       val cols = target.columns.toSeq
       val (cmR, cmD) = columnMapping(spark, path, v)
-      val upd = GeneratedColumns.fill(spark, path, updates)
+      val upd = GeneratedColumns.fill(spark, path,
+        ColumnDefaults.fill(spark, path, updates))
         .dropDuplicates(pk).select(cols.map(col): _*)
       // retire matched target rows by DV: per-leg (file, row_index) of
       // rows whose pk is in the update set, prior DVs already excluded.
@@ -2415,7 +2507,8 @@ object ParquetTable {
       cdf: Boolean = false, txn: Option[(String, Long)] = None): Long = {
     requireTxnAppId(txn)
     val rows = GeneratedColumns.fill(spark, path,
-      IdentityColumns.fill(spark, path, rows0))
+      ColumnDefaults.fill(spark, path,
+        IdentityColumns.fill(spark, path, rows0)))
     var attempts = 0
     while (true) {
       attempts += 1
@@ -2834,6 +2927,7 @@ object ParquetTable {
     // independently if unwanted
     Constraints.copy(spark, sourcePath, targetPath)
     GeneratedColumns.copy(spark, sourcePath, targetPath)
+    ColumnDefaults.copy(spark, sourcePath, targetPath, v)
     TableProperties.copy(spark, sourcePath, targetPath)
     // identity rules carry WITH their watermark (Delta clones identity
     // state the same way): the clone's data contains the source's

@@ -182,6 +182,19 @@ object GraftSql {
   private val DropIdentityStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+IDENTITY\s+""" +
       """COLUMN\s+(\w+)\s*;?\s*""").r
+  // matched AFTER AddGeneratedStmt/AddIdentityStmt (their COLUMN clause
+  // starts with GENERATED, excluded here), so plain ADD COLUMN never
+  // shadows them
+  private val AddColumnStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+ADD\s+COLUMN\s+""" +
+      """(\w+)\s+(?!GENERATED\b)([A-Za-z_]+(?:\s*\([\d,\s]*\))?(?:\s*<[^;]*>)?)""" +
+      """(?:\s+DEFAULT\s+(.+?))?\s*;?\s*""").r
+  private val SetDefaultStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+ALTER\s+COLUMN\s+""" +
+      """(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""").r
+  private val DropDefaultStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+ALTER\s+COLUMN\s+""" +
+      """(\w+)\s+DROP\s+DEFAULT\s*;?\s*""").r
   private val CompactSmallStmt =
     ("""(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+COMPACT\s+SMALL""" +
       """(?:\s+BELOW\s+(\d+))?\s*;?\s*""").r
@@ -238,6 +251,13 @@ object GraftSql {
           Option(step).map(_.toLong).getOrElse(1L)))
       case DropIdentityStmt(path, name) =>
         Some(GraftIdentityCommand(path, name, add = false, 0L, 0L))
+      case AddColumnStmt(path, name, typeSql, default) =>
+        Some(GraftAddColumnCommand(path, name, typeSql.trim,
+          Option(default).map(_.trim)))
+      case SetDefaultStmt(path, name, default) =>
+        Some(GraftSetDefaultCommand(path, name, Some(default.trim)))
+      case DropDefaultStmt(path, name) =>
+        Some(GraftSetDefaultCommand(path, name, None))
       case OptimizeBloomStmt(path, bloomCols, zCols) =>
         def split(s: String) = s.split(',')
           .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq.filter(_.nonEmpty)
@@ -817,6 +837,39 @@ case class GraftColumnCommand(
       case None => graft.sources.ParquetTable.dropColumn(session, path, column)
     }
     Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE graft.`p` ADD COLUMN c type [DEFAULT expr]` — Delta's
+  * metadata-only schema evolution plus the SQL column-DEFAULT model (see
+  * `ParquetTable.addColumn` / `ColumnDefaults`: existing rows read typed
+  * NULL, the default fills future writes that omit the column). Returns
+  * the committed version.
+  */
+case class GraftAddColumnCommand(
+    path: String, name: String, typeSql: String, default: Option[String])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.LongType)())
+
+  override def run(session: SparkSession): Seq[Row] = Seq(Row(
+    graft.sources.ParquetTable.addColumn(session, path, name, typeSql, default)))
+}
+
+/** `ALTER TABLE graft.`p` ALTER COLUMN c SET DEFAULT expr` /
+  * `… DROP DEFAULT`: change what FUTURE ingest fills — no data touched.
+  */
+case class GraftSetDefaultCommand(
+    path: String, name: String, default: Option[String])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    graft.sources.ColumnDefaults.setDefault(session, path, name, default)
+    Nil
   }
 }
 
