@@ -876,6 +876,19 @@ object TrainingQueries {
       graft.sources.ParquetTable.read(s, out).orderBy(col("o_orderkey"))
     }),
 
+    // Per-dimension int8 scalar quantization + ASYMMETRIC search
+    // (operators/ScalarQuant.scala — the faiss SQ8 serving tier): train
+    // (lo,hi) per dim, store 1-byte levels, score float queries against
+    // the dequantized corpus. floor(x+0.5) levels (round-half rules
+    // differ between engines), so the oracle replays the quantizer
+    // bit-for-bit.
+    "q130_sq8_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.ScalarQuant.bruteForceSqTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // DSIR importance-weighted data selection (operators/Dsir.scala,
     // Xie et al. 2023): raw = the whole corpus, target = its English
     // slice; every document scores Σ_tokens [log p_en(t) − log p_raw(t)]
@@ -2486,6 +2499,37 @@ object TrainingQueries {
         |       ELSE 'vip' END AS tier
         |FROM orders WHERE o_orderkey < 2000
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Replays the per-dim quantizer bit-for-bit: same floor(x+0.5)
+    // levels, same (c/255)*span+lo dequantization, cosine over the
+    // reconstructed lists.
+    "q130_sq8_ann" ->
+      """WITH vals AS (
+        |  SELECT e.vec_id, u.i, (e.embedding::DOUBLE[])[u.i] AS x
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT unnest(range(1, len(first(embedding)) + 1)) AS i
+        |              FROM embeddings) u),
+        |dims AS (SELECT i AS d, min(x) AS lo, max(x) AS hi
+        |         FROM vals GROUP BY i),
+        |deq AS (
+        |  SELECT v.vec_id,
+        |    list(floor(CASE WHEN dims.hi = dims.lo THEN 0
+        |           ELSE (v.x - dims.lo) / (dims.hi - dims.lo) * 255
+        |                + 0.5 END)
+        |         / 255 * (dims.hi - dims.lo) + dims.lo ORDER BY v.i) AS dv
+        |  FROM vals v JOIN dims ON dims.d = v.i
+        |  GROUP BY v.vec_id),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, d.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv, d.dv) AS c,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qv, d.dv) DESC, d.vec_id)
+        |      AS rank
+        |  FROM q JOIN deq d ON d.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cosine, rank
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // Replays DSIR over term STRINGS (the engine keys xxhash64 fps):
     // add-k unigram models for the raw corpus and its English slice over
