@@ -81,6 +81,53 @@ object Dsir {
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("weight"))
   }
 
+  /** Persist the trained importance model: the per-term log-ratio table
+    * (f, lr) — vocab-bounded, fp-keyed, the expensive two-corpus counting
+    * pass paid ONCE — plus the smoothing k it was built with. The
+    * deployment shape (DSIR §3: estimate the ratio on a sample, score
+    * the full raw corpus): train on raw-sample + target once, then
+    * [[scoreWithModel]] every incoming shard against the parquet table.
+    * A shard term absent from the model contributes 0 (no evidence —
+    * matches [[importanceWeights]], which only ever scores raw-vocab
+    * terms).
+    */
+  def trainModel(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      dir: String, k: Double = 0.5): Unit = {
+    require(k > 0, s"Dsir: smoothing k must be positive, got $k")
+    val rawToks = tokensOf(raw, idCol, textCol)
+      .select(xxhash64(col("w")).as("f"))
+    val rawCounts = rawToks.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+    val tgtCounts = tokensOf(target, idCol, textCol)
+      .select(xxhash64(col("w")).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val totals = rawCounts.agg(
+      sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+      .crossJoin(tokensOf(target, idCol, textCol).agg(count(lit(1)).as("nt")))
+    rawCounts.join(tgtCounts, Seq("f"), "left")
+      .crossJoin(totals)
+      .select(col("f"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(k)) /
+             (col("nt") + lit(k) * col("v"))) -
+         log((col("cr") + lit(k)) /
+             (col("nr") + lit(k) * col("v")))).as("lr"))
+      .write.mode("overwrite").parquet(s"$dir/termratio")
+  }
+
+  /** Score documents against a [[trainModel]]-persisted ratio table —
+    * identical results to [[importanceWeights]] when `docs` IS the raw
+    * training corpus (spec-pinned). One fp equi-join + one per-doc sum;
+    * the corpus-counting pass never re-runs.
+    */
+  def scoreWithModel(
+      spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokensOf(docs, idCol, textCol)
+      .select(col(idCol), xxhash64(col("w")).as("f"))
+      .join(spark.read.parquet(s"$dir/termratio"), Seq("f"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("weight"))
+
   /** The selection step: top `topK` raw documents by importance weight,
     * ranked on the ROUNDED (4-digit) weight with an id tiebreak so the
     * chosen set is deterministic and replayable across engines. Output:

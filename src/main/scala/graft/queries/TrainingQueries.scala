@@ -916,6 +916,28 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Persisted-DSIR deployment tier (Dsir.trainModel/scoreWithModel):
+    // the two-corpus counting pass runs ONCE into a vocab-bounded
+    // parquet log-ratio table; shards then score with one fp equi-join.
+    // Scoring the training corpus itself must reproduce q128 exactly —
+    // same oracle (the q110/q102 persisted-tier pattern).
+    "q132_dsir_persisted" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dsir").toString
+      val docs = Tables.documents(s, d)
+      graft.operators.Dsir.trainModel(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text", dir)
+      val scored = graft.operators.Dsir
+        .scoreWithModel(s, dir, docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("weight"), 4).as("weight"))
+        .orderBy(col("weight").desc, col("doc_id")).limit(20)
+      scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("weight").desc, col("doc_id"))))
+        .orderBy(col("rank"))
+    }),
+
     // Hard-negative mining for retrieval training (Ann.hardNegatives —
     // the DPR/ANCE recipe): per query, the top-k nearest corpus vectors
     // EXCLUDING its positives (here: every same-label vector), i.e. the
@@ -1532,7 +1554,9 @@ object TrainingQueries {
     * equivalence against DuckDB instead of trusting the spec pin.
     */
   lazy val oracles: Map[String, String] = oraclesBase +
-    ("q110_ivfpq_persisted" -> oraclesBase("q102_ivfpq_ann"))
+    ("q110_ivfpq_persisted" -> oraclesBase("q102_ivfpq_ann")) +
+    // the persisted tier must reproduce the recompute tier exactly
+    ("q132_dsir_persisted" -> oraclesBase("q128_dsir_select"))
 
   private val oraclesBase: Map[String, String] = Map(
     "q64_decontaminate" ->

@@ -53,6 +53,26 @@ class DsirSpec extends SparkSpec {
     got.foreach(w => assert(math.abs(w) < 1e-12))
   }
 
+  test("persisted model reproduces the recompute tier on the training corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir_model").toString
+    Dsir.trainModel(raw, target, "doc_id", "text", dir)
+    val persisted = Dsir.scoreWithModel(spark, dir, raw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val recompute = Dsir.importanceWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(persisted.keySet == recompute.keySet)
+    persisted.foreach { case (id, (n, w)) =>
+      assert(n == recompute(id)._1)
+      assert(math.abs(w - recompute(id)._2) < 1e-12, s"doc $id")
+    }
+    // held-out scoring: model-vocab terms score, unknown terms drop
+    val heldOut = Seq((7L, "wiki unknownterm")).toDF("doc_id", "text")
+    val ho = Dsir.scoreWithModel(spark, dir, heldOut, "doc_id", "text")
+      .collect()(0)
+    assert(ho.getLong(1) == 1) // only "wiki" matched
+    assert(math.abs(ho.getDouble(2) - lr(2, 2)) < 1e-9)
+  }
+
   test("zero-token documents are absent, never null-scored") {
     val withEmpty = raw.unionByName(
       Seq((3L, "", "en")).toDF("doc_id", "text", "lang"))
