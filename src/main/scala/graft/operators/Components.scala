@@ -144,4 +144,32 @@ object Components {
       .withColumn("component", coalesce(col("component"), col(idCol).cast("long")))
       .withColumn("is_canonical", col("component") === col(idCol).cast("long"))
   }
+
+  /** Quality-aware retention — the FineWeb/Dolma policy: inside each
+    * near-dup cluster keep the BEST document, not the lowest id. `is_best`
+    * marks the per-cluster argmax of (`scoreCol` rounded to 4 digits
+    * DESC, id ASC) — ranking on the rounded score with an id tiebreak
+    * keeps the chosen set deterministic and replayable across engines
+    * (the [[LmScore.perplexityBuckets]] discipline); `is_canonical`
+    * (min-id) stays alongside for callers that want the stable-id policy.
+    *
+    * Scale shape: one extra shuffle keyed by `component` — dup clusters
+    * are small by construction (near-dup closures), so the per-group
+    * window sort is bounded; everything upstream is [[dedupClusters]]
+    * unchanged.
+    */
+  def dedupClustersKeepBest(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      scoreCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(round(col(scoreCol), 4).desc_nulls_last, col(idCol))
+    dedupClusters(df, idCol, pairs, aCol, bCol, checkpointDir)
+      .withColumn("is_best", row_number().over(w) === 1)
+  }
 }

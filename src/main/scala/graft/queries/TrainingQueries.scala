@@ -916,6 +916,31 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-aware dedup-cluster retention (Components.
+    // dedupClustersKeepBest — the FineWeb/Dolma policy): the q47 cluster
+    // derivation (fingerprint + edit-distance edges) but each cluster
+    // keeps its BEST-quality member (rounded qualityScore, id tiebreak)
+    // instead of its lowest id. The oracle recomputes clusters by
+    // recursive CTE and the argmax by the same (round(quality,4), id)
+    // key.
+    "q133_dedup_keep_best" -> ((s, d) => {
+      val dup = docsWithDups(s, d)
+      val fp = dup.select(col("doc_id"), normalizedFingerprint(col("text")).as("fp"))
+      val fpB = fp.select(col("doc_id").as("doc_id_b"), col("fp").as("fp_b"))
+      val e1 = fp.join(fpB,
+          col("fp") === col("fp_b") && col("doc_id") < col("doc_id_b"))
+        .select(col("doc_id").as("id_a"), col("doc_id_b").as("id_b"))
+      val e2 = TextDedup.editDistancePairs(dup, "doc_id", "text",
+          maxDist = 12, blockCols = Seq("lang", "source"), prefixLen = 30)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Components.dedupClustersKeepBest(
+          dup.withColumn("quality", qualityScore(col("text"))),
+          "doc_id", e1.unionByName(e2), "id_a", "id_b", "quality")
+        .select(col("doc_id"), col("component"),
+          round(col("quality"), 4).as("quality"), col("is_best"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Persisted-DSIR deployment tier (Dsir.trainModel/scoreWithModel):
     // the two-corpus counting pass runs ONCE into a vocab-bounded
     // parquet log-ratio table; shards then score with one fp equi-join.
@@ -1553,10 +1578,48 @@ object TrainingQueries {
     * so they share the twin's oracle — the driver re-proves the
     * equivalence against DuckDB instead of trusting the spec pin.
     */
+  /** q47's cluster derivation + the q21 quality replay: per-cluster
+    * argmax on (round(quality,4) DESC, doc_id ASC).
+    */
+  private val keepBestOracle: String = {
+    val stop = "['the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'it', 'that']"
+    s"""WITH RECURSIVE dup AS ($dupSql),
+       |fp AS (SELECT doc_id, ${normFpSql("text")} AS fp FROM dup),
+       |e1 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |p AS (SELECT doc_id, lang, source, substr(lower(text), 1, 30) AS prefix FROM dup),
+       |e2 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |       FROM p a JOIN p b ON a.lang = b.lang AND a.source = b.source
+       |         AND a.doc_id < b.doc_id AND levenshtein(a.prefix, b.prefix) <= 12),
+       |edges AS (
+       |  SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1
+       |  UNION SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM dup
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+       |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+       |q AS (SELECT doc_id,
+       |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) * 0.4
+       |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text)) * 0.2
+       |    + least(len($toksSql)::DOUBLE / 50.0, 1.0) * 0.2
+       |    + least((len(list_filter($toksSql, t -> list_contains($stop, t)))::DOUBLE
+       |             / len($toksSql)) * 5.0, 1.0) * 0.2, 4) AS quality
+       |  FROM dup),
+       |ranked AS (
+       |  SELECT c.doc_id, c.component, q.quality,
+       |    row_number() OVER (PARTITION BY c.component
+       |      ORDER BY q.quality DESC, c.doc_id) AS rn
+       |  FROM comp c JOIN q USING (doc_id))
+       |SELECT doc_id, component, quality, rn = 1 AS is_best
+       |FROM ranked ORDER BY doc_id""".stripMargin
+  }
+
   lazy val oracles: Map[String, String] = oraclesBase +
     ("q110_ivfpq_persisted" -> oraclesBase("q102_ivfpq_ann")) +
     // the persisted tier must reproduce the recompute tier exactly
-    ("q132_dsir_persisted" -> oraclesBase("q128_dsir_select"))
+    ("q132_dsir_persisted" -> oraclesBase("q128_dsir_select")) +
+    ("q133_dedup_keep_best" -> keepBestOracle)
 
   private val oraclesBase: Map[String, String] = Map(
     "q64_decontaminate" ->

@@ -77,4 +77,28 @@ class ComponentsSpec extends SparkSpec {
       (1L, 1L, true), (3L, 1L, false), // clustered: min id is canonical
       (2L, 2L, true), (9L, 9L, true))) // singletons
   }
+
+  test("dedupClustersKeepBest keeps the quality argmax, id breaks ties") {
+    val docs = Seq(
+      (1L, 0.2), (3L, 0.9),            // cluster {1,3}: 3 wins on quality
+      (4L, 0.5), (6L, 0.5),            // cluster {4,6}: tie → lower id 4
+      (9L, 0.1))                       // singleton: always best
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 3L), (4L, 6L)).toDF("id_a", "id_b")
+    val got = Components.dedupClustersKeepBest(
+        docs, "doc_id", pairs, "id_a", "id_b", "quality")
+      .select(col("doc_id"), col("component"), col("is_best"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, false), (3L, 1L, true),
+      (4L, 4L, true), (6L, 4L, false),
+      (9L, 9L, true)))
+    // rounding decides rank: a 5th-digit difference is a tie (id wins)
+    val close = Seq((1L, 0.50001), (2L, 0.50002)).toDF("doc_id", "quality")
+    val best = Components.dedupClustersKeepBest(
+        close, "doc_id", Seq((1L, 2L)).toDF("id_a", "id_b"),
+        "id_a", "id_b", "quality")
+      .filter(col("is_best")).select("doc_id").as[Long].collect().toSeq
+    assert(best == Seq(1L))
+  }
 }
