@@ -101,6 +101,76 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+    * MOSS algorithm): hash every word k-gram, slide a window of `w`
+    * consecutive gram hashes, keep each window's MINIMUM — the selected
+    * set is a position-robust document sketch with the winnowing
+    * guarantee (any shared run of ≥ w+k−1 tokens contributes at least
+    * one shared fingerprint), unlike MinHash which sketches the global
+    * bag and blurs local structure. Documents with fewer than `w` grams
+    * (but ≥ k tokens) keep the single global minimum; shorter ones
+    * fingerprint empty.
+    *
+    * Gram hashing is [[graft.functions.TextFunctions.polyHash64]], the
+    * SQL-replayable hash, so an external engine re-derives the exact
+    * selected set (the q28 SimHash precedent). Both array passes bind
+    * their input through `bindArray` — the token and hash arrays
+    * materialize once per row; nothing re-evaluates per window.
+    */
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
+    require(k >= 1, s"winnowing: gram size k must be ≥ 1, got $k")
+    require(w >= 1, s"winnowing: window w must be ≥ 1, got $w")
+    bindArray(filter(tokens(text), t => length(t) > 0)) { toks =>
+      bindArray(
+        when(size(toks) < k, array().cast("array<bigint>"))
+          .otherwise(transform(sequence(lit(0), size(toks) - k),
+            i => polyHash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))) { hs =>
+        when(size(hs) === 0, array().cast("array<bigint>"))
+          .when(size(hs) < w, array(array_min(hs)))
+          .otherwise(array_distinct(transform(
+            sequence(lit(0), size(hs) - w),
+            j => array_min(slice(hs, j + 1, lit(w))))))
+      }
+    }
+  }
+
+  /** All pairs (idA < idB) sharing ≥ `minShared` winnowing fingerprints —
+    * local-overlap near-dup detection (quotes, boilerplate blocks, copied
+    * passages) at inverted-index cost: explode the per-doc sketch, one
+    * equi-join on the fingerprint, count per pair. `maxFpDf` drops
+    * degenerate fingerprints hotter than the cap before the self-join
+    * (the [[ngramJaccardPairs]] stop-gram guard — a boilerplate
+    * fingerprint shared by everything would otherwise quadratically
+    * dominate); sketches are ~|tokens|/((w+1)/2) hashes, so posting size
+    * is a fraction of the corpus token count.
+    */
+  def winnowingPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Long = 2,
+      maxFpDf: Option[Long] = None): DataFrame = {
+    require(minShared >= 1, s"winnowing: minShared must be ≥ 1, got $minShared")
+    val posting0 = df
+      .select(col(idCol),
+        explode(winnowingFingerprints(col(textCol), k, w)).as("__fp"))
+    val posting = maxFpDf match {
+      case Some(cap) =>
+        val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+        posting0.withColumn("__df", count(lit(1)).over(wdf))
+          .filter(col("__df") <= cap).drop("__df")
+      case None => posting0
+    }
+    posting.as("a")
+      .join(posting.as("b"),
+        col("a.__fp") === col("b.__fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** All pairs (idA < idB) within the same `blockCols` whose Levenshtein
     * distance over the normalized (lowercased) length-`prefixLen` text
     * prefix is ≤ `maxDist` — the exact fuzzy tier below the fingerprint

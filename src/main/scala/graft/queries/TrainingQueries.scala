@@ -916,6 +916,17 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowing fingerprints (TextDedup.winnowingPairs — the MOSS
+    // local-overlap sketch, Schleimer et al. 2003): word-3-gram
+    // PolyHash64 hashes, window-of-4 minima, pairs sharing ≥ 5 selected
+    // fingerprints. The oracle re-derives the exact selected set (the
+    // hash is SQL-replayable) and the same pair counts.
+    "q134_winnowing" -> ((s, d) => {
+      TextDedup.winnowingPairs(docsWithDups(s, d), "doc_id", "text",
+          k = 3, w = 4, minShared = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Quality-aware dedup-cluster retention (Components.
     // dedupClustersKeepBest — the FineWeb/Dolma policy): the q47 cluster
     // derivation (fingerprint + edit-distance edges) but each cluster
@@ -1464,10 +1475,19 @@ object TrainingQueries {
   /** Per-part DuckDB replay of expressions.PolyHash64: fold the code
     * points of `t` through (h·base + cp) mod p.
     */
-  private def polyPartSql(base: Long, p: Long): String =
+  private def polyPartSql(base: Long, p: Long, src: String = "t"): String =
     "list_reduce(list_prepend(0::BIGINT, " +
-      s"list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)), " +
+      s"list_transform(string_split($src, ''), c -> ascii(c)::BIGINT)), " +
       s"(h, c) -> (h * $base + c) % $p)"
+
+  /** The packed 64-bit PolyHash64 value over SQL variable `src` — four
+    * 16-bit parts shifted into place (part 3 < 2^15, so the sum stays in
+    * positive BIGINT range), matching expressions.PolyHash64 bit-for-bit.
+    */
+  private def polyHashSql(src: String): String =
+    graft.functions.expressions.PolyHash64.Parts.zipWithIndex.map {
+      case ((b, p), i) => s"(${polyPartSql(b, p, src)} << ${i * 16})"
+    }.mkString("(", " + ", ")")
 
   /** Replays TextDedup.simHashPairs(polyHash64): token part-hashes → 64
     * ±1 bit sums per doc → packed signature → all-pairs hamming ≤ 3.
@@ -1615,11 +1635,46 @@ object TrainingQueries {
        |FROM ranked ORDER BY doc_id""".stripMargin
   }
 
+  /** Replays winnowing end-to-end over the STRING grams: ordered word
+    * 3-gram PolyHash64 list per doc, window-of-4 minima (short docs keep
+    * the global minimum), distinct, then the fingerprint inverted-index
+    * pair count.
+    */
+  private val winnowingOracle: String =
+    s"""WITH dup AS ($dupSql),
+       |tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |                t -> t <> '') AS ts
+       |  FROM dup),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_transform(range(1, len(ts) - 1),
+       |        i -> array_to_string(ts[i : i + 2], ' ')),
+       |      g -> ${polyHashSql("g")}) AS h
+       |  FROM tok),
+       |fps AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE
+       |      WHEN len(h) = 0 THEN []::BIGINT[]
+       |      WHEN len(h) < 4 THEN [list_aggregate(h, 'min')]
+       |      ELSE list_transform(range(1, len(h) - 2),
+       |             j -> list_aggregate(h[j : j + 3], 'min')) END) AS fp
+       |  FROM hs),
+       |posting AS (SELECT doc_id, unnest(fp) AS f FROM fps)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |FROM posting a JOIN posting b
+       |  ON a.f = b.f AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 5
+       |ORDER BY id_a, id_b""".stripMargin
+
   lazy val oracles: Map[String, String] = oraclesBase +
     ("q110_ivfpq_persisted" -> oraclesBase("q102_ivfpq_ann")) +
     // the persisted tier must reproduce the recompute tier exactly
     ("q132_dsir_persisted" -> oraclesBase("q128_dsir_select")) +
-    ("q133_dedup_keep_best" -> keepBestOracle)
+    ("q133_dedup_keep_best" -> keepBestOracle) +
+    ("q134_winnowing" -> winnowingOracle)
 
   private val oraclesBase: Map[String, String] = Map(
     "q64_decontaminate" ->

@@ -222,4 +222,44 @@ class TextDedupSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted
     assert(keptAbs === Seq(3L, 4L))
   }
+
+  test("winnowingFingerprints: JVM replay of gram hashes + window minima") {
+    import org.apache.spark.sql.functions.col
+    val text = "a b c d e f g h"
+    val got = docs((1L, text, "x"))
+      .select(TextDedup.winnowingFingerprints(col("text"), k = 3, w = 4))
+      .collect()(0).getSeq[Long](0)
+    // JVM ground truth: PolyHash64 over each 3-gram, min per 4-window
+    def poly(s: String): Long =
+      graft.functions.expressions.PolyHash64.Parts.zipWithIndex.map {
+        case ((b, p), i) =>
+          s.foldLeft(0L)((h, c) => (h * b + c.toInt) % p) << (i * 16)
+      }.reduce(_ | _)
+    val toks = text.split("\\s+")
+    val hs = toks.sliding(3).map(g => poly(g.mkString(" "))).toSeq
+    val want = hs.sliding(4).map(_.min).toSeq.distinct
+    assert(got.toSeq == want)
+  }
+
+  test("winnowing guarantee: docs sharing a long run share a fingerprint") {
+    val run = "one two three four five six seven eight nine"
+    val d = docs(
+      (1L, s"prefix words here $run", "x"),
+      (2L, s"$run totally different suffix", "x"),
+      (3L, "nothing in common with the others at all", "x"))
+    val pairs = TextDedup.winnowingPairs(d, "id", "text",
+        k = 3, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // shared 9-token run ≥ w+k−1 = 6
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowing short-doc tiers: < k tokens empty, < w grams one global min") {
+    import org.apache.spark.sql.functions.col
+    val fps = docs((1L, "a b", "x"), (2L, "a b c d", "x"))
+      .select(col("id"), TextDedup.winnowingFingerprints(col("text"), 3, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1L).isEmpty)     // 2 tokens < k=3
+    assert(fps(2L).length == 1) // 2 grams < w=4 → single global minimum
+  }
 }
