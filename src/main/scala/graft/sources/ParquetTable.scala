@@ -3239,28 +3239,33 @@ object ParquetTable {
     * least the current version — then run the same reference-aware
     * sweep as [[vacuum]]. Pre-header manifests (no `#ts=`) count as old.
     */
-  def vacuumOlderThan(spark: SparkSession, path: String, horizonMillis: Long): Unit = {
-    require(horizonMillis >= 0, "vacuumOlderThan: horizon must be >= 0")
-    val vs = versions(spark, path)
-    if (vs.isEmpty) return
-    val cutoff = System.currentTimeMillis() - horizonMillis
-    // keep from the OLDEST in-horizon version onward — not takeWhile from
-    // the newest, which a single skew-stamped mid-history version would
-    // stop early, sweeping newer-than-horizon versions behind it
-    val keep = vs.indexWhere(v =>
-      commitTimestamp(spark, path, v).getOrElse(Long.MinValue) >= cutoff) match {
-      case -1 => 1                 // nothing in horizon: current version only
-      case i  => vs.length - i     // oldest in-horizon version and everything after
-    }
-    vacuum(spark, path, math.max(keep, 1))
-  }
+  def vacuumOlderThan(spark: SparkSession, path: String, horizonMillis: Long): Unit =
+    if (versions(spark, path).nonEmpty)
+      vacuum(spark, path, keepCountForHorizon(spark, path, horizonMillis))
 
   def vacuum(spark: SparkSession, path: String, keepLast: Int = 2): Unit = {
+    val fs = hadoopFs(spark, new Path(path))
+    vacuumPlan(spark, path, keepLast).foreach { case (kind, p) =>
+      fs.delete(new Path(p), kind != "manifest" && kind != "stray_file")
+    }
+  }
+
+  /** What [[vacuum]] would delete, WITHOUT deleting — Delta's
+    * `VACUUM … DRY RUN`: `(kind, path)` rows, kind ∈ `manifest` |
+    * `data_dir` | `partition_dir` | `dv_dir` | `stray_file`. The listing
+    * IS the sweep's work list ([[vacuum]] executes exactly these rows),
+    * so the dry run is authoritative, not an approximation. Pure
+    * metadata walk — one manifest-dir listing plus one listing per
+    * top-level dir; no data I/O, no Spark job.
+    */
+  def vacuumPlan(
+      spark: SparkSession, path: String, keepLast: Int = 2): Seq[(String, String)] = {
     require(keepLast >= 1, "vacuum must keep at least the current version")
     val vs = versions(spark, path)
-    if (vs.isEmpty) return
+    if (vs.isEmpty) return Nil
     val fs = hadoopFs(spark, new Path(path))
     val kept = vs.takeRight(keepLast)
+    val out = Seq.newBuilder[(String, String)]
     // (dataDir, Some(partDir)) for partitioned refs, (dataDir, None) full
     val refs: Seq[(String, Option[String])] = kept.flatMap { v =>
       partitionEntries(spark, path, v) match {
@@ -3277,17 +3282,17 @@ object ParquetTable {
       .filter(_.getParent == new Path(path, DvDirName))
       .map(_.getName).toSet
     vs.dropRight(keepLast).foreach { v =>
-      fs.delete(new Path(manifestDir(path), f"v$v%020d"), false)
+      out += ("manifest" -> new Path(manifestDir(path), f"v$v%020d").toString)
     }
     val dvRoot = new Path(path, DvDirName)
     if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { st =>
       if (st.isDirectory && !keptDvNames.contains(st.getPath.getName))
-        fs.delete(st.getPath, true)
+        out += ("dv_dir" -> st.getPath.toString)
     }
     fs.listStatus(new Path(path)).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && (name.startsWith("_v") || name.startsWith("_d"))) {
-        if (!referencedDirs.contains(name)) fs.delete(st.getPath, true)
+        if (!referencedDirs.contains(name)) out += ("data_dir" -> st.getPath.toString)
         else {
           // partially-referenced partitioned dir: drop stale partition
           // subdirs no kept manifest points at (full refs keep everything)
@@ -3298,11 +3303,32 @@ object ParquetTable {
               val subName = sub.getPath.getName
               if (sub.isDirectory && subName.contains("=") &&
                   !keptParts.exists(p => p == subName || p.startsWith(s"$subName/")))
-                fs.delete(sub.getPath, true)
+                out += ("partition_dir" -> sub.getPath.toString)
             }
         }
-      } else if (st.isFile && !name.startsWith("_")) fs.delete(st.getPath, false)
+      } else if (st.isFile && !name.startsWith("_"))
+        out += ("stray_file" -> st.getPath.toString)
     }
+    out.result()
+  }
+
+  /** The keepLast count [[vacuumOlderThan]]'s horizon resolves to — the
+    * shared translation for the sweep and its DRY RUN.
+    */
+  private[graft] def keepCountForHorizon(
+      spark: SparkSession, path: String, horizonMillis: Long): Int = {
+    require(horizonMillis >= 0, "vacuumOlderThan: horizon must be >= 0")
+    val vs = versions(spark, path)
+    if (vs.isEmpty) return 1
+    val cutoff = System.currentTimeMillis() - horizonMillis
+    // keep from the OLDEST in-horizon version onward — not takeWhile from
+    // the newest, which a single skew-stamped mid-history version would
+    // stop early, sweeping newer-than-horizon versions behind it
+    math.max(vs.indexWhere(v =>
+      commitTimestamp(spark, path, v).getOrElse(Long.MinValue) >= cutoff) match {
+      case -1 => 1                 // nothing in horizon: current version only
+      case i  => vs.length - i     // oldest in-horizon version and everything after
+    }, 1)
   }
 
   /** Table integrity report — the `fsck` verb. One row per finding,

@@ -145,7 +145,8 @@ object GraftSql {
   private val CompactStmt =
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val VacuumStmt =
-    """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+""" +
+      """(VERSIONS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*""").r
   private val HistoryStmt =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val DetailStmt =
@@ -272,10 +273,11 @@ object GraftSql {
         Some(GraftCompactSmallCommand(path,
           Option(below).map(_.toLong).getOrElse(32L * 1024 * 1024)))
       case CompactStmt(path) => Some(GraftCompactCommand(path))
-      case VacuumStmt(path, retain, unit) =>
+      case VacuumStmt(path, retain, unit, dry) =>
         val hours = Option(unit).exists(_.equalsIgnoreCase("HOURS"))
         Some(GraftVacuumCommand(path,
-          Option(retain).map(_.toInt).getOrElse(2), hours))
+          Option(retain).map(_.toInt).getOrElse(2), hours,
+          dryRun = dry != null))
       case HistoryStmt(path) => Some(GraftHistoryCommand(path))
       case DetailStmt(path) => Some(GraftDetailCommand(path))
       case FsckStmt(path) => Some(GraftFsckCommand(path))
@@ -994,21 +996,36 @@ case class GraftOptimizeCommand(path: String, zorderBy: Seq[String])
 /** `VACUUM graft.`path` [RETAIN n VERSIONS]`: deletes manifests and data
   * dirs of versions older than the retained window (default 2 — see
   * `ParquetTable.vacuum`). Returns one row with the number of versions
-  * still present.
+  * still present. With `DRY RUN` appended, returns the authoritative
+  * (kind, path) work list WITHOUT deleting — Delta's VACUUM DRY RUN.
   */
-case class GraftVacuumCommand(path: String, retain: Int, hours: Boolean = false)
+case class GraftVacuumCommand(
+    path: String, retain: Int, hours: Boolean = false, dryRun: Boolean = false)
     extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] =
-    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
-      "versions_retained", org.apache.spark.sql.types.LongType,
-      nullable = false)())
+    if (dryRun)
+      Seq(
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "kind", org.apache.spark.sql.types.StringType, nullable = false)(),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "path", org.apache.spark.sql.types.StringType, nullable = false)())
+    else
+      Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "versions_retained", org.apache.spark.sql.types.LongType,
+        nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
-    if (hours)
-      ParquetTable.vacuumOlderThan(session, path, retain * 3600000L)
-    else ParquetTable.vacuum(session, path, retain)
-    Seq(Row(ParquetTable.versions(session, path).size.toLong))
+    val keep =
+      if (hours) ParquetTable.keepCountForHorizon(session, path, retain * 3600000L)
+      else retain
+    if (dryRun)
+      // `VACUUM … DRY RUN`: the authoritative work list, nothing deleted
+      ParquetTable.vacuumPlan(session, path, keep).map { case (k, p) => Row(k, p) }
+    else {
+      ParquetTable.vacuum(session, path, keep)
+      Seq(Row(ParquetTable.versions(session, path).size.toLong))
+    }
   }
 }
 

@@ -134,6 +134,32 @@ class ParquetTableSpec extends SparkSpec {
     }
   }
 
+  test("vacuum DRY RUN lists exactly what the sweep then deletes — nothing yet") {
+    val path = tmpDir("vacuum-dry") + "/t"
+    (1 to 4).foreach(i =>
+      ParquetTable.atomicReplace(spark, path, df(Row(i, s"v$i", "d1")), Nil))
+    val plan = graft.sql.GraftSql.sql(spark,
+        s"VACUUM graft.`$path` RETAIN 2 VERSIONS DRY RUN")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // nothing deleted: all four versions still read
+    assert(ParquetTable.versions(spark, path) === Seq(1L, 2L, 3L, 4L))
+    assert(ParquetTable.readAt(spark, path, 1).count() === 1)
+    // the plan names the two retired manifests and their two data dirs
+    assert(plan.count(_._1 == "manifest") === 2)
+    assert(plan.count(_._1 == "data_dir") === 2)
+    // the real sweep deletes exactly the listed paths
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    plan.foreach { case (_, p) =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(p)), s"listed but absent: $p")
+    }
+    ParquetTable.vacuum(spark, path, keepLast = 2)
+    plan.foreach { case (_, p) =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(p)), s"listed but survived: $p")
+    }
+    assert(ParquetTable.versions(spark, path) === Seq(3L, 4L))
+  }
+
   test("vacuumOlderThan survives one skew-stamped mid-history version") {
     val path = tmpDir("vac-skew") + "/t"
     ParquetTable.create(df(Row(1, "a", "d1")), path)                       // v1
