@@ -159,6 +159,12 @@ object GraftSql {
   private val CloneStmt =
     ("""(?is)\s*CREATE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+""" +
       """graft\s*\.\s*`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+  // matched AFTER CloneStmt (whose tail starts with SHALLOW, not AS)
+  private val CtasStmt =
+    ("""(?is)\s*CREATE\s+TABLE\s+graft\s*\.\s*`([^`]+)`""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(SELECT\b.+?)\s*;?\s*""").r
+  private val DescribeStmt =
+    """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val RenameColumnStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+RENAME\s+COLUMN\s+""" +
       """`?([^`\s]+)`?\s+TO\s+`?([^`\s;]+)`?\s*;?\s*""").r
@@ -223,6 +229,12 @@ object GraftSql {
           .toSeq.filter(_.nonEmpty)).getOrElse(Nil)))
       case CloneStmt(target, source, v) =>
         Some(GraftCloneCommand(source, target, Option(v).map(_.toLong)))
+      case CtasStmt(path, parts, select) =>
+        Some(GraftCtasCommand(path,
+          Option(parts).map(_.split(',').map(_.trim.stripPrefix("`")
+            .stripSuffix("`")).toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+          select.trim))
+      case DescribeStmt(path) => Some(GraftDescribeCommand(path))
       case RenameColumnStmt(path, from, to) =>
         Some(GraftColumnCommand(path, from, Some(to)))
       case DropColumnStmt(path, name) =>
@@ -839,6 +851,75 @@ case class GraftColumnCommand(
       case None => graft.sources.ParquetTable.dropColumn(session, path, column)
     }
     Seq(Row(v))
+  }
+}
+
+/** `CREATE TABLE graft.`p` [PARTITIONED BY (c…)] AS SELECT …` — CTAS
+  * onto the versioned layout: the SELECT (which may itself read
+  * `graft.`path`` tables, time travel included) materializes as version
+  * 1. Refuses an existing table (Delta's CTAS-without-REPLACE). Returns
+  * one row with the created version.
+  */
+case class GraftCtasCommand(path: String, partitionBy: Seq[String], select: String)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.LongType)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    require(!ParquetTable.exists(session, path),
+      s"CREATE TABLE graft.`$path`: table already exists — " +
+        "drop/clean the path first (no CREATE OR REPLACE)")
+    val df = org.apache.spark.sql.GraftColumnBridge.ofRows(session,
+      GraftSql.dispatch(session.sessionState.sqlParser.parsePlan(select)))
+    if (partitionBy.nonEmpty)
+      ParquetTable.createVersioned(df, path, partitionBy)
+    else ParquetTable.create(df, path)
+    Seq(Row(ParquetTable.currentVersion(session, path).getOrElse(1L)))
+  }
+}
+
+/** `DESC[RIBE] [TABLE] graft.`p``: one row per logical column —
+  * (col_name, data_type, info) with provenance flags the plain schema
+  * doesn't show: `partition`, `generated(expr)`, `identity(start,step)`,
+  * `added@vN [default expr]` (ADD COLUMN'd), `renamed from p` (active
+  * column mapping). Pure metadata: schema from the versioned read plan,
+  * rules from the DDL files; no data I/O.
+  */
+case class GraftDescribeCommand(path: String) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq("col_name", "data_type", "info").map(n =>
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      n, org.apache.spark.sql.types.StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val schema = ParquetTable.read(session, path).schema
+    val v = ParquetTable.currentVersion(session, path)
+    val parts = v.flatMap(ParquetTable.partitionEntries(session, path, _))
+      .map(_.head._1.split('/').toSeq.map(_.split('=')(0).toLowerCase).toSet)
+      .getOrElse(Set.empty[String])
+    val gen = graft.sources.GeneratedColumns.list(session, path)
+      .map { case (n, e) => n.toLowerCase -> e }.toMap
+    val ident = graft.sources.IdentityColumns.list(session, path)
+      .map(r => r._1.toLowerCase -> ((r._2, r._3))).toMap
+    val defs = graft.sources.ColumnDefaults.list(session, path).filter(_.live)
+      .map(r => r.name.toLowerCase -> r).toMap
+    val renamed = v.map(ParquetTable.columnMapping(session, path, _)._1)
+      .getOrElse(Map.empty[String, String])
+      .map { case (phys, logical) => logical.toLowerCase -> phys }
+    schema.fields.toSeq.map { f =>
+      val n = f.name.toLowerCase
+      val info = Seq(
+        if (parts.contains(n)) Some("partition") else None,
+        gen.get(n).map(e => s"generated($e)"),
+        ident.get(n).map { case (s, st) => s"identity($s,$st)" },
+        defs.get(n).map(r =>
+          s"added@v${r.addedAt}" + r.default.map(d => s" default $d").getOrElse("")),
+        renamed.get(n).map(p => s"renamed from $p")
+      ).flatten.mkString("; ")
+      Row(f.name, f.dataType.simpleString, info)
+    }
   }
 }
 
