@@ -270,6 +270,25 @@ abstract class CommitterBattery(mk: () => LogCommitter) extends SparkSpec {
     assert(ParquetTable.columnMapping(spark, path, v2)._1.isEmpty)
     assert(ParquetTable.read(spark, path).columns.contains("val"))
   } }
+
+  test("ADD COLUMN lifecycle commits through this committer") { withCommitter {
+    val path = tmpDir("cb-addcol") + "/t"
+    ParquetTable.create(df(Row(1, "a")), path)
+    val vAdd = ParquetTable.addColumn(spark, path, "tier", "string", Some("'std'"))
+    // the DDL is a real commit: version advanced, old version unchanged
+    assert(vAdd == 2L)
+    assert(!ParquetTable.readAt(spark, path, 1L).columns.contains("tier"))
+    ParquetTable.insertInto(spark, path, df(Row(2, "b")))
+    ColumnDefaults.setDefault(spark, path, "tier", Some("'v2'"))
+    ParquetTable.insertInto(spark, path, df(Row(3, "c")))
+    val tiers = ParquetTable.read(spark, path).orderBy("id")
+      .select("tier").collect().map(r => Option(r.getString(0))).toSeq
+    assert(tiers == Seq(None, Some("std"), Some("v2")))
+    // drop closes the window through the same commit path
+    val vDrop = ParquetTable.dropColumn(spark, path, "tier")
+    assert(!ParquetTable.read(spark, path).columns.contains("tier"))
+    assert(ParquetTable.readAt(spark, path, vDrop - 1).columns.contains("tier"))
+  } }
 }
 
 /** Object-store `If-None-Match: *` shim over a local mirror: a JVM-global
