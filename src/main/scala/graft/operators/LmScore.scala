@@ -167,6 +167,98 @@ object LmScore {
       idCol, k)
   }
 
+  /** Jelinek–Mercer interpolated TRIGRAM scoring — the order-3 step
+    * toward CCNet's 5-gram KenLM filter:
+    *
+    *   P(w3 | w1 w2) = λ3·c(w1w2w3)/c(w1w2·) + λ2·c(w2w3)/c(w2·)
+    *                 + λ1·c(w3)/N + λ0/V
+    *
+    * — maximum-likelihood estimates of each order linearly interpolated,
+    * with a uniform 1/V floor so held-out OOV tokens keep P > 0 (no
+    * discounting arithmetic; every term is a plain count ratio, which is
+    * what keeps the model exactly replayable by the oracle). Score = mean
+    * ln P over the document's trigrams; documents with < 3 tokens are
+    * absent (they carry no trigram evidence).
+    *
+    * Scale shape extends the bigram discipline one order up: every gram
+    * becomes an 8-byte xxhash fingerprint inside the map pass, and —
+    * the [[Dsir]] trick — the probability is computed ONCE PER DISTINCT
+    * TRIGRAM on the vocab-bounded trigram table (whose rows carry all
+    * five component fps, so each count frame joins the small table, not
+    * the corpus stream); the corpus then joins that P-table on one key.
+    * ML3's denominator c(w1w2·) is the trigram-context count (Σ over the
+    * trigram table); ML2/ML1 use true bigram/unigram passes so every
+    * order counts the full corpus, not the trigram-embedded subset.
+    */
+  def scoreTrigramJM(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      l3: Double = 0.5,
+      l2: Double = 0.3,
+      l1: Double = 0.15,
+      l0: Double = 0.05): DataFrame = {
+    require(l3 > 0 && l2 >= 0 && l1 >= 0 && l0 > 0,
+      s"scoreTrigramJM: need λ3 > 0, λ0 > 0 (held-out floor), got ($l3,$l2,$l1,$l0)")
+    // EMPTY tokens are filtered at tokenization so every order counts the
+    // same token stream (split("\s+") yields a leading "" on leading
+    // whitespace); materialized once per row — the bind discipline
+    val tokenized = corpus.select(col(idCol),
+      filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0).as("__t"))
+    val t = col("__t")
+    val n = size(t)
+
+    // per-doc trigram stream: one row per occurrence, all component fps
+    // computed inside the map pass (value-folded, never string concats)
+    val triIdx = when(n > 2, sequence(lit(1), n - 2)).otherwise(array())
+    val tri = tokenized.select(col(idCol),
+      explode(transform(triIdx, i => struct(
+        xxhash64(element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)).as("f123"),
+        xxhash64(element_at(t, i), element_at(t, i + 1)).as("f12"),
+        xxhash64(element_at(t, i + 1), element_at(t, i + 2)).as("f23"),
+        xxhash64(element_at(t, i + 1)).as("f2"),
+        xxhash64(element_at(t, i + 2)).as("f3")))).as("g"))
+      .select(col(idCol), col("g.*"))
+
+    // true bigram / unigram corpus counts (their own passes — the
+    // trigram stream under-counts each doc's edge grams)
+    val bigIdx = when(n > 1, sequence(lit(1), n - 1)).otherwise(array())
+    val big = tokenized.select(explode(transform(bigIdx, i => struct(
+        xxhash64(element_at(t, i), element_at(t, i + 1)).as("fab"),
+        xxhash64(element_at(t, i)).as("fa")))).as("b"))
+      .select(col("b.*"))
+    val cBig = big.groupBy(col("fab")).agg(count(lit(1)).as("c23"))
+    val cBigCtx = big.groupBy(col("fa")).agg(count(lit(1)).as("c2"))
+    val uni = tokenized.select(explode(t).as("w"))
+      .select(xxhash64(col("w")).as("f"))
+    val cUni = uni.groupBy(col("f")).agg(count(lit(1)).as("c3"))
+    val totals = cUni.agg(sum(col("c3")).as("nn"), count(lit(1)).as("v"))
+
+    // the P-table: one row per DISTINCT trigram (vocab-bounded); each
+    // count frame joins THIS table, never the corpus stream
+    val triVocab = tri.groupBy(col("f123"))
+      .agg(count(lit(1)).as("c123"),
+        first(col("f12")).as("f12"), first(col("f23")).as("f23"),
+        first(col("f2")).as("f2"), first(col("f3")).as("f3"))
+    val c12 = triVocab.groupBy(col("f12")).agg(sum(col("c123")).as("c12"))
+    val pTable = triVocab
+      .join(c12, Seq("f12"))
+      .join(cBig.withColumnRenamed("fab", "f23"), Seq("f23"))
+      .join(cBigCtx.withColumnRenamed("fa", "f2"), Seq("f2"))
+      .join(cUni.withColumnRenamed("f", "f3"), Seq("f3"))
+      .crossJoin(totals)
+      .select(col("f123"),
+        (lit(l3) * col("c123") / col("c12") +
+          lit(l2) * col("c23") / col("c2") +
+          lit(l1) * col("c3") / col("nn") +
+          lit(l0) / col("v")).as("p"))
+
+    tri.select(col(idCol), col("f123"))
+      .join(pTable, Seq("f123"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), avg(log(col("p"))).as("avg_logp"))
+  }
+
   /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): per
     * `groupCol` (language), rank documents by LM score and cut into
     * `nBuckets` equal tiers — bucket 1 ("head") = most fluent, last =

@@ -916,6 +916,20 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Jelinek–Mercer interpolated trigram LM (LmScore.scoreTrigramJM —
+    // the order-3 step toward CCNet's 5-gram filter): per-order ML
+    // ratios linearly interpolated with a uniform 1/V floor. P is
+    // computed once per DISTINCT trigram on the vocab-bounded table
+    // (the Dsir trick); every gram shuffles as an xxhash64 fp; the
+    // oracle replays the STRING formulation.
+    "q135_lm_trigram" -> ((s, d) => {
+      graft.operators.LmScore.scoreTrigramJM(
+          Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("avg_logp"), 4).as("avg_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints (TextDedup.winnowingPairs — the MOSS
     // local-overlap sketch, Schleimer et al. 2003): word-3-gram
     // PolyHash64 hashes, window-of-4 minima, pairs sharing ≥ 5 selected
@@ -1635,6 +1649,55 @@ object TrainingQueries {
        |FROM ranked ORDER BY doc_id""".stripMargin
   }
 
+  /** Replays the interpolated trigram LM over gram STRINGS: per-order
+    * ML count ratios (trigram/trigram-context, true bigram/bigram-
+    * context, unigram/N) + the uniform 1/V floor, same lambda literals,
+    * same term order, mean ln per doc.
+    */
+  private val trigramOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |                w -> w <> '') AS ts
+       |  FROM documents),
+       |tri AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ts) - 1),
+       |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g123,
+       |    unnest(list_transform(range(1, len(ts) - 1),
+       |      i -> ts[i] || ' ' || ts[i+1])) AS g12,
+       |    unnest(list_transform(range(1, len(ts) - 1),
+       |      i -> ts[i+1] || ' ' || ts[i+2])) AS g23,
+       |    unnest(list_transform(range(1, len(ts) - 1), i -> ts[i+1])) AS g2,
+       |    unnest(list_transform(range(1, len(ts) - 1), i -> ts[i+2])) AS g3
+       |  FROM tok),
+       |big AS (
+       |  SELECT unnest(list_transform(range(1, len(ts)),
+       |           i -> ts[i] || ' ' || ts[i+1])) AS gab,
+       |    unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS ga
+       |  FROM tok),
+       |c123 AS (SELECT g123, count(*) AS c FROM tri GROUP BY g123),
+       |c12  AS (SELECT g12, count(*) AS c FROM tri GROUP BY g12),
+       |c23  AS (SELECT gab, count(*) AS c FROM big GROUP BY gab),
+       |c2   AS (SELECT ga, count(*) AS c FROM big GROUP BY ga),
+       |uni AS (SELECT unnest(ts) AS w FROM tok),
+       |c3   AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+       |tot  AS (SELECT count(*) AS nn, count(DISTINCT w) AS v FROM uni),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    0.5 * c123.c / c12.c + 0.3 * c23.c / c2.c
+       |      + 0.15 * c3.c / tot.nn + 0.05 / tot.v AS p
+       |  FROM tri t
+       |  JOIN c123 ON c123.g123 = t.g123
+       |  JOIN c12 ON c12.g12 = t.g12
+       |  JOIN c23 ON c23.gab = t.g23
+       |  JOIN c2 ON c2.ga = t.g2
+       |  JOIN c3 ON c3.w = t.g3
+       |  CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_trigrams,
+       |  round(avg(ln(p)), 4) AS avg_logp
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Replays winnowing end-to-end over the STRING grams: ordered word
     * 3-gram PolyHash64 list per doc, window-of-4 minima (short docs keep
     * the global minimum), distinct, then the fingerprint inverted-index
@@ -1674,7 +1737,8 @@ object TrainingQueries {
     // the persisted tier must reproduce the recompute tier exactly
     ("q132_dsir_persisted" -> oraclesBase("q128_dsir_select")) +
     ("q133_dedup_keep_best" -> keepBestOracle) +
-    ("q134_winnowing" -> winnowingOracle)
+    ("q134_winnowing" -> winnowingOracle) +
+    ("q135_lm_trigram" -> trigramOracle)
 
   private val oraclesBase: Map[String, String] = Map(
     "q64_decontaminate" ->

@@ -119,4 +119,32 @@ class LmScoreSpec extends SparkSpec {
         s"shuffle carries string column(s) ${stringy.map(_.name).mkString(",")}")
     }
   }
+
+  test("trigram JM interpolation matches the hand-computed count ratios") {
+    import spark.implicits._
+    // corpus: "a b a b a" (doc 1), "a b c" (doc 2)
+    //   unigrams: a×4, b×3, c×1 → N = 8, V = 3
+    //   bigrams:  ab×3, ba×2, bc×1 → contexts a·×4? no: c(a·)=3 (a b ×3),
+    //   wait doc1 bigrams: ab,ba,ab,ba? tokens a b a b a → ab,ba,ab,ba;
+    //   doc2: ab,bc. So ab×3, ba×2, bc×1; c(a·)=3, c(b·)=3.
+    //   trigrams doc1: aba, bab, aba; doc2: abc.
+    //   c(aba)=2, c(bab)=1, c(abc)=1; ctx c(ab·)=3 (aba×2+abc), c(ba·)=1.
+    val corpus = Seq((1L, "a b a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = LmScore.scoreTrigramJM(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def p(c123: Double, c12: Double, c23: Double, c2: Double, c3: Double) =
+      0.5 * c123 / c12 + 0.3 * c23 / c2 + 0.15 * c3 / 8 + 0.05 / 3
+    val pAba = p(2, 3, 2, 3, 4) // w3=a: c(ba)=2, c(b·)=3, c(a)=4
+    val pBab = p(1, 1, 3, 3, 3) // w3=b: c(ab)=3, c(a·)=3, c(b)=3
+    val pAbc = p(1, 3, 1, 3, 1) // w3=c: c(bc)=1, c(b·)=3, c(c)=1
+    val want1 = (math.log(pAba) + math.log(pBab) + math.log(pAba)) / 3
+    assert(got(1L)._1 == 3)
+    assert(math.abs(got(1L)._2 - want1) < 1e-9, s"${got(1L)._2} vs $want1")
+    assert(got(2L)._1 == 1)
+    assert(math.abs(got(2L)._2 - math.log(pAbc)) < 1e-9)
+    // < 3 tokens → absent, never null
+    val short = Seq((9L, "a b")).toDF("doc_id", "text")
+    assert(LmScore.scoreTrigramJM(corpus.unionByName(short), "doc_id", "text")
+      .filter($"doc_id" === 9L).count() == 0)
+  }
 }
