@@ -858,12 +858,27 @@ object ParquetTable {
     * append-only evolution, where every dir's schema is a prefix-superset
     * or -subset of every other's. Incomparable drift keeps the first
     * (the pre-evolution arbitrary-but-stable choice).
+    *
+    * A field ABSENT from any dir must come out NULLABLE regardless of how
+    * the dirs that carry it declared it: those dirs' files physically
+    * lack the column, and the vectorized parquet reader REFUSES a file
+    * missing a required (non-nullable) column (`Required column is
+    * missing in data file`) — the evolution semantics are "missing reads
+    * as NULL", which only an optional field can deliver.
     */
   private def supersetSchema(schemas: Seq[StructType]): Option[StructType] =
     schemas.reduceOption { (a, b) =>
-      if (b.fieldNames.forall(n => a.fieldNames.exists(_.equalsIgnoreCase(n)))) a
-      else if (a.fieldNames.forall(n => b.fieldNames.exists(_.equalsIgnoreCase(n)))) b
-      else a
+      val wide =
+        if (b.fieldNames.forall(n => a.fieldNames.exists(_.equalsIgnoreCase(n)))) a
+        else if (a.fieldNames.forall(n => b.fieldNames.exists(_.equalsIgnoreCase(n)))) b
+        else a
+      val narrow = if (wide eq a) b else a
+      StructType(wide.fields.map { f =>
+        if (narrow.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          f.copy(nullable = f.nullable ||
+            narrow.fields.find(_.name.equalsIgnoreCase(f.name)).exists(_.nullable))
+        else f.copy(nullable = true)
+      })
     }
 
   /** The table schema `version` publishes, from sidecars ALONE — one

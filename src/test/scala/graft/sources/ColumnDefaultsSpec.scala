@@ -72,6 +72,45 @@ class ColumnDefaultsSpec extends SparkSpec {
     assert(got == Seq((1L, "a", null), (2L, "b2", "std"), (9L, "i", "std")))
   }
 
+  test("partitioned merge into a NEW partition under an unmaterialized column") {
+    val t = tmp()
+    ParquetTable.createVersioned(
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "name", "day"),
+      t, Seq("day"))
+    ParquetTable.addColumn(spark, t, "tier", "string", Some("'std'"))
+    // all-affected-partitions-new: the merge combines against an empty
+    // frame of the TABLE schema — which must include the added column
+    ParquetTable.mergeVersioned(spark, t,
+      Seq((3L, "c", "p3")).toDF("id", "name", "day"), Seq("id"), Seq("day"))
+    val got = ParquetTable.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("tier")))).toSeq
+    assert(got == Seq((1L, None), (2L, None), (3L, Some("std"))))
+    // and a mixed merge (existing + new partition) stays consistent
+    ParquetTable.mergeVersioned(spark, t,
+      Seq((2L, "B", "p2"), (4L, "d", "p4")).toDF("id", "name", "day"),
+      Seq("id"), Seq("day"))
+    val got2 = ParquetTable.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("tier")))).toSeq
+    assert(got2 == Seq((1L, None), (2L, Some("std")), (3L, Some("std")),
+      (4L, Some("std"))))
+  }
+
+  test("CDF window across the ADD COLUMN commit and its materialization") {
+    val t = tmp()
+    ParquetTable.create(base, t, Nil)
+    // enable CDF-style comparison via changes() if available; otherwise
+    // assert version reads around the DDL are stable
+    val vAdd = ParquetTable.addColumn(spark, t, "tier", "string", Some("'std'"))
+    ParquetTable.insertInto(spark, t, Seq((3L, "c")).toDF("id", "name"))
+    // reads straddling the DDL agree on history
+    assert(ParquetTable.readAt(spark, t, vAdd - 1).columns.toSeq ==
+      Seq("id", "name"))
+    assert(ParquetTable.readAt(spark, t, vAdd).columns.toSeq ==
+      Seq("id", "name", "tier"))
+    assert(ParquetTable.readAt(spark, t, vAdd + 1)
+      .filter(col("id") === 3).select("tier").collect()(0).getString(0) == "std")
+  }
+
   test("dropColumn closes the window: unmaterialized and materialized") {
     // never materialized: pure metadata round trip
     val t1 = tmp()
