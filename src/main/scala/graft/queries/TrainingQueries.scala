@@ -916,6 +916,26 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CTAS end-to-end (GraftSql CREATE TABLE ... PARTITIONED BY ... AS
+    // SELECT): the SELECT reads a graft table (itself CTAS'd from raw
+    // parquet), the result lands partitioned + versioned, and the read
+    // back must equal the plain relational statement of both SELECTs.
+    "q136_ctas" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_ctasq").toString
+      val src = s"$base/src"; val dst = s"$base/dst"
+      graft.sources.ParquetTable.create(
+        s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .filter(col("o_orderkey") < 3000), src)
+      graft.sql.GraftSql.sql(s,
+        s"CREATE TABLE graft.`$dst` PARTITIONED BY (o_orderstatus) AS " +
+          s"SELECT * FROM graft.`$src` WHERE o_totalprice > 100000")
+      graft.sources.ParquetTable.read(s, dst)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Jelinek–Mercer interpolated trigram LM (LmScore.scoreTrigramJM —
     // the order-3 step toward CCNet's 5-gram filter): per-order ML
     // ratios linearly interpolated with a uniform 1/V floor. P is
@@ -1738,7 +1758,13 @@ object TrainingQueries {
     ("q132_dsir_persisted" -> oraclesBase("q128_dsir_select")) +
     ("q133_dedup_keep_best" -> keepBestOracle) +
     ("q134_winnowing" -> winnowingOracle) +
-    ("q135_lm_trigram" -> trigramOracle)
+    ("q135_lm_trigram" -> trigramOracle) +
+    // the two chained CTAS SELECTs stated as one relational query
+    ("q136_ctas" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey < 3000 AND o_totalprice > 100000
+        |ORDER BY o_orderkey""".stripMargin)
 
   private val oraclesBase: Map[String, String] = Map(
     "q64_decontaminate" ->
