@@ -109,9 +109,19 @@ object ColumnDefaults {
       !rule.default.exists(_.exists(c => c == '\n' || c == '\r' || c == '\t')),
       s"addColumn ${rule.name}: type/default must not contain newlines or tabs")
     rule.dataType // parses, or throws with the parser's message
-    // the default must be a constant, cast-able expression — probe it on
-    // a 1-row local relation (no job: analysis only)
-    rule.default.foreach { _ =>
+    // the default must be a CONSTANT expression (SQL's DEFAULT contract):
+    // reject column references up front — an attribute could accidentally
+    // resolve against whatever frame fill() runs on — then probe the
+    // cast on a 1-row local relation (no job: analysis only)
+    rule.default.foreach { d =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(d)
+      val attrs = parsed.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      }
+      require(attrs.isEmpty,
+        s"addColumn ${rule.name}: DEFAULT must be a constant expression; " +
+          s"'$d' references column(s) ${attrs.mkString(", ")} — use a " +
+          "generated column for derived values")
       spark.range(1).select(rule.fillExpr.as(rule.name)).queryExecution.analyzed
     }
   }

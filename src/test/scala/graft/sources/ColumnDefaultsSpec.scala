@@ -190,6 +190,10 @@ class ColumnDefaultsSpec extends SparkSpec {
     intercept[Exception] {
       ParquetTable.addColumn(spark, t, "bad", "int", Some("not a ( valid"))
     }
+    // DEFAULT must be constant: a column reference is refused up front
+    intercept[IllegalArgumentException] {
+      ParquetTable.addColumn(spark, t, "bad2", "bigint", Some("id + 1"))
+    }
     assert(ParquetTable.currentVersion(spark, t).get == vBefore)
   }
 
