@@ -171,6 +171,44 @@ object TextDedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Persist a winnowing fingerprint index over a history corpus: the
+    * (fp, id) posting list as parquet — the local-overlap twin of
+    * [[minHashIndexSave]], with k/w pinned beside it so probes can never
+    * silently mix sketch parameters.
+    */
+  def winnowingIndexSave(
+      history: DataFrame, idCol: String, textCol: String, dir: String,
+      k: Int = 3, w: Int = 4): Unit = {
+    history
+      .select(col(idCol).as("hist_id"),
+        explode(winnowingFingerprints(col(textCol), k, w)).as("fp"))
+      .write.mode("overwrite").parquet(s"$dir/posting")
+    history.sparkSession.createDataFrame(Seq((k, w)))
+      .toDF("k", "w").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** Probe a batch against a [[winnowingIndexSave]]d history: batch docs
+    * sharing ≥ `minShared` selected fingerprints with ANY history doc —
+    * (batch id, hist_id, n_shared). The 100 TB shape: the history is
+    * never re-sketched and never shuffles as text — only its posting
+    * list joins the batch-bounded fingerprint set on an 8-byte key.
+    */
+  def winnowingProbeHistory(
+      batch: DataFrame, idCol: String, textCol: String, dir: String,
+      minShared: Long = 2): DataFrame = {
+    val spark = batch.sparkSession
+    val p = spark.read.parquet(s"$dir/params").collect()(0)
+    val (k, w) = (p.getInt(0), p.getInt(1))
+    batch
+      .select(col(idCol),
+        explode(winnowingFingerprints(col(textCol), k, w)).as("fp"))
+      .join(spark.read.parquet(s"$dir/posting"), Seq("fp"))
+      .groupBy(col(idCol), col("hist_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** All pairs (idA < idB) within the same `blockCols` whose Levenshtein
     * distance over the normalized (lowercased) length-`prefixLen` text
     * prefix is ≤ `maxDist` — the exact fuzzy tier below the fingerprint

@@ -936,6 +936,26 @@ object TrainingQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Persisted winnowing history index (TextDedup.winnowingIndexSave/
+    // winnowingProbeHistory — the local-overlap member of the history-
+    // dedup family beside bloom-exact, paragraph and MinHash): history
+    // is sketched ONCE to a posting list; the batch probes it with one
+    // fp equi-join — history text never re-tokenizes, never shuffles.
+    // Oracle re-derives both sides' exact selected sets and the join.
+    "q137_winnowing_history" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_wnidx").toString + "/idx"
+      val docs = Tables.documents(s, d)
+      TextDedup.winnowingIndexSave(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .unionByName(docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 100))
+      TextDedup.winnowingProbeHistory(batch, "doc_id", "text", dir,
+          minShared = 2)
+        .orderBy(col("doc_id"), col("hist_id"))
+    }),
+
     // Jelinek–Mercer interpolated trigram LM (LmScore.scoreTrigramJM —
     // the order-3 step toward CCNet's 5-gram filter): per-order ML
     // ratios linearly interpolated with a uniform 1/V floor. P is
@@ -1718,18 +1738,16 @@ object TrainingQueries {
        |  round(avg(ln(p)), 4) AS avg_logp
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** Replays winnowing end-to-end over the STRING grams: ordered word
-    * 3-gram PolyHash64 list per doc, window-of-4 minima (short docs keep
-    * the global minimum), distinct, then the fingerprint inverted-index
-    * pair count.
+  /** The winnowing fingerprint posting list over `src` (named relation
+    * or parenthesized subquery), k=3 / w=4 — the shared replay core of
+    * the pair and history-probe oracles.
     */
-  private val winnowingOracle: String =
-    s"""WITH dup AS ($dupSql),
-       |tok AS (
+  private def winnowPostingSql(src: String): String =
+    s"""(WITH tok AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '\\s+'),
        |                t -> t <> '') AS ts
-       |  FROM dup),
+       |  FROM $src),
        |hs AS (
        |  SELECT doc_id,
        |    list_transform(
@@ -1744,13 +1762,42 @@ object TrainingQueries {
        |      WHEN len(h) < 4 THEN [list_aggregate(h, 'min')]
        |      ELSE list_transform(range(1, len(h) - 2),
        |             j -> list_aggregate(h[j : j + 3], 'min')) END) AS fp
-       |  FROM hs),
-       |posting AS (SELECT doc_id, unnest(fp) AS f FROM fps)
+       |  FROM hs)
+       |SELECT doc_id, unnest(fp) AS f FROM fps)""".stripMargin
+
+  /** Replays winnowing end-to-end over the STRING grams: ordered word
+    * 3-gram PolyHash64 list per doc, window-of-4 minima (short docs keep
+    * the global minimum), distinct, then the fingerprint inverted-index
+    * pair count.
+    */
+  private val winnowingOracle: String =
+    s"""WITH posting AS (
+       |  SELECT * FROM ${winnowPostingSql(s"($dupSql)")})
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
        |FROM posting a JOIN posting b
        |  ON a.f = b.f AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= 5
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** History probe: both sides' selected sets re-derived, then one
+    * fingerprint join — the q137 batch/history split stated directly.
+    */
+  private val winnowingHistoryOracle: String = {
+    val hist = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+    val batch =
+      """(SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT * FROM documents WHERE doc_id % 2 = 1 AND doc_id < 100)"""
+        .stripMargin
+    s"""WITH hp AS (SELECT * FROM ${winnowPostingSql(hist)}),
+       |bp AS (SELECT * FROM ${winnowPostingSql(batch)})
+       |SELECT bp.doc_id AS doc_id, hp.doc_id AS hist_id,
+       |  count(*) AS n_shared
+       |FROM bp JOIN hp ON hp.f = bp.f
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   lazy val oracles: Map[String, String] = oraclesBase +
     ("q110_ivfpq_persisted" -> oraclesBase("q102_ivfpq_ann")) +
@@ -1759,6 +1806,7 @@ object TrainingQueries {
     ("q133_dedup_keep_best" -> keepBestOracle) +
     ("q134_winnowing" -> winnowingOracle) +
     ("q135_lm_trigram" -> trigramOracle) +
+    ("q137_winnowing_history" -> winnowingHistoryOracle) +
     // the two chained CTAS SELECTs stated as one relational query
     ("q136_ctas" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -254,6 +254,28 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("winnowingProbeHistory == direct cross pairing; params pinned on disk") {
+    val dir = tmpDir("wnidx") + "/idx"
+    TextDedup.winnowingIndexSave(corpus, "id", "text", dir, k = 3, w = 4)
+    val batch = docs(
+      (20L, "the quick brown fox jumps over the lazy dog", "a"), // = hist 1/4/5
+      (21L, "a genuinely novel document mentioning nothing familiar", "b"))
+    val probed = TextDedup.winnowingProbeHistory(batch, "id", "text", dir,
+        minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // direct formulation: batch fps × history fps (recomputed)
+    import org.apache.spark.sql.functions.{col, explode}
+    val hp = corpus.select(col("id").as("hist_id"),
+      explode(TextDedup.winnowingFingerprints(col("text"), 3, 4)).as("fp"))
+    val bp = batch.select(col("id"),
+      explode(TextDedup.winnowingFingerprints(col("text"), 3, 4)).as("fp"))
+    val direct = bp.join(hp, "fp").groupBy("id", "hist_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probed == direct)
+    assert(probed.exists(p => p._1 == 20L && p._2 == 1L))
+    assert(!probed.exists(_._1 == 21L))
+  }
+
   test("winnowing short-doc tiers: < k tokens empty, < w grams one global min") {
     import org.apache.spark.sql.functions.col
     val fps = docs((1L, "a b", "x"), (2L, "a b c d", "x"))
