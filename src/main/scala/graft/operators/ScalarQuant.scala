@@ -46,15 +46,19 @@ object ScalarQuant {
 
   private def litArray(xs: Array[Double]): Column = array(xs.map(lit).toIndexedSeq: _*)
 
-  /** Quantized level per value: floor((x−lo)/(hi−lo)·255 + 0.5) in
-    * [0, 255]; a degenerate dimension (hi = lo) stores level 0.
+  /** Quantized level per value: floor((x−lo)/(hi−lo)·255 + 0.5)
+    * SATURATED to [0, 255] — encoding a new shard against a persisted
+    * (lo, hi) model (the serving flow) sees out-of-range values, and
+    * faiss SQ8 clamps rather than wraps, so levels always fit one byte.
+    * A degenerate dimension (hi = lo) stores level 0.
     */
   def encodeExpr(vec: Column, ranges: Array[(Double, Double)]): Column = {
     val lo = litArray(ranges.map(_._1))
     val span = litArray(ranges.map { case (l, h) => h - l })
     zip_with(zip_with(vec, lo, (x, l) => x.cast("double") - l), span,
       (num, s) => when(s === 0d, lit(0)).otherwise(
-        floor(num / s * 255d + 0.5d).cast("int")))
+        greatest(lit(0), least(lit(255),
+          floor(num / s * 255d + 0.5d).cast("int")))))
   }
 
   /** Dequantized value per level: lo + level/255·(hi−lo). */

@@ -51,7 +51,12 @@ object Splits {
     val fmt = s"%0${hexChars}x"
     splits.init.zip(bounds).foldRight(lit(splits.last._1): Column) {
       case (((name, _), bound), rest) =>
-        when(bucket < lit(fmt.format(bound)), lit(name)).otherwise(rest)
+        // A boundary that rounds to the full bucket count would format one
+        // hex digit WIDER than the bucket strings (e.g. "100" vs 2-char
+        // buckets) and lexicographic comparison would invert — clamp: this
+        // split owns every bucket below it, i.e. all of them.
+        if (bound >= nBuckets) when(lit(true), lit(name)).otherwise(rest)
+        else when(bucket < lit(fmt.format(bound)), lit(name)).otherwise(rest)
     }
   }
 

@@ -47,6 +47,21 @@ class ScalarQuantSpec extends SparkSpec {
     }
   }
 
+  test("encoding out-of-range values against a persisted model saturates") {
+    // the serving flow: ranges trained on one shard, a NEW shard has
+    // values outside [lo, hi] — levels must clamp to [0, 255] (faiss SQ8
+    // saturates), never go negative or overflow one byte
+    val r = ScalarQuant.trainRanges(corpus, "embedding")
+    val shard = Seq(
+      (9L, Seq(-5.0f, 12.0f, 100.0f)),
+      (10L, Seq(99.0f, 3.0f, -1.0f))).toDF("vec_id", "embedding")
+    val codes = ScalarQuant.encode(shard, "vec_id", "embedding", r)
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    assert(codes(0) == Seq(0, 0, 255), codes(0))
+    assert(codes(1) == Seq(255, 0, 0), codes(1))
+    codes.flatten.foreach(c => assert(c >= 0 && c <= 255))
+  }
+
   test("asymmetric search agrees with exact brute force on separated data") {
     // three well-separated directions — quantization noise cannot flip
     // the neighbor ordering

@@ -67,6 +67,27 @@ class SplitsSpec extends SparkSpec {
     assert(aFrac > 900 && aFrac < 1100, s"a got $aFrac of 2000")
   }
 
+  test("extreme weight whose boundary rounds to the full bucket count") {
+    // 0.999/0.001 at hexChars=2: round(0.999*256) = 256 — formatting that
+    // as hex yields 3-char "100", which sorts BELOW 2-char "11".."ff" and
+    // would dump ~93% of rows into the residual split. The clamp makes
+    // the first split own every bucket instead (the correct rounding of
+    // 0.999 at 1/256 granularity).
+    val counts = Splits.assign(ids, "id", Seq("train" -> 0.999, "test" -> 0.001))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") == 2000L, counts)
+    assert(!counts.contains("test"), counts)
+    // the clamp only fires for the overflowing boundary — a mid-chain
+    // overflow must not steal buckets from splits before it
+    val c3 = Splits.assign(ids, "id",
+        Seq("a" -> 0.5, "b" -> 0.499, "c" -> 0.001))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c3("a") > 900 && c3("a") < 1100, c3)
+    assert(c3.getOrElse("b", 0L) + c3.getOrElse("a", 0L) == 2000L, c3)
+  }
+
   test("three hex chars widen the bucket space") {
     val b = Splits.assign(ids.limit(5), "id", Seq("a" -> 1.0), hexChars = 3)
       .select("bucket").as[String].collect()
