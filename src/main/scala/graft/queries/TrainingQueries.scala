@@ -956,6 +956,25 @@ object TrainingQueries {
         .orderBy(col("doc_id"), col("hist_id"))
     }),
 
+    // The 100-TB dedup COMPOSITION: MinHash-LSH candidate generation →
+    // exact-Jaccard confirmation (TextDedup.minHashDedupPairs, the q24
+    // path) → connected components (Components.dedupClusters, the q47
+    // closure). q47/q133 cluster from the quadratic exact tier; this is
+    // the documented scale path — sub-quadratic banded equi-join feeding
+    // the same closure. Equality with the brute-force oracle holds for
+    // the same reason as q24: all true pairs in this corpus sit at
+    // j≈0.97–1.0, where the 8×4 LSH miss probability is < 1e-8.
+    "q138_lsh_dedup_clusters" -> ((s, d) => {
+      val dup = docsWithDups(s, d)
+      val pairs = TextDedup.minHashDedupPairs(dup, "doc_id", "text",
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Components
+        .dedupClusters(dup, "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("component"), col("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Jelinek–Mercer interpolated trigram LM (LmScore.scoreTrigramJM —
     // the order-3 step toward CCNet's 5-gram filter): per-order ML
     // ratios linearly interpolated with a uniform 1/V floor. P is
@@ -1799,7 +1818,28 @@ object TrainingQueries {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** q138: re-derives clusters INDEPENDENTLY of LSH — brute-force
+    * all-pairs n-gram Jaccard over the dup corpus (the q24 oracle) fed
+    * into the recursive-CTE closure (the q47 oracle) — so a banding bug
+    * that dropped a true pair would split a cluster and hash-mismatch.
+    */
+  private val lshClustersOracle: String =
+    s"""WITH RECURSIVE dup AS ($dupSql),
+       |g AS (SELECT doc_id, ${gramsSql("text")} AS grams FROM dup),
+       |pr AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |       FROM g a JOIN g b ON a.doc_id < b.doc_id
+       |       WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+       |           / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
+       |edges AS (SELECT src, dst FROM pr UNION SELECT dst, src FROM pr),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM dup
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r)
+       |SELECT id AS doc_id, min(r) AS component, min(r) = id AS is_canonical
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   lazy val oracles: Map[String, String] = oraclesBase +
+    ("q138_lsh_dedup_clusters" -> lshClustersOracle) +
     ("q110_ivfpq_persisted" -> oraclesBase("q102_ivfpq_ann")) +
     // the persisted tier must reproduce the recompute tier exactly
     ("q132_dsir_persisted" -> oraclesBase("q128_dsir_select")) +

@@ -39,6 +39,32 @@ class ComponentsSpec extends SparkSpec {
     assert(components(Seq.empty).isEmpty)
   }
 
+  test("LSH→components composition: clusters from banded candidates (q138)") {
+    // the 100-TB dedup path: minHashDedupPairs (sub-quadratic banded
+    // equi-join + exact-Jaccard confirm) feeding dedupClusters — q47's
+    // closure but WITHOUT the quadratic exact-tier edge generator
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // j≈0.78 vs 1
+      (3L, "completely different text about spark engines and shuffles"),
+      (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (5L, "entirely unrelated musings on parquet footers and bloom filters"))
+      .toDF("id", "text")
+    val pairs = TextDedup.minHashDedupPairs(docs, "id", "text",
+        threshold = 0.5, n = 2, numHashes = 32, bands = 16)
+      .select(col("id_a"), col("id_b"))
+    val got = Components.dedupClusters(docs, "id", pairs, "id_a", "id_b")
+      .select(col("id"), col("component"), col("is_canonical"))
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((1L, true)))
+    assert(got(2L) === ((1L, false)))
+    assert(got(4L) === ((1L, false)))
+    // dissimilar docs stay singleton canonical clusters
+    assert(got(3L) === ((3L, true)))
+    assert(got(5L) === ((5L, true)))
+  }
+
   test("reliable checkpointing (checkpointDir) computes the same labels") {
     val dir = tmpDir("graft_ckpt")
     // multi-hop chain so several checkpointed rounds actually run
