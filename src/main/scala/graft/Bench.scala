@@ -150,7 +150,14 @@ object Bench {
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    val names = (SparkEntry.queries.keySet -- skip).toSeq.sorted
+    // SPARK_GRAFT_ONLY: comma-separated include list — the sf10 scaling
+    // runs measure the heavy tail only (a full 138-query battery at sf10
+    // costs hours for no extra information). Never set by the driver.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val names = (SparkEntry.queries.keySet -- skip)
+      .filter(n => only.isEmpty || only(n)).toSeq.sorted
     // warmup: full plan compile+execute per query at the smallest SF
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   *     (stride = max key + 1), so PK uniqueness and FK joins hold across
   *     the union exactly as they do within one replica. region/nation stay
   *     fixed (real TPC-H does not scale them either).
-  *   - documents.text: replica r applies a caesar rotation (shift r) to
+  *   - documents.text: replica r applies an affine letter cipher
+  *     (i → k·i + b mod 26; caesar for r < 26, 312 distinct bijections) to
   *     letters only. A bijection on words ⇒ within-replica duplicate /
   *     near-duplicate / shingle structure is IDENTICAL to sf0.1, while
   *     cross-replica shingles are disjoint — so LSH/MinHash/SimHash/n-gram
@@ -75,16 +76,32 @@ object ScaleGen {
   private val Letters =
     ('a' to 'z').mkString + ('A' to 'Z').mkString
 
-  private def caesar(r: Int): String =
-    ('a' to 'z').map(c => ('a' + (c - 'a' + r) % 26).toChar).mkString +
-      ('A' to 'Z').map(c => ('A' + (c - 'A' + r) % 26).toChar).mkString
+  /** Multipliers coprime with 26 — 12 of them, so affine ciphers give
+    * 12 × 26 = 312 DISTINCT letter bijections (caesar alone repeats with
+    * period 26: at replicas > 26, r and r+26 would carry IDENTICAL text,
+    * planting 100/26 ≈ 4 artificial exact duplicates per document and
+    * corrupting the dedup-query scaling measurement).
+    */
+  private val AffineKs = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
 
-  /** Per-replica caesar on letters: when-chain over the replica column so
+  /** Affine cipher i → k·i + b (mod 26); r < 26 has k = 1 — exactly the
+    * caesar of earlier rounds, so sf1 outputs are bit-compatible. Any
+    * two distinct (k, b) agree on at most gcd(k1−k2, 26) ≤ 2 letters, so
+    * cross-replica words stay disjoint (no synthetic near-dups).
+    */
+  private def affine(r: Int): String = {
+    val k = AffineKs((r / 26) % AffineKs.length)
+    val b = r % 26
+    ('a' to 'z').map(c => ('a' + (k * (c - 'a') + b) % 26).toChar).mkString +
+      ('A' to 'Z').map(c => ('A' + (k * (c - 'A') + b) % 26).toChar).mkString
+  }
+
+  /** Per-replica letter bijection: when-chain over the replica column so
     * the whole fan-out stays one codegen'd projection over one scan.
     */
   private def caesarText(text: Column, replicas: Int): Column =
     (1 until replicas).foldLeft(when(col("r") === 0, text)) { (acc, r) =>
-      acc.when(col("r") === r, translate(text, Letters, caesar(r)))
+      acc.when(col("r") === r, translate(text, Letters, affine(r)))
     }
 
   /** Orthogonal per-replica transform: v'(i) = s(i,r) × v((i+r) mod d),
@@ -103,13 +120,23 @@ object ScaleGen {
   }
 
   def generate(spark: SparkSession, src: String, out: String, replicas: Int): Unit = {
+    require(replicas >= 1 && replicas <= 26 * AffineKs.length,
+      s"ScaleGen: replicas $replicas outside 1..${26 * AffineKs.length} " +
+        "(distinct affine letter bijections)")
     def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // file counts sized for replicas = 10; larger fan-outs scale them so
+    // per-file row counts (and downstream split sizes) stay comparable
+    val fileScale = math.max(1, replicas / 10)
     def save(df: DataFrame, t: String, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      df.repartition(files * fileScale).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
 
-    // fixed dims — copied verbatim (TPC-H does not scale them)
-    save(load("region"), "region", 1)
-    save(load("nation"), "nation", 1)
+    // fixed dims — copied verbatim (TPC-H does not scale them); always
+    // one file regardless of fan-out
+    load("region").repartition(1).write.mode("overwrite")
+      .parquet(s"$out/region.parquet")
+    load("nation").repartition(1).write.mode("overwrite")
+      .parquet(s"$out/nation.parquet")
 
     val customer = load("customer")
     val supplier = load("supplier")
