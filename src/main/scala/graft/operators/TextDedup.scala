@@ -502,6 +502,34 @@ object TextDedup {
     } finally { rows.unpersist(); () }
   }
 
+  /** Append NEW documents' band/sig rows to a [[minHashIndexSave]]d
+    * index — the maintenance path a streaming ingest needs: parameters
+    * are READ from the pinned meta (never re-chosen), so later probes
+    * provably hash with the same permutations as the original build.
+    * Replays may duplicate rows; the probe's candidate set is
+    * `distinct()`d so membership answers are insensitive to them (the
+    * [[graft.streaming.StreamingIngest.fingerprintStore]] discipline —
+    * a periodic offline compaction can shrink the index).
+    */
+  def minHashIndexAppend(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String): Unit = {
+    val spark = docs.sparkSession
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (n, numHashes, bandCount, seed) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
+    val rows = bandRows(docs, idCol, textCol, n, numHashes, bandCount, seed)
+    rows.cache()
+    try {
+      rows.select(col(idCol).as("hist_id"), col("band"), col("key"))
+        .write.mode("append").parquet(s"$dir/bands")
+      rows.select(col(idCol).as("hist_id"), col("sig")).distinct()
+        .write.mode("append").parquet(s"$dir/sigs")
+    } finally { rows.unpersist(); () }
+  }
+
   /** Near-dup pairs between a new `batch` and a [[minHashIndexSave]]d
     * history (CROSS pairs only — compose with [[minHashDedupPairs]] for
     * within-batch pairs). The batch is signed with the index's own

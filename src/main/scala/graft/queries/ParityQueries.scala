@@ -429,7 +429,8 @@ object ParityQueries {
     }),
 
     // Incrementally maintained materialized aggregate
-    // (sources/IncrementalView.scala): a sum/count-by-priority view over
+    // (sources/IncrementalView.scala): a sum/count-by-priority view (AVG
+    // derived from the stored pair at read time) over
     // a versioned orders table is refreshed from the PER-COMMIT change
     // feed only — base v2 bumps prices (%10), v3 deletes (%97), v4
     // inserts shifted copies (%100) — then refreshed again (must fold 0
@@ -462,7 +463,7 @@ object ParityQueries {
         "second refresh must fold nothing")
       IncrementalView.read(s, s"$tmp/view")
         .select(col("o_orderpriority"), round(col("total"), 2).as("total"),
-          col("n_rows"))
+          col("n_rows"), round(col("avg"), 2).as("avg_price"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -1259,7 +1260,8 @@ object ParityQueries {
         |  SELECT o_orderpriority, o_totalprice FROM orders
         |  WHERE o_orderkey % 100 = 0)
         |SELECT o_orderpriority, round(sum(p), 2) AS total,
-        |       count(*) AS n_rows
+        |       count(*) AS n_rows,
+        |       round(sum(p) / count(*), 2) AS avg_price
         |FROM final GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 

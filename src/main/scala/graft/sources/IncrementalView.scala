@@ -39,6 +39,31 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalView {
 
+  /** The aggregate functions a change-feed fold CAN maintain without
+    * rescanning the base: SUM and COUNT fold signed deltas; AVG is
+    * derived from the stored (SUM, COUNT) pair at read time. MIN/MAX
+    * are NOT in this set — deleting the row that held a group's minimum
+    * leaves the new minimum unknown without rescanning that group, so an
+    * "incremental" MIN/MAX view would silently serve stale extrema.
+    */
+  val SelfMaintainable: Set[String] = Set("sum", "count", "avg")
+
+  /** Refuse un-maintainable aggregates UP FRONT (create time), naming
+    * the recompute path — the failure a user must get instead of a view
+    * that drifts after its first delete.
+    */
+  def requireSelfMaintainable(aggs: Seq[String]): Unit = {
+    val bad = aggs.map(_.toLowerCase).filterNot(SelfMaintainable)
+    require(bad.isEmpty,
+      s"IncrementalView: ${bad.mkString(", ")} " +
+        "is not self-maintainable under deletes (removing a group's " +
+        "extreme row leaves the new extreme unknown without a rescan). " +
+        "Recompute instead: ParquetTable.read(basePath).groupBy(keys)" +
+        ".agg(min/max(...)), or rebuild the view with " +
+        "IncrementalView.create. Self-maintainable aggregates: " +
+        SelfMaintainable.toSeq.sorted.mkString(", ") + ".")
+  }
+
   /** txn appIds are `[A-Za-z0-9_.-]+`, so the base path rides along as a
     * stable hex digest — the marker still binds the view to exactly one
     * base table.
@@ -62,7 +87,9 @@ object IncrementalView {
       basePath: String,
       viewPath: String,
       groupCols: Seq[String],
-      sumCol: String): Long = {
+      sumCol: String,
+      aggs: Seq[String] = Seq("sum", "count", "avg")): Long = {
+    requireSelfMaintainable(aggs)
     val baseV = ParquetTable.currentVersion(spark, basePath).getOrElse(
       throw new IllegalArgumentException(
         s"IncrementalView.create: base at $basePath is not a versioned graft table"))
@@ -120,8 +147,11 @@ object IncrementalView {
   }
 
   /** The view's semantic content: stored rows minus the tombstones of
-    * groups whose membership dropped to zero.
+    * groups whose membership dropped to zero, plus the derived `avg`
+    * column (= total / n_rows — AVG rides the stored pair for free; it
+    * is never stored, so the fold stays a pure signed sum).
     */
   def read(spark: SparkSession, viewPath: String): DataFrame =
     ParquetTable.read(spark, viewPath).filter(col("n_rows") > 0)
+      .withColumn("avg", col("total").cast("double") / col("n_rows"))
 }

@@ -391,6 +391,80 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming NEAR-dup ingest — the missing member of the streaming
+    * dedup family (exact fingerprints: [[streamDedupIngest]]; bloom-
+    * guarded exact: [[streamBloomDedupIngest]]; this: MinHash-LSH local
+    * overlap, q117's semantics per micro-batch). Each batch:
+    *
+    *   1. probes the persisted band index
+    *      ([[graft.operators.TextDedup.minHashProbeHistory]]) — history
+    *      never re-minhashes, never reshuffles; with the corpus at
+    *      `outPath` present, candidates are confirmed by EXACT n-gram
+    *      Jaccard against it (q117's verify tier), otherwise the
+    *      signature estimate decides;
+    *   2. drops within-batch near-dups greedily (every id that pairs
+    *      with a smaller id via [[graft.operators.TextDedup
+    *      .minHashDedupPairs]] — the keep-min policy of the exact tier);
+    *   3. MERGEs survivors into the corpus (idempotent), THEN appends
+    *      their band/sig rows to the index
+    *      ([[graft.operators.TextDedup.minHashIndexAppend]]).
+    *
+    * Failure contract (same order-of-operations argument as
+    * [[streamDedupIngest]]): a replayed batch whose first attempt died
+    * between merge and index-append re-probes an index WITHOUT its own
+    * rows — same survivors, no-op re-merge, append completes. One that
+    * died after both sees its own docs in the index at Jaccard 1.0,
+    * drops everything, and appends nothing — the correct fixed point.
+    * The first batch against a missing index pins (n, numHashes, bands,
+    * seed) by saving an empty index up front, so every later probe and
+    * append provably shares the build parameters.
+    */
+  def streamNearDupIngest(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      textCol: String,
+      outPath: String,
+      indexDir: String,
+      threshold: Double,
+      checkpointDir: String,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): StreamingQuery = {
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+        val fs = metaPath.getFileSystem(s.sessionState.newHadoopConf())
+        if (!fs.exists(metaPath))
+          TextDedup.minHashIndexSave(batch.limit(0), idCol, textCol,
+            indexDir, n, numHashes, bands)
+        val verify =
+          if (ParquetTable.exists(s, outPath))
+            Some((ParquetTable.read(s, outPath), idCol, textCol))
+          else None
+        val histDups = TextDedup.minHashProbeHistory(
+            batch, idCol, textCol, indexDir, threshold, verify)
+          .select(col("batch_id").as(idCol)).distinct()
+        val batchDups = TextDedup.minHashDedupPairs(
+            batch, idCol, textCol, threshold, n, numHashes, bands)
+          .select(col("id_b").as(idCol)).distinct()
+        val survivors = batch
+          .join(histDups.unionByName(batchDups), Seq(idCol), "left_anti")
+          .cache() // two consumers: corpus merge + index append
+        try {
+          ParquetTable.merge(s, outPath, survivors, Seq(idCol))
+          TextDedup.minHashIndexAppend(survivors, idCol, textCol, indexDir)
+        } finally { survivors.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Watermarked hourly aggregate per event type — the streaming twin of
     * the batch q15 (late rows beyond the watermark are dropped; emitted
     * once final in Append mode).

@@ -42,6 +42,47 @@ class IncrementalViewSpec extends SparkSpec {
     assert(view(vw) == recompute(b))
   }
 
+  test("read derives avg from the stored pair; it tracks refreshes exactly") {
+    val dir = tmp()
+    val b = s"$dir/b"; val vw = s"$dir/v"
+    ParquetTable.create(base(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 4.0))), b)
+    IncrementalView.create(spark, b, vw, Seq("grp"), "v")
+    ParquetTable.delete(spark, b, col("id") === 1L, cdf = true)
+    ParquetTable.merge(spark, b, base(Seq((4L, "b", 6.0))), Seq("id"), cdf = true)
+    IncrementalView.refresh(spark, b, vw, Seq("id"), Seq("grp"), "v")
+    val avgs = IncrementalView.read(spark, vw).select("grp", "avg")
+      .as[(String, Double)].collect().toMap
+    assert(avgs("a") === 2.0) // (1+2) minus deleted 1 → 2/1
+    assert(avgs("b") === 5.0) // (4+6)/2
+    val expect = ParquetTable.read(spark, b).groupBy("grp")
+      .agg(avg("v").as("avg")).as[(String, Double)].collect().toMap
+    assert(avgs === expect)
+  }
+
+  test("MIN/MAX are refused up front, naming the recompute path") {
+    val dir = tmp()
+    val b = s"$dir/b"; val vw = s"$dir/v"
+    ParquetTable.create(base(Seq((1L, "a", 1.0))), b)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.create(spark, b, vw, Seq("grp"), "v",
+        aggs = Seq("sum", "min"))
+    }
+    assert(e.getMessage.contains("not self-maintainable"))
+    assert(e.getMessage.contains("Recompute"))
+    assert(e.getMessage.toLowerCase.contains("min"))
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalView.create(spark, b, vw, Seq("grp"), "v",
+        aggs = Seq("max"))
+    }
+    assert(e2.getMessage.contains("not self-maintainable"))
+    // nothing was created by the refused calls
+    assert(ParquetTable.currentVersion(spark, vw).isEmpty)
+    // the maintainable set goes through unchanged
+    IncrementalView.create(spark, b, vw, Seq("grp"), "v",
+      aggs = Seq("sum", "count", "avg"))
+    assert(view(vw).nonEmpty)
+  }
+
   test("refresh is idempotent and commit-less when current") {
     val dir = tmp()
     val b = s"$dir/b"; val vw = s"$dir/v"

@@ -183,6 +183,64 @@ class StreamingIngestSpec extends SparkSpec {
     assert(hit)
   }
 
+  test("streamNearDupIngest: cross-batch MinHash near-dup == q117 batch semantics") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = tmpDir("stream-neardup")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    def write(name: String, rows: (Long, String)*): Unit =
+      frame(schema, rows.map(r => org.apache.spark.sql.Row(r._1, r._2)))
+        .coalesce(1).write.parquet(s"$in/$name")
+    def run(ckpt: String): Unit = StreamingIngest.streamNearDupIngest(
+      spark, s"$in/*", schema, "doc_id", "text",
+      s"$root/corpus", s"$root/index", threshold = 0.5, s"$root/$ckpt",
+      n = 2, numHashes = 32, bands = 16).awaitTermination()
+
+    val foxDog = "the quick brown fox jumps over the lazy dog"
+    val foxCat = "the quick brown fox jumps over the lazy cat" // j≈0.78 vs foxDog
+    val foxLeaps = "the quick brown fox leaps over the lazy dog" // j=0.6 vs foxDog
+    val other = "completely different text about spark engines and shuffles"
+    val novel = "entirely unrelated musings on parquet footers and bloom filters"
+
+    // batch 1: 3 is a within-batch near-dup of 1 (greedy keep-min)
+    write("b1", 1L -> foxDog, 2L -> other, 3L -> foxCat)
+    run("ckpt")
+    assert(ParquetTable.read(spark, s"$root/corpus")
+      .collect().map(_.getLong(0)).sorted === Seq(1L, 2L))
+
+    // batch 2: 10 = exact copy of history 1, 12 = near-dup of history 1
+    // (j=0.6) — both must fall to the INDEX probe; 11 survives
+    write("b2", 10L -> foxDog, 11L -> novel, 12L -> foxLeaps)
+    run("ckpt")
+    assert(ParquetTable.read(spark, s"$root/corpus")
+      .collect().map(_.getLong(0)).sorted === Seq(1L, 2L, 11L))
+
+    // batch/stream parity with q117's semantics: the batch operator over
+    // the same split (history = batch-1 survivors, probe = batch 2, same
+    // index params, verify tier) must flag exactly the ids the stream
+    // dropped
+    val hist = frame(schema, Seq(
+      org.apache.spark.sql.Row(1L, foxDog), org.apache.spark.sql.Row(2L, other)))
+    val b2 = frame(schema, Seq(org.apache.spark.sql.Row(10L, foxDog),
+      org.apache.spark.sql.Row(11L, novel), org.apache.spark.sql.Row(12L, foxLeaps)))
+    val idx = tmpDir("stream-neardup-batch") + "/idx"
+    graft.operators.TextDedup.minHashIndexSave(hist, "doc_id", "text", idx,
+      n = 2, numHashes = 32, bands = 16)
+    val batchDropped = graft.operators.TextDedup.minHashProbeHistory(
+        b2, "doc_id", "text", idx, threshold = 0.5,
+        verifyAgainst = Some((hist, "doc_id", "text")))
+      .select("batch_id").collect().map(_.getLong(0)).toSet
+    assert(batchDropped === Set(10L, 12L))
+
+    // worst-case redelivery: checkpoint lost, both files reprocess — every
+    // doc now matches its own index rows at Jaccard 1.0, nothing re-lands
+    run("ckpt-rebuilt")
+    assert(ParquetTable.read(spark, s"$root/corpus").count() === 3)
+  }
+
   test("hourlyEventCounts: watermarked windowed aggregation over a file stream") {
     val root = tmpDir("stream-agg")
     val in = s"$root/in"
