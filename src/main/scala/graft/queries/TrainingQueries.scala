@@ -956,6 +956,34 @@ object TrainingQueries {
         .orderBy(col("doc_id"), col("hist_id"))
     }),
 
+    // Incremental MinHash index MAINTENANCE (TextDedup.minHashIndexAppend
+    // — the streaming near-dup ingest's append path stated as a batch
+    // query): the index is BUILT over half the history and the other
+    // half APPENDED; probes must answer exactly as a one-shot index over
+    // the union would (parameters are read from the pinned meta, so the
+    // appended rows provably hash with the build's permutations). The
+    // batch plants shifted copies hitting BOTH the saved half (%20==0 →
+    // ≡0 mod 4) and the appended half (%20==10 → ≡2 mod 4); the oracle
+    // is the index-free brute-force cross Jaccard against the FULL
+    // history — an append bug (wrong params, dropped rows) loses pairs
+    // and fails the hash.
+    "q139_minhash_index_append" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val histSaved = docs.filter(col("doc_id") % 4 === 0)
+      val histAppended = docs.filter(col("doc_id") % 4 === 2)
+      val history = histSaved.unionByName(histAppended)
+      val batch = docs.filter(col("doc_id") % 2 =!= 0 && col("doc_id") < 200)
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_mhapp").toString + "/idx"
+      TextDedup.minHashIndexSave(histSaved, "doc_id", "text", dir)
+      TextDedup.minHashIndexAppend(histAppended, "doc_id", "text", dir)
+      TextDedup.minHashProbeHistory(batch, "doc_id", "text", dir,
+          threshold = 0.5, verifyAgainst = Some((history, "doc_id", "text")))
+        .orderBy(col("batch_id"), col("hist_id"))
+    }),
+
     // The 100-TB dedup COMPOSITION: MinHash-LSH candidate generation →
     // exact-Jaccard confirmation (TextDedup.minHashDedupPairs, the q24
     // path) → connected components (Components.dedupClusters, the q47
@@ -1838,8 +1866,28 @@ object TrainingQueries {
        |SELECT id AS doc_id, min(r) AS component, min(r) = id AS is_canonical
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** q139: brute-force cross Jaccard against the FULL history — the
+    * probe through a saved+appended index must find exactly these pairs.
+    */
+  private val indexAppendOracle: String =
+    s"""WITH g AS (SELECT doc_id, ${gramsSql("text")} AS grams FROM documents),
+       |hist AS (SELECT doc_id, grams FROM g WHERE doc_id % 2 = 0),
+       |batch AS (
+       |  SELECT doc_id, grams FROM g WHERE doc_id % 2 <> 0 AND doc_id < 200
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, grams FROM g
+       |  WHERE doc_id % 10 = 0)
+       |SELECT b.doc_id AS batch_id, h.doc_id AS hist_id,
+       |  round(len(list_intersect(b.grams, h.grams))::DOUBLE
+       |    / len(list_distinct(list_concat(b.grams, h.grams))), 4) AS jaccard
+       |FROM batch b JOIN hist h ON
+       |  len(list_intersect(b.grams, h.grams))::DOUBLE
+       |    / len(list_distinct(list_concat(b.grams, h.grams))) >= 0.5
+       |ORDER BY batch_id, hist_id""".stripMargin
+
   lazy val oracles: Map[String, String] = oraclesBase +
     ("q138_lsh_dedup_clusters" -> lshClustersOracle) +
+    ("q139_minhash_index_append" -> indexAppendOracle) +
     ("q110_ivfpq_persisted" -> oraclesBase("q102_ivfpq_ann")) +
     // the persisted tier must reproduce the recompute tier exactly
     ("q132_dsir_persisted" -> oraclesBase("q128_dsir_select")) +

@@ -62,6 +62,56 @@ class ScaleGenSpec extends SparkSpec {
     assert(w0.join(w1, "w").isEmpty)
   }
 
+  test("affine ciphers stay distinct past the caesar period (sf10 safety)") {
+    // at replicas > 26 a pure caesar repeats (r and r+26 identical) —
+    // the affine multiplier must keep replicas 0/26/52 pairwise disjoint
+    // in word space, or sf10 plants artificial exact duplicates
+    val dir = java.nio.file.Files.createTempDirectory("scalegen-aff").toString
+    ScaleGen.generate(spark, src, dir, 28)
+    val d0 = spark.read.parquet(s"$src/documents.parquet")
+    val docStride = d0.agg(max("doc_id")).head().getLong(0) + 1
+    val d1 = spark.read.parquet(s"$dir/documents.parquet")
+    def rep(r: Int) = d1.filter(
+      col("doc_id") >= docStride * r && col("doc_id") < docStride * (r + 1))
+    // replicas 0..25 match the old caesar scheme: r=1 is shift-1
+    val t0 = rep(0).orderBy("doc_id").select("text").limit(1)
+      .head().getString(0)
+    val t1 = rep(1).orderBy("doc_id").select("text").limit(1)
+      .head().getString(0)
+    assert(t1 == t0.map(c =>
+      if (c >= 'a' && c <= 'z') ('a' + (c - 'a' + 1) % 26).toChar
+      else if (c >= 'A' && c <= 'Z') ('A' + (c - 'A' + 1) % 26).toChar
+      else c))
+    // replica 26 (k=3, b=0) must NOT equal replica 0 — the caesar scheme
+    // would have made them identical. The affine pair (1,0)/(3,0) has
+    // fixed points only at 'a' and 'n' (2i ≡ 0 mod 26), so any shared
+    // word is drawn from {a, n}; the dedup measurements lean on SHINGLE
+    // (word-3-gram) disjointness, which needs three consecutive such
+    // words and must be empty outright
+    def words(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$")).distinct()
+    val shared = words(rep(0)).join(words(rep(26)), "w")
+      .collect().map(_.getString(0))
+    assert(shared.forall(_.forall(c => c == 'a' || c == 'n')),
+      s"non-fixed-point words leaked across replicas: ${shared.mkString(",")}")
+    def shingles(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(
+        graft.functions.TextFunctions.wordNGrams(col("text"), 3)).as("g"))
+      .distinct()
+    assert(shingles(rep(0)).join(shingles(rep(26)), "g").isEmpty)
+    // lengths still preserved across the whole fan-out
+    val chars0 = d0.agg(sum(length(col("text")))).head().getLong(0)
+    val chars1 = d1.agg(sum(length(col("text")))).head().getLong(0)
+    assert(chars1 == chars0 * 28)
+    // replicas beyond the cipher supply are refused, not silently reused
+    val e = intercept[IllegalArgumentException] {
+      ScaleGen.generate(spark, src,
+        java.nio.file.Files.createTempDirectory("scalegen-bad").toString, 313)
+    }
+    assert(e.getMessage.contains("312"))
+  }
+
   test("embedding transform is orthogonal: norms preserved bit-for-bit shape") {
     val e0 = spark.read.parquet(s"$src/embeddings.parquet")
     val e1 = spark.read.parquet(s"$out/embeddings.parquet")
