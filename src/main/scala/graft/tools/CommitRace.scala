@@ -49,13 +49,27 @@ object CommitRace {
       Thread.sleep(50)
     }
 
+    val mode = args.lift(3).getOrElse("merge")
     (0 until nOps).foreach { i =>
-      val own = Row(1000 * workerId + i, s"w$workerId", s"w$workerId-$i")
-      val rows = if (i % 2 == 0) Seq(own, Row(1, "s", s"w$workerId-$i"))
-                 else Seq(own)
-      val upd = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
-      ParquetTable.merge(spark, path, upd, Seq("id"), Seq("p"))
+      mode match {
+        case "merge" =>
+          val own = Row(1000 * workerId + i, s"w$workerId", s"w$workerId-$i")
+          val rows = if (i % 2 == 0) Seq(own, Row(1, "s", s"w$workerId-$i"))
+                     else Seq(own)
+          val upd = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema)
+          ParquetTable.merge(spark, path, upd, Seq("id"), Seq("p"))
+        case "replace" =>
+          // full-image replace: last writer wins EXPLICITLY; the race
+          // invariant is that every committed version is exactly ONE
+          // worker's untorn image on its own fresh version number
+          val img = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              Seq(Row(workerId, "s", s"w$workerId-$i")), 1), schema)
+          val v = ParquetTable.atomicReplace(spark, path, img, Nil)
+          require(v > 0, s"atomicReplace returned $v without a txn marker")
+        case other => sys.error(s"CommitRace: unknown mode $other")
+      }
     }
     println(s"RACE_OK worker=$workerId ops=$nOps")
     spark.stop()

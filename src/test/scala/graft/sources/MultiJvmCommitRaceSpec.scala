@@ -38,26 +38,21 @@ class MultiJvmCommitRaceSpec extends SparkSpec {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  test("two JVMs racing merges: every op lands, one winner per version") {
-    val path = tmpDir("mjvm-race") + "/t"
-    val nOps = 4
-    ParquetTable.createVersioned(
-      frame(schema, Seq(Row(1, "s", "seed"), Row(2, "s", "keep"))),
-      path, Seq("p")) // v1
-
+  private def spawnWorker(
+      path: String, id: Int, nOps: Int, mode: String): Process = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
-    def spawn(id: Int): Process = {
-      val pb = new ProcessBuilder(
-        (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
-          "graft.tools.CommitRace", path, id.toString, nOps.toString)): _*)
-      pb.redirectErrorStream(true)
-      pb.redirectOutput(new java.io.File(s"$path.worker$id.log"))
-      pb.start()
-    }
-    val p1 = spawn(1)
-    val p2 = spawn(2)
-    // release both only once spawned, so they storm the table together
+    val pb = new ProcessBuilder(
+      (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
+        "graft.tools.CommitRace", path, id.toString, nOps.toString,
+        mode)): _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new java.io.File(s"$path.worker$id.log"))
+    pb.start()
+  }
+
+  private def awaitWorkers(path: String, p1: Process, p2: Process,
+      nOps: Int): Unit = {
     java.nio.file.Files.createFile(java.nio.file.Paths.get(path + ".start"))
     assert(p1.waitFor(300, java.util.concurrent.TimeUnit.SECONDS), "worker 1 hung")
     assert(p2.waitFor(300, java.util.concurrent.TimeUnit.SECONDS), "worker 2 hung")
@@ -67,6 +62,45 @@ class MultiJvmCommitRaceSpec extends SparkSpec {
     assert(p2.exitValue() == 0, s"worker 2 failed:\n${log(2)}")
     assert(log(1).contains(s"RACE_OK worker=1 ops=$nOps"), log(1))
     assert(log(2).contains(s"RACE_OK worker=2 ops=$nOps"), log(2))
+  }
+
+  test("two JVMs racing atomicReplace: dense chain, every version untorn") {
+    val path = tmpDir("mjvm-replace") + "/t"
+    val nOps = 4
+    ParquetTable.create(frame(schema, Seq(Row(0, "s", "seed"))), path) // v1
+    val p1 = spawnWorker(path, 1, nOps, "replace")
+    val p2 = spawnWorker(path, 2, nOps, "replace")
+    awaitWorkers(path, p1, p2, nOps)
+
+    // every replace landed on its own fresh version — a duplicate CAS
+    // claim would shorten the chain
+    assert(ParquetTable.currentVersion(spark, path) === Some(1L + 2 * nOps))
+    // every version is EXACTLY one worker's one-row image, never a torn
+    // mixture or a half-visible directory
+    (2L to (1L + 2 * nOps)).foreach { v =>
+      val rows = ParquetTable.readAt(spark, path, v).collect()
+        .map(r => (r.getInt(r.fieldIndex("id")),
+          r.getString(r.fieldIndex("v"))))
+      assert(rows.length === 1, s"v$v has ${rows.length} rows")
+      val (id, value) = rows.head
+      assert(value.matches(s"w$id-[0-3]"), s"v$v: $rows")
+    }
+    // last-writer-wins: the final image is SOME worker's final op
+    val fin = ParquetTable.read(spark, path).collect()
+      .map(r => r.getString(r.fieldIndex("v")))
+    assert(fin.length === 1 && fin.head.matches(s"w[12]-${nOps - 1}"), fin.toSeq)
+  }
+
+  test("two JVMs racing merges: every op lands, one winner per version") {
+    val path = tmpDir("mjvm-race") + "/t"
+    val nOps = 4
+    ParquetTable.createVersioned(
+      frame(schema, Seq(Row(1, "s", "seed"), Row(2, "s", "keep"))),
+      path, Seq("p")) // v1
+
+    val p1 = spawnWorker(path, 1, nOps, "merge")
+    val p2 = spawnWorker(path, 2, nOps, "merge")
+    awaitWorkers(path, p1, p2, nOps)
 
     // exactly one winner per version: 2·nOps commits on top of v1, a
     // DENSE chain (duplicate claims would shorten it; a torn CAS would
