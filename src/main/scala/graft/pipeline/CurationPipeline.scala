@@ -14,6 +14,11 @@ import graft.operators._
   *   1. line hygiene    — [[C4Filter]] (zero-shuffle line + doc gates)
   *   2. paragraph dedup — [[ParagraphDedup]] (corpus-wide first-occurrence)
   *   3. exact dedup     — [[TextDedup.exactDedup]] (normalized fingerprint)
+  *   3c. near-dup       — optional [[TextDedup.minHashDedupPairs]] →
+  *                        [[Components.dedupClustersKeepBest]]: the
+  *                        100-TB LSH→components path (q138) with the
+  *                        FineWeb keep-best-quality retention (q133);
+  *                        off by default — the threshold is corpus policy
   *   4. decontamination — [[TextDedup.decontaminate]] against an optional
   *                        held-out benchmark set (n-gram leakage; the
   *                        embedding tier is [[Ann.decontaminateByEmbedding]]
@@ -52,7 +57,8 @@ object CurationPipeline {
       seed: String = "curation42",
       bench: Option[DataFrame] = None,          // held-out (any id, text)
       maxBenchOverlap: Double = 0.5,
-      mixBy: Option[(String, Double)] = None    // (group col in docs, alpha)
+      mixBy: Option[(String, Double)] = None,   // (group col in docs, alpha)
+      nearDupThreshold: Option[Double] = None   // Jaccard bar for stage 3c
   ): Result = {
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def mark(name: String, df: DataFrame): DataFrame = {
@@ -86,9 +92,26 @@ object CurationPipeline {
       case None => exact0
     }
 
+    // 3c. near-dup cluster retention (LSH banding → exact-Jaccard
+    // confirm → connected components, each cluster keeping its
+    // best-quality member — never the quadratic exact tier)
+    val nearDeduped = nearDupThreshold match {
+      case Some(t) => mark(s"near_dedup($t)", {
+        val pairs = TextDedup.minHashDedupPairs(exact, "doc_id", "text",
+            threshold = t)
+          .select(col("id_a"), col("id_b"))
+        Components.dedupClustersKeepBest(
+            exact.withColumn("__q", TextFunctions.qualityScore(col("text"))),
+            "doc_id", pairs, "id_a", "id_b", "__q")
+          .filter(col("is_best"))
+          .select(col("doc_id"), col("text"))
+      })
+      case None => exact
+    }
+
     // 4a. repetition-quality gate (Gopher signals)
     val repOk = mark("repetition_gate",
-      exact.filter(TextFunctions.repetitionKeep(
+      nearDeduped.filter(TextFunctions.repetitionKeep(
         TextFunctions.repetitionStats(col("text")))))
 
     // 4b. LM quality: drop the lowest-scoring quantile

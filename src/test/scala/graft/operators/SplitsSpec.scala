@@ -88,6 +88,34 @@ class SplitsSpec extends SparkSpec {
     assert(c3.getOrElse("b", 0L) + c3.getOrElse("a", 0L) == 2000L, c3)
   }
 
+  test("property: random weights — every row assigned, fractions near weights") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      k <- Gen.choose(1, 5)
+      ws <- Gen.listOfN(k, Gen.choose(0.001, 10.0))
+    } yield ws
+    (1L to 15L).foreach { seed =>
+      val ws = gen.apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error("gen failed"))
+      val splits = ws.zipWithIndex.map { case (w, i) => s"s$i" -> w }
+      val counts = Splits.assign(ids, "id", splits, seed = seed.toString)
+        .groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.values.sum == 2000, s"seed $seed: rows lost")
+      assert(counts.keySet.subsetOf(splits.map(_._1).toSet), s"seed $seed")
+      val total = ws.sum
+      splits.foreach { case (n, w) =>
+        val frac = counts.getOrElse(n, 0L).toDouble / 2000
+        // 1/256 bucket granularity + binomial noise over 2000 ids; a
+        // boundary-overflow misassignment (the pre-clamp bug) lands ~0.9
+        // off and cannot hide inside this band
+        assert(math.abs(frac - w / total) < 0.07,
+          s"seed $seed $n: $frac vs ${w / total}")
+      }
+    }
+  }
+
   test("three hex chars widen the bucket space") {
     val b = Splits.assign(ids.limit(5), "id", Seq("a" -> 1.0), hexChars = 3)
       .select("bucket").as[String].collect()

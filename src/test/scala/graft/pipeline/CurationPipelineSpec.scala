@@ -44,6 +44,36 @@ class CurationPipelineSpec extends SparkSpec {
     assert(out.intersect(leaked) === Set.empty)
   }
 
+  test("near-dup stage collapses planted clusters via the LSH path") {
+    // plant one near-dup twin per %5 LONG doc: newlines flattened to
+    // spaces (ONE paragraph, unique corpus-wide — paragraph dedup must
+    // not strip it back to a stub) + a unique word tail (fingerprint
+    // differs — exact dedup must not collapse it). Token stream ≈ the
+    // original's ⇒ word-3-gram Jaccard ≈ n/(n+5) ≥ 0.9 on ≥50-token
+    // docs — squarely in the LSH-confident region, must fall to stage 3c
+    val planted = docs
+      .filter(col("doc_id") % 5 === 0 &&
+        size(split(col("text"), "\\s+")) >= 50)
+      .withColumn("doc_id", col("doc_id") + 500000L)
+      .withColumn("text",
+        concat(replace(col("text"), lit("\n"), lit(" ")),
+          lit(" unique tail words for "), col("doc_id")))
+    val r = CurationPipeline.run(spark, docs.unionByName(planted),
+      minWordsPerLine = 4, blocklist = Seq("slow"), minLines = 1,
+      lmCutQuantile = 0.10, nShards = 4, nMerges = 6,
+      nearDupThreshold = Some(0.5))
+    val funnel = r.funnel.toMap
+    val stage = r.funnel.find(_._1.startsWith("near_dedup")).get
+    assert(stage._2 < funnel("exact_dedup"), r.funnel.toString)
+    // each collapsed cluster kept exactly one member: surviving planted
+    // twins and their originals are (near-)disjoint — allow a small LSH
+    // tail for very short docs at j barely over the bar
+    val ids = r.corpus.select("doc_id").as[Long].collect().toSet
+    val bothKept = ids.filter(_ >= 500000L).map(_ - 500000L).count(ids.contains)
+    assert(bothKept === 0, s"$bothKept clusters kept both members")
+    assert(ids.nonEmpty)
+  }
+
   test("the funnel is observable, ordered, and monotone non-increasing") {
     val names = result.funnel.map(_._1)
     assert(names == Seq("input", "c4_filter", "para_dedup", "exact_dedup",
