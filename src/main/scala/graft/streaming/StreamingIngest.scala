@@ -391,6 +391,79 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming PARAGRAPH scrub — the Dolma/BFF pass as a stream,
+    * completing the four-member streaming dedup family (exact:
+    * [[streamDedupIngest]]; bloom-exact: [[streamBloomDedupIngest]];
+    * MinHash near-dup: [[streamNearDupIngest]]; this: paragraph-granular
+    * scrub). Each micro-batch:
+    *
+    *   1. in-batch first-occurrence paragraph dedup
+    *      ([[graft.operators.ParagraphDedup.dedup]]);
+    *   2. scrub vs the persisted paragraph-fingerprint store through the
+    *      bloom guard ([[graft.operators.ParagraphDedup
+    *      .scrubSeenParagraphs]] — bloom-negative paragraphs never touch
+    *      the store, candidates broadcast, the store never shuffles);
+    *   3. MERGE surviving documents (those with ≥1 kept paragraph) with
+    *      their scrubbed text, THEN append the kept paragraphs'
+    *      fingerprints and fold them into the persisted bloom filter
+    *      (batch-bounded collect, the [[streamBloomDedupIngest]] fold).
+    *
+    * Replay fixed point: a batch re-delivered after a full first attempt
+    * finds its own paragraphs in the store, scrubs every document to
+    * zero kept paragraphs, merges nothing and appends nothing.
+    */
+  def streamParagraphScrub(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      textCol: String,
+      outPath: String,
+      storePath: String,
+      bloomPath: String,
+      expectedItems: Long,
+      checkpointDir: String,
+      paraSep: String = "\n\n"): StreamingQuery = {
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val bloomBytes = readBloom(s, bloomPath, expectedItems)
+        val inBatch = graft.operators.ParagraphDedup
+          .dedup(batch.toDF(), idCol, textCol, paraSep)
+          .filter(col("n_paras_kept") > 0)
+          .select(col(idCol), col("clean_text").as(textCol))
+        val scrubbed = graft.operators.ParagraphDedup.scrubSeenParagraphs(
+            inBatch, idCol, textCol,
+            fingerprintStore(s, storePath), bloomBytes, paraSep)
+          .filter(col("n_paras_kept") > 0)
+          .select(col(idCol), col("clean_text").as(textCol))
+          .cache() // three consumers: merge + fp append + bloom fold
+        try {
+          ParquetTable.merge(s, outPath, scrubbed, Seq(idCol))
+          val fps = graft.operators.ParagraphDedup
+            .paragraphFps(scrubbed, textCol, paraSep).cache()
+          try {
+            fps.write.mode("append").parquet(storePath)
+            val hashed = fps.select(xxhash64(col("fp")))
+              .collect().map(_.getLong(0))
+            if (hashed.nonEmpty) {
+              val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(bloomBytes))
+              hashed.foreach(merged.putLong)
+              val bos = new java.io.ByteArrayOutputStream()
+              merged.writeTo(bos)
+              writeBloom(s, bloomPath, bos.toByteArray)
+            }
+          } finally { fps.unpersist(); () }
+        } finally { scrubbed.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Streaming NEAR-dup ingest — the missing member of the streaming
     * dedup family (exact fingerprints: [[streamDedupIngest]]; bloom-
     * guarded exact: [[streamBloomDedupIngest]]; this: MinHash-LSH local

@@ -183,6 +183,51 @@ class StreamingIngestSpec extends SparkSpec {
     assert(hit)
   }
 
+  test("streamParagraphScrub: cross-batch BFF paragraph scrub, bloom folds forward") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = tmpDir("stream-parascrub")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    def write(name: String, rows: (Long, String)*): Unit =
+      frame(schema, rows.map(r => org.apache.spark.sql.Row(r._1, r._2)))
+        .coalesce(1).write.parquet(s"$in/$name")
+    def run(ckpt: String): Unit = StreamingIngest.streamParagraphScrub(
+      spark, s"$in/*", schema, "doc_id", "text",
+      s"$root/corpus", s"$root/fps", s"$root/bloom",
+      expectedItems = 1000L, s"$root/$ckpt").awaitTermination()
+    def textOf(id: Long): String = ParquetTable.read(spark, s"$root/corpus")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === id)
+      .head().getString(1)
+
+    // batch 1: doc 2 repeats doc 1's boilerplate paragraph IN-batch
+    write("b1",
+      1L -> "shared boilerplate header\n\nalpha body one",
+      2L -> "shared boilerplate header\n\nbeta body two")
+    run("ckpt")
+    assert(textOf(1L) == "shared boilerplate header\n\nalpha body one")
+    assert(textOf(2L) == "beta body two") // in-batch first occurrence wins
+    // batch 2: doc 10 repeats history paragraphs (cross-batch scrub), doc
+    // 11 is pure boilerplate → fully scrubbed, never lands
+    write("b2",
+      10L -> "alpha body one\n\nfresh second-batch paragraph",
+      11L -> "shared boilerplate header")
+    run("ckpt")
+    assert(textOf(10L) == "fresh second-batch paragraph")
+    assert(ParquetTable.read(spark, s"$root/corpus")
+      .collect().map(_.getLong(0)).sorted === Seq(1L, 2L, 10L))
+    // replay fixed point: lost checkpoint, both files reprocess — every
+    // paragraph is now history, nothing re-lands, corpus unchanged
+    run("ckpt-rebuilt")
+    assert(ParquetTable.read(spark, s"$root/corpus")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted === Seq(
+      1L -> "shared boilerplate header\n\nalpha body one",
+      2L -> "beta body two",
+      10L -> "fresh second-batch paragraph"))
+  }
+
   test("streamNearDupIngest: cross-batch MinHash near-dup == q117 batch semantics") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val root = tmpDir("stream-neardup")
