@@ -504,7 +504,13 @@ object StreamingIngest {
       checkpointDir: String,
       n: Int = 3,
       numHashes: Int = 32,
-      bands: Int = 8): StreamingQuery = {
+      bands: Int = 8,
+      verifyWithCorpus: Boolean = true): StreamingQuery = {
+    // `verifyWithCorpus = false` switches the history probe to the
+    // persisted-signature ESTIMATE tier — the 100 TB serving mode: the
+    // verify tier re-reads the ingested corpus once per micro-batch
+    // (exactness for modest corpora), the estimate tier touches only
+    // the index (an unbiased Jaccard estimator over numHashes positions)
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .outputMode(OutputMode.Append)
@@ -518,7 +524,7 @@ object StreamingIngest {
           TextDedup.minHashIndexSave(batch.limit(0), idCol, textCol,
             indexDir, n, numHashes, bands)
         val verify =
-          if (ParquetTable.exists(s, outPath))
+          if (verifyWithCorpus && ParquetTable.exists(s, outPath))
             Some((ParquetTable.read(s, outPath), idCol, textCol))
           else None
         val histDups = TextDedup.minHashProbeHistory(

@@ -284,6 +284,25 @@ class StreamingIngestSpec extends SparkSpec {
     // doc now matches its own index rows at Jaccard 1.0, nothing re-lands
     run("ckpt-rebuilt")
     assert(ParquetTable.read(spark, s"$root/corpus").count() === 3)
+
+    // the 100 TB serving mode: estimate tier never touches the corpus —
+    // identical signatures still flag replays at estimate 1.0
+    val root2 = tmpDir("stream-neardup-est")
+    Files.createDirectories(Paths.get(s"$root2/in"))
+    def write2(name: String, rows: (Long, String)*): Unit =
+      frame(schema, rows.map(r => org.apache.spark.sql.Row(r._1, r._2)))
+        .coalesce(1).write.parquet(s"$root2/in/$name")
+    def run2(): Unit = StreamingIngest.streamNearDupIngest(
+      spark, s"$root2/in/*", schema, "doc_id", "text",
+      s"$root2/corpus", s"$root2/index", threshold = 0.5, s"$root2/ckpt",
+      n = 2, numHashes = 32, bands = 16,
+      verifyWithCorpus = false).awaitTermination()
+    write2("b1", 1L -> foxDog, 2L -> other)
+    run2()
+    write2("b2", 10L -> foxDog, 11L -> novel)
+    run2()
+    assert(ParquetTable.read(spark, s"$root2/corpus")
+      .collect().map(_.getLong(0)).sorted === Seq(1L, 2L, 11L))
   }
 
   test("hourlyEventCounts: watermarked windowed aggregation over a file stream") {
