@@ -194,6 +194,25 @@ object TextDedup {
     * never re-sketched and never shuffles as text — only its posting
     * list joins the batch-bounded fingerprint set on an 8-byte key.
     */
+  /** Append NEW documents' selected fingerprints to a
+    * [[winnowingIndexSave]]d posting list — the incremental maintenance
+    * path, symmetric with [[minHashIndexAppend]]: (k, w) are READ from
+    * the pinned params so appended rows provably sketch with the build's
+    * window. Replay-duplicated posting rows would double-count
+    * `n_shared`, so callers in at-least-once settings must gate appends
+    * on the document landing first (the merge-then-append contract).
+    */
+  def winnowingIndexAppend(
+      docs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val p = spark.read.parquet(s"$dir/params").collect()(0)
+    val (k, w) = (p.getInt(0), p.getInt(1))
+    docs
+      .select(col(idCol).as("hist_id"),
+        explode(winnowingFingerprints(col(textCol), k, w)).as("fp"))
+      .write.mode("append").parquet(s"$dir/posting")
+  }
+
   def winnowingProbeHistory(
       batch: DataFrame, idCol: String, textCol: String, dir: String,
       minShared: Long = 2): DataFrame = {

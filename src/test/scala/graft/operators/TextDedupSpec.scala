@@ -276,6 +276,27 @@ class TextDedupSpec extends SparkSpec {
     assert(!probed.exists(_._1 == 21L))
   }
 
+  test("winnowingIndexAppend: saved+appended index probes == one-shot index") {
+    val half1 = corpus.filter(org.apache.spark.sql.functions.col("id") <= 3L)
+    val half2 = corpus.filter(org.apache.spark.sql.functions.col("id") > 3L)
+    val oneShot = tmpDir("wnidx-oneshot") + "/idx"
+    TextDedup.winnowingIndexSave(corpus, "id", "text", oneShot, k = 3, w = 4)
+    val maintained = tmpDir("wnidx-maint") + "/idx"
+    TextDedup.winnowingIndexSave(half1, "id", "text", maintained, k = 3, w = 4)
+    TextDedup.winnowingIndexAppend(half2, "id", "text", maintained)
+    val batch = docs(
+      (20L, "the quick brown fox jumps over the lazy dog", "a"),
+      (21L, "a genuinely novel document mentioning nothing familiar", "b"))
+    def probe(dir: String) = TextDedup.winnowingProbeHistory(
+        batch, "id", "text", dir, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = probe(maintained)
+    assert(got == probe(oneShot))
+    // the APPENDED half answers probes (4/5 are dups of the batch doc)
+    assert(got.exists(p => p._1 == 20L && p._2 == 4L))
+    assert(got.exists(p => p._1 == 20L && p._2 == 5L))
+  }
+
   test("winnowing short-doc tiers: < k tokens empty, < w grams one global min") {
     import org.apache.spark.sql.functions.col
     val fps = docs((1L, "a b", "x"), (2L, "a b c d", "x"))
