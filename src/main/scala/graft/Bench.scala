@@ -156,6 +156,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // A typo'd name in either list would silently shrink the run to an
+    // empty (or wrong) benchmark that still exits 0 and masquerades as a
+    // completed campaign — fail fast naming the unknown entries instead.
+    val unknown = (only ++ skip) -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"Bench: unknown query name(s) in SPARK_GRAFT_ONLY/SPARK_GRAFT_SKIP: " +
+        unknown.toSeq.sorted.mkString(", "))
     val names = (SparkEntry.queries.keySet -- skip)
       .filter(n => only.isEmpty || only(n)).toSeq.sorted
     // warmup: full plan compile+execute per query at the smallest SF

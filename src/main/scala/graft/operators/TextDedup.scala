@@ -198,9 +198,10 @@ object TextDedup {
     * [[winnowingIndexSave]]d posting list — the incremental maintenance
     * path, symmetric with [[minHashIndexAppend]]: (k, w) are READ from
     * the pinned params so appended rows provably sketch with the build's
-    * window. Replay-duplicated posting rows would double-count
-    * `n_shared`, so callers in at-least-once settings must gate appends
-    * on the document landing first (the merge-then-append contract).
+    * window. At-least-once replays may duplicate posting rows; the probe
+    * distinct()s (hist_id, fp) before counting, so `n_shared` is
+    * insensitive to them (same discipline as [[minHashIndexAppend]] —
+    * a periodic offline compaction can shrink the index).
     */
   def winnowingIndexAppend(
       docs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
@@ -222,7 +223,12 @@ object TextDedup {
     batch
       .select(col(idCol),
         explode(winnowingFingerprints(col(textCol), k, w)).as("fp"))
-      .join(spark.read.parquet(s"$dir/posting"), Seq("fp"))
+      // (hist_id, fp) is naturally unique (the sketch is array_distinct'd
+      // per doc), so this distinct() is a no-op on a clean index — it is
+      // the at-least-once-replay guard: a duplicated [[winnowingIndexAppend]]
+      // must not double-count n_shared (the same membership discipline as
+      // minHashProbeHistory's distinct()'d candidate set).
+      .join(spark.read.parquet(s"$dir/posting").distinct(), Seq("fp"))
       .groupBy(col(idCol), col("hist_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

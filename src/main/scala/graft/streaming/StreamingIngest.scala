@@ -523,6 +523,21 @@ object StreamingIngest {
         if (!fs.exists(metaPath))
           TextDedup.minHashIndexSave(batch.limit(0), idCol, textCol,
             indexDir, n, numHashes, bands)
+        else {
+          // The history probe and index append read the PINNED meta; the
+          // within-batch dedup below uses the caller's (n, numHashes,
+          // bands). A restart with different args would silently change
+          // within-batch semantics relative to the index — refuse instead
+          // of diverging from the q117-per-micro-batch contract.
+          val m = s.read.parquet(s"$indexDir/meta").head()
+          val pinned = (m.getInt(0), m.getInt(1), m.getInt(2))
+          require(pinned == ((n, numHashes, bands)),
+            s"streamNearDupIngest: passed (n=$n, numHashes=$numHashes, " +
+              s"bands=$bands) conflict with the index's pinned " +
+              s"(n=${pinned._1}, numHashes=${pinned._2}, bands=${pinned._3}) " +
+              s"at $indexDir/meta — restart with the pinned parameters or " +
+              "rebuild the index")
+        }
         val verify =
           if (verifyWithCorpus && ParquetTable.exists(s, outPath))
             Some((ParquetTable.read(s, outPath), idCol, textCol))

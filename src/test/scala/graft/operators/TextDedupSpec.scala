@@ -297,6 +297,21 @@ class TextDedupSpec extends SparkSpec {
     assert(got.exists(p => p._1 == 20L && p._2 == 5L))
   }
 
+  test("winnowingProbeHistory is replay-insensitive: duplicated append does not inflate n_shared") {
+    val clean = tmpDir("wnidx-clean") + "/idx"
+    TextDedup.winnowingIndexSave(corpus, "id", "text", clean, k = 3, w = 4)
+    val replayed = tmpDir("wnidx-replay") + "/idx"
+    TextDedup.winnowingIndexSave(corpus, "id", "text", replayed, k = 3, w = 4)
+    // an at-least-once restart re-appends the SAME documents: posting rows
+    // duplicate, but n_shared (and therefore the minShared cut) must not move
+    TextDedup.winnowingIndexAppend(corpus, "id", "text", replayed)
+    val batch = docs((20L, "the quick brown fox jumps over the lazy dog", "a"))
+    def probe(dir: String) = TextDedup.winnowingProbeHistory(
+        batch, "id", "text", dir, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(replayed) == probe(clean))
+  }
+
   test("winnowing short-doc tiers: < k tokens empty, < w grams one global min") {
     import org.apache.spark.sql.functions.col
     val fps = docs((1L, "a b", "x"), (2L, "a b c d", "x"))

@@ -305,6 +305,40 @@ class StreamingIngestSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted === Seq(1L, 2L, 11L))
   }
 
+  test("streamNearDupIngest refuses a restart whose params conflict with the pinned meta") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = tmpDir("stream-neardup-pin")
+    Files.createDirectories(Paths.get(s"$root/in"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    frame(schema, Seq(org.apache.spark.sql.Row(1L, "some first document text here")))
+      .coalesce(1).write.parquet(s"$root/in/b1")
+    StreamingIngest.streamNearDupIngest(
+      spark, s"$root/in/*", schema, "doc_id", "text",
+      s"$root/corpus", s"$root/index", threshold = 0.5, s"$root/ckpt",
+      n = 2, numHashes = 32, bands = 16).awaitTermination()
+    // a restart with different banding would silently change within-batch
+    // dedup semantics relative to the pinned index — it must refuse instead
+    frame(schema, Seq(org.apache.spark.sql.Row(2L, "a second document arrives later")))
+      .coalesce(1).write.parquet(s"$root/in/b2")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingIngest.streamNearDupIngest(
+        spark, s"$root/in/*", schema, "doc_id", "text",
+        s"$root/corpus", s"$root/index", threshold = 0.5, s"$root/ckpt",
+        n = 3, numHashes = 32, bands = 8).awaitTermination()
+    }
+    assert(ex.getMessage.contains("pinned") ||
+      Option(ex.getCause).exists(_.getMessage.contains("pinned")))
+    // restarting with the PINNED params proceeds normally
+    StreamingIngest.streamNearDupIngest(
+      spark, s"$root/in/*", schema, "doc_id", "text",
+      s"$root/corpus", s"$root/index", threshold = 0.5, s"$root/ckpt",
+      n = 2, numHashes = 32, bands = 16).awaitTermination()
+    assert(ParquetTable.read(spark, s"$root/corpus")
+      .collect().map(_.getLong(0)).sorted === Seq(1L, 2L))
+  }
+
   test("hourlyEventCounts: watermarked windowed aggregation over a file stream") {
     val root = tmpDir("stream-agg")
     val in = s"$root/in"
