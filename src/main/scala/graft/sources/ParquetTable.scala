@@ -209,13 +209,14 @@ object ParquetTable {
       spark: SparkSession, path: String, zorderBy: Seq[String],
       numFiles: Int = 8, bits: Int = 8,
       writeOptions: Map[String, String] = Map.empty): Long = {
-    val v = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
+    val v0 = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
       s"optimize: no versioned table at $path"))
-    partitionEntries(spark, path, v) match {
+    partitionEntries(spark, path, v0) match {
       case None =>
-        atomicReplace(spark, path,
-          DataSkipping.zorder(readVersion(spark, path, v), zorderBy, numFiles, bits),
-          Nil, writeOptions = writeOptions)
+        publishMaintenance(spark, path, "optimize", Nil,
+          v => DataSkipping.zorder(readVersion(spark, path, v), zorderBy,
+            numFiles, bits),
+          writeOptions = writeOptions)
       case Some(entries) =>
         // partitioned: cluster WITHIN partitions in ONE job — range-
         // partition by (partitionCols…, z) so each task holds a
@@ -229,17 +230,17 @@ object ParquetTable {
           s"optimize: Z-order columns must be data columns " +
             s"(${partitionColumns.mkString(", ")} are partition columns — " +
             "constant within a dir, nothing to cluster)")
-        val cur = readVersion(spark, path, v)
-        val keys = partitionColumns.map(col) :+ col("__graft_z")
-        val clustered = cur
-          .withColumn("__graft_z", DataSkipping.zValue(cur, zorderBy, bits))
-          .repartitionByRange(numFiles, keys: _*)
-          .sortWithinPartitions(keys: _*)
-          .drop("__graft_z")
-        publishVersioned(clustered, path, partitionColumns,
-          filesPerPartition = 1, preserveLayout = true,
-          writeOptions = writeOptions)
-        currentVersion(spark, path).get
+        publishMaintenance(spark, path, "optimize", partitionColumns,
+          { v =>
+            val cur = readVersion(spark, path, v)
+            val keys = partitionColumns.map(col) :+ col("__graft_z")
+            cur
+              .withColumn("__graft_z", DataSkipping.zValue(cur, zorderBy, bits))
+              .repartitionByRange(numFiles, keys: _*)
+              .sortWithinPartitions(keys: _*)
+              .drop("__graft_z")
+          },
+          preserveLayout = true, writeOptions = writeOptions)
     }
   }
 
@@ -274,20 +275,20 @@ object ParquetTable {
     else {
       // plain rewrite (compact-shaped, but across numFiles so the
       // bloom tier has per-file filters worth pruning between)
-      val v = currentVersion(spark, path).get
-      partitionEntries(spark, path, v) match {
+      val v0 = currentVersion(spark, path).get
+      partitionEntries(spark, path, v0) match {
         case None =>
-          atomicReplace(spark, path,
-            readVersion(spark, path, v).repartition(numFiles), Nil,
+          publishMaintenance(spark, path, "optimizeBloom", Nil,
+            v => readVersion(spark, path, v).repartition(numFiles),
             writeOptions = bloomOpts)
         case Some(entries) =>
           val partitionColumns =
             entries.head._1.split('/').toSeq.map(_.split('=')(0))
-          createVersioned(readVersion(spark, path, v), path,
-            partitionColumns, filesPerPartition = math.max(1, numFiles),
+          publishMaintenance(spark, path, "optimizeBloom", partitionColumns,
+            v => readVersion(spark, path, v),
+            filesPerPartition = math.max(1, numFiles),
             writeOptions = bloomOpts)
       }
-      currentVersion(spark, path).get
     }
   }
 
@@ -2960,19 +2961,77 @@ object ParquetTable {
     * untouched — run `vacuum` afterwards to reclaim it.
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    val v = currentVersion(spark, path).getOrElse(
+    val v0 = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"compact: no versioned table at $path"))
-    partitionEntries(spark, path, v) match {
-      case Some(entries) =>
-        // recover the partition columns from the entry paths: "a=1/b=2" → a,b
-        val partitionColumns = entries.head._1.split('/').toSeq.map(_.split('=')(0))
-        createVersioned(readVersion(spark, path, v), path, partitionColumns)
-      case None =>
-        // unpartitioned: fold a merge-on-read chain (N appended dirs +
-        // DVs) back to one full-image dir; a no-chain table republishes
-        // its single dir — still useful to materialize DVs
-        atomicReplace(spark, path, readVersion(spark, path, v), Nil)
+    val partitionColumns = partitionEntries(spark, path, v0) match {
+      // recover the partition columns from the entry paths: "a=1/b=2" → a,b
+      case Some(entries) => entries.head._1.split('/').toSeq.map(_.split('=')(0))
+      // unpartitioned: fold a merge-on-read chain (N appended dirs +
+      // DVs) back to one full-image dir; a no-chain table republishes
+      // its single dir — still useful to materialize DVs
+      case None => Nil
     }
+    publishMaintenance(spark, path, "compact", partitionColumns,
+      v => readVersion(spark, path, v))
+    ()
+  }
+
+  /** Publish a MAINTENANCE rewrite — a full-image derivation of the head
+    * ([[compact]]'s fold, [[optimize]]'s ZORDER cluster, [[optimizeBloom]]'s
+    * bloom rewrite) whose only payload IS the head it read. Unlike
+    * [[atomicReplace]] (caller-supplied image — last-writer-wins is the
+    * documented contract there), a maintenance image may commit as v+1
+    * ONLY while v is still the head: retrying a lost CAS onto the next
+    * number, the way atomicReplace recovers, would republish a snapshot
+    * that no longer contains the racing writer's rows — the classic
+    * lakehouse lost-update (Delta's ConflictChecker fails/recomputes a
+    * raced OPTIMIZE for the same reason; it never replays the stale
+    * rewrite). So: derive `image(v)`, land it in a fresh dir, CAS on
+    * exactly v+1; on loss delete the orphan dir and RECOMPUTE from the
+    * new head — the [[compactWhere]]/[[compactSmall]] discipline (a
+    * rearrangement has no payload to rebase). Cost of losing is one
+    * wasted rewrite; cost of the old behavior was the winner's rows.
+    */
+  private def publishMaintenance(
+      spark: SparkSession, path: String, what: String,
+      partitionColumns: Seq[String],
+      image: Long => DataFrame,
+      preserveLayout: Boolean = false,
+      filesPerPartition: Int = 1,
+      writeOptions: Map[String, String] = Map.empty): Long = {
+    var committedV = -1L
+    var attempts = 0
+    while (committedV < 0) {
+      attempts += 1
+      require(attempts <= 10, s"$what: lost the version race at $path")
+      val v = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(s"$what: no versioned table at $path"))
+      val df = image(v)
+      val dataDir = freshDataDirName()
+      val ddPath = new Path(path, dataDir).toString
+      if (preserveLayout && partitionColumns.nonEmpty)
+        df.write.mode(SaveMode.Overwrite).options(writeOptions)
+          .partitionBy(partitionColumns: _*).parquet(ddPath)
+      else
+        writePlain(df, ddPath, partitionColumns, filesPerPartition, writeOptions)
+      DataSkipping.writeStats(spark, ddPath, df.schema)
+      validateCommit(spark, path, dataDir)
+      // metadata-only entry derivation (lists the dirs the write produced)
+      // — partitionDirsOf would re-execute the whole rewrite plan
+      val content =
+        if (partitionColumns.isEmpty) dataDir
+        else writtenPartitionDirs(spark, path, dataDir, partitionColumns)
+          .map(p => s"$p\t$dataDir").mkString("\n")
+      // full rewrite of the logical head image: DVs are materialized
+      // (dv = Nil) and an active column mapping is materialized to
+      // physical names (colmap = None) — the full-image commit rules
+      if (commitVersion(spark, path, v + 1, content)) committedV = v + 1
+      else {
+        val dd = new Path(path, dataDir)
+        hadoopFs(spark, dd).delete(dd, true)
+      }
+    }
+    committedV
   }
 
   /** Delta-parity `GENERATE symlink_format_manifest`: export the CURRENT

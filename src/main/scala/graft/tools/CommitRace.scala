@@ -68,6 +68,16 @@ object CommitRace {
               Seq(Row(workerId, "s", s"w$workerId-$i")), 1), schema)
           val v = ParquetTable.atomicReplace(spark, path, img, Nil)
           require(v > 0, s"atomicReplace returned $v without a txn marker")
+        case "maintain" =>
+          // table MAINTENANCE racing the other worker's merges — the
+          // classic lakehouse lost-update: compact/OPTIMIZE derive a
+          // full image from the head they read, so a merge committing
+          // under the rewrite must force a recompute, never be erased
+          // by a stale image republished onto a later version. Alternate
+          // both full-image maintenance verbs; each commits exactly one
+          // version (retries recompute, they never double-commit).
+          if (i % 2 == 0) ParquetTable.compact(spark, path)
+          else { ParquetTable.optimize(spark, path, Seq("id")); () }
         case other => sys.error(s"CommitRace: unknown mode $other")
       }
     }

@@ -204,6 +204,52 @@ class ConcurrentMergeSpec extends SparkSpec {
     assert(rowsOf(path) === Map(1 -> ("a", "A1"), 3 -> ("b", "b3")))
   }
 
+  test("OPTIMIZE racing a merge: the stale rearrangement recomputes, the merge survives") {
+    val path = tmpDir("occ-optimize") + "/t"
+    ParquetTable.createVersioned(
+      df(Row(1, "a", "a1"), Row(2, "b", "b2")), path, Seq("p")) // v1
+    val dirsAtV1 = dataDirs(path)
+
+    // the classic lakehouse lost-update: OPTIMIZE derives its image from
+    // the head it read, a merge commits UNDER the (long) rewrite — the
+    // stale rearrangement must recompute, never republish the pre-merge
+    // snapshot onto a later version (which would silently erase the
+    // merge's committed row)
+    val (loserAttempts, dirsAtBlock) = raceLoserAgainst(path) {
+      val v = ParquetTable.optimize(spark, path, Seq("id"))
+      assert(v === 3L) // landed AFTER the winner, on the recomputed image
+    } {
+      ParquetTable.merge(spark, path, df(Row(1, "a", "MERGED")),
+        Seq("id"), Seq("p"))
+    }
+
+    assert(ParquetTable.currentVersion(spark, path) === Some(3L))
+    // the merge's row survived the raced rewrite
+    assert(rowsOf(path) === Map(1 -> ("a", "MERGED"), 2 -> ("b", "b2")))
+    // recompute, not replay: exactly one failed CAS + one recomputed
+    // commit, and the stale dir was discarded, never referenced
+    assert(loserAttempts === 2)
+    val staleDir = dirsAtBlock -- dirsAtV1
+    assert(staleDir.nonEmpty)
+    assert(staleDir.forall(d => !dataDirs(path).contains(d)))
+  }
+
+  test("compact racing a merge (unpartitioned): recompute keeps the merged row") {
+    val path = tmpDir("occ-compact") + "/t"
+    ParquetTable.create(df(Row(1, "a", "a1"), Row(2, "b", "b2")), path) // v1
+
+    val (loserAttempts, dirsAtBlock) = raceLoserAgainst(path) {
+      ParquetTable.compact(spark, path)
+    } {
+      ParquetTable.merge(spark, path, df(Row(2, "b", "MERGED")), Seq("id"))
+    }
+
+    assert(ParquetTable.currentVersion(spark, path) === Some(3L))
+    assert(rowsOf(path) === Map(1 -> ("a", "a1"), 2 -> ("b", "MERGED")))
+    assert(loserAttempts === 2)
+    assert((dirsAtBlock -- dataDirs(path)).nonEmpty) // stale fold discarded
+  }
+
   test("stress: racing disjoint merges over several rounds all land") {
     val path = tmpDir("occ-stress") + "/t"
     ParquetTable.createVersioned(

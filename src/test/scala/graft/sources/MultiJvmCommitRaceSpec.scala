@@ -91,6 +91,51 @@ class MultiJvmCommitRaceSpec extends SparkSpec {
     assert(fin.length === 1 && fin.head.matches(s"w[12]-${nOps - 1}"), fin.toSeq)
   }
 
+  test("two JVMs: maintenance (compact/OPTIMIZE) racing merges loses no committed row") {
+    val path = tmpDir("mjvm-maint") + "/t"
+    val nOps = 4
+    ParquetTable.createVersioned(
+      frame(schema, Seq(Row(1, "s", "seed"), Row(2, "s", "keep"))),
+      path, Seq("p")) // v1
+
+    // worker 1 lands merges; worker 2 alternates compact/OPTIMIZE — each
+    // maintenance op derives a full image from the head it read, so a
+    // merge committing under the rewrite must survive via the loser's
+    // recompute (the lost-update this spec exists to refute: a stale
+    // image republished onto a later version would erase merged rows)
+    val p1 = spawnWorker(path, 1, nOps, "merge")
+    val p2 = spawnWorker(path, 2, nOps, "maintain")
+    awaitWorkers(path, p1, p2, nOps)
+
+    // dense chain: nOps merge commits + nOps maintenance commits on v1 —
+    // a maintenance retry that double-committed (or a lost CAS claimed
+    // twice) would break the arithmetic
+    assert(ParquetTable.currentVersion(spark, path) === Some(1L + 2 * nOps))
+    val versions = ParquetTable.history(spark, path)
+      .select("version").collect().map(_.getLong(0)).sorted.toSeq
+    assert(versions === (1L to (1L + 2 * nOps)))
+
+    // ZERO lost updates: every merged row is present with its final value
+    // no matter how the rewrites interleaved. Worker 1 runs ops in order,
+    // so the contested row's final value is its LAST even op.
+    val rows = ParquetTable.read(spark, path).collect()
+      .map(r => r.getInt(r.fieldIndex("id")) -> r.getString(r.fieldIndex("v")))
+      .toMap
+    (0 until nOps).foreach(i => assert(rows(1000 + i) === s"w1-$i"))
+    assert(rows(1) === s"w1-${((nOps - 1) / 2) * 2}")
+    assert(rows(2) === "keep")
+    assert(rows.size === 2 + nOps)
+
+    // every intermediate version reads cleanly and no version ever has
+    // fewer rows than the versions before it (a stale maintenance image
+    // would dip the count by erasing merged rows)
+    val counts = (1L to (1L + 2 * nOps)).map(v =>
+      ParquetTable.readAt(spark, path, v).count())
+    assert(counts.head === 2L)
+    assert(counts.last === (2L + nOps))
+    counts.sliding(2).foreach { case Seq(a, b) => assert(a <= b) }
+  }
+
   test("two JVMs racing merges: every op lands, one winner per version") {
     val path = tmpDir("mjvm-race") + "/t"
     val nOps = 4
