@@ -383,10 +383,31 @@ object TextDedup {
     */
   private val P = 2147483647L
 
-  private def perms(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+  /** The (a_i, b_i) permutation constants for `numHashes` minhash
+    * permutations at `seed` — exposed package-wide so the DuckDB oracle
+    * can inline the SAME literals and re-derive signatures end-to-end
+    * (the q28 SimHash replay precedent).
+    */
+  private[graft] def perms(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numHashes)((1L + rnd.nextInt((P - 1).toInt).toLong,
       rnd.nextInt(P.toInt).toLong))
+  }
+
+  private[graft] val MinHashP: Long = P
+
+  /** Base gram hash for minhash signatures, selected by the name PINNED
+    * in a persisted index's meta: `xxh64` (default — full 64-bit mixing)
+    * or `poly64` ([[graft.functions.TextFunctions.polyHash64]], the
+    * SQL-replayable hash, so an external engine can recompute the exact
+    * signatures — what makes the signature-estimate tier independently
+    * checkable). Both reduce into [0, p).
+    */
+  private def baseGramHash(kind: String, gram: Column): Column = kind match {
+    case "xxh64"  => pmod(xxhash64(gram), lit(P))
+    case "poly64" => pmod(polyHash64(gram), lit(P))
+    case other => throw new IllegalArgumentException(
+      s"minhash: unknown base hash '$other' (expected xxh64 or poly64)")
   }
 
   /** MinHash signatures as a DataFrame: `idCol`, `sig` array<bigint> of
@@ -407,10 +428,11 @@ object TextDedup {
       textCol: String,
       n: Int,
       numHashes: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      baseHash: String = "xxh64"): DataFrame = {
     val gramRows = df
       .select(col(idCol), explode(wordNGrams(col(textCol), n)).as("__gram"))
-      .withColumn("__h", pmod(xxhash64(col("__gram")), lit(P)))
+      .withColumn("__h", baseGramHash(baseHash, col("__gram")))
     val minCols = perms(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("__h") + lit(b)) % P).as(s"__m$i")
     }
@@ -437,10 +459,11 @@ object TextDedup {
     */
   private def bandRows(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, bands: Int, seed: Long): DataFrame = {
+      n: Int, numHashes: Int, bands: Int, seed: Long,
+      baseHash: String = "xxh64"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    minHashSignatures(df, idCol, textCol, n, numHashes, seed).select(
+    minHashSignatures(df, idCol, textCol, n, numHashes, seed, baseHash).select(
       col(idCol), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -512,19 +535,38 @@ object TextDedup {
       n: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L,
+      baseHash: String = "xxh64"): Unit = {
     val spark = history.sparkSession
     import spark.implicits._
-    val rows = bandRows(history, idCol, textCol, n, numHashes, bands, seed)
+    val rows = bandRows(history, idCol, textCol, n, numHashes, bands, seed,
+      baseHash)
     rows.cache()
     try {
       rows.select(col(idCol).as("hist_id"), col("band"), col("key"))
         .write.mode("overwrite").parquet(s"$dir/bands")
       rows.select(col(idCol).as("hist_id"), col("sig")).distinct()
         .write.mode("overwrite").parquet(s"$dir/sigs")
-      Seq((n, numHashes, bands, seed)).toDF("n", "num_hashes", "bands", "seed")
+      Seq((n, numHashes, bands, seed, baseHash))
+        .toDF("n", "num_hashes", "bands", "seed", "base_hash")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     } finally { rows.unpersist(); () }
+  }
+
+  /** The pinned parameters of a persisted MinHash index:
+    * (n, numHashes, bands, seed, baseHash). `base_hash` is read
+    * schema-aware so indexes persisted before the column existed keep
+    * probing with their build-era default (`xxh64`).
+    */
+  private def readIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Int, Long, String) = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val baseHash =
+      if (meta.schema.fieldNames.contains("base_hash"))
+        meta.getString(meta.fieldIndex("base_hash"))
+      else "xxh64"
+    (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3), baseHash)
   }
 
   /** Append NEW documents' band/sig rows to a [[minHashIndexSave]]d
@@ -542,10 +584,9 @@ object TextDedup {
       textCol: String,
       dir: String): Unit = {
     val spark = docs.sparkSession
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val (n, numHashes, bandCount, seed) =
-      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
-    val rows = bandRows(docs, idCol, textCol, n, numHashes, bandCount, seed)
+    val (n, numHashes, bandCount, seed, baseHash) = readIndexMeta(spark, dir)
+    val rows = bandRows(docs, idCol, textCol, n, numHashes, bandCount, seed,
+      baseHash)
     rows.cache()
     try {
       rows.select(col(idCol).as("hist_id"), col("band"), col("key"))
@@ -581,10 +622,9 @@ object TextDedup {
       threshold: Double,
       verifyAgainst: Option[(DataFrame, String, String)] = None): DataFrame = {
     val spark = batch.sparkSession
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val (n, numHashes, bandCount, seed) =
-      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
-    val probeRows = bandRows(batch, idCol, textCol, n, numHashes, bandCount, seed)
+    val (n, numHashes, bandCount, seed, baseHash) = readIndexMeta(spark, dir)
+    val probeRows = bandRows(batch, idCol, textCol, n, numHashes, bandCount,
+      seed, baseHash)
     val cands = probeRows
       .join(spark.read.parquet(s"$dir/bands"), Seq("band", "key"))
       .select(col(idCol).as("batch_id"), col("hist_id"))

@@ -984,6 +984,76 @@ object TrainingQueries {
         .orderBy(col("batch_id"), col("hist_id"))
     }),
 
+    // The signature-ESTIMATE probe tier (minHashProbeHistory with
+    // verifyAgainst = None — the 100 TB serving mode streamNearDupIngest
+    // runs with verifyWithCorpus = false): candidates come from the
+    // persisted band index and similarity is the fraction of agreeing
+    // minhash positions — the probe never touches corpus text. The index
+    // is built with the SQL-replayable poly64 base hash (pinned in meta;
+    // the q28 SimHash precedent), so the oracle recomputes the 32
+    // signatures from the SAME inlined permutation constants, re-derives
+    // the band-bucket candidates, and re-scores the estimator — pinning
+    // the estimate tier end-to-end instead of trusting the spec.
+    "q140_minhash_estimate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 =!= 0 && col("doc_id") < 200)
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_mhest").toString + "/idx"
+      TextDedup.minHashIndexSave(hist, "doc_id", "text", dir,
+        baseHash = "poly64")
+      TextDedup.minHashProbeHistory(batch, "doc_id", "text", dir,
+          threshold = 0.5)
+        .orderBy(col("batch_id"), col("hist_id"))
+    }),
+
+    // Incremental WINNOWING index maintenance (TextDedup.
+    // winnowingIndexAppend — q139's pattern for the local-overlap
+    // sketch): the posting list is BUILT over half the history and the
+    // other half APPENDED ((k, w) read from the pinned params), then
+    // probed with the q137 batch. The oracle is q137's index-free
+    // replay against the FULL history — identical answers prove the
+    // appended rows sketch exactly as a one-shot build over the union
+    // (an append bug — wrong window, dropped or double-counted rows —
+    // changes n_shared and fails the hash).
+    "q142_winnowing_index_append" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_wnapp").toString + "/idx"
+      TextDedup.winnowingIndexSave(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", dir)
+      TextDedup.winnowingIndexAppend(
+        docs.filter(col("doc_id") % 4 === 2), "doc_id", "text", dir)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .unionByName(docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 100))
+      TextDedup.winnowingProbeHistory(batch, "doc_id", "text", dir,
+          minShared = 2)
+        .orderBy(col("doc_id"), col("hist_id"))
+    }),
+
+    // The FULL curation DAG as one driver-checked query (pipeline/
+    // CurationPipeline.run): C4 line gate → corpus-wide paragraph dedup →
+    // exact dedup → LSH near-dup keep-best (the q138 path + q133
+    // retention) → Gopher repetition gate → LM gate → deterministic
+    // shard layout. Each stage is independently oracle-checked
+    // (q84/q85/q23/q138/q133/q126/q89/q74); this entry makes the
+    // COMPOSITION itself driver-checked: the oracle re-derives the
+    // surviving doc set stage by stage and the final (shard, pos)
+    // layout. lmCutQuantile = 0 pins the one approximate stage
+    // (approxQuantile at 0 returns the exact minimum, so the LM gate
+    // reduces to "has a bigram" — implied by the ≥5-word C4 gate).
+    "q141_curation_pipeline" -> ((s, d) => {
+      val res = graft.pipeline.CurationPipeline.run(
+        s, Tables.documents(s, d).select(col("doc_id"), col("text")),
+        lmCutQuantile = 0.0, nShards = 8, seed = "curation42",
+        nearDupThreshold = Some(0.5))
+      res.corpus.select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     // The 100-TB dedup COMPOSITION: MinHash-LSH candidate generation →
     // exact-Jaccard confirmation (TextDedup.minHashDedupPairs, the q24
     // path) → connected components (Components.dedupClusters, the q47
@@ -1885,7 +1955,160 @@ object TrainingQueries {
        |    / len(list_distinct(list_concat(b.grams, h.grams))) >= 0.5
        |ORDER BY batch_id, hist_id""".stripMargin
 
+  /** q140: the signature-estimate tier replayed END-TO-END — DuckDB
+    * recomputes every minhash signature (word 3-grams → poly64 base hash
+    * reduced into [0,p) → per-permutation min with the SAME (a,b)
+    * literals the Scala side drew at seed 42), re-derives the 8×4
+    * band-bucket candidate pairs, and re-scores the agreeing-position
+    * fraction. A banding bug, permutation drift, or estimator error on
+    * either side hash-mismatches; no corpus text is touched on the
+    * probe path (the serving-mode contract under test).
+    */
+  private val estimateOracle: String = {
+    val p = TextDedup.MinHashP
+    val sigEntries = TextDedup.perms(32, 42L).map { case (a, b) =>
+      s"list_aggregate(list_transform(hs, h -> (($a * h + $b) % $p)), 'min')"
+    }.mkString("[\n      ", ",\n      ", "]")
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toksSql AS ts FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_transform(range(1, len(ts) - 1),
+       |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS grams
+       |  FROM tok),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_transform(grams, g2 -> ${polyHashSql("g2")} % $p) AS hs
+       |  FROM g WHERE len(grams) > 0),
+       |sig AS (
+       |  SELECT doc_id, $sigEntries AS sig FROM h),
+       |hist AS (SELECT doc_id AS hist_id, sig FROM sig WHERE doc_id % 2 = 0),
+       |batch AS (
+       |  SELECT doc_id AS batch_id, sig FROM sig
+       |  WHERE doc_id % 2 <> 0 AND doc_id < 200
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS batch_id, sig FROM sig
+       |  WHERE doc_id % 10 = 0),
+       |hb AS (
+       |  SELECT hist_id, band,
+       |    array_to_string(sig[band*4+1 : band*4+4], '_') AS key
+       |  FROM hist CROSS JOIN range(0, 8) t(band)),
+       |bb AS (
+       |  SELECT batch_id, band,
+       |    array_to_string(sig[band*4+1 : band*4+4], '_') AS key
+       |  FROM batch CROSS JOIN range(0, 8) t(band)),
+       |cand AS (
+       |  SELECT DISTINCT bb.batch_id, hb.hist_id
+       |  FROM bb JOIN hb ON bb.band = hb.band AND bb.key = hb.key),
+       |est AS (
+       |  SELECT c.batch_id, c.hist_id,
+       |    list_sum(list_transform(range(1, 33),
+       |      i -> CASE WHEN b.sig[i] = h2.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+       |      / 32 AS j
+       |  FROM cand c
+       |  JOIN batch b ON b.batch_id = c.batch_id
+       |  JOIN hist h2 ON h2.hist_id = c.hist_id)
+       |SELECT batch_id, hist_id, round(j, 4) AS jaccard
+       |FROM est WHERE j >= 0.5
+       |ORDER BY batch_id, hist_id""".stripMargin
+  }
+
+  /** q141: the curation DAG re-derived stage by stage, LSH-independently —
+    * C4 single-line gate (the corpus has no newlines, so each doc is one
+    * line/paragraph), first-occurrence paragraph dedup = min-doc_id per
+    * trimmed text, exact dedup (a no-op right after it — texts are
+    * already distinct), BRUTE-FORCE near-dup pairs → recursive-CTE
+    * clusters → rounded-quality argmax (the q138 + q133 replay; equality
+    * with the LSH path holds because this corpus's true pairs sit at
+    * j≈0.97–1.0 where the 8×4 miss probability is < 1e-8), the Gopher
+    * repetition gate (q73's replay on single-line text), and the
+    * polyHash shard layout (q74's replay at seed `curation42`). The LM
+    * gate at quantile 0 keeps every doc with ≥1 bigram — implied by the
+    * ≥5-word C4 gate, so it contributes no predicate.
+    */
+  private val curationOracle: String = {
+    val stop = "['the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'it', 'that']"
+    val parts = graft.functions.expressions.PolyHash64.Parts
+    val partCols = parts.zipWithIndex.map { case ((b, p), i) =>
+      s"${polyPartSql(b, p)} AS p$i"
+    }.mkString(",\n    ")
+    val hashExpr = parts.indices.map(i => s"p$i * ${1L << (i * 16)}")
+      .mkString(" + ")
+    s"""WITH RECURSIVE c4 AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+       |    AND NOT contains(text, 'lorem ipsum')
+       |    AND NOT contains(text, '{')),
+       |para AS (
+       |  SELECT min(doc_id) AS doc_id, trim(text) AS text
+       |  FROM c4 GROUP BY trim(text)),
+       |g AS (SELECT doc_id, ${gramsSql("text")} AS grams FROM para),
+       |pr AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |       FROM g a JOIN g b ON a.doc_id < b.doc_id
+       |       WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+       |           / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
+       |edges AS (SELECT src, dst FROM pr UNION SELECT dst, src FROM pr),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM para
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+       |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+       |q AS (SELECT doc_id,
+       |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) * 0.4
+       |    + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text)) * 0.2
+       |    + least(len($toksSql)::DOUBLE / 50.0, 1.0) * 0.2
+       |    + least((len(list_filter($toksSql, t -> list_contains($stop, t)))::DOUBLE
+       |             / len($toksSql)) * 5.0, 1.0) * 0.2, 4) AS quality
+       |  FROM para),
+       |best AS (
+       |  SELECT c.doc_id,
+       |    row_number() OVER (PARTITION BY c.component
+       |      ORDER BY q.quality DESC, c.doc_id) AS rn
+       |  FROM comp c JOIN q USING (doc_id)),
+       |kept AS (
+       |  SELECT p.doc_id, p.text FROM para p JOIN best b USING (doc_id)
+       |  WHERE b.rn = 1),
+       |rw AS (
+       |  SELECT doc_id, text,
+       |    string_split(text, chr(10)) AS lines,
+       |    $toksSql AS w
+       |  FROM kept),
+       |rm AS (
+       |  SELECT doc_id, text, lines,
+       |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
+       |    list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+       |  FROM rw),
+       |rr AS (
+       |  SELECT doc_id,
+       |    (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines) AS dlf,
+       |    CASE WHEN list_sum(list_transform(lines, l -> length(l))) = 0 THEN 0.0
+       |         ELSE (list_sum(list_transform(lines, l -> length(l)))
+       |               - list_sum(list_transform(list_distinct(lines), l -> length(l))))::DOUBLE
+       |              / list_sum(list_transform(lines, l -> length(l))) END AS dlcf,
+       |    coalesce(list_max(list_transform(list_distinct(g2),
+       |        ge -> CASE WHEN len(list_filter(g2, x -> x = ge)) > 1
+       |             THEN len(list_filter(g2, x -> x = ge)) * length(ge)
+       |             ELSE 0 END)), 0)::DOUBLE / length(text) AS tgcf,
+       |    coalesce(list_sum(list_transform(list_distinct(g3),
+       |        ge -> CASE WHEN len(list_filter(g3, x -> x = ge)) > 1
+       |             THEN len(list_filter(g3, x -> x = ge)) * length(ge)
+       |             ELSE 0 END)), 0)::DOUBLE / length(text) AS dgcf
+       |  FROM rm),
+       |surv AS (
+       |  SELECT doc_id FROM rr
+       |  WHERE dlf <= 0.30 AND dlcf <= 0.20 AND tgcf <= 0.20 AND dgcf <= 0.60),
+       |ph AS (
+       |  SELECT doc_id, $partCols
+       |  FROM (SELECT doc_id, 'curation42|' || doc_id::VARCHAR AS t FROM surv)),
+       |h AS (SELECT doc_id, $hashExpr AS h FROM ph)
+       |SELECT doc_id, (h % 8)::INT AS shard,
+       |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+       |FROM h ORDER BY shard, pos""".stripMargin
+  }
+
   lazy val oracles: Map[String, String] = oraclesBase +
+    ("q141_curation_pipeline" -> curationOracle) +
+    ("q140_minhash_estimate" -> estimateOracle) +
     ("q138_lsh_dedup_clusters" -> lshClustersOracle) +
     ("q139_minhash_index_append" -> indexAppendOracle) +
     ("q110_ivfpq_persisted" -> oraclesBase("q102_ivfpq_ann")) +
@@ -1895,6 +2118,10 @@ object TrainingQueries {
     ("q134_winnowing" -> winnowingOracle) +
     ("q135_lm_trigram" -> trigramOracle) +
     ("q137_winnowing_history" -> winnowingHistoryOracle) +
+    // the saved+appended index must answer exactly as the one-shot build
+    // over the union (%4∈{0,2} ≡ %2=0) — q137's index-free replay IS the
+    // full-history oracle for the append path
+    ("q142_winnowing_index_append" -> winnowingHistoryOracle) +
     // the two chained CTAS SELECTs stated as one relational query
     ("q136_ctas" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -139,6 +139,33 @@ class TextDedupSpec extends SparkSpec {
       .intersect(Set(1L, 4L, 5L)) === Set(1L, 4L, 5L))
   }
 
+  test("poly64 base hash: pinned in meta, append hashes with it, estimate tier answers") {
+    val dir = tmpDir("mhidx-poly") + "/index"
+    val half1 = corpus.filter(org.apache.spark.sql.functions.col("id") <= 3L)
+    val half2 = corpus.filter(org.apache.spark.sql.functions.col("id") > 3L)
+    TextDedup.minHashIndexSave(half1, "id", "text", dir, baseHash = "poly64")
+    // the append must READ base_hash from the pinned meta — appended rows
+    // hashing with the xxh64 default would never bucket with the build's
+    TextDedup.minHashIndexAppend(half2, "id", "text", dir)
+    val oneShot = tmpDir("mhidx-poly1") + "/index"
+    TextDedup.minHashIndexSave(corpus, "id", "text", oneShot, baseHash = "poly64")
+    val batch = docs((20L, "the quick brown fox jumps over the lazy dog", "a"))
+    def probe(d: String) = TextDedup.minHashProbeHistory(
+        batch, "id", "text", d, threshold = 0.5) // estimate tier, no corpus
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = probe(dir)
+    assert(got == probe(oneShot))
+    // exact copies sit in the APPENDED half (4, 5) and the saved half (1):
+    // identical text → identical poly64 signatures → estimate exactly 1.0
+    assert(Set(1L, 4L, 5L).subsetOf(got.filter(_._3 == 1.0).map(_._2)))
+    assert(TextDedup.minHashSignatures(batch, "id", "text", 3, 32,
+      baseHash = "poly64").collect().head.getSeq[Long](1).length === 32)
+    intercept[IllegalArgumentException] {
+      TextDedup.minHashSignatures(batch, "id", "text", 3, 32,
+        baseHash = "md5").collect()
+    }
+  }
+
   test("ngramJaccardPairs finds near-dups within blocks only") {
     val pairs = TextDedup.ngramJaccardPairs(corpus, "id", "text",
         n = 2, threshold = 0.5, blockCols = Seq("block"))
