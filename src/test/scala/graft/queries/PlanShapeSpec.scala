@@ -32,7 +32,8 @@ class PlanShapeSpec extends SparkSpec {
     "q104_bm25_indexed" -> 1, // Bm25 probe-side scalar
     "q115_lm_persisted" -> 1, // persisted-LM scoring scalar
     "q128_dsir_select" -> 2, // Dsir: per-corpus total-count scalars
-    "q135_lm_trigram" -> 1 // trigram JM: vocab-size scalar
+    "q135_lm_trigram" -> 1, // trigram JM: vocab-size scalar
+    "q141_curation_pipeline" -> 1 // LM-gate stage rides q89's vocab scalar
   )
 
   test("no undocumented condition-less joins anywhere in the battery") {
