@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.functions.TextFunctions.polyHash64
+
+/** Incremental, mergeable per-column NDV statistics — HyperLogLog register
+  * sketches a SQL engine can replay exactly.
+  *
+  * The reference's catalog layer gets table statistics by rescanning
+  * (Glue crawler after every load); at 100 TB a full-table NDV pass per
+  * commit is the single most expensive piece of metadata maintenance a
+  * lakehouse does. This operator is the incremental-ANALYZE path:
+  *
+  *   - `sketch` computes per-column HLL registers in ONE scan for all
+  *     requested columns (explode of a per-row struct array — no
+  *     per-column rescans), map-side combinable by Catalyst (partial
+  *     `max` per register before the exchange);
+  *   - `save`/`append` persist registers beside the table; append
+  *     sketches ONLY the new rows and appends delta registers — history
+  *     is never rescanned, and because the register merge is `max`
+  *     (idempotent + commutative + associative), an at-least-once
+  *     replayed append CANNOT corrupt the sketch — the same discipline
+  *     the fingerprint/minhash index stores document, here for free;
+  *   - `estimate` folds registers to (zeros, scaled register sum, NDV
+  *     estimate) per column.
+  *
+  * Why not Spark's `approx_count_distinct` (HLL++)? Its sketch hashes
+  * with engine-internal xxhash and is not externally replayable
+  * (ParityQueries q59's documented contract gap). Here the hash chain is
+  * poly64 → two cross-seeded affine→square→affine chains mod 2^31−1,
+  * one for the bucket and one for the rank pattern (pure integer
+  * arithmetic, every step exact in DuckDB SQL), and the estimator's
+  * float work is confined to one literal-seeded division and one `ln` —
+  * so the ORACLE recomputes the registers AND the estimate bit-for-bit
+  * from the raw table. Estimator is classic Flajolet HLL
+  * (alpha_m·m²/Σ2^−M_j with linear counting below 2.5·m).
+  *
+  * Register sum is kept EXACT: Σ 2^−M_j is scaled by 2^MaxRank so every
+  * term is an integer ≤ 2^32 — the BIGINT sum is order-independent, so
+  * Spark's nondeterministic aggregation order cannot move a double ulp.
+  */
+object StatsSketch {
+
+  /** Default precision: 2^12 = 4096 registers/column (~1.6% rel. error). */
+  val DefaultPrecision = 12
+
+  private val P = 2147483647L // 2^31-1: a·h+b stays under 2^62 (TextDedup.MinHashP)
+
+  /** Permutation constants at `seed` — same draw as the minhash family so
+    * oracles inline identical literals.
+    */
+  private[graft] def hllPerms(seed: Long): ((Long, Long), (Long, Long)) = {
+    val ps = TextDedup.perms(2, seed)
+    (ps.head, ps(1))
+  }
+
+  /** Max register rank: the rank chain yields a 31-bit uniform value, so
+    * rank (1-based position of the first set bit from the top) tops out
+    * at 32 when the value is 0. Register ceiling alpha·m·2^32 ≈ 10^13
+    * NDV at p = 12 — headroom for any realistic column.
+    */
+  val MaxRank: Int = 32
+
+  /** (bucket, rank) for one value column. Null value → null rank (dropped
+    * by the register aggregation, matching NDV-of-non-null semantics).
+    *
+    * Two cross-seeded affine→SQUARE→affine chains over the poly64 value
+    * hash — one for the bucket, one for the rank pattern. The squaring
+    * is load-bearing: poly64 of short strings (numeric keys!) lives on a
+    * lattice, and a purely affine map preserves it — measured as ~30%
+    * register under-fill (NDV underestimated 3×) before the non-linear
+    * step; with it, fill matches the uniform expectation across seeds.
+    * Every step is exact BIGINT arithmetic (all factors < 2^31, products
+    * < 2^62), so an external SQL engine replays it verbatim.
+    */
+  private def bucketRank(value: Column, p: Int, seed: Long): (Column, Column) = {
+    val ((a1, b1), (a2, b2)) = hllPerms(seed)
+    val m = 1 << p
+    // poly64 never sets bit 63 (top part's prime < 2^15), so plain % is
+    // already a non-negative mod
+    val h = polyHash64(value.cast(StringType)) % P
+    val v1 = (lit(a1) * h + b1) % P
+    val v2 = (lit(a2) * h + b2) % P
+    val y1 = (lit(a2) * ((v1 * v1) % P) + b2) % P
+    val y2 = (lit(a1) * ((v2 * v2) % P) + b1) % P
+    val rank = when(y2 === 0, lit(MaxRank))
+      .otherwise(lit(MaxRank) - length(bin(y2)))
+    (y1 % m, rank)
+  }
+
+  /** Per-column HLL registers for `cols` in ONE scan of `df`: long-format
+    * `(column string, bucket int, rank int)`, only non-empty buckets.
+    */
+  def sketch(df: DataFrame, cols: Seq[String],
+      p: Int = DefaultPrecision, seed: Long = 4242L): DataFrame = {
+    require(cols.nonEmpty, "statsSketch: no columns requested")
+    require(p >= 7 && p <= 18, s"statsSketch: precision $p outside [7, 18]")
+    val entries = cols.map { c =>
+      val (bucket, rank) = bucketRank(col(c), p, seed)
+      struct(lit(c).as("column"), bucket.cast("int").as("bucket"),
+        rank.cast("int").as("rank"))
+    }
+    df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column"), col("e.bucket"), col("e.rank"))
+      .filter(col("rank").isNotNull)
+      .groupBy(col("column"), col("bucket"))
+      .agg(max(col("rank")).as("rank"))
+  }
+
+  /** Build and persist a sketch: `dir/registers` + `dir/meta` pinning
+    * (p, seed, base_hash) so appends provably hash like the build.
+    */
+  def save(df: DataFrame, cols: Seq[String], dir: String,
+      p: Int = DefaultPrecision, seed: Long = 4242L): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    sketch(df, cols, p, seed)
+      .write.mode("overwrite").parquet(s"$dir/registers")
+    Seq((p, seed, "poly64")).toDF("p", "seed", "base_hash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): (Int, Long) = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    (meta.getInt(0), meta.getLong(1))
+  }
+
+  /** Incremental maintenance: sketch ONLY `newRows` (params read from the
+    * pinned meta, never re-chosen) and append the delta registers.
+    * History is never rescanned; `estimate`'s fold takes `max` per
+    * bucket across all appended generations, so a replayed append is a
+    * no-op by algebra, not by convention.
+    */
+  def append(newRows: DataFrame, cols: Seq[String], dir: String): Unit = {
+    val (p, seed) = readMeta(newRows.sparkSession, dir)
+    sketch(newRows, cols, p, seed)
+      .write.mode("append").parquet(s"$dir/registers")
+  }
+
+  /** Rewrite accumulated append generations back to ≤ m rows per column.
+    * Like the other index-store compactions this is an exclusive
+    * maintenance action (run it from the table's maintenance slot, not
+    * beside a live appender).
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val folded = spark.read.parquet(s"$dir/registers")
+      .groupBy(col("column"), col("bucket"))
+      .agg(max(col("rank")).as("rank"))
+      .collect() // ≤ m rows per column — model-sized by construction
+    import spark.implicits._
+    spark.createDataset(folded.toSeq.map(r =>
+        (r.getString(0), r.getInt(1), r.getInt(2))))
+      .toDF("column", "bucket", "rank")
+      .write.mode("overwrite").parquet(s"$dir/registers")
+  }
+
+  /** Fold a register frame to per-column NDV statistics:
+    * `(column, m, zeros, s_scaled, ndv_est)` where `s_scaled` is the
+    * EXACT integer Σ 2^(maxRank − M_j) over all m registers (empty
+    * register: M_j = 0) rendered as a string, and `ndv_est` the HLL
+    * estimate rounded to 2 decimals.
+    */
+  def estimateFrom(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val mr = MaxRank
+    // every term is a power of two ≤ 2^31 (empty register: 2^32), so the
+    // scaled sum stays ≤ m·2^32 < 2^63 — exact integer arithmetic, and
+    // order-independent by construction
+    val term = expr(s"shiftleft(cast(1 as bigint), $mr - rank)")
+    val emptyTerm = 1L << mr
+    val folded = registers
+      .groupBy(col("column"), col("bucket"))
+      .agg(max(col("rank")).as("rank")) // fold append generations
+      .groupBy(col("column"))
+      .agg(count(lit(1)).as("filled"), sum(term).as("s_filled"))
+    val zeros = (lit(m) - col("filled")).cast("long")
+    val sScaled = col("s_filled") + zeros * lit(emptyTerm)
+    // alpha_m·m²·2^maxRank collapsed to ONE double literal so both engines
+    // perform the identical single division (Double.toString round-trips)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val numConst = alpha * m.toDouble * m.toDouble *
+      java.lang.Math.pow(2.0, mr)
+    val eRaw = lit(numConst) / col("s_scaled").cast("double")
+    val est = when(eRaw <= lit(2.5 * m) && col("zeros") > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+      .otherwise(eRaw)
+    folded
+      .withColumn("zeros", zeros)
+      .withColumn("s_scaled", sScaled)
+      .select(col("column"), lit(m).as("m"), col("zeros"),
+        col("s_scaled"), round(est, 2).as("ndv_est"))
+  }
+
+  /** Per-column NDV statistics of a persisted sketch. */
+  def estimate(spark: SparkSession, dir: String): DataFrame = {
+    val (p, _) = readMeta(spark, dir)
+    estimateFrom(spark.read.parquet(s"$dir/registers"), p)
+  }
+
+  /** Merge independently-built sketches (same (p, seed) pinned meta —
+    * e.g. one per partition or per commit) by register max: the HLL
+    * union, exact for the combined row set.
+    */
+  def merged(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    require(dirs.nonEmpty, "statsSketch: no sketch dirs")
+    val metas = dirs.map(readMeta(spark, _)).distinct
+    require(metas.size == 1,
+      s"statsSketch: cannot merge sketches with different (p, seed): $metas")
+    val all = dirs.map(d => spark.read.parquet(s"$d/registers"))
+      .reduce(_ unionByName _)
+    estimateFrom(all, metas.head._1)
+  }
+}

@@ -40,7 +40,13 @@ object Pipeline {
       // post-merge full-table recount for TableResult.mergedRows — exact
       // observability at reference scale, a full extra scan at 100 TB;
       // disable there and read counts from the parquet footers instead
-      countAfterMerge: Boolean = true)
+      countAfterMerge: Boolean = true,
+      // durable notification outbox (the reference's SNS publishes,
+      // delta-lake.json:216-265) — None keeps the log/exit-code surface
+      notifyDir: Option[String] = None,
+      runId: String = "run-1",
+      // injectable clock so notification events are replayable in tests
+      clock: () => String = () => java.time.Instant.now().toString)
 
   def tablePath(cfg: Config, name: String): String = s"${cfg.outputDir}/clean_$name"
 
@@ -49,18 +55,49 @@ object Pipeline {
     case other => s"${cfg.inputDir}/$other/*.csv" // daily files, implicit UNION ALL
   }
 
-  def run(spark: SparkSession, cfg: Config): Seq[TableResult] = {
-    val refs = scala.collection.mutable.Map.empty[String, DataFrame]
-    val results = Schemas.all.map { spec =>
-      val res = processDataset(spark, cfg, spec, refs.toMap)
-      refs(spec.name) = ParquetTable.read(spark, tablePath(cfg, spec.name))
-      res
+  def run(spark: SparkSession, cfg: Config): Seq[TableResult] =
+    notified(cfg, "etl") {
+      val refs = scala.collection.mutable.Map.empty[String, DataFrame]
+      val results = Schemas.all.map { spec =>
+        val res = notified(cfg, spec.name) {
+          Seq(processDataset(spark, cfg, spec, refs.toMap))
+        }.head
+        refs(spec.name) = ParquetTable.read(spark, tablePath(cfg, spec.name))
+        res
+      }
+      registerTables(spark, cfg)
+      notified(cfg, "smoke-queries") { smokeQueries(spark).foreach(_.collect()); Nil }
+      cfg.archiveDir.foreach(a => notified(cfg, "archive") { archive(cfg.inputDir, a); Nil })
+      cfg.notifyDir.foreach { dir =>
+        Notify.publish(dir,
+          Notify.Event(cfg.runId, "SUCCESS", s"${cfg.jobName}: load complete",
+            results.map(r => s"${r.name}: input=${r.inputRows} valid=${r.validRows} " +
+              s"rejected=${r.rejectedRows} merged=${r.mergedRows}").mkString("; ")),
+          cfg.clock())
+        ()
+      }
+      results
     }
-    registerTables(spark, cfg)
-    smokeQueries(spark).foreach(_.collect())
-    cfg.archiveDir.foreach(archive(cfg.inputDir, _))
-    results
-  }
+
+  /** The reference's per-stage failure handlers (delta-lake.json:226-265 —
+    * each catch publishes to SNS, then the execution fails): a failing
+    * stage publishes `FAILURE_<stage>` with the error, then rethrows.
+    * Publish failures never mask the original error.
+    */
+  private def notified[A](cfg: Config, stage: String)(body: => Seq[A]): Seq[A] =
+    cfg.notifyDir match {
+      case None => body
+      case Some(dir) =>
+        try body
+        catch {
+          case e: Throwable =>
+            try Notify.publish(dir, Notify.Event(cfg.runId,
+              s"FAILURE_$stage", s"${cfg.jobName}: $stage failed",
+              s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}"), cfg.clock())
+            catch { case _: Throwable => () }
+            throw e
+        }
+    }
 
   /** One dataset through the full path (reference: src/glue_etl.py:217-320).
     * The validated frame is persisted before the valid/rejected split reads

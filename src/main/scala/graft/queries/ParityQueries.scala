@@ -204,6 +204,30 @@ object ParityQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // T5: the durable notification outbox (pipeline.Notify — the
+    // reference's SNS publish, delta-lake.json:216-225). The event
+    // carries the q08/q09 validation counts; it is published TWICE (the
+    // at-least-once redelivery a retrying state machine produces) and a
+    // failure event for a different run rides along — the outbox read
+    // back must hold exactly the two distinct (run_id, status) events
+    // with the counts the oracle re-derives from the same dirty frame.
+    "q144_notify_outbox" -> ((s, d) => {
+      val split = Validator.split(dirtyOrders(s, d), dirtyOrdersSpec)
+      val valid = split.valid.count()
+      val rejected = split.rejected.count()
+      val dir = scratchDir("graft_outbox")
+      val ev = graft.pipeline.Notify.Event("etl-orders-1", "SUCCESS",
+        "graft-etl: orders load complete",
+        s"orders_t: valid=$valid rejected=$rejected")
+      graft.pipeline.Notify.publish(dir, ev, "2026-01-01T00:00:00Z")
+      // redelivery: must be a no-op, not a duplicate event
+      graft.pipeline.Notify.publish(dir, ev, "2026-01-01T00:09:09Z")
+      graft.pipeline.Notify.publish(dir, graft.pipeline.Notify.Event(
+        "etl-orders-2", "FAILURE_orders", "graft-etl: orders failed",
+        "java.lang.IllegalStateException: injected"), "2026-01-02T00:00:00Z")
+      graft.pipeline.Notify.read(s, dir).orderBy(col("run_id"))
+    }),
+
     // S6/J4/U2: MERGE-by-PK emulation (update-all + insert-all).
     "q10_merge_upsert" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -1047,6 +1071,26 @@ object ParityQueries {
          |FROM dirty
          |WHERE o_custkey IS NOT NULL AND NOT (o_totalprice IS NOT NULL AND o_totalprice <= 0)
          |ORDER BY o_orderkey""".stripMargin,
+    "q144_notify_outbox" ->
+      s"""WITH dirty AS ($dirtySql),
+         |c AS (SELECT
+         |  sum(CASE WHEN o_custkey IS NULL
+         |        OR (o_totalprice IS NOT NULL AND o_totalprice <= 0)
+         |      THEN 1 ELSE 0 END) AS rejected,
+         |  sum(CASE WHEN NOT (o_custkey IS NULL
+         |        OR (o_totalprice IS NOT NULL AND o_totalprice <= 0))
+         |      THEN 1 ELSE 0 END) AS valid
+         |  FROM dirty)
+         |SELECT 'etl-orders-1' AS run_id, 'SUCCESS' AS status,
+         |  'graft-etl: orders load complete' AS subject,
+         |  'orders_t: valid=' || valid || ' rejected=' || rejected AS message,
+         |  '2026-01-01T00:00:00Z' AS published_at
+         |FROM c
+         |UNION ALL
+         |SELECT 'etl-orders-2', 'FAILURE_orders', 'graft-etl: orders failed',
+         |  'java.lang.IllegalStateException: injected', '2026-01-02T00:00:00Z'
+         |ORDER BY run_id""".stripMargin,
+
     "q10_merge_upsert" ->
       """WITH upd AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Ann, IvfAnn, MixtureSample, SequencePack, TextDedup}
+import graft.operators.{Ann, IvfAnn, MixtureSample, SequencePack, StatsSketch, TextDedup}
 
 /** Training-data-pipeline operator battery over `documents`/`embeddings`:
   * text stats, language ID, quality, fingerprinting, four dedup flavors,
@@ -1032,6 +1032,29 @@ object TrainingQueries {
       TextDedup.winnowingProbeHistory(batch, "doc_id", "text", dir,
           minShared = 2)
         .orderBy(col("doc_id"), col("hist_id"))
+    }),
+
+    // Incremental table statistics (StatsSketch — the incremental-ANALYZE
+    // path): per-column HLL NDV registers built over HALF of lineitem,
+    // the other half APPENDED (params pinned in meta; register merge is
+    // max, so replays are no-ops by algebra), then folded to
+    // (zeros, exact scaled register sum, NDV estimate). The hash chain
+    // is poly64 → two cross-seeded affine→square→affine chains mod
+    // 2^31−1 (all integer-exact in SQL) and the register sum is an
+    // exact scaled BIGINT so aggregation order cannot move a double
+    // ulp — the oracle recomputes registers
+    // AND estimates over the FULL table, so an append bug (wrong perms,
+    // dropped rows) or estimator drift fails the hash. l_returnflag/
+    // l_suppkey exercise the linear-counting branch, l_orderkey the raw
+    // HLL branch.
+    "q143_hll_ndv_sketch" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_hll").toString + "/sketch"
+      StatsSketch.save(l.filter(col("l_orderkey") % 2 === 0), cols, dir)
+      StatsSketch.append(l.filter(col("l_orderkey") % 2 =!= 0), cols, dir)
+      StatsSketch.estimate(s, dir).orderBy(col("column"))
     }),
 
     // The FULL curation DAG as one driver-checked query (pipeline/
@@ -2106,7 +2129,54 @@ object TrainingQueries {
        |FROM h ORDER BY shard, pos""".stripMargin
   }
 
+  /** q143: the HLL sketch replayed end-to-end — DuckDB recomputes every
+    * register (poly64 value hash → the SAME chain literals through
+    * affine→square→affine → bucket/rank split → max per bucket) over
+    * the FULL lineitem (build half ∪ appended half), the exact scaled
+    * register sum, and the branchwise estimator. All integer arithmetic
+    * except one literal-seeded division and one `ln`, each identical
+    * IEEE ops from identical inputs on both engines.
+    */
+  private val hllOracle: String = {
+    val p = StatsSketch.DefaultPrecision
+    val m = 1 << p
+    val mr = StatsSketch.MaxRank
+    val ((a1, b1), (a2, b2)) = StatsSketch.hllPerms(4242L)
+    val bigP = 2147483647L
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val numConst = alpha * m.toDouble * m.toDouble * java.lang.Math.pow(2.0, mr)
+    val emptyTerm = 1L << mr
+    val colsSql = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+      .map(c => s"SELECT '$c' AS cn, $c::VARCHAR AS t FROM lineitem WHERE $c IS NOT NULL")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH vals AS (
+       |  $colsSql),
+       |h AS (SELECT cn, ${polyHashSql("t")} % $bigP AS hv FROM vals),
+       |v AS (SELECT cn, ($a1 * hv + $b1) % $bigP AS v1,
+       |  ($a2 * hv + $b2) % $bigP AS v2 FROM h),
+       |y AS (SELECT cn, ($a2 * ((v1 * v1) % $bigP) + $b2) % $bigP AS y1,
+       |  ($a1 * ((v2 * v2) % $bigP) + $b1) % $bigP AS y2 FROM v),
+       |r AS (SELECT cn, y1 % $m AS bucket,
+       |  CASE WHEN y2 = 0 THEN $mr
+       |       ELSE $mr - length(bin(y2)) END AS rank FROM y),
+       |reg AS (SELECT cn, bucket, max(rank) AS rank FROM r GROUP BY cn, bucket),
+       |agg AS (SELECT cn, count(*) AS filled,
+       |  sum(1::BIGINT << ($mr - rank)) AS s_filled
+       |  FROM reg GROUP BY cn),
+       |st AS (SELECT cn, ($m - filled)::BIGINT AS zeros,
+       |  (s_filled + ($m - filled) * $emptyTerm)::BIGINT AS ss
+       |  FROM agg),
+       |est AS (SELECT cn, zeros, ss,
+       |  CASE WHEN $numConst / ss::DOUBLE <= ${2.5 * m} AND zeros > 0
+       |       THEN ${m.toDouble} * ln(${m.toDouble} / zeros::DOUBLE)
+       |       ELSE $numConst / ss::DOUBLE END AS e FROM st)
+       |SELECT cn AS "column", $m AS m, zeros, ss AS s_scaled,
+       |  round(e, 2) AS ndv_est
+       |FROM est ORDER BY cn""".stripMargin
+  }
+
   lazy val oracles: Map[String, String] = oraclesBase +
+    ("q143_hll_ndv_sketch" -> hllOracle) +
     ("q141_curation_pipeline" -> curationOracle) +
     ("q140_minhash_estimate" -> estimateOracle) +
     ("q138_lsh_dedup_clusters" -> lshClustersOracle) +
