@@ -110,22 +110,46 @@ object StatsSketch {
       .agg(max(col("rank")).as("rank"))
   }
 
+  /** Pinned sketch parameters plus table-analyze state: `cols` fixes the
+    * analyzed column set at build time, `lastVersion` the table version
+    * the registers cover (−1 for free-standing sketches), `exact`
+    * whether the estimate equals current-table NDV (false once an
+    * update or delete has entered an incremental window — registers
+    * are max-only, so a retired value cannot leave the sketch; see
+    * [[analyzeIncremental]]).
+    */
+  private final case class Meta(p: Int, seed: Long, cols: Seq[String],
+      lastVersion: Long, exact: Boolean)
+
+  private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
+    import spark.implicits._
+    Seq((m.p, m.seed, "poly64", m.cols.mkString(","), m.lastVersion, m.exact))
+      .toDF("p", "seed", "base_hash", "cols", "last_version", "exact")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def readMetaFull(spark: SparkSession, dir: String): Meta = {
+    val r = spark.read.parquet(s"$dir/meta").head()
+    Meta(r.getInt(r.fieldIndex("p")), r.getLong(r.fieldIndex("seed")),
+      r.getString(r.fieldIndex("cols")).split(',').toSeq.filter(_.nonEmpty),
+      r.getLong(r.fieldIndex("last_version")),
+      r.getBoolean(r.fieldIndex("exact")))
+  }
+
   /** Build and persist a sketch: `dir/registers` + `dir/meta` pinning
-    * (p, seed, base_hash) so appends provably hash like the build.
+    * (p, seed, base_hash, cols) so appends provably hash like the build.
     */
   def save(df: DataFrame, cols: Seq[String], dir: String,
       p: Int = DefaultPrecision, seed: Long = 4242L): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
     sketch(df, cols, p, seed)
       .write.mode("overwrite").parquet(s"$dir/registers")
-    Seq((p, seed, "poly64")).toDF("p", "seed", "base_hash")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeMeta(spark, dir, Meta(p, seed, cols, -1L, exact = true))
   }
 
   private def readMeta(spark: SparkSession, dir: String): (Int, Long) = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    (meta.getInt(0), meta.getLong(1))
+    val m = readMetaFull(spark, dir)
+    (m.p, m.seed)
   }
 
   /** Incremental maintenance: sketch ONLY `newRows` (params read from the
@@ -199,6 +223,87 @@ object StatsSketch {
     val (p, _) = readMeta(spark, dir)
     estimateFrom(spark.read.parquet(s"$dir/registers"), p)
   }
+
+  // ---- Versioned-table ANALYZE -----------------------------------------
+
+  /** One-shot ANALYZE of a versioned [[graft.sources.ParquetTable]]: a
+    * full-scan sketch of the current head, with the covered version
+    * pinned in meta so [[analyzeIncremental]] knows where to resume.
+    * Returns the analyzed version.
+    */
+  def analyze(spark: SparkSession, tablePath: String, cols: Seq[String],
+      sketchDir: String, p: Int = DefaultPrecision, seed: Long = 4242L): Long = {
+    val v = graft.sources.ParquetTable.currentVersion(spark, tablePath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"analyze: no versioned table at $tablePath"))
+    sketch(graft.sources.ParquetTable.read(spark, tablePath), cols, p, seed)
+      .write.mode("overwrite").parquet(s"$sketchDir/registers")
+    writeMeta(spark, sketchDir, Meta(p, seed, cols, v, exact = true))
+    v
+  }
+
+  /** Incremental ANALYZE — the reason this operator exists: advance the
+    * sketch from its pinned `last_version` to the table head by
+    * sketching ONLY the change feed between the two versions
+    * ([[graft.sources.ParquetTable.changes]] net diff), never rescanning
+    * the table. Cost is change-sized: at 100 TB the nightly ANALYZE
+    * touches the day's commits, not the decade's.
+    *
+    * Crash/replay safety comes from write ORDER + algebra: delta
+    * registers are appended BEFORE the meta version advances, and a
+    * replayed append is a register-max no-op — a crash between the two
+    * writes re-runs the same window and converges.
+    *
+    * Exactness contract (stated, not hoped): registers are max-only, so
+    * new values enter the sketch but a retired value cannot leave it — a
+    * DELETE removes its row's values and an UPDATE retires the old
+    * value while its new one is sketched. A window containing either
+    * therefore flips the persistent `exact` flag to false — from then
+    * on [[estimate]] is a documented UPPER BOUND of current-table NDV
+    * ("values ever present"), monotone and still exactly mergeable,
+    * until a full [[analyze]] recomputes and resets the flag. Equality
+    * for append-only histories (the lakehouse common case) is
+    * spec-pinned; MIN/MAX-style silent wrongness is refused by design
+    * (the IncrementalView discipline).
+    *
+    * Returns the new covered version (= head; a no-op when already
+    * current).
+    */
+  def analyzeIncremental(spark: SparkSession, tablePath: String,
+      pk: Seq[String], sketchDir: String): Long = {
+    val meta = readMetaFull(spark, sketchDir)
+    require(meta.lastVersion >= 0,
+      s"analyzeIncremental: sketch at $sketchDir is free-standing " +
+        "(built by save(), not analyze()) — it pins no table version")
+    val head = graft.sources.ParquetTable.currentVersion(spark, tablePath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"analyzeIncremental: no versioned table at $tablePath"))
+    if (head == meta.lastVersion) return head
+    require(head > meta.lastVersion,
+      s"analyzeIncremental: sketch covers v${meta.lastVersion} but the " +
+        s"table head is v$head — the table was RESTOREd past the sketch; " +
+        "recompute with analyze()")
+    val delta = graft.sources.ParquetTable
+      .changes(spark, tablePath, meta.lastVersion, head, pk)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val appendOnly = delta
+        .filter(col("_change_type") =!= "insert").isEmpty
+      val upserts = delta.filter(col("_change_type") =!= "delete")
+        .drop("_change_type")
+      sketch(upserts, meta.cols, meta.p, meta.seed)
+        .write.mode("append").parquet(s"$sketchDir/registers")
+      writeMeta(spark, sketchDir,
+        meta.copy(lastVersion = head, exact = meta.exact && appendOnly))
+    } finally { delta.unpersist(); () }
+    head
+  }
+
+  /** Whether the persisted sketch still equals current-table NDV (true)
+    * or is the documented upper bound after delete windows (false).
+    */
+  def isExact(spark: SparkSession, dir: String): Boolean =
+    readMetaFull(spark, dir).exact
 
   /** Merge independently-built sketches (same (p, seed) pinned meta —
     * e.g. one per partition or per commit) by register max: the HLL

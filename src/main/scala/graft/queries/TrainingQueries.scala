@@ -1057,6 +1057,32 @@ object TrainingQueries {
       StatsSketch.estimate(s, dir).orderBy(col("column"))
     }),
 
+    // Incremental ANALYZE against a LIVE versioned table (StatsSketch.
+    // analyze/analyzeIncremental): the table is committed in two merges;
+    // the sketch full-scans v1 and then advances to v2 by sketching ONLY
+    // the change feed (ParquetTable.changes net diff) — at 100 TB the
+    // nightly ANALYZE costs the day's commits, not the decade's. The
+    // windows are append-only so the result must equal q143's one-shot
+    // registers over the full table — SAME oracle: a CDF wiring bug
+    // (missed rows, wrong window, double-advanced version) changes the
+    // registers and fails the hash.
+    "q145_analyze_incremental" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+      val pk = Seq("l_orderkey", "l_linenumber")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_hlla").toString
+      val table = root + "/t"
+      val sk = root + "/sketch"
+      graft.sources.ParquetTable.merge(s, table,
+        l.filter(col("l_orderkey") % 2 === 0), pk)
+      StatsSketch.analyze(s, table, cols, sk)
+      graft.sources.ParquetTable.merge(s, table,
+        l.filter(col("l_orderkey") % 2 =!= 0), pk)
+      StatsSketch.analyzeIncremental(s, table, pk, sk)
+      StatsSketch.estimate(s, sk).orderBy(col("column"))
+    }),
+
     // The FULL curation DAG as one driver-checked query (pipeline/
     // CurationPipeline.run): C4 line gate → corpus-wide paragraph dedup →
     // exact dedup → LSH near-dup keep-best (the q138 path + q133
@@ -2177,6 +2203,9 @@ object TrainingQueries {
 
   lazy val oracles: Map[String, String] = oraclesBase +
     ("q143_hll_ndv_sketch" -> hllOracle) +
+    // the CDF-incremental ANALYZE must reproduce the one-shot registers
+    // over the full table exactly (append-only windows)
+    ("q145_analyze_incremental" -> hllOracle) +
     ("q141_curation_pipeline" -> curationOracle) +
     ("q140_minhash_estimate" -> estimateOracle) +
     ("q138_lsh_dedup_clusters" -> lshClustersOracle) +

@@ -102,6 +102,60 @@ class StatsSketchSpec extends SparkSpec {
     assert(math.abs(est("v") - 3.0) < 0.5)
   }
 
+  test("incremental ANALYZE: change-feed deltas equal a full rescan on " +
+      "append-only histories; updates/deletes flip the exact flag") {
+    val table = tmpDir("hll_tab") + "/t"
+    val sk = tmpDir("hll_sk") + "/s"
+    val cols = Seq("id", "name")
+    def rows(from: Int, until: Int) =
+      (from until until).map(i => (i.toLong, s"user_$i")).toDF("id", "name")
+    graft.sources.ParquetTable.merge(spark, table, rows(0, 3000), Seq("id"))
+    val v1 = StatsSketch.analyze(spark, table, cols, sk)
+    // append-only window → incremental == fresh one-shot, exact stays true
+    graft.sources.ParquetTable.merge(spark, table, rows(3000, 5000), Seq("id"))
+    val v2 = StatsSketch.analyzeIncremental(spark, table, Seq("id"), sk)
+    assert(v2 > v1)
+    val fresh = tmpDir("hll_fresh") + "/s"
+    StatsSketch.analyze(spark, table, cols, fresh)
+    assert(StatsSketch.estimate(spark, sk).collect().toSeq ===
+      StatsSketch.estimate(spark, fresh).collect().toSeq)
+    assert(StatsSketch.isExact(spark, sk))
+    // re-running with no new commits is a no-op
+    assert(StatsSketch.analyzeIncremental(spark, table, Seq("id"), sk) === v2)
+    assert(StatsSketch.estimate(spark, sk).collect().toSeq ===
+      StatsSketch.estimate(spark, fresh).collect().toSeq)
+    // a window with an update + a delete: new value enters the sketch,
+    // retired values cannot leave → exact flips false, estimate is an
+    // upper bound of both the fresh NDV and never below it
+    graft.sources.ParquetTable.merge(spark, table,
+      Seq((5L, "renamed_5")).toDF("id", "name"), Seq("id"))
+    graft.sources.ParquetTable.delete(spark, table, col("id") === 7L)
+    StatsSketch.analyzeIncremental(spark, table, Seq("id"), sk)
+    assert(!StatsSketch.isExact(spark, sk))
+    val freshest = tmpDir("hll_freshest") + "/s"
+    StatsSketch.analyze(spark, table, cols, freshest)
+    val up = StatsSketch.estimate(spark, sk).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val ex = StatsSketch.estimate(spark, freshest).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    cols.foreach(c => assert(up(c) >= ex(c), s"$c: ${up(c)} < ${ex(c)}"))
+    // a full analyze resets exactness
+    StatsSketch.analyze(spark, table, cols, sk)
+    assert(StatsSketch.isExact(spark, sk))
+  }
+
+  test("analyzeIncremental refuses free-standing sketches and RESTOREd tables") {
+    val table = tmpDir("hll_tab2") + "/t"
+    val sk = tmpDir("hll_sk2") + "/s"
+    graft.sources.ParquetTable.merge(spark, table, ids(0, 10), Seq("id"))
+    StatsSketch.save(graft.sources.ParquetTable.read(spark, table),
+      Seq("id"), sk)
+    val e = intercept[IllegalArgumentException] {
+      StatsSketch.analyzeIncremental(spark, table, Seq("id"), sk)
+    }
+    assert(e.getMessage.contains("free-standing"))
+  }
+
   test("register ranks stay inside the declared [1, maxRank] band") {
     val reg = StatsSketch.sketch(ids(0, 5000), Seq("id"))
     val mm = reg.agg(min(col("rank")), max(col("rank"))).head()
