@@ -93,6 +93,12 @@ object StatsSketch {
 
   /** Per-column HLL registers for `cols` in ONE scan of `df`: long-format
     * `(column string, bucket int, rank int)`, only non-empty buckets.
+    *
+    * Values hash through their `CAST AS STRING` rendering. For exact
+    * types (integers, strings, dates) that rendering is engine-portable;
+    * float/double columns render differently across engines, so sketch
+    * NDV on exact types or pre-format floats into a string column if an
+    * external replay must agree.
     */
   def sketch(df: DataFrame, cols: Seq[String],
       p: Int = DefaultPrecision, seed: Long = 4242L): DataFrame = {
@@ -157,10 +163,18 @@ object StatsSketch {
     * History is never rescanned; `estimate`'s fold takes `max` per
     * bucket across all appended generations, so a replayed append is a
     * no-op by algebra, not by convention.
+    *
+    * `cols` must match the pinned column set — a caller silently
+    * sketching a different set would leave some columns stale-but-
+    * plausible (the streamNearDupIngest restart-params discipline:
+    * conflicts are refused, not absorbed).
     */
   def append(newRows: DataFrame, cols: Seq[String], dir: String): Unit = {
-    val (p, seed) = readMeta(newRows.sparkSession, dir)
-    sketch(newRows, cols, p, seed)
+    val meta = readMetaFull(newRows.sparkSession, dir)
+    require(cols == meta.cols,
+      s"statsSketch append: columns $cols conflict with the pinned " +
+        s"column set ${meta.cols} at $dir")
+    sketch(newRows, cols, meta.p, meta.seed)
       .write.mode("append").parquet(s"$dir/registers")
   }
 

@@ -61,11 +61,23 @@ object CurationPipeline {
       nearDupThreshold: Option[Double] = None   // Jaccard bar for stage 3c
   ): Result = {
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    def mark(name: String, df: DataFrame): DataFrame = {
+    // Stage-output persist discipline (the Pipeline.processDataset rule,
+    // load-bearing at DAG depth): every stage output is consumed at least
+    // twice (its funnel count + the next stage; several stages read their
+    // input twice more — LSH pairs + keep-best, LM score + join-back,
+    // shards + BPE). Without caching, each action re-derives the WHOLE
+    // upstream chain — measured 36 s at sf0.1 where the cached DAG runs
+    // the chain once (~4x). Intermediates are dropped before returning;
+    // the two result artifacts stay cached (they were just materialized —
+    // the caller reads them next).
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def mark(name: String, df0: DataFrame): DataFrame = {
+      val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += df
       stages += name -> df.count(); df
     }
 
-    mark("input", docs)
+    stages += "input" -> docs.count()
 
     // 1. line hygiene
     val clean = mark("c4_filter",
@@ -114,9 +126,12 @@ object CurationPipeline {
       nearDeduped.filter(TextFunctions.repetitionKeep(
         TextFunctions.repetitionStats(col("text")))))
 
-    // 4b. LM quality: drop the lowest-scoring quantile
+    // 4b. LM quality: drop the lowest-scoring quantile (scored is read
+    // twice: the quantile probe and the gate join)
     val scored = LmScore.scoreBigram(repOk, "doc_id", "text")
       .filter(col("avg_logp").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached += scored
     val cut = scored.stat.approxQuantile("avg_logp", Array(lmCutQuantile), 0.01)(0)
     val quality = mark("lm_gate",
       repOk.join(scored.filter(col("avg_logp") >= cut)
@@ -138,9 +153,18 @@ object CurationPipeline {
     // 7. deterministic shard layout
     val sharded = ShardLayout.assign(mixed, "doc_id", nShards, seed)
       .select(col("doc_id"), col("text"), col("shard"), col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 8. tokenizer trained on the CURATED corpus
     val merges = BpeTrain.train(mixed, "text", nMerges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // materialize the artifacts, then release every intermediate — the
+    // result frames answer from their own cache, nothing upstream is
+    // re-derivable-by-accident, and a long-lived session doesn't
+    // accumulate stage blocks
+    sharded.count(); merges.count()
+    cached.foreach(_.unpersist())
 
     Result(sharded, merges, stages.toSeq)
   }

@@ -66,6 +66,12 @@ class StatsSketchSpec extends SparkSpec {
     assert(est.getInt(est.fieldIndex("m")) === 512)
     val e = est.getDouble(est.fieldIndex("ndv_est"))
     assert(math.abs(e - 2000.0) / 2000.0 < 0.25, s"got $e")
+    // a conflicting column set is refused, not silently absorbed
+    val err = intercept[IllegalArgumentException] {
+      StatsSketch.append(ids(0, 10).withColumnRenamed("id", "other"),
+        Seq("other"), dir)
+    }
+    assert(err.getMessage.contains("conflict with the pinned"))
   }
 
   test("merged() is the HLL union; refuses mismatched params") {
