@@ -32,8 +32,11 @@ class PlanShapeSpec extends SparkSpec {
     "q104_bm25_indexed" -> 1, // Bm25 probe-side scalar
     "q115_lm_persisted" -> 1, // persisted-LM scoring scalar
     "q128_dsir_select" -> 2, // Dsir: per-corpus total-count scalars
-    "q135_lm_trigram" -> 1, // trigram JM: vocab-size scalar
-    "q141_curation_pipeline" -> 1 // LM-gate stage rides q89's vocab scalar
+    "q135_lm_trigram" -> 1 // trigram JM: vocab-size scalar
+    // q141 rode q89's vocab scalar until the stage-persist fix: the LM
+    // stage now answers from its cached output, so the final plan has no
+    // cross shape left to document (this sweep counts the OBSERVABLE
+    // plan — a cached stage's internals were already swept via q89)
   )
 
   test("no undocumented condition-less joins anywhere in the battery") {
