@@ -703,6 +703,39 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming table-statistics maintenance — the stats twin of the
+    * bloom/minhash/paragraph index streams: each micro-batch's rows are
+    * sketched with the PINNED (p, seed, cols) from the
+    * [[graft.operators.StatsSketch]] meta (built once with
+    * `StatsSketch.save`/`analyze`) and the delta registers appended.
+    * NDV statistics stay fresh per trigger without ever rescanning the
+    * table, and the crash-replay story needs no txn marker at all:
+    * a re-delivered batch re-appends the same registers and the
+    * register-max fold makes that a no-op BY ALGEBRA — strictly
+    * stronger than the store-append streams, which need their probes
+    * distinct()d to tolerate replays.
+    *
+    * A restart pointing at a sketch whose pinned column set conflicts
+    * with `cols` is refused per batch (StatsSketch.append's check — the
+    * streamNearDupIngest restart discipline).
+    */
+  def streamStatsMaintain(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String],
+      sketchDir: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.operators.StatsSketch.append(batch.toDF(), cols, sketchDir)
+      }
+      .start()
+
   def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), gap))

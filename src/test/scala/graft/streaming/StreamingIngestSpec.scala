@@ -698,4 +698,43 @@ class StreamingIngestSpec extends SparkSpec {
     // the late batch SPLIT the open interval: 1→3→5
     assert(hist === Seq((1, 1L, Some(3L)), (1, 3L, Some(5L)), (1, 5L, None)))
   }
+
+  test("streamStatsMaintain: per-trigger NDV maintenance == one-shot sketch; " +
+      "replays and restarts hold the pinned contract") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.StatsSketch
+    import spark.implicits._
+    val root = tmpDir("stream-stats")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    def rows(from: Int, until: Int) =
+      (from until until).map(i => (i.toLong, s"u_$i")).toDF("id", "name")
+    val schema = rows(0, 1).schema
+    // the sketch is BUILT once (pins p/seed/cols); the stream maintains it
+    StatsSketch.save(rows(0, 500), Seq("id", "name"), s"$root/sk")
+    rows(0, 500).write.parquet(s"$in/drop1") // same rows the build saw
+    rows(500, 1500).write.parquet(s"$in/drop2")
+    StreamingIngest.streamStatsMaintain(spark, s"$in/*", schema,
+      Seq("id", "name"), s"$root/sk", s"$root/ckpt").awaitTermination()
+    val oneShot = s"$root/one"
+    StatsSketch.save(rows(0, 1500), Seq("id", "name"), oneShot)
+    assert(StatsSketch.estimate(spark, s"$root/sk").collect().toSeq ===
+      StatsSketch.estimate(spark, oneShot).collect().toSeq)
+    // drop1 duplicated the build's rows and changed nothing (max-merge);
+    // a NEW trigger over a re-delivered file is likewise a no-op
+    rows(500, 1500).write.parquet(s"$in/drop2_replay")
+    StreamingIngest.streamStatsMaintain(spark, s"$in/*", schema,
+      Seq("id", "name"), s"$root/sk", s"$root/ckpt").awaitTermination()
+    assert(StatsSketch.estimate(spark, s"$root/sk").collect().toSeq ===
+      StatsSketch.estimate(spark, oneShot).collect().toSeq)
+    // a restart maintaining a DIFFERENT column set is refused, not absorbed
+    rows(1500, 1501).write.parquet(s"$in/drop3")
+    val q = StreamingIngest.streamStatsMaintain(spark, s"$in/*", schema,
+      Seq("id"), s"$root/sk", s"$root/ckpt")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(err.getMessage.contains("conflict with the pinned") ||
+      Option(err.getCause).exists(_.getMessage.contains("conflict with the pinned")))
+  }
 }
