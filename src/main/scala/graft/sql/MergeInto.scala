@@ -218,6 +218,16 @@ object GraftSql {
   private val ConvertStmt =
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
+  // matched BEFORE AnalyzeStmt (whose clause is COMPUTE STATISTICS, not
+  // COMPUTE INCREMENTAL STATISTICS)
+  private val AnalyzeIncrementalStmt =
+    ("""(?is)\s*ANALYZE\s+graft\s*\.\s*`([^`]+)`\s+COMPUTE\s+INCREMENTAL\s+""" +
+      """STATISTICS\s+USING\s+PK\s*\(([^)]+)\)\s*;?\s*""").r
+  private val AnalyzeStmt =
+    ("""(?is)\s*ANALYZE\s+graft\s*\.\s*`([^`]+)`\s+COMPUTE\s+STATISTICS\s+""" +
+      """FOR\s+COLUMNS\s*\(([^)]+)\)\s*;?\s*""").r
+  private val ShowStatsStmt =
+    """(?is)\s*SHOW\s+STATISTICS\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
 
   private[sql] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -294,6 +304,15 @@ object GraftSql {
       case DetailStmt(path) => Some(GraftDetailCommand(path))
       case FsckStmt(path) => Some(GraftFsckCommand(path))
       case GenerateStmt(path) => Some(GraftGenerateManifestCommand(path))
+      case AnalyzeIncrementalStmt(path, pk) =>
+        Some(GraftAnalyzeIncrementalCommand(path,
+          pk.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .toSeq.filter(_.nonEmpty)))
+      case AnalyzeStmt(path, cols) =>
+        Some(GraftAnalyzeCommand(path,
+          cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .toSeq.filter(_.nonEmpty)))
+      case ShowStatsStmt(path) => Some(GraftShowStatsCommand(path))
       case _ => None
     }
 
@@ -1132,6 +1151,83 @@ case class GraftFsckCommand(path: String) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] =
     ParquetTable.fsck(session, path).collect().toSeq
+}
+
+/** Where a table's NDV sketch lives: a `_`-prefixed sibling of the data
+  * dirs (the `_graft_manifest`/`_graft_changes` convention — manifest
+  * readers list data dirs explicitly and Spark skips `_` paths, so the
+  * sketch never leaks into a scan).
+  */
+private object GraftStats {
+  def dir(path: String): String = s"$path/_graft_stats"
+}
+
+/** `ANALYZE graft.`p` COMPUTE STATISTICS FOR COLUMNS (c1, c2…)`: the
+  * full-scan tier — builds the table's NDV sketch at the current head
+  * and pins (columns, version) for the incremental tier. Returns the
+  * analyzed version.
+  */
+case class GraftAnalyzeCommand(path: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.LongType
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("analyzed_version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = Seq(Row(
+    graft.operators.StatsSketch.analyze(session, path, cols,
+      GraftStats.dir(path))))
+}
+
+/** `ANALYZE graft.`p` COMPUTE INCREMENTAL STATISTICS USING PK (k…)`: the
+  * change-feed tier — advances the pinned sketch to the table head by
+  * sketching only `changes(last, head)` (columns come from the pinned
+  * meta, never restated; PK is needed by the snapshot diff). Returns the
+  * newly covered version. Delete/update windows flip the sketch to the
+  * documented upper-bound mode — see SHOW STATISTICS' `exact` column.
+  */
+case class GraftAnalyzeIncrementalCommand(path: String, pk: Seq[String])
+    extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.LongType
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("analyzed_version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = Seq(Row(
+    graft.operators.StatsSketch.analyzeIncremental(session, path, pk,
+      GraftStats.dir(path))))
+}
+
+/** `SHOW STATISTICS graft.`p``: the per-column NDV estimates of the
+  * table's ANALYZE sketch, plus the exactness flag (false once an
+  * update/delete window made the estimate a "values ever present"
+  * upper bound — re-ANALYZE to reset).
+  */
+case class GraftShowStatsCommand(path: String) extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType}
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("m", IntegerType, nullable = false)(),
+    AttributeReference("zeros", LongType, nullable = false)(),
+    AttributeReference("s_scaled", LongType, nullable = false)(),
+    AttributeReference("ndv_est", DoubleType, nullable = false)(),
+    AttributeReference("exact", BooleanType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftStats.dir(path)
+    val exact = graft.operators.StatsSketch.isExact(session, dir)
+    graft.operators.StatsSketch.estimate(session, dir)
+      .orderBy("column").collect().toSeq
+      .map(r => Row(r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), exact))
+  }
 }
 
 /** `GENERATE symlink_format_manifest FOR TABLE graft.`path``: Delta's
