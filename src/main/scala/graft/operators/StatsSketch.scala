@@ -200,8 +200,15 @@ object StatsSketch {
     * EXACT integer Σ 2^(maxRank − M_j) over all m registers (empty
     * register: M_j = 0) rendered as a string, and `ndv_est` the HLL
     * estimate rounded to 2 decimals.
+    *
+    * `allCols` pins the full analyzed column set: a column whose values
+    * are ALL NULL produces no register rows at all, and silently
+    * vanishing from the statistics is the failure mode this library
+    * refuses elsewhere — with the set pinned, such a column reports its
+    * true zero row (zeros = m, ndv_est = 0) instead of being absent.
     */
-  def estimateFrom(registers: DataFrame, p: Int): DataFrame = {
+  def estimateFrom(registers: DataFrame, p: Int,
+      allCols: Seq[String] = Nil): DataFrame = {
     val m = 1 << p
     val mr = MaxRank
     // every term is a power of two ≤ 2^31 (empty register: 2^32), so the
@@ -209,11 +216,20 @@ object StatsSketch {
     // order-independent by construction
     val term = expr(s"shiftleft(cast(1 as bigint), $mr - rank)")
     val emptyTerm = 1L << mr
-    val folded = registers
+    val foldedBase = registers
       .groupBy(col("column"), col("bucket"))
       .agg(max(col("rank")).as("rank")) // fold append generations
       .groupBy(col("column"))
       .agg(count(lit(1)).as("filled"), sum(term).as("s_filled"))
+    val folded = if (allCols.isEmpty) foldedBase else {
+      val spark = registers.sparkSession
+      import spark.implicits._
+      // column-set-sized (a handful of rows) joined broadcast-side; an
+      // all-NULL column folds to filled = 0, s_filled = 0 → zeros = m
+      spark.createDataset(allCols).toDF("column")
+        .join(foldedBase, Seq("column"), "left")
+        .na.fill(0L, Seq("filled", "s_filled"))
+    }
     val zeros = (lit(m) - col("filled")).cast("long")
     val sScaled = col("s_filled") + zeros * lit(emptyTerm)
     // alpha_m·m²·2^maxRank collapsed to ONE double literal so both engines
@@ -232,10 +248,13 @@ object StatsSketch {
         col("s_scaled"), round(est, 2).as("ndv_est"))
   }
 
-  /** Per-column NDV statistics of a persisted sketch. */
+  /** Per-column NDV statistics of a persisted sketch. The pinned column
+    * set rides along so all-NULL columns report zeros = m / ndv_est = 0
+    * rather than silently vanishing.
+    */
   def estimate(spark: SparkSession, dir: String): DataFrame = {
-    val (p, _) = readMeta(spark, dir)
-    estimateFrom(spark.read.parquet(s"$dir/registers"), p)
+    val meta = readMetaFull(spark, dir)
+    estimateFrom(spark.read.parquet(s"$dir/registers"), meta.p, meta.cols)
   }
 
   // ---- Versioned-table ANALYZE -----------------------------------------
@@ -303,7 +322,12 @@ object StatsSketch {
     try {
       val appendOnly = delta
         .filter(col("_change_type") =!= "insert").isEmpty
-      val upserts = delta.filter(col("_change_type") =!= "delete")
+      // sketch only inserts and update POSTIMAGES: a preimage's values
+      // were covered at last_version, so sketching it is a register-max
+      // no-op by that invariant — skipping it saves the hash/IO on
+      // update-heavy windows without changing a single register
+      val upserts = delta
+        .filter(col("_change_type").isin("insert", "update_postimage"))
         .drop("_change_type")
       sketch(upserts, meta.cols, meta.p, meta.seed)
         .write.mode("append").parquet(s"$sketchDir/registers")
@@ -325,11 +349,12 @@ object StatsSketch {
     */
   def merged(spark: SparkSession, dirs: Seq[String]): DataFrame = {
     require(dirs.nonEmpty, "statsSketch: no sketch dirs")
-    val metas = dirs.map(readMeta(spark, _)).distinct
-    require(metas.size == 1,
-      s"statsSketch: cannot merge sketches with different (p, seed): $metas")
+    val metas = dirs.map(readMetaFull(spark, _))
+    val params = metas.map(m => (m.p, m.seed)).distinct
+    require(params.size == 1,
+      s"statsSketch: cannot merge sketches with different (p, seed): $params")
     val all = dirs.map(d => spark.read.parquet(s"$d/registers"))
       .reduce(_ unionByName _)
-    estimateFrom(all, metas.head._1)
+    estimateFrom(all, params.head._1, metas.flatMap(_.cols).distinct)
   }
 }

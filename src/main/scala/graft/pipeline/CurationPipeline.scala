@@ -42,7 +42,16 @@ object CurationPipeline {
   final case class Result(
       corpus: DataFrame,      // surviving (doc_id, text) + shard + pos
       merges: DataFrame,      // learned BPE merge table
-      funnel: Seq[(String, Long)]) // stage → surviving docs
+      funnel: Seq[(String, Long)]) { // stage → surviving docs
+
+    /** Release the two persisted result artifacts. `run` intentionally
+      * leaves `corpus` and `merges` cached (they are materialized and
+      * answer from their own blocks); a long-lived session running the
+      * DAG repeatedly must call this once done with a Result, or the
+      * caches accumulate.
+      */
+    def unpersist(): Unit = { corpus.unpersist(); merges.unpersist(); () }
+  }
 
   def run(
       spark: SparkSession,

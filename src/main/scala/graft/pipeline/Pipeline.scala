@@ -44,7 +44,10 @@ object Pipeline {
       // durable notification outbox (the reference's SNS publishes,
       // delta-lake.json:216-265) — None keeps the log/exit-code surface
       notifyDir: Option[String] = None,
-      runId: String = "run-1",
+      // the outbox dedupes on (run_id, status), so a reused id silently
+      // drops a later run's publishes — `run` refuses the default when
+      // notifyDir is set; callers must supply a per-execution id
+      runId: String = "",
       // injectable clock so notification events are replayable in tests
       clock: () => String = () => java.time.Instant.now().toString)
 
@@ -55,7 +58,10 @@ object Pipeline {
     case other => s"${cfg.inputDir}/$other/*.csv" // daily files, implicit UNION ALL
   }
 
-  def run(spark: SparkSession, cfg: Config): Seq[TableResult] =
+  def run(spark: SparkSession, cfg: Config): Seq[TableResult] = {
+    require(cfg.notifyDir.isEmpty || cfg.runId.nonEmpty,
+      "pipeline: notifyDir is set but runId is empty — the outbox dedupes " +
+        "on (run_id, status), so each execution needs its own explicit id")
     notified(cfg, "etl") {
       val refs = scala.collection.mutable.Map.empty[String, DataFrame]
       val results = Schemas.all.map { spec =>
@@ -78,6 +84,7 @@ object Pipeline {
       }
       results
     }
+  }
 
   /** The reference's per-stage failure handlers (delta-lake.json:226-265 —
     * each catch publishes to SNS, then the execution fails): a failing

@@ -37,6 +37,22 @@ class StatsSketchSpec extends SparkSpec {
       .getDouble(small.fieldIndex("ndv_est")) === smallEst)
   }
 
+  test("an all-NULL column reports its zero row instead of vanishing") {
+    val dir = tmpDir("hll_allnull") + "/s"
+    val df = (0 until 100).map(i => (i.toLong, Option.empty[String]))
+      .toDF("id", "ghost")
+    StatsSketch.save(df, Seq("id", "ghost"), dir)
+    val rows = StatsSketch.estimate(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("id", "ghost"), "ghost column must not vanish")
+    val g = rows("ghost")
+    assert(g.getLong(g.fieldIndex("zeros")) === 4096L)
+    assert(g.getDouble(g.fieldIndex("ndv_est")) === 0.0)
+    // and the merged() path carries the pinned set too
+    val m = StatsSketch.merged(spark, Seq(dir)).collect().map(_.getString(0))
+    assert(m.toSet === Set("id", "ghost"))
+  }
+
   test("append equals one-shot build; replayed append is a no-op") {
     val dir = tmpDir("hll_app") + "/s"
     val oneShot = tmpDir("hll_one") + "/s"

@@ -32,7 +32,7 @@ class NotifySpec extends SparkSpec {
 
   test("event fields with JSON-hostile content round-trip") {
     val dir = tmpDir("outbox_esc")
-    val msg = "line1\nline2\t\"quoted\" \\ and a ctrl: done"
+    val msg = "line1\nline2\t\"quoted\" \\ and a ctrl:\u0001 done"
     Notify.publish(dir, Notify.Event("r2", "FAILURE_orders", "s", msg),
       "2026-01-01T00:00:00Z")
     val got = Notify.read(spark, dir).collect()(0)
@@ -81,6 +81,53 @@ class NotifySpec extends SparkSpec {
     assert(Notify.read(spark, s"$root/outbox").count() === 1)
     Pipeline.run(spark, cfg.copy(runId = "nrun-2"))
     assert(Notify.read(spark, s"$root/outbox").count() === 2)
+  }
+
+  test("read before the first publish returns an empty frame, not an error") {
+    val dir = tmpDir("outbox_unborn") + "/never_created"
+    val df = Notify.read(spark, dir)
+    assert(df.columns.toSeq ===
+      Seq("run_id", "status", "subject", "message", "published_at"))
+    assert(df.count() === 0)
+  }
+
+  test("pipeline refuses an empty runId when the outbox is enabled") {
+    val root = tmpDir("pipe_notify_noid")
+    val cfg = Pipeline.Config(
+      inputDir = s"$root/raw", outputDir = s"$root/curated",
+      rejectedDir = s"$root/rejected", notifyDir = Some(s"$root/outbox"))
+    val e = intercept[IllegalArgumentException] { Pipeline.run(spark, cfg) }
+    assert(e.getMessage.contains("runId"))
+    // and no outbox directory materialized a stale default-id event
+    assert(!Files.exists(Paths.get(s"$root/outbox")))
+  }
+
+  test("streaming consumer tails the outbox exactly once across restarts") {
+    val root = tmpDir("outbox_stream")
+    val outbox = s"$root/outbox"
+    val sink = s"$root/seen"
+    val ckpt = s"$root/ckpt"
+    def drain(): Unit = {
+      val q = Notify.readStream(spark, outbox)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Notify.publish(outbox, Notify.Event("s1", "SUCCESS", "a", "m1"), "t1")
+    Notify.publish(outbox, Notify.Event("s2", "FAILURE_etl", "b", "m2"), "t2")
+    drain()
+    assert(spark.read.schema(Notify.schema).parquet(sink).count() === 2)
+    // a redelivered duplicate is invisible (same file, never rewritten);
+    // a NEW event is picked up by the restarted consumer exactly once
+    Notify.publish(outbox, Notify.Event("s1", "SUCCESS", "a", "retry"), "t3")
+    Notify.publish(outbox, Notify.Event("s3", "SUCCESS", "c", "m3"), "t4")
+    drain()
+    val seen = spark.read.schema(Notify.schema).parquet(sink)
+    assert(seen.count() === 3)
+    assert(seen.select("run_id").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("s1", "s2", "s3"))
   }
 
   test("pipeline failure publishes the stage handler and the terminal event") {
