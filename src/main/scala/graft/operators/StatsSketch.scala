@@ -116,6 +116,25 @@ object StatsSketch {
       .agg(max(col("rank")).as("rank"))
   }
 
+  /** Quick NDV estimate of the (composite) key `cols` of `df`: ONE
+    * column-pruned scan with a register-bounded (≤ m rows) fold — the
+    * probe a cost-based physical decision can afford to pay on the SMALL
+    * side of a join it is about to plan (see
+    * [[graft.sources.ParquetTable.planMergeStats]]). Multi-column keys
+    * hash their U+0001-joined string rendering (an estimate, not an
+    * identity — good enough for a cardinality decision).
+    */
+  def ndvEstimate(df: DataFrame, cols: Seq[String],
+      p: Int = DefaultPrecision, seed: Long = 4242L): Double = {
+    require(cols.nonEmpty, "ndvEstimate: no key columns")
+    val key =
+      if (cols.size == 1) col(cols.head).cast(StringType)
+      else concat_ws("\u0001", cols.map(c => col(c).cast(StringType)): _*)
+    estimateFrom(sketch(df.select(key.as("__key")), Seq("__key"), p, seed), p)
+      .collect().headOption
+      .map(r => r.getDouble(r.fieldIndex("ndv_est"))).getOrElse(0.0)
+  }
+
   /** Pinned sketch parameters plus table-analyze state: `cols` fixes the
     * analyzed column set at build time, `lastVersion` the table version
     * the registers cover (−1 for free-standing sketches), `exact`
@@ -322,12 +341,13 @@ object StatsSketch {
     try {
       val appendOnly = delta
         .filter(col("_change_type") =!= "insert").isEmpty
-      // sketch only inserts and update POSTIMAGES: a preimage's values
-      // were covered at last_version, so sketching it is a register-max
-      // no-op by that invariant — skipping it saves the hash/IO on
-      // update-heavy windows without changing a single register
-      val upserts = delta
-        .filter(col("_change_type").isin("insert", "update_postimage"))
+      // `changes` is a NET snapshot diff: `_change_type` ∈ {insert,
+      // update, delete} with ONE row per changed key carrying the NEW
+      // image — update PREIMAGES never appear on this feed (they are a
+      // per-commit-CDF concept, tableChanges), so `=!= "delete"` is
+      // exactly inserts + update postimages: nothing already-covered is
+      // re-hashed, and nothing new can be missed
+      val upserts = delta.filter(col("_change_type") =!= "delete")
         .drop("_change_type")
       sketch(upserts, meta.cols, meta.p, meta.seed)
         .write.mode("append").parquet(s"$sketchDir/registers")

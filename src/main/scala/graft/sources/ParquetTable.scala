@@ -377,11 +377,12 @@ object ParquetTable {
     */
   def mergeFrames(
       target: DataFrame, updates: DataFrame, pk: Seq[String],
-      evolveSchema: Boolean = false): DataFrame =
+      evolveSchema: Boolean = false,
+      broadcastKeys: Option[Boolean] = None): DataFrame =
     if (!evolveSchema) {
       val cols = target.columns.toSeq
       val upd = updates.dropDuplicates(pk).select(cols.map(col): _*)
-      val updKeys = upd.select(pk.map(col): _*).distinct()
+      val updKeys = hintKeys(upd.select(pk.map(col): _*).distinct(), broadcastKeys)
       // a using-columns join hoists the pk columns to the front of the
       // output; re-select so merge preserves the table's column order
       // (otherwise every commit silently reorders the table pk-first)
@@ -398,10 +399,119 @@ object ParquetTable {
       val upd = missing.foldLeft(updates.dropDuplicates(pk))((df, c) =>
         df.withColumn(c, lit(null).cast(target.schema(c).dataType)))
         .select(widenedTarget.columns.map(col).toSeq: _*)
-      val updKeys = upd.select(pk.map(col): _*).distinct()
+      val updKeys = hintKeys(upd.select(pk.map(col): _*).distinct(), broadcastKeys)
       widenedTarget.join(updKeys, pk, "left_anti")
         .select(widenedTarget.columns.map(col).toSeq: _*)
         .unionByName(upd)
+    }
+
+  // ---- stats-informed merge planning -------------------------------------
+
+  /** Where ANALYZE pins the table's NDV sketch (the SQL verbs' convention:
+    * a `_`-prefixed sibling of the data dirs, invisible to scans).
+    */
+  def statsDir(path: String): String = s"$path/_graft_stats"
+
+  /** Whether the table has been ANALYZEd (a pinned sketch exists at
+    * [[statsDir]]). Metadata-only existence probe.
+    */
+  def hasStats(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(statsDir(path), "meta")
+    hadoopFs(spark, p).exists(p)
+  }
+
+  /** Kill switch for stats-informed merge planning (`true` by default —
+    * the real opt-in is having run ANALYZE on the table at all).
+    */
+  val StatsHintsConf = "spark.graft.stats.mergeHints"
+
+  /** Estimated matched fraction (update-key NDV / table-pk NDV) at or
+    * above which an auto-tiered merge takes the copy-on-write rewrite
+    * even on a table big enough for merge-on-read: a bulk update
+    * approaching table size makes MOR append ~the whole table AND keep
+    * the DV'd old image alive — double storage until OPTIMIZE, for no
+    * read benefit. The scaladoc of [[merge]] used to delegate this call
+    * to the caller ("force Some(false) for bulk updates"); with an
+    * ANALYZEd table the engine now makes it from statistics.
+    */
+  val BulkUpdateCowFraction: Double = 0.5
+
+  /** Stats-informed physical decisions for one merge. `broadcastKeys`:
+    * Some(true) → broadcast the deduplicated update-key set into the
+    * anti/semi joins, Some(false) → force sort-merge (the key set
+    * provably exceeds the broadcast threshold — protects the driver
+    * from a statically lowballed broadcast), None → no opt-in, leave
+    * the choice to Catalyst/AQE. `bulkUpdate`: the update set covers ≥
+    * [[BulkUpdateCowFraction]] of the table's pk NDV, so the auto tier
+    * should rewrite instead of merge-on-read.
+    */
+  final case class MergeStatsPlan(
+      broadcastKeys: Option[Boolean], bulkUpdate: Boolean)
+
+  val NoStatsPlan: MergeStatsPlan = MergeStatsPlan(None, bulkUpdate = false)
+
+  /** The CBO loop closed: the reference opts into cost-based planning by
+    * conf (glue_etl.py:407-408 `spark.sql.cbo.enabled`); here the opt-in
+    * is having ANALYZEd the table — when `_graft_stats` exists, ONE
+    * register-bounded column-pruned pass sketches the update set's key
+    * NDV and sizes the deduplicated key set (NDV × Catalyst defaultSize
+    * key width) against `spark.sql.autoBroadcastJoinThreshold`.
+    *
+    * Why Catalyst/AQE don't subsume this: the updates side of a merge is
+    * routinely a DERIVED frame (a CDC batch, a join, a generated feed)
+    * whose static `sizeInBytes` is off by orders of magnitude in both
+    * directions — a 10M-event CDC batch over 1k keys statically "can't"
+    * be broadcast though its distinct-key set is a few KB, and AQE's
+    * runtime rescue only converts the join AFTER the target's shuffle
+    * map side has been written: at 100 TB, writing the table to shuffle
+    * storage IS the cost being decided. The NDV probe costs one pass
+    * over the SMALL side and moves the decision before any exchange is
+    * planned.
+    *
+    * The bulk-update demotion reads the TABLE side from the persisted
+    * ANALYZE sketch (single-column pk in the analyzed set only; an
+    * upper-bound sketch after delete windows over-states table NDV,
+    * which under-states the fraction — conservative, stays MOR).
+    */
+  private[graft] def planMergeStats(
+      spark: SparkSession, path: String, updates: DataFrame,
+      pk: Seq[String]): MergeStatsPlan = {
+    if (spark.conf.get(StatsHintsConf, "true") != "true") return NoStatsPlan
+    if (!hasStats(spark, path)) return NoStatsPlan
+    if (!pk.forall(updates.columns.contains)) return NoStatsPlan
+    val rawThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    // plain numbers (including "-1" = disabled) don't parse as byte
+    // strings — try the bare-long form first
+    val threshold = scala.util.Try(rawThreshold.toLong).getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(rawThreshold))
+    // auto-broadcast disabled by the user: planning broadcasts anyway
+    // would override that choice — stay out entirely
+    if (threshold <= 0) return NoStatsPlan
+    val ndvU = graft.operators.StatsSketch.ndvEstimate(updates, pk)
+    // key width per Catalyst's own convention (DataType.defaultSize) plus
+    // 16 B/entry of hashed-relation bookkeeping
+    val keyBytes = pk.map(c => updates.schema(c).dataType.defaultSize.toLong)
+      .sum + 16L
+    val broadcastKeys = Some(ndvU * keyBytes <= threshold)
+    val bulk = pk.size == 1 && {
+      try {
+        graft.operators.StatsSketch.estimate(spark, statsDir(path))
+          .filter(col("column") === pk.head).collect().headOption.exists { r =>
+            val ndvT = r.getDouble(r.fieldIndex("ndv_est"))
+            ndvT > 0 && ndvU / ndvT >= BulkUpdateCowFraction
+          }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+    MergeStatsPlan(broadcastKeys, bulk)
+  }
+
+  /** Apply the planner's side decision to a deduplicated key set. */
+  private def hintKeys(keys: DataFrame, broadcastKeys: Option[Boolean]): DataFrame =
+    broadcastKeys match {
+      case Some(true)  => broadcast(keys)
+      case Some(false) => keys.hint("merge")
+      case None        => keys
     }
 
   /** Upsert `updates` into the table at `path` (creating it if absent).
@@ -506,6 +616,9 @@ object ParquetTable {
       return
     }
     val target = read(spark, path)
+    // stats-informed planning (see [[planMergeStats]]) — lazy: the probe
+    // pass over `updates` runs only on a branch that consults it
+    lazy val statsPlan = planMergeStats(spark, path, updates, pk)
     if (partitionColumns.nonEmpty) {
       require(!cdf, s"merge: cdf capture needs a versioned table; $path is a " +
         "plain partitioned layout (use createVersioned/mergeVersioned)")
@@ -525,7 +638,8 @@ object ParquetTable {
       Constraints.validateFrame(spark, path, upd)
       val parts = upd.select(partitionColumns.map(col): _*).distinct()
       val affected = target.join(parts, partitionColumns.toSeq, "left_semi")
-      val merged = combine.map(_(affected, upd)).getOrElse(mergeFrames(affected, upd, pk))
+      val merged = combine.map(_(affected, upd)).getOrElse(
+        mergeFrames(affected, upd, pk, broadcastKeys = statsPlan.broadcastKeys))
       withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
         clusterByPartitions(merged, partitionColumns, filesPerPartition)
           .write.mode(SaveMode.Overwrite)
@@ -534,9 +648,15 @@ object ParquetTable {
       }
     } else if (evolveSchema) {
       atomicReplace(spark, path,
-        mergeFrames(target, updates, pk, evolveSchema = true), Nil, txn)
+        mergeFrames(target, updates, pk, evolveSchema = true,
+          broadcastKeys = statsPlan.broadcastKeys), Nil, txn)
     } else if (combine.isEmpty && currentVersion(spark, path)
-        .exists(v => mergeOnRead.getOrElse(autoMergeOnRead(spark, path, v)))) {
+        // the bulk-update demotion: above the MOR floor but with the
+        // update set covering most of the table's pk NDV (ANALYZEd
+        // tables only), rewrite — MOR would append ~the table and DV
+        // the old image (double storage until OPTIMIZE)
+        .exists(v => mergeOnRead.getOrElse(
+          autoMergeOnRead(spark, path, v) && !statsPlan.bulkUpdate))) {
       // merge-on-read tier: O(update rows) commit — matched rows retired
       // by deletion vector, update rows appended as one dir (CDF capture
       // and txn re-delivery handled inside)
@@ -545,7 +665,8 @@ object ParquetTable {
       val updG = GeneratedColumns.fill(spark, path,
         ColumnDefaults.fill(spark, path, updates))
       val merged = combine.map(_(target, updG.dropDuplicates(pk)))
-        .getOrElse(mergeFrames(target, updG, pk))
+        .getOrElse(mergeFrames(target, updG, pk,
+          broadcastKeys = statsPlan.broadcastKeys))
       val v = atomicReplace(spark, path, merged, Nil, txn)
       // capture is derived from the COMMITTED image, not by re-evaluating
       // the update plan: a lazy dedup could pick a different row per
@@ -1264,6 +1385,9 @@ object ParquetTable {
     TableProperties.requireNotAppendOnly(spark, path, "mergeVersioned")
     val upd = GeneratedColumns.fill(spark, path,
       ColumnDefaults.fill(spark, path, updates)).dropDuplicates(pk)
+    // stats-informed planning — lazy: the probe runs only when a branch
+    // below consults it (ANALYZEd tables only; see [[planMergeStats]])
+    lazy val statsPlan = planMergeStats(spark, path, updates, pk)
     var committed = false
     var attempts = 0
     while (!committed) {
@@ -1328,13 +1452,15 @@ object ParquetTable {
               val rows = affectedSliceRows(spark, path, affectedEntries)
               val maxDirs = affectedEntries.groupBy(_._1).values
                 .map(_.size).maxOption.getOrElse(0)
-              rows.exists(_ > MorAutoRowsFloor) && maxDirs < MorMaxDataDirs
+              rows.exists(_ > MorAutoRowsFloor) && maxDirs < MorMaxDataDirs &&
+                !statsPlan.bulkUpdate // bulk updates rewrite (ANALYZEd tables)
             }
           if (useMor) {
             val t = target.get
             val cols = t.columns.toSeq
             val updAligned = upd.select(cols.map(col): _*)
-            val updKeys = updAligned.select(pk.map(col): _*).distinct()
+            val updKeys = hintKeys(
+              updAligned.select(pk.map(col): _*).distinct(), statsPlan.broadcastKeys)
             // (file, row_index) of affected-slice rows whose pk is being
             // replaced — prior DVs excluded, schemas normalized to
             // pk+key columns so post-evolution dirs union cleanly
@@ -1407,7 +1533,8 @@ object ParquetTable {
           } else {
           val merged = target match {
             case Some(t) =>
-              combine.map(_(t, upd)).getOrElse(mergeFrames(t, upd, pk, evolveSchema))
+              combine.map(_(t, upd)).getOrElse(mergeFrames(t, upd, pk,
+                evolveSchema, broadcastKeys = statsPlan.broadcastKeys))
             case None if combine.isDefined =>
               // all affected partitions are NEW: every source row is
               // unmatched — the clause image against an empty frame of
@@ -2314,6 +2441,9 @@ object ParquetTable {
       cdf: Boolean = false, txn: Option[(String, Long)] = None): Long = {
     requireTxnAppId(txn)
     TableProperties.requireNotAppendOnly(spark, path, "mergeVectors")
+    // MOR's update set is small by contract; the stats probe still pins
+    // the key-set side decision before any exchange is planned
+    val keysHint = planMergeStats(spark, path, updates, pk).broadcastKeys
     var attempts = 0
     while (true) {
       attempts += 1
@@ -2335,7 +2465,7 @@ object ParquetTable {
       // rows whose pk is in the update set, prior DVs already excluded.
       // Legs are physical — the logical view goes on AFTER the DV join
       // (row addresses are name-agnostic; pk names are logical)
-      val updKeys = upd.select(pk.map(col): _*).distinct()
+      val updKeys = hintKeys(upd.select(pk.map(col): _*).distinct(), keysHint)
       val dv = dvOf(spark, path, v)
       val matched = versionLegs(spark, path, v).map { leg =>
         val withMeta = leg.withColumn(DvFileCol, dvFileKey(col("_metadata.file_path")))

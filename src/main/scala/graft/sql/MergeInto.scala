@@ -1159,7 +1159,7 @@ case class GraftFsckCommand(path: String) extends LeafRunnableCommand {
   * sketch never leaks into a scan).
   */
 private object GraftStats {
-  def dir(path: String): String = s"$path/_graft_stats"
+  def dir(path: String): String = ParquetTable.statsDir(path)
 }
 
 /** `ANALYZE graft.`p` COMPUTE STATISTICS FOR COLUMNS (c1, c2…)`: the
