@@ -61,6 +61,11 @@ object CurationPipeline {
       blocklist: Seq[String] = Seq("lorem ipsum", "{"),
       minLines: Int = 1,
       lmCutQuantile: Double = 0.05,
+      // false (default): approxQuantile threshold (fast, ±1% rank error,
+      // not externally replayable). true: EXACT count-based cut — see
+      // the lm_gate stage below — deterministic and DuckDB-replayable,
+      // at the cost of one extra model-sized aggregation
+      lmCutExact: Boolean = false,
       nShards: Int = 8,
       nMerges: Int = 16,
       seed: String = "curation42",
@@ -141,10 +146,37 @@ object CurationPipeline {
       .filter(col("avg_logp").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cached += scored
-    val cut = scored.stat.approxQuantile("avg_logp", Array(lmCutQuantile), 0.01)(0)
+    val keepScored =
+      if (!lmCutExact)
+        scored.filter(col("avg_logp") >=
+          scored.stat.approxQuantile("avg_logp", Array(lmCutQuantile), 0.01)(0))
+      else {
+        // EXACT count-based cut, scale-clean: quantize the (rounded, the
+        // q103 determinism discipline) score onto a 1e-4 grid, histogram
+        // the corpus by grid cell (ONE aggregation; the result is
+        // bounded by the number of distinct rounded scores — model-
+        // sized), take the longest prefix of whole cells holding at most
+        // floor(q·n) documents, and drop exactly those cells. No global
+        // sort, no single-partition window over the corpus, no
+        // approxQuantile nondeterminism — ties share a cell and are
+        // kept or dropped TOGETHER, so the gate is order-independent
+        // and exactly replayable in external SQL.
+        val grid = round(col("avg_logp") * 10000, 0).cast("long").as("g")
+        val toDrop = math.floor(lmCutQuantile * scored.count()).toLong
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("g")) // over the model-sized histogram only
+          .rowsBetween(Long.MinValue, 0)
+        val gStarRow = scored.select(grid).groupBy(col("g"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(w))
+          .filter(col("cum") <= toDrop)
+          .agg(max(col("g"))).head()
+        if (gStarRow.isNullAt(0)) scored
+        else scored.filter(round(col("avg_logp") * 10000, 0).cast("long") >
+          lit(gStarRow.getLong(0)))
+      }
     val quality = mark("lm_gate",
-      repOk.join(scored.filter(col("avg_logp") >= cut)
-        .select("doc_id"), Seq("doc_id"), "left_semi"))
+      repOk.join(keepScored.select("doc_id"), Seq("doc_id"), "left_semi"))
 
     // 6. optional temperature re-balancing (group labels re-joined from
     // the INPUT frame — intermediate stages carry only doc_id + text)

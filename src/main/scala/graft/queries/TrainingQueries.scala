@@ -1083,6 +1083,59 @@ object TrainingQueries {
       StatsSketch.estimate(s, sk).orderBy(col("column"))
     }),
 
+    // The UPPER-BOUND tier of incremental ANALYZE (StatsSketch's
+    // exact=false contract, battery-entered per VERDICT r12 item 2): the
+    // window between analyze() and analyzeIncremental() contains an
+    // UPDATE commit (new l_suppkey values enter the sketch) and a DELETE
+    // commit (rows leave the table — but registers are max-only, so
+    // their values cannot leave the sketch). The estimate downgrades to
+    // a documented "values ever present" upper bound and the persistent
+    // exact flag flips false — silent wrongness refused by design. The
+    // oracle re-sketches exactly that values-ever-present set: v1's
+    // values ∪ the update postimages that SURVIVE the net change feed
+    // (transient values of rows deleted inside the same window never
+    // reach the sketch — changes() is a net diff).
+    "q146_analyze_upper_bound" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val cols = Seq("l_partkey", "l_suppkey", "l_returnflag")
+      val pk = Seq("l_orderkey", "l_linenumber")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_hllub").toString
+      val table = root + "/t"
+      val sk = root + "/sketch"
+      // v1: even orderkeys; full-scan ANALYZE pins (cols, v1)
+      graft.sources.ParquetTable.merge(s, table,
+        l.filter(col("l_orderkey") % 2 === 0), pk)
+      StatsSketch.analyze(s, table, cols, sk)
+      // v2 (update window): %4 rows get remapped supplier keys
+      graft.sources.ParquetTable.merge(s, table,
+        l.filter(col("l_orderkey") % 4 === 0)
+          .withColumn("l_suppkey", col("l_suppkey") + lit(1000000)), pk)
+      // v3 (delete window): %8 rows leave the table
+      graft.sources.ParquetTable.delete(s, table, col("l_orderkey") % 8 === 0)
+      StatsSketch.analyzeIncremental(s, table, pk, sk)
+      StatsSketch.estimate(s, sk)
+        .withColumn("exact", lit(StatsSketch.isExact(s, sk)))
+        .orderBy(col("column"))
+    }),
+
+    // q141's curation DAG with a REAL LM-quality cut (VERDICT r12 item
+    // 4): lmCutExact drops the lowest-score grid cells holding ≤
+    // floor(0.1·n) documents — an exact, order-independent, externally
+    // replayable gate (no approxQuantile, no global sort; ONE model-
+    // sized histogram aggregation — see CurationPipeline's lm_gate).
+    // The oracle re-derives the whole funnel INCLUDING the bigram-LM
+    // scores and the grid-prefix cut, so the gate provably drops the
+    // same documents in both engines.
+    "q147_curation_exact_cut" -> ((s, d) => {
+      val res = graft.pipeline.CurationPipeline.run(
+        s, Tables.documents(s, d).select(col("doc_id"), col("text")),
+        lmCutQuantile = 0.1, lmCutExact = true, nShards = 8,
+        seed = "curation42", nearDupThreshold = Some(0.5))
+      res.corpus.select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     // The FULL curation DAG as one driver-checked query (pipeline/
     // CurationPipeline.run): C4 line gate → corpus-wide paragraph dedup →
     // exact dedup → LSH near-dup keep-best (the q138 path + q133
@@ -2074,7 +2127,43 @@ object TrainingQueries {
     * gate at quantile 0 keeps every doc with ≥1 bigram — implied by the
     * ≥5-word C4 gate, so it contributes no predicate.
     */
-  private val curationOracle: String = {
+  private val curationOracle: String = curationOracleWith(lmCut = None)
+
+  /** q147: q141's funnel with a REAL LM-quality cut (lmCut = Some(q)) —
+    * the exact count-based gate: bigram-LM scores over the repetition-
+    * gate survivors (trained on themselves, the q89 replay), quantized
+    * to the 1e-4 grid, and the longest prefix of whole grid cells
+    * holding ≤ floor(q·n) documents dropped. Order-independent (cell
+    * ties drop together), so both engines derive the identical doc set.
+    */
+  private def curationOracleWith(lmCut: Option[Double]): String = {
+    val finalSrc = if (lmCut.isEmpty) "surv" else "lmkeep"
+    val lmStage = lmCut match {
+      case None => ""
+      case Some(q) =>
+        s"""lmt AS (SELECT s.doc_id, p.text FROM surv s JOIN para p USING (doc_id)),
+           |t2 AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM lmt),
+           |bg2 AS (
+           |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+           |  FROM t2, LATERAL unnest(generate_series(1, len(w) - 1)) AS qq(i)),
+           |cc2 AS (SELECT w1, w2, count(*) AS c2 FROM bg2 GROUP BY w1, w2),
+           |cc1 AS (SELECT w1, sum(c2) AS c1 FROM cc2 GROUP BY w1),
+           |vv AS (SELECT count(DISTINCT u.w) AS v
+           |       FROM (SELECT unnest(w) AS w FROM t2) u WHERE length(u.w) > 0),
+           |sc2 AS (
+           |  SELECT bg2.doc_id, ln((cc2.c2 + 0.5) / (cc1.c1 + 0.5 * vv.v)) AS logp
+           |  FROM bg2 JOIN cc2 USING (w1, w2) JOIN cc1 USING (w1) CROSS JOIN vv),
+           |sco AS (SELECT doc_id, avg(logp) AS avg_logp FROM sc2 GROUP BY doc_id),
+           |grid AS (SELECT doc_id, CAST(round(avg_logp * 10000, 0) AS BIGINT) AS g
+           |         FROM sco),
+           |cum AS (SELECT g, sum(c) OVER (ORDER BY g) AS cum
+           |        FROM (SELECT g, count(*) AS c FROM grid GROUP BY g)),
+           |gs AS (SELECT max(g) AS gstar FROM cum
+           |       WHERE cum <= (SELECT CAST(floor($q * count(*)) AS BIGINT)
+           |                     FROM grid)),
+           |lmkeep AS (SELECT grid.doc_id FROM grid, gs
+           |           WHERE gs.gstar IS NULL OR grid.g > gs.gstar),""".stripMargin
+    }
     val stop = "['the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'it', 'that']"
     val parts = graft.functions.expressions.PolyHash64.Parts
     val partCols = parts.zipWithIndex.map { case ((b, p), i) =>
@@ -2146,9 +2235,10 @@ object TrainingQueries {
        |surv AS (
        |  SELECT doc_id FROM rr
        |  WHERE dlf <= 0.30 AND dlcf <= 0.20 AND tgcf <= 0.20 AND dgcf <= 0.60),
+       |$lmStage
        |ph AS (
        |  SELECT doc_id, $partCols
-       |  FROM (SELECT doc_id, 'curation42|' || doc_id::VARCHAR AS t FROM surv)),
+       |  FROM (SELECT doc_id, 'curation42|' || doc_id::VARCHAR AS t FROM $finalSrc)),
        |h AS (SELECT doc_id, $hashExpr AS h FROM ph)
        |SELECT doc_id, (h % 8)::INT AS shard,
        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
@@ -2163,7 +2253,19 @@ object TrainingQueries {
     * except one literal-seeded division and one `ln`, each identical
     * IEEE ops from identical inputs on both engines.
     */
-  private val hllOracle: String = {
+  private val hllOracle: String = hllOracleOver(
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+      .map(c =>
+        s"SELECT '$c' AS cn, $c::VARCHAR AS t FROM lineitem WHERE $c IS NOT NULL"),
+    extraCols = "")
+
+  /** The register/estimator replay over arbitrary per-column value
+    * sources (each a `SELECT cn, t` clause enumerating the values the
+    * engine's sketch has EVER ingested for that column) — registers are
+    * max-merged, so duplicate values across sources are harmless.
+    * `extraCols` appends literal output columns (e.g. the exact flag).
+    */
+  private def hllOracleOver(colSources: Seq[String], extraCols: String): String = {
     val p = StatsSketch.DefaultPrecision
     val m = 1 << p
     val mr = StatsSketch.MaxRank
@@ -2172,9 +2274,7 @@ object TrainingQueries {
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     val numConst = alpha * m.toDouble * m.toDouble * java.lang.Math.pow(2.0, mr)
     val emptyTerm = 1L << mr
-    val colsSql = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
-      .map(c => s"SELECT '$c' AS cn, $c::VARCHAR AS t FROM lineitem WHERE $c IS NOT NULL")
-      .mkString("\n  UNION ALL\n  ")
+    val colsSql = colSources.mkString("\n  UNION ALL\n  ")
     s"""WITH vals AS (
        |  $colsSql),
        |h AS (SELECT cn, ${polyHashSql("t")} % $bigP AS hv FROM vals),
@@ -2197,8 +2297,26 @@ object TrainingQueries {
        |       THEN ${m.toDouble} * ln(${m.toDouble} / zeros::DOUBLE)
        |       ELSE $numConst / ss::DOUBLE END AS e FROM st)
        |SELECT cn AS "column", $m AS m, zeros, ss AS s_scaled,
-       |  round(e, 2) AS ndv_est
+       |  round(e, 2) AS ndv_est$extraCols
        |FROM est ORDER BY cn""".stripMargin
+  }
+
+  /** q146: the upper-bound ANALYZE tier — the values-ever-present set is
+    * v1 (even orderkeys) plus the update postimages that survive the net
+    * v1→v3 change feed (remapped supplier keys on %4 rows not deleted by
+    * the %8 delete); the DELETEd rows' values stay in the sketch (max-only
+    * registers) and the exact flag reads false.
+    */
+  private val hllUpperBoundOracle: String = {
+    def src(cn: String, expr: String) = Seq(
+      s"SELECT '$cn' AS cn, $expr::VARCHAR AS t FROM lineitem " +
+        s"WHERE l_orderkey % 2 = 0 AND $expr IS NOT NULL",
+      s"SELECT '$cn' AS cn, ${if (cn == "l_suppkey") s"($expr + 1000000)"
+        else expr}::VARCHAR AS t FROM lineitem " +
+        s"WHERE l_orderkey % 4 = 0 AND l_orderkey % 8 <> 0 AND $expr IS NOT NULL")
+    hllOracleOver(
+      Seq("l_partkey", "l_returnflag", "l_suppkey").flatMap(c => src(c, c)),
+      extraCols = ",\n  false AS exact")
   }
 
   lazy val oracles: Map[String, String] = oraclesBase +
@@ -2206,7 +2324,9 @@ object TrainingQueries {
     // the CDF-incremental ANALYZE must reproduce the one-shot registers
     // over the full table exactly (append-only windows)
     ("q145_analyze_incremental" -> hllOracle) +
+    ("q146_analyze_upper_bound" -> hllUpperBoundOracle) +
     ("q141_curation_pipeline" -> curationOracle) +
+    ("q147_curation_exact_cut" -> curationOracleWith(lmCut = Some(0.1))) +
     ("q140_minhash_estimate" -> estimateOracle) +
     ("q138_lsh_dedup_clusters" -> lshClustersOracle) +
     ("q139_minhash_index_append" -> indexAppendOracle) +
