@@ -1,0 +1,159 @@
+package graft.tools
+
+/** Standing scale-regression gate (VERDICT r12 item 3): the per-query
+  * decade-ratio analysis SCALING.md used to hand-write each round,
+  * promoted to a tool that FAILS — so the next composition-cost bug
+  * (q141's 4× stage-recompute, r11's interpreted ZORDER quantile) is
+  * caught by an exit code, not by a human reading two JSON files.
+  *
+  * Usage: ScaleCheck <bench_small.json> <bench_big.json>
+  *
+  * Reads two `graft.Bench` artifacts (their `sf` fields establish how
+  * many decades apart they are), computes each common query's wall
+  * ratio, and compares it against the query's DECLARED complexity class:
+  *
+  *   - `Linear(ceiling)` — default `Linear(10)`: at one decade (10×
+  *     data) the wall may grow at most `ceiling`×; across `d` decades
+  *     the allowance compounds to `ceiling^d`. A correctly linear query
+  *     sits well under its ceiling (sublinear constants amortize); AT
+  *     the ceiling is already suspicious, above it is a failure.
+  *   - `Exempt(reason)` — the quadratic-BY-CONTRACT tier and the
+  *     in-battery quadratic baselines: their ~100×/decade model is
+  *     documented and confirmed (r11 sf2 probe, r12 sf10 campaign);
+  *     ratio enforcement is meaningless for them.
+  *
+  * Queries faster than `MinSeconds` in the BIG artifact are skipped as
+  * noise-dominated (a 0.2 s query's ratio measures JVM scheduling, not
+  * complexity) — skipped ≠ passed, and the report says which.
+  *
+  * Exit code 1 on any violation; stdout is the SCALING.md-ready table.
+  */
+object ScaleCheck {
+
+  sealed trait ScaleClass
+  final case class Linear(ceiling: Double) extends ScaleClass
+  final case class Exempt(reason: String) extends ScaleClass
+
+  /** Below this wall time (seconds) in the big artifact, a ratio is
+    * constants/noise, not complexity.
+    */
+  val MinSeconds: Double = 1.0
+
+  /** The declared-class table, keyed by the `qNN` prefix (artifacts name
+    * queries `q57_merge_versioned` builder-side and `q57` driver-side —
+    * both resolve). Every query not named here is `Linear(10)` — the
+    * default contract of the battery: one decade of data may cost at
+    * most one decade of wall. Named entries either tighten the ceiling
+    * or exempt the documented quadratic tier.
+    */
+  val classes: Map[String, ScaleClass] = Map(
+    // quadratic BY CONTRACT (edit-distance precision tier; scale path is
+    // q138) — confirmed ~100×/decade at sf2 (SCALING.md r11 §3f)
+    "q46" -> Exempt("quadratic-by-contract (edit distance)"),
+    "q47" -> Exempt("quadratic-by-contract (edit distance)"),
+    "q133" -> Exempt("quadratic-by-contract (edit distance)"),
+    // in-battery quadratic-by-design baselines beside their banded twins
+    "q27" -> Exempt("quadratic baseline (vs q24/q138 banded)"),
+    "q86" -> Exempt("quadratic baseline (vs banded ANN tiers)"),
+    // salted-join demo: linear but shuffle-heavy; measured 8.6× at
+    // decade2 (r12) — the default ceiling, stated for documentation
+    "q37" -> Linear(10),
+    // commit-bound pair: wall tracks versioned-commit machinery (two
+    // merges rewriting ×10 slices), measured 5.75×/5.8× at decade2
+    "q57" -> Linear(8),
+    "q145" -> Linear(8))
+
+  private def declaredClass(name: String): ScaleClass =
+    classes.getOrElse(name.takeWhile(_ != '_'), Linear(10))
+
+  final case class Row(name: String, tSmall: Double, tBig: Double,
+      ratio: Double, allowed: Option[Double], status: String)
+
+  final case class Report(decades: Double, rows: Seq[Row]) {
+    def violations: Seq[Row] = rows.filter(_.status == "FAIL")
+    def table: String = {
+      val header =
+        "| query | small s | big s | ratio | allowed | status |\n" +
+        "|---|---|---|---|---|---|"
+      val body = rows.map { r =>
+        val allowed = r.allowed.map(a => f"$a%.1f×").getOrElse("—")
+        f"| ${r.name} | ${r.tSmall}%.2f | ${r.tBig}%.2f | ${r.ratio}%.2f× " +
+          f"| $allowed | ${r.status} |"
+      }.mkString("\n")
+      s"$header\n$body"
+    }
+  }
+
+  /** Minimal extractor for the Bench artifact's flat shape — no JSON
+    * library in the dependency set (and none needed: `queries` is a
+    * flat string→number object and `sf` a number).
+    */
+  private[tools] def parseBench(json: String): (Double, Map[String, Double]) = {
+    // `sf` is a number in synthetic artifacts and an sf-dir PATH in the
+    // committed ones ("/tmp/graft_testdata/sf10") — accept both
+    val sf = """"sf"\s*:\s*([0-9.Ee+-]+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble)
+      .orElse(""""sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).flatMap(m =>
+        """sf([0-9]+(?:\.[0-9]+)?)""".r.findFirstMatchIn(m.group(1))
+          .map(_.group(1).toDouble)))
+      .getOrElse(throw new IllegalArgumentException("bench json: no sf field"))
+    val qStart = json.indexOf("\"queries\"")
+    require(qStart >= 0, "bench json: no queries object")
+    val braceStart = json.indexOf('{', qStart)
+    var depth = 0; var i = braceStart; var end = -1
+    while (end < 0 && i < json.length) {
+      json.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(end > braceStart, "bench json: unterminated queries object")
+    val obj = json.substring(braceStart + 1, end)
+    val entry = """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r
+    (sf, entry.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+  }
+
+  def check(smallJson: String, bigJson: String): Report = {
+    val (sfSmall, small) = parseBench(smallJson)
+    val (sfBig, big) = parseBench(bigJson)
+    require(sfBig > sfSmall,
+      s"scaleCheck: big artifact sf=$sfBig is not above small sf=$sfSmall")
+    val decades = math.log10(sfBig / sfSmall)
+    val rows = small.keySet.intersect(big.keySet).toSeq.sorted.map { name =>
+      val (ts, tb) = (small(name), big(name))
+      val ratio = if (ts > 0) tb / ts else Double.PositiveInfinity
+      declaredClass(name) match {
+        case Exempt(reason) =>
+          Row(name, ts, tb, ratio, None, s"EXEMPT ($reason)")
+        case Linear(ceiling) =>
+          val allowed = math.pow(ceiling, decades)
+          val status =
+            if (tb < MinSeconds) "SKIP (noise-dominated)"
+            else if (ratio <= allowed) "ok"
+            else "FAIL"
+          Row(name, ts, tb, ratio, Some(allowed), status)
+      }
+    }
+    Report(decades, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleCheck <bench_small.json> <bench_big.json>")
+    val read = (p: String) =>
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8)
+    val report = check(read(args(0)), read(args(1)))
+    println(f"ScaleCheck: ${report.decades}%.2f decade(s) apart, " +
+      s"${report.rows.size} common queries, ${report.violations.size} violation(s)")
+    println()
+    println(report.table)
+    if (report.violations.nonEmpty) {
+      System.err.println(report.violations
+        .map(r => f"OUT OF CLASS: ${r.name} ${r.ratio}%.2f× > ${r.allowed.get}%.1f×")
+        .mkString("\n"))
+      sys.exit(1)
+    }
+  }
+}
