@@ -76,8 +76,8 @@ object ScaleCheck {
         "| query | small s | big s | ratio | allowed | status |\n" +
         "|---|---|---|---|---|---|"
       val body = rows.map { r =>
-        val allowed = r.allowed.map(a => f"$a%.1f×").getOrElse("—")
-        f"| ${r.name} | ${r.tSmall}%.2f | ${r.tBig}%.2f | ${r.ratio}%.2f× " +
+        val allowed = r.allowed.map(a => f"$a%.1fx").getOrElse("-")
+        f"| ${r.name} | ${r.tSmall}%.2f | ${r.tBig}%.2f | ${r.ratio}%.2fx " +
           f"| $allowed | ${r.status} |"
       }.mkString("\n")
       s"$header\n$body"
@@ -151,7 +151,7 @@ object ScaleCheck {
     println(report.table)
     if (report.violations.nonEmpty) {
       System.err.println(report.violations
-        .map(r => f"OUT OF CLASS: ${r.name} ${r.ratio}%.2f× > ${r.allowed.get}%.1f×")
+        .map(r => f"OUT OF CLASS: ${r.name} ${r.ratio}%.2fx > ${r.allowed.get}%.1fx")
         .mkString("\n"))
       sys.exit(1)
     }
