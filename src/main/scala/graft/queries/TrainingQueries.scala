@@ -1111,8 +1111,12 @@ object TrainingQueries {
       graft.sources.ParquetTable.merge(s, table,
         l.filter(col("l_orderkey") % 4 === 0)
           .withColumn("l_suppkey", col("l_suppkey") + lit(1000000)), pk)
-      // v3 (delete window): %8 rows leave the table
-      graft.sources.ParquetTable.delete(s, table, col("l_orderkey") % 8 === 0)
+      // v3 (delete window): %8 rows leave the table by DELETION VECTOR —
+      // the O(matched) tier a 100 TB table would actually use (the COW
+      // `delete` would rewrite the whole image for a 25% delete); the
+      // net change feed sees the same deletes either way
+      graft.sources.ParquetTable.deleteVectors(s, table,
+        col("l_orderkey") % 8 === 0)
       StatsSketch.analyzeIncremental(s, table, pk, sk)
       StatsSketch.estimate(s, sk)
         .withColumn("exact", lit(StatsSketch.isExact(s, sk)))
