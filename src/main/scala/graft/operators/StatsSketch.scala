@@ -335,20 +335,44 @@ object StatsSketch {
       s"analyzeIncremental: sketch covers v${meta.lastVersion} but the " +
         s"table head is v$head — the table was RESTOREd past the sketch; " +
         "recompute with analyze()")
-    val delta = graft.sources.ParquetTable
-      .changes(spark, tablePath, meta.lastVersion, head, pk)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CDF fast path: when every commit in the window captured a change
+    // manifest (cdf = true), the feed reads ONLY those manifests — the
+    // truly change-sized tier that makes "nightly ANALYZE costs the
+    // day's commits" literal at 100 TB. The snapshot net diff below is
+    // the fallback; it needs no capture but SCANS both snapshots (one
+    // O(table) pass — fine at reference scale, the wrong tier for a
+    // petabyte nightly). The two feeds can legitimately differ on churn
+    // inside one window (the CDF feed sees a transient value that a
+    // later commit deleted; the net diff never does) — both satisfy the
+    // same contract: registers cover every value the sketch has ever
+    // been shown, and estimate ≥ current NDV once exact is false.
+    val captured = graft.sources.ParquetTable
+      .hasChangeManifests(spark, tablePath, meta.lastVersion + 1, head)
+    val delta = (
+      if (captured)
+        graft.sources.ParquetTable
+          .tableChanges(spark, tablePath, meta.lastVersion + 1, head, pk)
+          .drop("_commit_version")
+      else graft.sources.ParquetTable
+        .changes(spark, tablePath, meta.lastVersion, head, pk)
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val appendOnly = delta
         .filter(col("_change_type") =!= "insert").isEmpty
-      // `changes` is a NET snapshot diff: `_change_type` ∈ {insert,
-      // update, delete} with ONE row per changed key carrying the NEW
-      // image — update PREIMAGES never appear on this feed (they are a
-      // per-commit-CDF concept, tableChanges), so `=!= "delete"` is
-      // exactly inserts + update postimages: nothing already-covered is
-      // re-hashed, and nothing new can be missed
-      val upserts = delta.filter(col("_change_type") =!= "delete")
-        .drop("_change_type")
+      // What to sketch per feed:
+      //   - per-commit CDF (captured): `_change_type` ∈ {insert, delete,
+      //     update_preimage, update_postimage}; preimages are covered by
+      //     induction (each was the base image or an earlier commit's
+      //     postimage in this same feed), so sketch insert + postimage.
+      //   - snapshot NET diff (fallback): `_change_type` ∈ {insert,
+      //     update, delete} with ONE row per changed key carrying the
+      //     NEW image — preimages never appear, so `=!= "delete"` is
+      //     exactly inserts + update postimages.
+      val upserts = (
+        if (captured)
+          delta.filter(col("_change_type").isin("insert", "update_postimage"))
+        else delta.filter(col("_change_type") =!= "delete")
+      ).drop("_change_type")
       sketch(upserts, meta.cols, meta.p, meta.seed)
         .write.mode("append").parquet(s"$sketchDir/registers")
       writeMeta(spark, sketchDir,

@@ -1123,6 +1123,44 @@ object TrainingQueries {
         .orderBy(col("column"))
     }),
 
+    // The CDF FAST PATH of incremental ANALYZE: when every commit in the
+    // window captured a change manifest (cdf = true), analyzeIncremental
+    // reads ONLY those manifests — truly change-sized, the tier a 100 TB
+    // nightly actually runs (the snapshot net diff scans the table). The
+    // oracle is deliberately DIFFERENT from q146's: the per-commit feed
+    // sees the TRANSIENT postimages of rows a later commit deletes (the
+    // net diff never does), so the values-ever-present set here is the
+    // full table ∪ ALL remapped supplier keys — if the engine silently
+    // fell back to the snapshot diff, the %8 rows' remapped keys would
+    // be missing and the register hash would fail.
+    "q148_analyze_cdf_feed" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val cols = Seq("l_partkey", "l_suppkey", "l_returnflag")
+      val pk = Seq("l_orderkey", "l_linenumber")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_hllcdf").toString
+      val table = root + "/t"
+      val sk = root + "/sketch"
+      graft.sources.ParquetTable.merge(s, table,
+        l.filter(col("l_orderkey") % 2 === 0), pk)
+      StatsSketch.analyze(s, table, cols, sk)
+      // v2: the odd half arrives (inserts), captured
+      graft.sources.ParquetTable.merge(s, table,
+        l.filter(col("l_orderkey") % 2 =!= 0), pk, cdf = true)
+      // v3: remap supplier keys on %4 rows (update pre+post captured)
+      graft.sources.ParquetTable.update(s, table,
+        col("l_orderkey") % 4 === 0,
+        Map("l_suppkey" -> (col("l_suppkey") + lit(1000000))), cdf = true)
+      // v4: %8 rows leave by deletion vector, captured — their remapped
+      // keys stay in the sketch via the v3 manifest
+      graft.sources.ParquetTable.deleteVectors(s, table,
+        col("l_orderkey") % 8 === 0, cdf = true)
+      StatsSketch.analyzeIncremental(s, table, pk, sk)
+      StatsSketch.estimate(s, sk)
+        .withColumn("exact", lit(StatsSketch.isExact(s, sk)))
+        .orderBy(col("column"))
+    }),
+
     // q141's curation DAG with a REAL LM-quality cut (VERDICT r12 item
     // 4): lmCutExact drops the lowest-score grid cells holding ≤
     // floor(0.1·n) documents — an exact, order-independent, externally
@@ -2323,12 +2361,27 @@ object TrainingQueries {
       extraCols = ",\n  false AS exact")
   }
 
+  /** q148: the CDF-feed replay — values ever SHOWN to the sketch are the
+    * full table (v1 evens + v2 odd inserts) plus every remapped supplier
+    * key from the v3 update manifest (INCLUDING the %8 rows v4 deletes —
+    * the per-commit feed is not a net diff).
+    */
+  private val hllCdfFeedOracle: String = {
+    val full = Seq("l_partkey", "l_returnflag", "l_suppkey").map(c =>
+      s"SELECT '$c' AS cn, $c::VARCHAR AS t FROM lineitem WHERE $c IS NOT NULL")
+    val remapped =
+      "SELECT 'l_suppkey' AS cn, (l_suppkey + 1000000)::VARCHAR AS t " +
+        "FROM lineitem WHERE l_orderkey % 4 = 0 AND l_suppkey IS NOT NULL"
+    hllOracleOver(full :+ remapped, extraCols = ",\n  false AS exact")
+  }
+
   lazy val oracles: Map[String, String] = oraclesBase +
     ("q143_hll_ndv_sketch" -> hllOracle) +
     // the CDF-incremental ANALYZE must reproduce the one-shot registers
     // over the full table exactly (append-only windows)
     ("q145_analyze_incremental" -> hllOracle) +
     ("q146_analyze_upper_bound" -> hllUpperBoundOracle) +
+    ("q148_analyze_cdf_feed" -> hllCdfFeedOracle) +
     ("q141_curation_pipeline" -> curationOracle) +
     ("q147_curation_exact_cut" -> curationOracleWith(lmCut = Some(0.1))) +
     ("q140_minhash_estimate" -> estimateOracle) +

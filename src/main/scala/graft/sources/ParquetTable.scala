@@ -2853,6 +2853,20 @@ object ParquetTable {
     * the committed state (they don't survive a copy), so rather than emit
     * an unstable column the timestamp is left to the caller.
     */
+  /** Whether EVERY commit in [fromVersion, toVersion] captured a change
+    * manifest (merged/updated/deleted with `cdf = true`) — i.e. whether
+    * [[tableChanges]] over that window is guaranteed change-sized (reads
+    * only the captured manifests, never a table snapshot). Metadata-only:
+    * one existence probe per commit.
+    */
+  def hasChangeManifests(
+      spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): Boolean =
+    (fromVersion to toVersion).forall { v =>
+      val cf = changeManifestPath(path, v)
+      hadoopFs(spark, cf).exists(cf)
+    }
+
   def tableChanges(
       spark: SparkSession,
       path: String,

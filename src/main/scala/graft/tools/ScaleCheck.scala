@@ -58,10 +58,13 @@ object ScaleCheck {
     // salted-join demo: linear but shuffle-heavy; measured 8.6× at
     // decade2 (r12) — the default ceiling, stated for documentation
     "q37" -> Linear(10),
-    // commit-bound pair: wall tracks versioned-commit machinery (two
-    // merges rewriting ×10 slices), measured 5.75×/5.8× at decade2
+    // commit-bound family: wall tracks versioned-commit machinery
+    // (merges/updates rewriting ×10 slices), measured 5.7–8.2× at
+    // decade2 (r12/r13)
     "q57" -> Linear(8),
-    "q145" -> Linear(8))
+    "q145" -> Linear(8),
+    "q146" -> Linear(8),
+    "q148" -> Linear(8))
 
   private def declaredClass(name: String): ScaleClass =
     classes.getOrElse(name.takeWhile(_ != '_'), Linear(10))

@@ -63,4 +63,32 @@ class AnalyzeStatsSpec extends SparkSpec {
     val sweep = ParquetTable.vacuumPlan(spark, t, keepLast = 1)
     assert(!sweep.exists(_._2.contains("_graft_stats")), sweep.toString)
   }
+
+  test("CDF-captured windows take the change-manifest feed and equal one-shot") {
+    import graft.operators.StatsSketch
+    val t = tmpDir("cdf_stats") + "/t"
+    val sk = tmpDir("cdf_stats_sk") + "/s"
+    val oneShot = tmpDir("cdf_stats_one") + "/s"
+    ParquetTable.merge(spark, t, rows(0, 1500), Seq("id"))
+    StatsSketch.analyze(spark, t, Seq("id", "name"), sk)
+    // two append-only commits, BOTH captured — the incremental advance
+    // must consume the manifests (change-sized) and still equal the
+    // one-shot registers over the final table; exactness survives
+    ParquetTable.merge(spark, t, rows(1500, 2500), Seq("id"), cdf = true)
+    ParquetTable.merge(spark, t, rows(2500, 3000), Seq("id"), cdf = true)
+    assert(ParquetTable.hasChangeManifests(spark, t, 2, 3))
+    StatsSketch.analyzeIncremental(spark, t, Seq("id"), sk)
+    assert(StatsSketch.isExact(spark, sk))
+    StatsSketch.save(ParquetTable.read(spark, t), Seq("id", "name"), oneShot)
+    assert(StatsSketch.estimate(spark, sk).orderBy("column").collect().toSeq ===
+      StatsSketch.estimate(spark, oneShot).orderBy("column").collect().toSeq)
+    // an UNcaptured commit in the next window is detected and the
+    // snapshot-diff fallback still advances correctly
+    ParquetTable.merge(spark, t, rows(3000, 3200), Seq("id"))
+    assert(!ParquetTable.hasChangeManifests(spark, t, 4, 4))
+    StatsSketch.analyzeIncremental(spark, t, Seq("id"), sk)
+    val est = StatsSketch.estimate(spark, sk)
+      .filter(col("column") === "id").head()
+    assert(math.abs(est.getDouble(est.fieldIndex("ndv_est")) - 3200.0) / 3200.0 < 0.1)
+  }
 }

@@ -61,14 +61,20 @@ class ScaleCheckSpec extends AnyFunSuite {
     }
   }
 
-  test("parses the real committed artifacts and reports zero violations") {
-    val read = (p: String) => new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+  test("the latest committed artifact pair reports zero violations") {
+    // glob the NEWEST round's (sf0.1, sf1) pair so this gate keeps
+    // checking every future campaign without edits
+    def latest(prefix: String): Option[java.io.File] =
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .filter(f => f.getName.matches(s"${prefix}_r\\d+\\.json"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption
+    val pair = for (a <- latest("BENCH_SF01"); b <- latest("BENCH_SF1"))
+      yield (a, b)
+    assume(pair.isDefined)
+    val read = (f: java.io.File) => new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
       java.nio.charset.StandardCharsets.UTF_8)
-    val sf01 = new java.io.File("BENCH_SF01_r12.json")
-    val sf1 = new java.io.File("BENCH_SF1_r12.json")
-    assume(sf01.exists && sf1.exists)
-    val r = ScaleCheck.check(read(sf01.getPath), read(sf1.getPath))
+    val r = ScaleCheck.check(read(pair.get._1), read(pair.get._2))
     assert(r.rows.nonEmpty)
     assert(r.violations.isEmpty,
       r.violations.map(_.name).mkString("violations: ", ", ", ""))
