@@ -120,6 +120,30 @@ object Bench {
     sys.exit(pb.start().waitFor())
   }
 
+  /** Battery queries stage their lakehouse fixtures through
+    * `Files.createTempDirectory("graft_…")` and leave them to the OS —
+    * harmless per query, ~50 GB across a full sf10 battery. Sweep the
+    * DEAD fixture dirs (every sample builds its own; nothing re-reads a
+    * previous sample's) between samples so the run never measures its
+    * own disk pressure. Only names carrying createTempDirectory's long
+    * random numeric suffix match — `graft_testdata` (the scale inputs)
+    * and `graft_verify` (the driver's correctness dump) are untouchable
+    * by construction.
+    */
+  private def sweepScratch(): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory &&
+        f.getName.matches("graft_[A-Za-z0-9_]*[0-9]{8,}"))
+      .foreach(deleteRec)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    f.delete(); ()
+  }
+
   private def run(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
@@ -170,8 +194,15 @@ object Bench {
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
+    sweepScratch()
 
     def once(name: String): Double = {
+      // dead fixtures from prior samples are swept BEFORE the timer: the
+      // lakehouse queries stage ~50 GB of temp tables across a full sf10
+      // battery, and an unswept run ends up benchmarking its own disk
+      // pressure (observed: /tmp at 100% mid-campaign doubling a
+      // commit-bound query's wall)
+      sweepScratch()
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
