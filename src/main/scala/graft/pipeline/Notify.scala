@@ -38,8 +38,14 @@ object Notify {
     * are replayable and tests deterministic.
     */
   def publish(outboxDir: String, event: Event, publishedAt: String): Boolean = {
-    require(event.runId.nonEmpty && !event.runId.exists(c => c == '/' || c == '\u0000'),
-      s"notify: run id must be a non-empty path-safe token, got '${event.runId}'")
+    // conservative allowlist, same as the status check below: the run id
+    // becomes a filename PREFIX, and the promise is "path-safe token" on
+    // every filesystem a consumer might parse filenames on — not merely
+    // "no POSIX separator" (a newline/backslash/colon run id would mint
+    // hostile <run>-<status>.json names; ADVICE r13)
+    require(event.runId.nonEmpty && event.runId.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"notify: run id must be a non-empty [A-Za-z0-9_.-] token, got '${event.runId}'")
     require(event.status.nonEmpty && event.status.forall(c =>
         c.isLetterOrDigit || c == '_' || c == '-'),
       s"notify: status must be a [A-Za-z0-9_-] token, got '${event.status}'")

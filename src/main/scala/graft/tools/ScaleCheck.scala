@@ -132,8 +132,14 @@ object ScaleCheck {
           Row(name, ts, tb, ratio, None, s"EXEMPT ($reason)")
         case Linear(ceiling) =>
           val allowed = math.pow(ceiling, decades)
+          // noise guard is TWO-sided (ADVICE r13): a big wall under
+          // MinSeconds is noise, and a SMALL wall under MinSeconds /
+          // allowance makes the ratio measure fixed overhead, not
+          // complexity (0.05 s → 1.5 s is 30× of constants) — either
+          // side skips, explicitly, never silently passes
           val status =
             if (tb < MinSeconds) "SKIP (noise-dominated)"
+            else if (ts < MinSeconds / allowed) "SKIP (small-side noise-dominated)"
             else if (ratio <= allowed) "ok"
             else "FAIL"
           Row(name, ts, tb, ratio, Some(allowed), status)
