@@ -164,6 +164,11 @@ object Bench {
       .config("spark.sql.broadcastTimeout", "-1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-query shuffle bytes ride the artifact beside wall seconds:
+    // locally the page cache hides exchange cost (merge planner: 1.28×
+    // wall, 203× bytes), so bytes are the metric that predicts cluster
+    // cost — ScaleCheck gates their decade ratio like wall's
+    graft.tools.ShuffleBytes.install(spark)
 
     // SPARK_GRAFT_SKIP: comma-separated query names to leave out of this
     // run. Used by the multi-decade scaling runs to exclude the
@@ -196,6 +201,11 @@ object Bench {
     }
     sweepScratch()
 
+    // (shuffle write, shuffle read) of each query's most recent
+    // successful sample — bytes are plan-determined, so unlike wall they
+    // need no min-of-N treatment
+    val shuffle = scala.collection.mutable.Map[String, (Long, Long)]()
+
     def once(name: String): Double = {
       // dead fixtures from prior samples are swept BEFORE the timer: the
       // lakehouse queries stage ~50 GB of temp tables across a full sf10
@@ -203,11 +213,15 @@ object Bench {
       // pressure (observed: /tmp at 100% mid-campaign doubling a
       // commit-bound query's wall)
       sweepScratch()
+      val mark = graft.tools.ShuffleBytes.mark()
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-      if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
+      if (ok) {
+        shuffle(name) = graft.tools.ShuffleBytes.since(spark, mark)
+        (System.nanoTime() - t0) / 1e9
+      } else Double.MaxValue
     }
 
     // Two full passes over every query, then targeted retries. A query is
@@ -269,8 +283,16 @@ object Bench {
     if (floorsEnabled) saveFloors(results ++ ex.filter(_._1.endsWith("_sec")))
     val exJson = ex.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // bytes live in the PERSISTED line only — the stdout tail is
+    // byte-budgeted (see below) and the driver parses seconds; the
+    // committed BENCH_SF* artifacts carry the bytes for ScaleCheck
+    def bytesJson(pick: ((Long, Long)) => Long) = names
+      .flatMap(n => shuffle.get(n).map(b => "\"" + n + "\":" + pick(b)))
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$exJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$exJson,""" +
+      s""""shuffle_write_bytes":${bytesJson(_._1)},""" +
+      s""""shuffle_read_bytes":${bytesJson(_._2)},"sf":"$sfDir"}"""
     // Full-precision line + extras persist to a file: the harness stores
     // only a bounded 2,000-byte stdout TAIL, and rounds 5/6 lost the line's
     // head to that cap ("parsed": null, 48 of 72 timings recoverable). The

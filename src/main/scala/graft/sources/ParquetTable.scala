@@ -1098,13 +1098,24 @@ object ParquetTable {
         // GraftFileIndex. The sidecar also carries the commit's schema,
         // so the common path never re-infers it from footers
         // (pre-sidecar dirs fall back to inference).
-        unpartitionedDirs(spark, path, version).map { dd =>
+        val dirs = unpartitionedDirs(spark, path, version)
+        dirs.map { dd =>
           val dir = new Path(path, dd)
           val sidecar = DataSkipping.readStats(spark, dir.toString)
           val schema = sidecar.flatMap(_.schema)
             .getOrElse(spark.read.parquet(dir.toString).schema)
-          GraftColumnBridge.ofFileIndex(spark,
-            new GraftFileIndex(spark, dir, sidecar.map(_.files)), schema)
+          val index = new GraftFileIndex(spark, dir, sidecar.map(_.files))
+          // ANALYZEd tables feed Spark's CBO their real statistics —
+          // single-leg snapshots only (the common published/compacted
+          // state): a merge-on-read chain's per-leg NDV is undefined
+          // and the chain folds back to one leg at the MorMaxDataDirs
+          // cap anyway. See PlanStats for the opt-in chain.
+          val cs = if (dirs.size == 1)
+            PlanStats.forSnapshot(spark, path, version, index.sizeInBytes,
+              index.metadataRowCount, index.metadataNonNullCount,
+              schema.fieldNames.toSet)
+          else None
+          GraftColumnBridge.ofFileIndex(spark, index, schema, cs)
         }
       case Some(entries) =>
         // partitioned: one inner InMemoryFileIndex per data dir, rooted
@@ -1140,7 +1151,15 @@ object ParquetTable {
               .map(_.toLowerCase).toSet
             val dataSchema = org.apache.spark.sql.types.StructType(
               schema.fields.filterNot(f => partCols.contains(f.name.toLowerCase)))
-            Seq(GraftColumnBridge.ofFileIndex(spark, index, dataSchema))
+            // the partitioned layout is always ONE relation, so the
+            // ANALYZE statistics attach unconditionally when present;
+            // partition columns are non-null by construction but their
+            // null counts aren't in file stats — omitted, not guessed
+            val cs = PlanStats.forSnapshot(spark, path, version,
+              index.sizeInBytes, index.metadataRowCount,
+              index.metadataNonNullCount,
+              dataSchema.fieldNames.toSet ++ index.partitionSchema.fieldNames)
+            Seq(GraftColumnBridge.ofFileIndex(spark, index, dataSchema, cs))
           case None =>
             groups.map { case (base, partDirs, _) =>
               spark.read.option("basePath", base.toString)

@@ -24,7 +24,16 @@ package graft.tools
   *
   * Queries faster than `MinSeconds` in the BIG artifact are skipped as
   * noise-dominated (a 0.2 s query's ratio measures JVM scheduling, not
-  * complexity) — skipped ≠ passed, and the report says which.
+  * complexity), as are queries whose SMALL wall is under
+  * `MinSeconds / allowance` (there the ratio measures fixed overhead) —
+  * skipped ≠ passed, and the report says which.
+  *
+  * When the artifacts carry `shuffle_write_bytes` (graft.Bench r14+),
+  * each query's byte decade-ratio is gated by the SAME declared class:
+  * locally the page cache hides exchange cost (merge planner: 1.28×
+  * wall, 203× bytes), so a lost broadcast or a surplus exchange can
+  * pass the wall gate while costing the cluster the table — the bytes
+  * gate fails it anyway. Artifacts without bytes degrade to wall-only.
   *
   * Exit code 1 on any violation; stdout is the SCALING.md-ready table.
   */
@@ -38,6 +47,18 @@ object ScaleCheck {
     * constants/noise, not complexity.
     */
   val MinSeconds: Double = 1.0
+
+  /** Shuffle-byte gate (VERDICT r13 item 2 — wall hides exchange cost
+    * locally, bytes don't): below this in the BIG artifact the query's
+    * data movement is not a scale risk, skip. The SMALL side is clamped
+    * to [[ShuffleClampBytes]] instead of skipped: a query that
+    * broadcast at the small SF and legitimately crossed the ABSOLUTE
+    * auto-broadcast threshold at the big SF divides by ~zero — the
+    * clamp lets that transition pass while a real lost broadcast
+    * (gigabytes from nothing) still fails.
+    */
+  val MinShuffleBytes: Long = 64L << 20
+  val ShuffleClampBytes: Long = 16L << 20
 
   /** The declared-class table, keyed by the `qNN` prefix (artifacts name
     * queries `q57_merge_versioned` builder-side and `q57` driver-side —
@@ -70,18 +91,25 @@ object ScaleCheck {
     classes.getOrElse(name.takeWhile(_ != '_'), Linear(10))
 
   final case class Row(name: String, tSmall: Double, tBig: Double,
-      ratio: Double, allowed: Option[Double], status: String)
+      ratio: Double, allowed: Option[Double], status: String,
+      bSmall: Option[Long] = None, bBig: Option[Long] = None,
+      bRatio: Option[Double] = None, bStatus: String = "-")
 
   final case class Report(decades: Double, rows: Seq[Row]) {
-    def violations: Seq[Row] = rows.filter(_.status == "FAIL")
+    def violations: Seq[Row] =
+      rows.filter(r => r.status == "FAIL" || r.bStatus == "FAIL")
     def table: String = {
       val header =
-        "| query | small s | big s | ratio | allowed | status |\n" +
-        "|---|---|---|---|---|---|"
+        "| query | small s | big s | ratio | allowed | status " +
+          "| shW small MB | shW big MB | shW ratio | shW status |\n" +
+        "|---|---|---|---|---|---|---|---|---|---|"
+      def mb(b: Option[Long]) = b.map(v => f"${v / 1048576.0}%.1f").getOrElse("-")
       val body = rows.map { r =>
         val allowed = r.allowed.map(a => f"$a%.1fx").getOrElse("-")
+        val br = r.bRatio.map(x => f"$x%.2fx").getOrElse("-")
         f"| ${r.name} | ${r.tSmall}%.2f | ${r.tBig}%.2f | ${r.ratio}%.2fx " +
-          f"| $allowed | ${r.status} |"
+          f"| $allowed | ${r.status} " +
+          s"| ${mb(r.bSmall)} | ${mb(r.bBig)} | $br | ${r.bStatus} |"
       }.mkString("\n")
       s"$header\n$body"
     }
@@ -91,18 +119,13 @@ object ScaleCheck {
     * library in the dependency set (and none needed: `queries` is a
     * flat string→number object and `sf` a number).
     */
-  private[tools] def parseBench(json: String): (Double, Map[String, Double]) = {
-    // `sf` is a number in synthetic artifacts and an sf-dir PATH in the
-    // committed ones ("/tmp/graft_testdata/sf10") — accept both
-    val sf = """"sf"\s*:\s*([0-9.Ee+-]+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toDouble)
-      .orElse(""""sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).flatMap(m =>
-        """sf([0-9]+(?:\.[0-9]+)?)""".r.findFirstMatchIn(m.group(1))
-          .map(_.group(1).toDouble)))
-      .getOrElse(throw new IllegalArgumentException("bench json: no sf field"))
-    val qStart = json.indexOf("\"queries\"")
-    require(qStart >= 0, "bench json: no queries object")
-    val braceStart = json.indexOf('{', qStart)
+  /** Flat numeric `"name"` object extractor (no JSON library in the
+    * dependency set, and none needed): the content of `"key": { … }`.
+    */
+  private def flatObject(json: String, key: String): Option[Map[String, Double]] = {
+    val kStart = json.indexOf("\"" + key + "\"")
+    if (kStart < 0) return None
+    val braceStart = json.indexOf('{', kStart)
     var depth = 0; var i = braceStart; var end = -1
     while (end < 0 && i < json.length) {
       json.charAt(i) match {
@@ -112,24 +135,45 @@ object ScaleCheck {
       }
       i += 1
     }
-    require(end > braceStart, "bench json: unterminated queries object")
+    require(end > braceStart, s"bench json: unterminated $key object")
     val obj = json.substring(braceStart + 1, end)
     val entry = """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r
-    (sf, entry.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+    Some(entry.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+  }
+
+  private[tools] def parseBench(
+      json: String): (Double, Map[String, Double], Map[String, Long]) = {
+    // `sf` is a number in synthetic artifacts and an sf-dir PATH in the
+    // committed ones ("/tmp/graft_testdata/sf10") — accept both
+    val sf = """"sf"\s*:\s*([0-9.Ee+-]+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble)
+      .orElse(""""sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).flatMap(m =>
+        """sf([0-9]+(?:\.[0-9]+)?)""".r.findFirstMatchIn(m.group(1))
+          .map(_.group(1).toDouble)))
+      .getOrElse(throw new IllegalArgumentException("bench json: no sf field"))
+    val queries = flatObject(json, "queries")
+      .getOrElse(throw new IllegalArgumentException("bench json: no queries object"))
+    // shuffle bytes entered the artifact in r14 — absent in older ones,
+    // and the gate degrades to wall-only for those pairs
+    val bytes = flatObject(json, "shuffle_write_bytes")
+      .getOrElse(Map.empty).map { case (k, v) => k -> v.toLong }
+    (sf, queries, bytes)
   }
 
   def check(smallJson: String, bigJson: String): Report = {
-    val (sfSmall, small) = parseBench(smallJson)
-    val (sfBig, big) = parseBench(bigJson)
+    val (sfSmall, small, bytesSmall) = parseBench(smallJson)
+    val (sfBig, big, bytesBig) = parseBench(bigJson)
     require(sfBig > sfSmall,
       s"scaleCheck: big artifact sf=$sfBig is not above small sf=$sfSmall")
     val decades = math.log10(sfBig / sfSmall)
     val rows = small.keySet.intersect(big.keySet).toSeq.sorted.map { name =>
       val (ts, tb) = (small(name), big(name))
       val ratio = if (ts > 0) tb / ts else Double.PositiveInfinity
+      val (bs, bb) = (bytesSmall.get(name), bytesBig.get(name))
       declaredClass(name) match {
         case Exempt(reason) =>
-          Row(name, ts, tb, ratio, None, s"EXEMPT ($reason)")
+          Row(name, ts, tb, ratio, None, s"EXEMPT ($reason)", bs, bb,
+            bStatus = if (bs.isDefined && bb.isDefined) "EXEMPT" else "-")
         case Linear(ceiling) =>
           val allowed = math.pow(ceiling, decades)
           // noise guard is TWO-sided (ADVICE r13): a big wall under
@@ -142,7 +186,19 @@ object ScaleCheck {
             else if (ts < MinSeconds / allowed) "SKIP (small-side noise-dominated)"
             else if (ratio <= allowed) "ok"
             else "FAIL"
-          Row(name, ts, tb, ratio, Some(allowed), status)
+          // the bytes gate: same allowance (linear data → at most
+          // linear movement), clamped denominator (see ShuffleClampBytes)
+          val (bRatio, bStatus) = (bs, bb) match {
+            case (Some(s), Some(b)) =>
+              val r = b.toDouble / math.max(s, ShuffleClampBytes).toDouble
+              val st =
+                if (b < MinShuffleBytes) "SKIP (below byte floor)"
+                else if (r <= allowed) "ok"
+                else "FAIL"
+              (Some(r), st)
+            case _ => (None, "-")
+          }
+          Row(name, ts, tb, ratio, Some(allowed), status, bs, bb, bRatio, bStatus)
       }
     }
     Report(decades, rows)
@@ -159,9 +215,13 @@ object ScaleCheck {
     println()
     println(report.table)
     if (report.violations.nonEmpty) {
-      System.err.println(report.violations
-        .map(r => f"OUT OF CLASS: ${r.name} ${r.ratio}%.2fx > ${r.allowed.get}%.1fx")
-        .mkString("\n"))
+      System.err.println(report.violations.map { r =>
+        val wall = if (r.status == "FAIL")
+          f"wall ${r.ratio}%.2fx > ${r.allowed.get}%.1fx" else ""
+        val bytes = if (r.bStatus == "FAIL")
+          f"shuffle ${r.bRatio.get}%.2fx > ${r.allowed.get}%.1fx" else ""
+        s"OUT OF CLASS: ${r.name} ${Seq(wall, bytes).filter(_.nonEmpty).mkString("; ")}"
+      }.mkString("\n"))
       sys.exit(1)
     }
   }

@@ -20,11 +20,21 @@ object GraftColumnBridge {
   /** A DataFrame over a custom [[execution.datasources.FileIndex]] —
     * parquet scan whose planning-time file listing the index controls
     * (how Delta/Iceberg splice their log-backed pruning into Spark).
+    *
+    * `catalogStats`, when present, rides a minimal catalog entry on the
+    * relation — the slot `LogicalRelation.computeStats` reads, so
+    * under `spark.sql.cbo.enabled`/`spark.sql.cbo.planStats.enabled`
+    * the plan sees real row counts and per-column NDV instead of raw
+    * file bytes (how ANALYZEd external tables feed Spark's CBO; see
+    * graft.sources.PlanStats). The identifier is synthetic and never
+    * resolved against a catalog — the entry exists only as a
+    * statistics carrier on this read-only plan.
     */
   def ofFileIndex(
       spark: SparkSession,
       index: execution.datasources.FileIndex,
-      dataSchema: types.StructType): DataFrame = {
+      dataSchema: types.StructType,
+      catalogStats: Option[catalyst.catalog.CatalogStatistics] = None): DataFrame = {
     val relation = execution.datasources.HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
@@ -32,7 +42,17 @@ object GraftColumnBridge {
       bucketSpec = None,
       fileFormat = new execution.datasources.parquet.ParquetFileFormat(),
       options = Map.empty)(spark)
-    ofRows(spark, execution.datasources.LogicalRelation(relation, isStreaming = false))
+    val rel = execution.datasources.LogicalRelation(relation, isStreaming = false)
+    val plan = catalogStats.fold(rel) { cs =>
+      rel.copy(catalogTable = Some(catalyst.catalog.CatalogTable(
+        identifier = catalyst.TableIdentifier("graft_snapshot"),
+        tableType = catalyst.catalog.CatalogTableType.EXTERNAL,
+        storage = catalyst.catalog.CatalogStorageFormat.empty,
+        schema = rel.schema,
+        provider = Some("parquet"),
+        stats = Some(cs))))
+    }
+    ofRows(spark, plan)
   }
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
@@ -60,6 +80,16 @@ object GraftColumnBridge {
       prevActive.foreach(classic.SparkSession.setActiveSession)
     }
   }
+
+  /** Block until the listener bus has delivered every queued event —
+    * what makes task-metric accounting (graft.tools.ShuffleBytes)
+    * deterministic: task-end events post asynchronously, so a counter
+    * read right after an action can miss the job's own tail. The bus
+    * API is `private[spark]`; this package-nested bridge is the
+    * standard extension-library route to it.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 
   /** Idempotently add a planner strategy to an existing session. */
   def addStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {

@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.StatsSketch
+
+/** The ANALYZE sketch feeding the READ path's logical statistics
+  * (VERDICT r13 item 1): with `_graft_stats` present and CBO enabled
+  * (the reference's own query-layer opt-in, glue_etl.py:407-408), a
+  * plan over a graft table sees the snapshot's exact sidecar row count,
+  * per-column null counts, and the sketch's NDV — and Spark's own
+  * JoinSelection/estimation flips physical plans accordingly. Both
+  * flip directions are pinned, plus the two no-op regimes (CBO off →
+  * byte-identical sizing; kill switch off → no stats at all) and
+  * result invariance.
+  */
+class PlanStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Incompressible 32-hex payload so parquet cannot dictionary-encode
+    * the dim table away (direction A needs file bytes ABOVE threshold).
+    */
+  private def hex(i: Int): String = {
+    val d = MessageDigest.getInstance("MD5")
+    d.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def versioned(df: DataFrame, name: String): String = {
+    val path = tmpDir(name) + "/t"
+    ParquetTable.atomicReplace(spark, path, df, Nil)
+    path
+  }
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def planOf(df: DataFrame): String = df.queryExecution.sparkPlan.toString
+
+  test("CBO sees the snapshot row count, NDV and null counts once ANALYZEd") {
+    val n = 5000
+    val df = (0 until n).map(i =>
+      (i.toLong, i % 40, if (i % 10 == 0) null else s"v$i"))
+      .toDF("id", "k", "v")
+    val path = versioned(df, "ps_vis")
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      // before ANALYZE: file-size sizing only
+      val before = ParquetTable.read(spark, path).queryExecution.optimizedPlan.stats
+      assert(before.rowCount.isEmpty)
+      StatsSketch.analyze(spark, path, Seq("k", "v"), ParquetTable.statsDir(path))
+      val stats = ParquetTable.read(spark, path).queryExecution.optimizedPlan.stats
+      assert(stats.rowCount === Some(BigInt(n)))
+      val byName = stats.attributeStats.toSeq.map { case (a, s) => a.name -> s }.toMap
+      // HLL at p=12 is ~1.6% rel. error; 40 distinct is exact-range
+      assert(byName("k").distinctCount.exists(d => d >= 38 && d <= 42))
+      assert(byName("k").nullCount === Some(BigInt(0)))
+      assert(byName("v").nullCount === Some(BigInt(n / 10)))
+      assert(!byName.contains("id"), "unanalyzed columns carry no NDV")
+    }
+  }
+
+  test("direction A: aggregate NDV unlocks a broadcast the static estimate refuses") {
+    // dim: 40k rows over 50 keys with incompressible payloads (~3 MB on
+    // disk); its 50-group rollup is kilobytes — but statically the
+    // aggregate is sized from its INPUT, so without stats the join
+    // plans sort-merge. fact is big enough that neither raw side fits.
+    val dimPath = versioned((0 until 40000).map(i =>
+      (i.toLong % 50, hex(i))).toDF("k", "payload"), "ps_dirA_dim")
+    val factPath = versioned((0 until 200000).map(i =>
+      (i.toLong % 50, i.toLong)).toDF("k", "amount"), "ps_dirA_fact")
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "256KB") {
+      def q(): DataFrame = ParquetTable.read(spark, factPath).join(
+        ParquetTable.read(spark, dimPath).groupBy("k")
+          .agg(count(lit(1)).as("dim_n")), "k")
+      val before = q()
+      assert(planOf(before).contains("SortMergeJoin"),
+        s"static estimate should refuse broadcast here:\n${planOf(before)}")
+      StatsSketch.analyze(spark, dimPath, Seq("k"), ParquetTable.statsDir(dimPath))
+      val after = q()
+      assert(planOf(after).contains("BroadcastHashJoin"),
+        s"NDV(k)=50 should size the rollup under 256KB:\n${planOf(after)}")
+      // the flip changes the plan, not the answer
+      assert(after.agg(sum("amount"), sum("dim_n")).head() ===
+        before.agg(sum("amount"), sum("dim_n")).head())
+    }
+  }
+
+  test("direction B: the row count refuses a broadcast compression made look safe") {
+    // dim: 400k rows that dictionary/RLE-encode to a few hundred KB on
+    // disk but hydrate to ~14 MB of rows — the hashed relation a scaled
+    // cluster OOMs its driver on. Without ANALYZE the raw file size
+    // sneaks under the threshold and Spark broadcasts; with the row
+    // count it refuses.
+    val dimPath = versioned((0 until 400000).map(i =>
+      (i.toLong % 1000, "constant_payload")).toDF("k", "v"), "ps_dirB_dim")
+    val factPath = versioned((0 until 150000).map(i =>
+      (i.toLong % 1000, hex(i), hex(i + 7000000))).toDF("k", "h", "h2"),
+      "ps_dirB_fact")
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "2MB") {
+      def q(): DataFrame = ParquetTable.read(spark, factPath)
+        .join(ParquetTable.read(spark, dimPath), "k")
+      val before = q()
+      assert(planOf(before).contains("BroadcastHashJoin"),
+        s"compressed file bytes should sneak under 2MB here:\n${planOf(before)}")
+      StatsSketch.analyze(spark, dimPath, Seq("k"), ParquetTable.statsDir(dimPath))
+      val after = q()
+      assert(planOf(after).contains("SortMergeJoin"),
+        s"400k-row count should refuse the broadcast:\n${planOf(after)}")
+      assert(after.count() === before.count())
+    }
+  }
+
+  test("CBO off → byte-identical sizing; kill switch off → no stats attach") {
+    val path = versioned((0 until 2000).map(i => (i.toLong, i % 7))
+      .toDF("id", "k"), "ps_off")
+    val bare = ParquetTable.read(spark, path)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    StatsSketch.analyze(spark, path, Seq("k"), ParquetTable.statsDir(path))
+    // default session: cbo off — the catalog stats carry the exact same
+    // sizeInBytes the bare relation reports, so nothing can shift
+    val analyzed = ParquetTable.read(spark, path).queryExecution.optimizedPlan.stats
+    assert(analyzed.sizeInBytes === bare)
+    assert(analyzed.rowCount.isEmpty, "cbo off ignores the rowCount path")
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      PlanStats.Conf -> "false") {
+      val off = ParquetTable.read(spark, path).queryExecution.optimizedPlan.stats
+      assert(off.rowCount.isEmpty, "kill switch must suppress the attach")
+    }
+  }
+
+  test("the NDV cache refreshes across ANALYZE generations") {
+    val path = versioned((0 until 1000).map(i => (i.toLong, i % 10))
+      .toDF("id", "k"), "ps_cache")
+    val pk = Seq("id")
+    StatsSketch.analyze(spark, path, Seq("k"), ParquetTable.statsDir(path))
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      def ndvK(): BigInt = {
+        val stats = ParquetTable.read(spark, path)
+          .queryExecution.optimizedPlan.stats
+        stats.attributeStats.toSeq.collectFirst {
+          case (a, s) if a.name == "k" => s.distinctCount.get
+        }.get
+      }
+      val first = ndvK()
+      assert(first >= 9 && first <= 11)
+      // widen k's domain and advance the sketch — the fingerprint must
+      // invalidate the cached fold, not serve the stale generation
+      ParquetTable.merge(spark, path,
+        (1000 until 2000).map(i => (i.toLong, i % 100)).toDF("id", "k"), pk)
+      StatsSketch.analyzeIncremental(spark, path, pk, ParquetTable.statsDir(path))
+      val second = ndvK()
+      assert(second >= 95 && second <= 105, s"stale NDV served: $second")
+    }
+  }
+}
