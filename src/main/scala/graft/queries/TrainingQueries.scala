@@ -1161,6 +1161,76 @@ object TrainingQueries {
         .orderBy(col("column"))
     }),
 
+    // The exact-flag RESTORATION path (VERDICT r13 item 4): q146's
+    // upper-bound window (update + DV delete flip exact=false), then
+    // the full re-ANALYZE — the whole sketch lifecycle end-to-end. The
+    // re-baseline must OVERWRITE the upper-bound registers with a fresh
+    // full-scan sketch of the CURRENT table and reset exact=true; the
+    // oracle is a fresh sketch of exactly the surviving rows (evens
+    // minus the %8 delete, %4 suppkeys remapped), so a re-baseline that
+    // merged instead of overwrote — or forgot the flag — hash-fails.
+    "q149_analyze_rebaseline" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val cols = Seq("l_partkey", "l_suppkey", "l_returnflag")
+      val pk = Seq("l_orderkey", "l_linenumber")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_hllrb").toString
+      val table = root + "/t"
+      val sk = root + "/sketch"
+      graft.sources.ParquetTable.merge(s, table,
+        l.filter(col("l_orderkey") % 2 === 0), pk)
+      StatsSketch.analyze(s, table, cols, sk)
+      graft.sources.ParquetTable.merge(s, table,
+        l.filter(col("l_orderkey") % 4 === 0)
+          .withColumn("l_suppkey", col("l_suppkey") + lit(1000000)), pk)
+      graft.sources.ParquetTable.deleteVectors(s, table,
+        col("l_orderkey") % 8 === 0)
+      StatsSketch.analyzeIncremental(s, table, pk, sk)
+      require(!StatsSketch.isExact(s, sk),
+        "q149: the update+delete window must flip exact=false first")
+      // the re-baseline: full scan of the current head, flag restored
+      StatsSketch.analyze(s, table, cols, sk)
+      StatsSketch.estimate(s, sk)
+        .withColumn("exact", lit(StatsSketch.isExact(s, sk)))
+        .orderBy(col("column"))
+    }),
+
+    // The read-path CBO loop end-to-end in the battery (VERDICT r13
+    // item 1): an ANALYZEd versioned table joined under the CBO conf
+    // the reference's query layer sets (glue_etl.py:407-408) — the plan
+    // is sized from the sketch's NDV and the sidecars' exact row count
+    // (PlanStats; flip directions are plan-asserted in PlanStatsSpec,
+    // the 153 MB → 0 MB shuffle pair in PlanStatsBench), and THIS entry
+    // pins that the statistics change plans, never answers. Aggregates
+    // are exact-integer doubles so both engines sum order-independently.
+    "q150_cbo_stats_join" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cbo").toString
+      val t = root + "/orders_t"
+      graft.sources.ParquetTable.atomicReplace(s, t,
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")), Nil)
+      StatsSketch.analyze(s, t, Seq("o_orderpriority"),
+        graft.sources.ParquetTable.statsDir(t))
+      val old = s.conf.getOption("spark.sql.cbo.enabled")
+      try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        Tables.lineitem(s, d)
+          .join(graft.sources.ParquetTable.read(s, t),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_quantity")).as("total_qty"),
+            count(lit(1)).as("n_items"))
+          // materialized UNDER the conf (planning happens at the write),
+          // then handed back as a plain read so the battery runner's
+          // later actions don't depend on session state this query set
+          .write.mode("overwrite").parquet(s"$root/out")
+      } finally old match {
+        case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+        case None => s.conf.unset("spark.sql.cbo.enabled")
+      }
+      s.read.parquet(s"$root/out").orderBy(col("o_orderpriority"))
+    }),
+
     // q141's curation DAG with a REAL LM-quality cut (VERDICT r12 item
     // 4): lmCutExact drops the lowest-score grid cells holding ≤
     // floor(0.1·n) documents — an exact, order-independent, externally
@@ -2375,7 +2445,33 @@ object TrainingQueries {
     hllOracleOver(full :+ remapped, extraCols = ",\n  false AS exact")
   }
 
+  /** q149: the re-baseline replay — a FRESH sketch of exactly the rows
+    * that survive q146's window (evens minus the %8 delete, %4 supplier
+    * keys remapped), with the exact flag restored. Deliberately NOT the
+    * q146 upper-bound set: a re-baseline that max-merged into the old
+    * registers instead of overwriting would keep the deleted rows'
+    * values and hash-fail here.
+    */
+  private val hllRebaselineOracle: String = {
+    def src(cn: String, expr: String) =
+      s"SELECT '$cn' AS cn, $expr::VARCHAR AS t FROM lineitem " +
+        s"WHERE l_orderkey % 2 = 0 AND l_orderkey % 8 <> 0 AND $expr IS NOT NULL"
+    hllOracleOver(Seq(
+      src("l_partkey", "l_partkey"),
+      src("l_returnflag", "l_returnflag"),
+      src("l_suppkey", "(CASE WHEN l_orderkey % 4 = 0 " +
+        "THEN l_suppkey + 1000000 ELSE l_suppkey END)")),
+      extraCols = ",\n  true AS exact")
+  }
+
   lazy val oracles: Map[String, String] = oraclesBase +
+    ("q149_analyze_rebaseline" -> hllRebaselineOracle) +
+    ("q150_cbo_stats_join" ->
+      """SELECT o_orderpriority, sum(l_quantity) AS total_qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) +
     ("q143_hll_ndv_sketch" -> hllOracle) +
     // the CDF-incremental ANALYZE must reproduce the one-shot registers
     // over the full table exactly (append-only windows)
