@@ -104,6 +104,15 @@ object Bench {
 
   /** Re-exec this main in a child JVM with the JIT flags, same classpath,
     * stdout/stderr inherited (the JSON line passes straight through).
+    *
+    * The child gets its OWN `java.io.tmpdir` (`/tmp/graft_bench_<pid>`),
+    * so every fixture dir the battery stages — and everything
+    * [[sweepScratch]] may delete — lives under a root no other JVM
+    * shares: a concurrent test JVM's live fixtures are structurally
+    * unreachable (VERDICT r13 item 5; the old pattern-sweep of the
+    * shared /tmp relied on a prose "never run sbt beside a bench"
+    * invariant). The parent removes the whole root once the child
+    * exits, crash or not.
     */
   private def respawn(args: Array[String]): Unit = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -112,12 +121,19 @@ object Bench {
       .getInputArguments.toArray.map(_.toString)
       .filterNot(a => a.startsWith("-XX:ReservedCodeCacheSize") ||
         a.startsWith("-agentlib"))
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir", "/tmp"),
+      s"graft_bench_${ProcessHandle.current().pid()}")
+    root.mkdirs()
     val cmd = (Seq(javaBin) ++ jitFlags ++ inherited ++
-      Seq("-cp", cp, "graft.Bench") ++ args)
+      Seq(s"-Djava.io.tmpdir=${root.getAbsolutePath}",
+        "-cp", cp, "graft.Bench") ++ args)
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put(ChildFlag, "1")
     pb.inheritIO()
-    sys.exit(pb.start().waitFor())
+    val code = pb.start().waitFor()
+    deleteRec(root)
+    sys.exit(code)
   }
 
   /** Battery queries stage their lakehouse fixtures through
@@ -125,13 +141,21 @@ object Bench {
     * harmless per query, ~50 GB across a full sf10 battery. Sweep the
     * DEAD fixture dirs (every sample builds its own; nothing re-reads a
     * previous sample's) between samples so the run never measures its
-    * own disk pressure. Only names carrying createTempDirectory's long
-    * random numeric suffix match — `graft_testdata` (the scale inputs)
-    * and `graft_verify` (the driver's correctness dump) are untouchable
-    * by construction.
+    * own disk pressure.
+    *
+    * Scope: ONLY inside a `graft_bench_<pid>` root this process's
+    * parent created ([[respawn]] points `java.io.tmpdir` there), so the
+    * sweep can never name a dir another JVM made — a concurrent sbt
+    * test run's live fixtures are structurally out of reach, not merely
+    * out of pattern. In a shared tmpdir (a SPARK_GRAFT_NO_RESPAWN run
+    * without its own -Djava.io.tmpdir) nothing is swept. Within the
+    * owned root, only names carrying createTempDirectory's long random
+    * numeric suffix match, which keeps Spark's own live `blockmgr-*`/
+    * `spark-*` dirs (also under the root) untouched.
     */
   private def sweepScratch(): Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    if (!tmp.getName.startsWith("graft_bench_")) return
     Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory &&
         f.getName.matches("graft_[A-Za-z0-9_]*[0-9]{8,}"))
