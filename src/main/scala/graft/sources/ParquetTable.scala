@@ -1113,7 +1113,8 @@ object ParquetTable {
           val cs = if (dirs.size == 1)
             PlanStats.forSnapshot(spark, path, version, index.sizeInBytes,
               index.metadataRowCount, index.metadataNonNullCount,
-              schema.fieldNames.toSet)
+              index.metadataMinMax,
+              schema.fields.map(f => f.name -> f.dataType).toMap)
           else None
           GraftColumnBridge.ofFileIndex(spark, index, schema, cs)
         }
@@ -1157,8 +1158,9 @@ object ParquetTable {
             // null counts aren't in file stats — omitted, not guessed
             val cs = PlanStats.forSnapshot(spark, path, version,
               index.sizeInBytes, index.metadataRowCount,
-              index.metadataNonNullCount,
-              dataSchema.fieldNames.toSet ++ index.partitionSchema.fieldNames)
+              index.metadataNonNullCount, index.metadataMinMax,
+              (dataSchema.fields ++ index.partitionSchema.fields)
+                .map(f => f.name -> f.dataType).toMap)
             Seq(GraftColumnBridge.ofFileIndex(spark, index, dataSchema, cs))
           case None =>
             groups.map { case (base, partDirs, _) =>

@@ -104,12 +104,34 @@ object PlanStats {
       }))
     }
 
+  /** Sidecar `num`-kind min/max strings whose rendering provably matches
+    * `CatalogColumnStat`'s external format for the column's type
+    * (integral/date → plain integer of the stored value resp. epoch
+    * days; IEEE → decimal) — anything else is omitted, never guessed:
+    * an unparseable catalog min/max THROWS at estimation time, and a
+    * format mismatch (e.g. millis where micros are expected) would be
+    * silently wrong selectivity, the failure mode this library refuses.
+    */
+  private def externalMinMax(
+      dt: org.apache.spark.sql.types.DataType,
+      kind: String, value: String): Option[String] = {
+    import org.apache.spark.sql.types._
+    if (kind != "num" || value.isEmpty) return None
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType =>
+        scala.util.Try(value.toLong).toOption.map(_ => value)
+      case FloatType | DoubleType =>
+        scala.util.Try(value.toDouble).toOption.map(_ => value)
+      case _ => None // timestamps/strings/decimals: rendering not pinned
+    }
+  }
+
   /** Catalog statistics for one table snapshot, or None when any opt-in
-    * is missing. `sizeInBytes`/`rowCount`/`nonNull` come from the
-    * snapshot's own file index (version-exact); NDV comes from the
+    * is missing. `sizeInBytes`/`rowCount`/`nonNull`/`minMax` come from
+    * the snapshot's own file index (version-exact); NDV comes from the
     * sketch, translated through the version's column mapping (sketch
     * columns are logical names, the relation's attributes physical) and
-    * restricted to `dataCols`, the relation's actual attribute names.
+    * restricted to `schemaTypes`, the relation's actual attributes.
     */
   def forSnapshot(
       spark: SparkSession,
@@ -118,7 +140,9 @@ object PlanStats {
       sizeInBytes: Long,
       rowCount: Option[Long],
       nonNull: String => Option[Long],
-      dataCols: Set[String]): Option[CatalogStatistics] = {
+      minMax: String => Option[(String, Option[(String, String)])],
+      schemaTypes: Map[String, org.apache.spark.sql.types.DataType]):
+      Option[CatalogStatistics] = {
     if (!enabled(spark)) return None
     if (!ParquetTable.hasStats(spark, tablePath)) return None
     val rows = rowCount.getOrElse(return None)
@@ -128,13 +152,22 @@ object PlanStats {
     val toPhysical = renames.map(_.swap)
     val colStats = ndv.flatMap { case (logical, est) =>
       val physical = toPhysical.getOrElse(logical, logical)
-      if (!dataCols.contains(physical) || drops.contains(physical)) None
+      if (!schemaTypes.contains(physical) || drops.contains(physical)) None
       else {
         val distinct = BigInt(math.round(math.min(est, rows.toDouble)))
         val nulls = nonNull(physical).map(nn => BigInt(math.max(0L, rows - nn)))
+        val dt = schemaTypes(physical)
+        val (mn, mx) = minMax(physical) match {
+          case Some((kind, Some((lo, hi)))) =>
+            (externalMinMax(dt, kind, lo), externalMinMax(dt, kind, hi))
+          case _ => (None, None)
+        }
         Some(physical -> CatalogColumnStat(
           distinctCount = Some(distinct),
-          min = None, max = None,
+          // range ends attach only as a PAIR — a one-sided range would
+          // skew FilterEstimation's interpolation
+          min = if (mn.isDefined && mx.isDefined) mn else None,
+          max = if (mn.isDefined && mx.isDefined) mx else None,
           nullCount = nulls,
           avgLen = None, maxLen = None))
       }

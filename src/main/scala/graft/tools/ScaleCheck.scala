@@ -85,7 +85,9 @@ object ScaleCheck {
     "q57" -> Linear(8),
     "q145" -> Linear(8),
     "q146" -> Linear(8),
-    "q148" -> Linear(8))
+    "q148" -> Linear(8),
+    // q149 = q146's window + a full re-ANALYZE: same commit-bound family
+    "q149" -> Linear(8))
 
   private def declaredClass(name: String): ScaleClass =
     classes.getOrElse(name.takeWhile(_ != '_'), Linear(10))

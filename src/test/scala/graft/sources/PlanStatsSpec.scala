@@ -145,6 +145,34 @@ class PlanStatsSpec extends SparkSpec {
     }
   }
 
+  test("sidecar min/max feed range selectivity; unpinned renderings stay out") {
+    val n = 10000
+    val df = (0 until n).map(i =>
+      (i.toLong, i % 100, s"s$i", i.toDouble / 2)).toDF("id", "k", "name", "x")
+    val path = versioned(df, "ps_range")
+    StatsSketch.analyze(spark, path,
+      Seq("id", "name", "x"), ParquetTable.statsDir(path))
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val t = ParquetTable.read(spark, path)
+      val byName = t.queryExecution.optimizedPlan.stats.attributeStats
+        .toSeq.map { case (a, s) => a.name -> s }.toMap
+      // integral + IEEE renderings are pinned → range ends attach
+      assert(byName("id").min.contains(0L) && byName("id").max.contains((n - 1).toLong))
+      assert(byName("x").min.contains(0.0) && byName("x").max.contains((n - 1) / 2.0))
+      // string min/max rendering is NOT pinned to the catalog's → omitted
+      assert(byName("name").min.isEmpty && byName("name").max.isEmpty)
+      // FilterEstimation interpolates the range: a 10%-of-range predicate
+      // estimates ~10% of rows, an impossible one collapses to ~0
+      val tenth = t.filter(col("id") < lit(n / 10))
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(tenth >= BigInt(n / 20) && tenth <= BigInt(n / 5),
+        s"range selectivity off: $tenth of $n")
+      val none = t.filter(col("id") > lit(10 * n))
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(none <= BigInt(1), s"impossible range should collapse: $none")
+    }
+  }
+
   test("the NDV cache refreshes across ANALYZE generations") {
     val path = versioned((0 until 1000).map(i => (i.toLong, i % 10))
       .toDF("id", "k"), "ps_cache")
