@@ -242,9 +242,12 @@ object Bench {
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
+      // wall is read BEFORE the byte snapshot: `since` drains the
+      // listener bus, and that plumbing must never be inside the timer
+      val t = (System.nanoTime() - t0) / 1e9
       if (ok) {
         shuffle(name) = graft.tools.ShuffleBytes.since(spark, mark)
-        (System.nanoTime() - t0) / 1e9
+        t
       } else Double.MaxValue
     }
 
