@@ -1106,16 +1106,21 @@ object ParquetTable {
             .getOrElse(spark.read.parquet(dir.toString).schema)
           val index = new GraftFileIndex(spark, dir, sidecar.map(_.files))
           // ANALYZEd tables feed Spark's CBO their real statistics —
-          // single-leg snapshots only (the common published/compacted
-          // state): a merge-on-read chain's per-leg NDV is undefined
-          // and the chain folds back to one leg at the MorMaxDataDirs
-          // cap anyway. See PlanStats for the opt-in chain.
+          // full column statistics on single-leg snapshots (the common
+          // published/compacted state); a merge-on-read chain still
+          // gets each leg's EXACT sidecar row count (the union sums
+          // them), but no NDV/min-max — a table-wide sketch says
+          // nothing about one leg, and the chain folds back to one leg
+          // at the MorMaxDataDirs cap anyway. DV'd rows are not
+          // subtracted: estimates stay high → conservative broadcasts.
+          // See PlanStats for the opt-in chain.
           val cs = if (dirs.size == 1)
             PlanStats.forSnapshot(spark, path, version, index.sizeInBytes,
               index.metadataRowCount, index.metadataNonNullCount,
               index.metadataMinMax,
               schema.fields.map(f => f.name -> f.dataType).toMap)
-          else None
+          else PlanStats.rowCountOnly(spark, path,
+            index.sizeInBytes, index.metadataRowCount)
           GraftColumnBridge.ofFileIndex(spark, index, schema, cs)
         }
       case Some(entries) =>

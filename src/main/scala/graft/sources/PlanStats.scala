@@ -126,6 +126,25 @@ object PlanStats {
     }
   }
 
+  /** Row-count-only statistics for ONE LEG of a merge-on-read chain:
+    * the leg's exact sidecar row count with no column statistics (a
+    * table-wide sketch says nothing about one leg). The union over legs
+    * sums the row counts, so even a mid-compaction snapshot joins with
+    * real cardinality under CBO. Same opt-in chain as [[forSnapshot]].
+    */
+  def rowCountOnly(
+      spark: SparkSession,
+      tablePath: String,
+      sizeInBytes: Long,
+      rowCount: Option[Long]): Option[CatalogStatistics] = {
+    if (!enabled(spark)) return None
+    if (!ParquetTable.hasStats(spark, tablePath)) return None
+    rowCount.map(rows => CatalogStatistics(
+      sizeInBytes = BigInt(sizeInBytes),
+      rowCount = Some(BigInt(rows)),
+      colStats = Map.empty))
+  }
+
   /** Catalog statistics for one table snapshot, or None when any opt-in
     * is missing. `sizeInBytes`/`rowCount`/`nonNull`/`minMax` come from
     * the snapshot's own file index (version-exact); NDV comes from the

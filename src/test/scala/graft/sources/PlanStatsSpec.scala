@@ -126,6 +126,66 @@ class PlanStatsSpec extends SparkSpec {
     }
   }
 
+  test("join reorder: ANALYZE moves the selective tiny dim to the bottom") {
+    // written order: fact ⋈ mid ON ka, then ⋈ tiny ON kb — but `tiny`
+    // keeps only 5 of kb's 100 values, so the cheap plan joins it
+    // FIRST. Spark's DP reorder engages only when every relation has a
+    // row count — i.e. exactly when the tables are ANALYZEd.
+    val factPath = versioned((0 until 200000).map(i =>
+      (i.toLong % 500, i.toLong % 100, hex(i))).toDF("ka", "kb", "pay"),
+      "ps_ro_fact")
+    val midPath = versioned((0 until 50000).map(i =>
+      (i.toLong % 500, hex(i))).toDF("ka", "mv"), "ps_ro_mid")
+    val tinyPath = versioned((0 until 5).map(i =>
+      (i.toLong, s"t$i")).toDF("kb", "tv"), "ps_ro_tiny")
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      // isolate the ORDER decision from broadcast-side effects
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      def q(): DataFrame = ParquetTable.read(spark, factPath)
+        .join(ParquetTable.read(spark, midPath), "ka")
+        .join(ParquetTable.read(spark, tinyPath), "kb")
+        .select(col("pay"), col("mv"), col("tv"))
+      // the INNERMOST join is the last one printed; its condition names
+      // the pair the optimizer chose to join first
+      def bottomJoinCond(df: DataFrame): String = {
+        val s = df.queryExecution.optimizedPlan.toString
+        val i = s.lastIndexOf("Join Inner")
+        s.substring(i, s.indexOf('\n', i))
+      }
+      val before = bottomJoinCond(q())
+      assert(before.contains("ka"),
+        s"without stats the written order must hold:\n$before")
+      Seq(factPath -> Seq("ka", "kb"), midPath -> Seq("ka"),
+        tinyPath -> Seq("kb")).foreach { case (p, cols) =>
+        StatsSketch.analyze(spark, p, cols, ParquetTable.statsDir(p))
+      }
+      val after = q()
+      assert(bottomJoinCond(after).contains("kb"),
+        "with stats the selective tiny join must sink to the bottom:\n" +
+          after.queryExecution.optimizedPlan.toString)
+      // reorder changes the order, not the answer
+      assert(after.count() === q().count())
+    }
+  }
+
+  test("a merge-on-read chain still carries exact per-leg row counts") {
+    val path = versioned((0 until 4000).map(i => (i.toLong, i % 5))
+      .toDF("id", "k"), "ps_mor")
+    StatsSketch.analyze(spark, path, Seq("k"), ParquetTable.statsDir(path))
+    // a MOR commit adds a second leg: full column stats no longer apply,
+    // but the union of per-leg sidecar counts must still surface
+    ParquetTable.mergeVectors(spark, path,
+      (4000 until 4500).map(i => (i.toLong, i % 5)).toDF("id", "k"), Seq("id"))
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val stats = ParquetTable.read(spark, path)
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount === Some(BigInt(4500)),
+        s"union of leg row counts expected, got ${stats.rowCount}")
+    }
+  }
+
   test("CBO off → byte-identical sizing; kill switch off → no stats attach") {
     val path = versioned((0 until 2000).map(i => (i.toLong, i % 7))
       .toDF("id", "k"), "ps_off")
