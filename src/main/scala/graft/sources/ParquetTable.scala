@@ -436,6 +436,20 @@ object ParquetTable {
     */
   val BulkUpdateCowFraction: Double = 0.5
 
+  /** The numerator of the bulk fraction is an HLL ESTIMATE (standard
+    * error 1.04/√m ≈ 1.6% at p = 12): a workload sitting exactly ON the
+    * boundary would flip MOR↔COW per run/scale on estimator noise — and
+    * the two tiers' byte profiles differ by a whole table image
+    * (measured: the r14 bytes gate caught exactly this on a
+    * 50%-of-keys fixture). The probe must therefore clear the boundary
+    * by its own 2σ before the IRREVERSIBLE tier (the full rewrite) is
+    * chosen; at the boundary the reversible tier wins — MOR's extra
+    * storage folds away at the next OPTIMIZE, a rewrite cannot be
+    * un-written.
+    */
+  private def bulkDemotionBar(p: Int): Double =
+    BulkUpdateCowFraction * (1.0 + 2.0 * 1.04 / math.sqrt((1 << p).toDouble))
+
   /** Stats-informed physical decisions for one merge. `broadcastKeys`:
     * Some(true) → broadcast the deduplicated update-key set into the
     * anti/semi joins, Some(false) → force sort-merge (the key set
@@ -514,7 +528,8 @@ object ParquetTable {
             .filter(col("column") === pk.head).collect().headOption
             .map(r => r.getDouble(r.fieldIndex("ndv_est")))
         } catch { case scala.util.control.NonFatal(_) => None })
-      ndvT.exists(t => t > 0 && ndvU / t >= BulkUpdateCowFraction)
+      ndvT.exists(t => t > 0 &&
+        ndvU / t >= bulkDemotionBar(graft.operators.StatsSketch.DefaultPrecision))
     }
     MergeStatsPlan(broadcastKeys, bulk)
   }

@@ -101,10 +101,13 @@ object ScaleCheck {
     *     update set at sf0.1 (9.6 MB < threshold) and correctly refuses
     *     the 3M-key set at sf1 — 11.7×/17.5× at the crossing decade,
     *     8.7×/10.5× after.
-    *   - q146/q149: their fixture merges update EXACTLY 50% of keys —
-    *     sitting on BulkUpdateCowFraction's 0.5 boundary, where the
-    *     ±1.6% HLL estimate flips MOR↔COW per scale (both tiers are
-    *     correct there; the byte PROFILES differ by a table image).
+    *   - q146/q149: the commit chain's INTERNAL joins (the DV
+    *     anti-join inside deleteVectors, the snapshot net-diff join
+    *     inside analyzeIncremental) cross the same absolute threshold
+    *     one decade later — phase-measured at sf1→sf10: deleteVectors
+    *     0 → 254 MB, changes-feed 235 → 4,658 MB (19.8×), every other
+    *     phase 1–10× linear. Each crossing adds ~one table-image
+    *     exchange exactly once.
     *
     * All five stay wall-gated (measured 1.3–2.2×/decade, in class);
     * the byte gate remains armed for the other 145 queries, where a
@@ -123,8 +126,8 @@ object ScaleCheck {
     "q37" -> Exempt("auto-broadcast crossing at sf0.1→sf1; linear after"),
     "q145" -> Exempt("stats-planner key-set broadcast crossing; linear after"),
     "q148" -> Exempt("stats-planner key-set broadcast crossing; linear after"),
-    "q146" -> Exempt("fixture sits ON the 0.5 bulk-demotion boundary (MOR↔COW per scale)"),
-    "q149" -> Exempt("fixture sits ON the 0.5 bulk-demotion boundary (MOR↔COW per scale)"))
+    "q146" -> Exempt("DV/changes-feed internal joins cross auto-broadcast mid-decade"),
+    "q149" -> Exempt("DV/changes-feed internal joins cross auto-broadcast mid-decade"))
 
   private def declaredClass(name: String): ScaleClass =
     classes.getOrElse(name.takeWhile(_ != '_'), Linear(10))

@@ -113,6 +113,12 @@ class MergeStatsPlanSpec extends SparkSpec {
     val small = (0 until 100).map(i => (i.toLong, "new")).toDF("id", "v")
     assert(ParquetTable.planMergeStats(spark, path, bulk, Seq("id")).bulkUpdate)
     assert(!ParquetTable.planMergeStats(spark, path, small, Seq("id")).bulkUpdate)
+    // exactly ON the boundary: the estimate must clear 0.5 by its own
+    // 2σ before the irreversible rewrite is chosen — a 50%-of-keys
+    // batch stays on the reversible MOR tier DETERMINISTICALLY instead
+    // of flipping per run/scale on ±1.6% estimator noise
+    val half = (0 until 5000).map(i => (i.toLong, "new")).toDF("id", "v")
+    assert(!ParquetTable.planMergeStats(spark, path, half, Seq("id")).bulkUpdate)
   }
 
   test("bulk-update demotion works for COMPOSITE pks via the sidecar row count") {
