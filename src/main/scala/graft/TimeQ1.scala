@@ -35,10 +35,17 @@ object TimeQ1 {
           }
         }
       })
+    graft.tools.ShuffleBytes.install(spark)
     for (i <- 1 to reps) {
+      val m = graft.tools.ShuffleBytes.mark()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, d).count()
-      println(f"$name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val t = (System.nanoTime() - t0) / 1e9
+      // bytes beside wall on every probe: a plan shift (lost broadcast,
+      // surplus exchange) shows here even when the page cache hides it
+      val (w, r) = graft.tools.ShuffleBytes.since(spark, m)
+      println(f"$name rep$i: $t%.2f s ($n rows, " +
+        f"shuffle ${w / 1048576.0}%.1f MB w / ${r / 1048576.0}%.1f MB r)")
     }
     if (args.length > 3 && args(3) == "explain")
       SparkEntry.queries(name)(spark, d).explain("formatted")
