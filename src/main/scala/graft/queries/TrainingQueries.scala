@@ -1195,6 +1195,29 @@ object TrainingQueries {
         .orderBy(col("column"))
     }),
 
+    // The HISTOGRAM statistics tier (the second half of the reference's
+    // query-layer stats opt-in, glue_etl.py:408): exact grid-granular
+    // equi-height bins — heavy cells repeat across singleton bins, the
+    // format's skew encoding. The oracle replays the ENTIRE pipeline
+    // (min/max → 16384-cell quantization → per-cell exact rows/NDV →
+    // cumulative fold → bin/cell intersection) in SQL; output is
+    // integer-only (bin, rows, ndv) so no float rendering can blur the
+    // hash, while the lo/hi affine scaling is spec-pinned in-JVM
+    // (PlanStatsSpec's hot-mass case).
+    "q151_histogram_stats" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_hist").toString
+      val cols = Seq("l_quantity", "l_extendedprice")
+      graft.operators.StatsHistogram.build(
+        Tables.lineitem(s, d), cols, root)
+      val bins = graft.operators.StatsHistogram.read(s, root)
+      import s.implicits._
+      bins.toSeq.flatMap { case (c, bs) =>
+        bs.zipWithIndex.map { case (b, i) => (c, i, b.rows, b.ndv) }
+      }.toDF("column", "bin", "rows", "ndv")
+        .orderBy(col("column"), col("bin"))
+    }),
+
     // The read-path CBO loop end-to-end in the battery (VERDICT r13
     // item 1): an ANALYZEd versioned table joined under the CBO conf
     // the reference's query layer sets (glue_etl.py:407-408) — the plan
@@ -2464,7 +2487,59 @@ object TrainingQueries {
       extraCols = ",\n  true AS exact")
   }
 
+  /** q151: the histogram build replayed end-to-end — per column:
+    * exact min/max, the 16384-cell quantization (identical IEEE ops
+    * from identical operands in both engines), exact per-cell row and
+    * distinct counts, then the equi-height fold expressed as a
+    * bin×cell interval intersection over cumulative row spans: bin k
+    * covers logical rows (k·height, min((k+1)·height, n)] of the
+    * cell-ordered multiset, a cell covers (cum−rows, cum], and a
+    * cell's NDV charges every bin it overlaps — exactly the walk in
+    * [[graft.operators.StatsHistogram.build]] including its
+    * exact-boundary half-open semantics.
+    */
+  private val histogramOracle: String = {
+    val grid = graft.operators.StatsHistogram.DefaultGridCells
+    val nb = graft.operators.StatsHistogram.DefaultBins
+    def one(cn: String) =
+      s"""SELECT '$cn' AS cn, $cn::DOUBLE AS v FROM lineitem
+         |WHERE $cn IS NOT NULL""".stripMargin
+    s"""WITH vals AS (
+       |  ${Seq("l_quantity", "l_extendedprice").map(one).mkString("\n  UNION ALL\n  ")}),
+       |params AS (
+       |  SELECT cn, min(v) AS mn, max(v) AS mx, count(*) AS n
+       |  FROM vals GROUP BY cn),
+       |cells AS (
+       |  SELECT v.cn,
+       |    LEAST(floor((v.v - p.mn) / ((p.mx - p.mn) / $grid)),
+       |          ${grid - 1})::BIGINT AS cell,
+       |    count(*) AS rows_, count(DISTINCT v.v) AS ndv
+       |  FROM vals v JOIN params p USING (cn)
+       |  GROUP BY v.cn, cell),
+       |cum AS (
+       |  SELECT cn, cell, rows_, ndv,
+       |    sum(rows_) OVER (PARTITION BY cn ORDER BY cell) AS cum
+       |  FROM cells),
+       |hp AS (SELECT cn, greatest(1, n // $nb) AS height, n FROM params),
+       |ks AS (
+       |  -- bound 2·numBins: height = n // numBins truncates, so up to
+       |  -- 2·numBins − 1 height-sized bins can fit in n (tiny inputs)
+       |  SELECT hp.cn, k.generate_series AS bin, hp.height, hp.n
+       |  FROM hp, generate_series(0, ${2 * nb}) k
+       |  WHERE k.generate_series * hp.height < hp.n)
+       |SELECT c.cn AS "column", ks.bin::INT AS bin,
+       |  (least((ks.bin + 1) * ks.height, ks.n)
+       |    - ks.bin * ks.height)::BIGINT AS rows,
+       |  sum(c.ndv)::BIGINT AS ndv
+       |FROM cum c JOIN ks ON c.cn = ks.cn
+       |  AND ks.bin * ks.height < c.cum
+       |  AND c.cum - c.rows_ < least((ks.bin + 1) * ks.height, ks.n)
+       |GROUP BY c.cn, ks.bin, ks.height, ks.n
+       |ORDER BY "column", bin""".stripMargin
+  }
+
   lazy val oracles: Map[String, String] = oraclesBase +
+    ("q151_histogram_stats" -> histogramOracle) +
     ("q149_analyze_rebaseline" -> hllRebaselineOracle) +
     ("q150_cbo_stats_join" ->
       """SELECT o_orderpriority, sum(l_quantity) AS total_qty,

@@ -64,20 +64,23 @@ object PlanStats {
   def enabled(spark: SparkSession): Boolean =
     spark.conf.get(Conf, "true") == "true"
 
-  /** (sketch dir, fingerprint) → per-column NDV estimate. The
-    * fingerprint is the sketch files' (count, total length, max mtime)
-    * triple folded to a long — any analyze/analyzeIncremental rewrites
-    * meta and/or appends registers, so a stale entry cannot be served.
-    * Bounded: one entry per live sketch generation per table.
+  /** (sketch dir, fingerprint) → (per-column NDV estimate, per-column
+    * histogram bins). The fingerprint is the stats files' (count, total
+    * length, max mtime) triple folded to a long — any analyze/
+    * analyzeIncremental/histogram build rewrites meta, appends
+    * registers, or republishes the histogram, so a stale entry cannot
+    * be served. Bounded: one entry per live stats generation per table.
     */
-  private val ndvCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[String, Double]]()
+  private val ndvCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long),
+    (Map[String, Double], Map[String, Seq[graft.operators.StatsHistogram.Bin]])]()
 
   private def fingerprint(spark: SparkSession, dir: String): Option[Long] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return None
-    val parts = Seq(new Path(p, "meta"), new Path(p, "registers"))
+    val parts = Seq(new Path(p, "meta"), new Path(p, "registers"),
+        new Path(p, "histogram"))
       .filter(fs.exists)
     if (parts.isEmpty) return None
     var count = 0L; var len = 0L; var mtime = 0L
@@ -89,20 +92,26 @@ object PlanStats {
     Some(count * 1000003L ^ len * 2862933555777941757L ^ mtime)
   }
 
-  /** The sketch's per-column NDV estimates (logical column names), via
-    * the generation cache. None when the sketch is absent or unreadable
-    * (never fails a read over a table whose stats dir is torn).
+  /** The stats dir's per-column NDV estimates and histogram bins
+    * (logical column names), via the generation cache. None when the
+    * sketch is absent or unreadable (never fails a read over a table
+    * whose stats dir is torn).
     */
-  def ndvFor(spark: SparkSession, sketchDir: String): Option[Map[String, Double]] =
+  def statsFor(spark: SparkSession, sketchDir: String): Option[
+      (Map[String, Double], Map[String, Seq[graft.operators.StatsHistogram.Bin]])] =
     fingerprint(spark, sketchDir).flatMap { fp =>
       Option(ndvCache.computeIfAbsent((sketchDir, fp), { _ =>
-        try
-          graft.operators.StatsSketch.estimate(spark, sketchDir)
+        try {
+          val ndv = graft.operators.StatsSketch.estimate(spark, sketchDir)
             .select(col("column"), col("ndv_est")).collect()
             .map(r => r.getString(0) -> r.getDouble(1)).toMap
-        catch { case scala.util.control.NonFatal(_) => null }
+          (ndv, graft.operators.StatsHistogram.read(spark, sketchDir))
+        } catch { case scala.util.control.NonFatal(_) => null }
       }))
     }
+
+  def ndvFor(spark: SparkSession, sketchDir: String): Option[Map[String, Double]] =
+    statsFor(spark, sketchDir).map(_._1)
 
   /** Sidecar `num`-kind min/max strings whose rendering provably matches
     * `CatalogColumnStat`'s external format for the column's type
@@ -165,7 +174,8 @@ object PlanStats {
     if (!enabled(spark)) return None
     if (!ParquetTable.hasStats(spark, tablePath)) return None
     val rows = rowCount.getOrElse(return None)
-    val ndv = ndvFor(spark, ParquetTable.statsDir(tablePath)).getOrElse(return None)
+    val (ndv, histograms) =
+      statsFor(spark, ParquetTable.statsDir(tablePath)).getOrElse(return None)
     // logical sketch name → this version's physical attribute name
     val (renames, drops) = ParquetTable.columnMapping(spark, tablePath, version)
     val toPhysical = renames.map(_.swap)
@@ -181,6 +191,19 @@ object PlanStats {
             (externalMinMax(dt, kind, lo), externalMinMax(dt, kind, hi))
           case _ => (None, None)
         }
+        // the histogram tier (the reference's second query-layer stats
+        // conf, glue_etl.py:408): exact grid-granular equi-height bins
+        // give FilterEstimation real skew instead of 1/NDV uniformity.
+        // Spark's Histogram models UNIFORM bin height; ours vary by up
+        // to one grid cell, so height is the mean — the residual error
+        // is cell-granularity, not distribution-shape
+        val hist = histograms.get(logical).filter(_.nonEmpty).map { bins =>
+          org.apache.spark.sql.catalyst.plans.logical.Histogram(
+            bins.map(_.rows).sum.toDouble / bins.length,
+            bins.map(b =>
+              org.apache.spark.sql.catalyst.plans.logical.HistogramBin(
+                b.lo, b.hi, b.ndv)).toArray)
+        }
         Some(physical -> CatalogColumnStat(
           distinctCount = Some(distinct),
           // range ends attach only as a PAIR — a one-sided range would
@@ -188,7 +211,8 @@ object PlanStats {
           min = if (mn.isDefined && mx.isDefined) mn else None,
           max = if (mn.isDefined && mx.isDefined) mx else None,
           nullCount = nulls,
-          avgLen = None, maxLen = None))
+          avgLen = None, maxLen = None,
+          histogram = hist))
       }
     }
     Some(CatalogStatistics(

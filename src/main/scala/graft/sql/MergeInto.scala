@@ -226,6 +226,9 @@ object GraftSql {
   private val AnalyzeStmt =
     ("""(?is)\s*ANALYZE\s+graft\s*\.\s*`([^`]+)`\s+COMPUTE\s+STATISTICS\s+""" +
       """FOR\s+COLUMNS\s*\(([^)]+)\)\s*;?\s*""").r
+  private val AnalyzeHistogramStmt =
+    ("""(?is)\s*ANALYZE\s+graft\s*\.\s*`([^`]+)`\s+COMPUTE\s+HISTOGRAM\s+""" +
+      """FOR\s+COLUMNS\s*\(([^)]+)\)\s*;?\s*""").r
   private val ShowStatsStmt =
     """(?is)\s*SHOW\s+STATISTICS\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
 
@@ -310,6 +313,10 @@ object GraftSql {
             .toSeq.filter(_.nonEmpty)))
       case AnalyzeStmt(path, cols) =>
         Some(GraftAnalyzeCommand(path,
+          cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .toSeq.filter(_.nonEmpty)))
+      case AnalyzeHistogramStmt(path, cols) =>
+        Some(GraftAnalyzeHistogramCommand(path,
           cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
             .toSeq.filter(_.nonEmpty)))
       case ShowStatsStmt(path) => Some(GraftShowStatsCommand(path))
@@ -1200,6 +1207,32 @@ case class GraftAnalyzeIncrementalCommand(path: String, pk: Seq[String])
   override def run(session: SparkSession): Seq[Row] = Seq(Row(
     graft.operators.StatsSketch.analyzeIncremental(session, path, pk,
       GraftStats.dir(path))))
+}
+
+/** `ANALYZE graft.`p` COMPUTE HISTOGRAM FOR COLUMNS (c1, c2…)`: the
+  * histogram tier — the second half of the reference's query-layer
+  * statistics opt-in (glue_etl.py:408
+  * `spark.sql.statistics.histogram.enabled`). Full-scan like Spark's
+  * own histogram ANALYZE (bins are not append-mergeable); numeric
+  * columns only. The read path attaches the bins to the plan's column
+  * statistics (PlanStats), so skewed-column selectivity under CBO
+  * estimates from the real distribution. Returns one row per column
+  * with the bin count.
+  */
+case class GraftAnalyzeHistogramCommand(path: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("bins", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    graft.operators.StatsHistogram.build(
+        ParquetTable.read(session, path), cols, GraftStats.dir(path))
+      .toSeq.sortBy(_._1).map { case (c, bins) => Row(c, bins.size) }
 }
 
 /** `SHOW STATISTICS graft.`p``: the per-column NDV estimates of the

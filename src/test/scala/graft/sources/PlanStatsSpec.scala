@@ -233,6 +233,48 @@ class PlanStatsSpec extends SparkSpec {
     }
   }
 
+  test("histogram tier: a hot value estimates at its real mass, not 1/NDV") {
+    // 90% of rows carry k = 7; the rest spread over 100..1099. With
+    // NDV-only statistics an equality on the hot value estimates
+    // ~n/ndv (≈ 0.1%); the histogram's repeated singleton bins carry
+    // the real 90% — the reference's second query-layer stats conf
+    // (glue_etl.py:408) made material.
+    val n = 50000
+    val df = (0 until n).map(i =>
+      (i.toLong, if (i % 10 != 0) 7L else 100L + i % 1000)).toDF("id", "k")
+    val path = versioned(df, "ps_hist")
+    StatsSketch.analyze(spark, path, Seq("k"), ParquetTable.statsDir(path))
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      def hotEstimate(): BigInt = ParquetTable.read(spark, path)
+        .filter(col("k") === 7).queryExecution.optimizedPlan.stats.rowCount.get
+      val uniform = hotEstimate()
+      assert(uniform < BigInt(n / 10),
+        s"NDV-only should spread the mass uniformly, got $uniform")
+      val bins = graft.operators.StatsHistogram.build(
+        ParquetTable.read(spark, path), Seq("k"), ParquetTable.statsDir(path))
+      assert(bins("k").count(b => b.lo <= 7 && 7 <= b.hi) >
+        graft.operators.StatsHistogram.DefaultBins / 2,
+        "the hot value must occupy most bins")
+      val skewed = hotEstimate()
+      assert(skewed >= BigInt((0.7 * 0.9 * n).toInt) && skewed <= BigInt(n),
+        s"histogram should recover the ~90% hot mass, got $skewed of $n")
+      // the cold range keeps a sane (small) estimate too
+      val cold = ParquetTable.read(spark, path)
+        .filter(col("k") >= 100 && col("k") < 200)
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(cold <= BigInt(n / 10), s"cold range over-estimated: $cold")
+    }
+    // the SQL verb builds the same tier
+    val t2 = versioned((0 until 1000).map(i => (i.toLong, i % 3))
+      .toDF("id", "k"), "ps_hist_sql")
+    graft.sql.GraftSql.sql(spark,
+      s"ANALYZE graft.`$t2` COMPUTE STATISTICS FOR COLUMNS (k)").collect()
+    val out = graft.sql.GraftSql.sql(spark,
+      s"ANALYZE graft.`$t2` COMPUTE HISTOGRAM FOR COLUMNS (k)").collect()
+    assert(out.length === 1 && out.head.getString(0) === "k"
+      && out.head.getInt(1) >= 2)
+  }
+
   test("the NDV cache refreshes across ANALYZE generations") {
     val path = versioned((0 until 1000).map(i => (i.toLong, i % 10))
       .toDF("id", "k"), "ps_cache")
