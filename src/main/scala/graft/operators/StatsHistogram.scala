@@ -47,10 +47,20 @@ object StatsHistogram {
 
   /** Build and persist histograms for `cols` of `df` at `dir/histogram`.
     * Returns per-column bins (also the spec surface).
+    *
+    * `version` stamps the bins with the TABLE VERSION they describe
+    * (−1 = free-standing data with no versioned lifecycle). The read
+    * path ([[graft.sources.PlanStats]]) refuses bins stamped before the
+    * sketch's last full-ANALYZE version, or any bins while the sketch's
+    * `exact` flag is false — so a snapshot can never plan from a
+    * distribution an update/delete window has since rewritten (VERDICT
+    * r14 item 2). Pass the table's current version when building over a
+    * versioned table (the `ANALYZE … COMPUTE HISTOGRAM` verb does).
     */
   def build(df: DataFrame, cols: Seq[String], dir: String,
       numBins: Int = DefaultBins,
-      gridCells: Int = DefaultGridCells): Map[String, Seq[Bin]] = {
+      gridCells: Int = DefaultGridCells,
+      version: Long = -1L): Map[String, Seq[Bin]] = {
     require(cols.nonEmpty, "statsHistogram: no columns requested")
     require(numBins >= 2 && gridCells >= numBins,
       s"statsHistogram: need gridCells ≥ numBins ≥ 2, got ($gridCells, $numBins)")
@@ -115,8 +125,9 @@ object StatsHistogram {
     }.toMap
     import spark.implicits._
     perCol.toSeq.flatMap { case (c, bins) =>
-      bins.zipWithIndex.map { case (b, i) => (c, i, b.lo, b.hi, b.rows, b.ndv) }
-    }.toDF("column", "bin", "lo", "hi", "rows", "ndv")
+      bins.zipWithIndex.map { case (b, i) =>
+        (c, i, b.lo, b.hi, b.rows, b.ndv, version) }
+    }.toDF("column", "bin", "lo", "hi", "rows", "ndv", "built_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/histogram")
     perCol
   }
@@ -124,15 +135,30 @@ object StatsHistogram {
   /** Persisted histograms of a sketch dir: column → ordered bins.
     * Empty map when the tier was never built.
     */
-  def read(spark: SparkSession, dir: String): Map[String, Seq[Bin]] = {
+  def read(spark: SparkSession, dir: String): Map[String, Seq[Bin]] =
+    readStamped(spark, dir).bins
+
+  /** Bins plus their build-version stamp (−1 when the files predate the
+    * stamp or were built free-standing). One stamp for the whole tier:
+    * `build` always rewrites every requested column in one publish.
+    */
+  final case class Stamped(builtVersion: Long, bins: Map[String, Seq[Bin]])
+
+  def readStamped(spark: SparkSession, dir: String): Stamped = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/histogram")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return Map.empty
-    spark.read.parquet(p.toString).collect()
+    if (!fs.exists(p)) return Stamped(-1L, Map.empty)
+    val df = spark.read.parquet(p.toString)
+    val stamped = df.schema.fieldNames.contains("built_version")
+    val rows = df.collect()
+    val version =
+      if (stamped && rows.nonEmpty) rows.head.getLong(rows.head.fieldIndex("built_version"))
+      else -1L
+    Stamped(version, rows
       .groupBy(_.getString(0))
-      .map { case (c, rows) =>
-        c -> rows.sortBy(_.getInt(1)).toSeq.map(r =>
+      .map { case (c, rs) =>
+        c -> rs.sortBy(_.getInt(1)).toSeq.map(r =>
           Bin(r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5)))
-      }
+      })
   }
 }

@@ -141,24 +141,47 @@ object StatsSketch {
     * whether the estimate equals current-table NDV (false once an
     * update or delete has entered an incremental window — registers
     * are max-only, so a retired value cannot leave the sketch; see
-    * [[analyzeIncremental]]).
+    * [[analyzeIncremental]]), and `fullVersion` the version the last
+    * FULL [[analyze]] rescanned (−1 for free-standing sketches) — the
+    * watermark the histogram tier's staleness guard compares its
+    * `built_version` stamp against (see
+    * [[graft.sources.PlanStats]]): bins stamped before the last full
+    * rescan may describe pre-mutation rows the rescan replaced.
     */
   private final case class Meta(p: Int, seed: Long, cols: Seq[String],
-      lastVersion: Long, exact: Boolean)
+      lastVersion: Long, exact: Boolean, fullVersion: Long)
 
   private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
     import spark.implicits._
-    Seq((m.p, m.seed, "poly64", m.cols.mkString(","), m.lastVersion, m.exact))
-      .toDF("p", "seed", "base_hash", "cols", "last_version", "exact")
+    Seq((m.p, m.seed, "poly64", m.cols.mkString(","), m.lastVersion, m.exact,
+        m.fullVersion))
+      .toDF("p", "seed", "base_hash", "cols", "last_version", "exact",
+        "full_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   private def readMetaFull(spark: SparkSession, dir: String): Meta = {
     val r = spark.read.parquet(s"$dir/meta").head()
+    val last = r.getLong(r.fieldIndex("last_version"))
     Meta(r.getInt(r.fieldIndex("p")), r.getLong(r.fieldIndex("seed")),
       r.getString(r.fieldIndex("cols")).split(',').toSeq.filter(_.nonEmpty),
-      r.getLong(r.fieldIndex("last_version")),
-      r.getBoolean(r.fieldIndex("exact")))
+      last,
+      r.getBoolean(r.fieldIndex("exact")),
+      // metas written before the histogram lifecycle (r15) lack the
+      // column — the last full analyze is then the pinned version itself
+      if (r.schema.fieldNames.contains("full_version"))
+        r.getLong(r.fieldIndex("full_version"))
+      else last)
+  }
+
+  /** The analyze-state triple the read path's histogram guard consumes:
+    * (exact, version of the last full analyze, covered version).
+    */
+  final case class Lifecycle(exact: Boolean, fullVersion: Long, lastVersion: Long)
+
+  def lifecycle(spark: SparkSession, dir: String): Lifecycle = {
+    val m = readMetaFull(spark, dir)
+    Lifecycle(m.exact, m.fullVersion, m.lastVersion)
   }
 
   /** Build and persist a sketch: `dir/registers` + `dir/meta` pinning
@@ -169,7 +192,8 @@ object StatsSketch {
     val spark = df.sparkSession
     sketch(df, cols, p, seed)
       .write.mode("overwrite").parquet(s"$dir/registers")
-    writeMeta(spark, dir, Meta(p, seed, cols, -1L, exact = true))
+    writeMeta(spark, dir, Meta(p, seed, cols, -1L, exact = true,
+      fullVersion = -1L))
   }
 
   private def readMeta(spark: SparkSession, dir: String): (Int, Long) = {
@@ -290,7 +314,8 @@ object StatsSketch {
         s"analyze: no versioned table at $tablePath"))
     sketch(graft.sources.ParquetTable.read(spark, tablePath), cols, p, seed)
       .write.mode("overwrite").parquet(s"$sketchDir/registers")
-    writeMeta(spark, sketchDir, Meta(p, seed, cols, v, exact = true))
+    writeMeta(spark, sketchDir, Meta(p, seed, cols, v, exact = true,
+      fullVersion = v))
     v
   }
 

@@ -64,16 +64,19 @@ object PlanStats {
   def enabled(spark: SparkSession): Boolean =
     spark.conf.get(Conf, "true") == "true"
 
-  /** (sketch dir, fingerprint) → (per-column NDV estimate, per-column
-    * histogram bins). The fingerprint is the stats files' (count, total
+  /** sketch dir → (fingerprint, (per-column NDV estimate, per-column
+    * histogram bins)). The fingerprint is the stats files' (count, total
     * length, max mtime) triple folded to a long — any analyze/
     * analyzeIncremental/histogram build rewrites meta, appends
     * registers, or republishes the histogram, so a stale entry cannot
-    * be served. Bounded: one entry per live stats generation per table.
+    * be served. Keyed by DIR with the fingerprint in the VALUE (ADVICE
+    * r14): a new generation REPLACES its predecessor's entry instead of
+    * accumulating beside it, so a long-lived session holds exactly one
+    * entry per table, not one per ANALYZE ever run.
     */
   private val ndvCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long),
-    (Map[String, Double], Map[String, Seq[graft.operators.StatsHistogram.Bin]])]()
+    String,
+    (Long, (Map[String, Double], Map[String, Seq[graft.operators.StatsHistogram.Bin]]))]()
 
   private def fingerprint(spark: SparkSession, dir: String): Option[Long] = {
     val p = new Path(dir)
@@ -100,26 +103,65 @@ object PlanStats {
   def statsFor(spark: SparkSession, sketchDir: String): Option[
       (Map[String, Double], Map[String, Seq[graft.operators.StatsHistogram.Bin]])] =
     fingerprint(spark, sketchDir).flatMap { fp =>
-      Option(ndvCache.computeIfAbsent((sketchDir, fp), { _ =>
-        try {
+      Option(ndvCache.compute(sketchDir, { (_, prev) =>
+        if (prev != null && prev._1 == fp) prev
+        else try {
           val ndv = graft.operators.StatsSketch.estimate(spark, sketchDir)
             .select(col("column"), col("ndv_est")).collect()
             .map(r => r.getString(0) -> r.getDouble(1)).toMap
-          (ndv, graft.operators.StatsHistogram.read(spark, sketchDir))
+          (fp, (ndv, histogramsIfValid(spark, sketchDir)))
         } catch { case scala.util.control.NonFatal(_) => null }
-      }))
+      })).map(_._2)
     }
+
+  /** Histogram bins, gated by their staleness guard (VERDICT r14 item 2):
+    * bins describe the distribution AT THEIR BUILD VERSION, and unlike
+    * the NDV registers they are not mergeable — so they attach only
+    * while the sketch can vouch no update/delete has touched the rows
+    * they describe:
+    *
+    *   - sketch `exact` must be true (an observed update/delete window
+    *     flips it — from then on the bins describe a distribution that
+    *     may no longer exist, so they are DROPPED, exactly like q149's
+    *     NDV upper-bound discipline);
+    *   - the bins' `built_version` stamp must be ≥ the sketch's
+    *     `full_version` (the last full-ANALYZE version): a full
+    *     re-ANALYZE after mutations resets `exact` for NDV — it
+    *     rescanned — but it does NOT rebuild bins, so bins stamped
+    *     before it stay out until `ANALYZE … COMPUTE HISTOGRAM` runs
+    *     again (the restore; serving the pre-mutation bins as freshly
+    *     blessed would be the silent-wrongness this library refuses).
+    *
+    * Append-only windows keep both conditions true: bins describe a
+    * subset of current rows, the documented staleness tolerance.
+    * Unstamped bins (built_version = −1) attach only to free-standing
+    * sketches (full_version = −1) — on a versioned table a histogram
+    * must declare which version it describes.
+    */
+  private def histogramsIfValid(spark: SparkSession, sketchDir: String):
+      Map[String, Seq[graft.operators.StatsHistogram.Bin]] = {
+    val hist = graft.operators.StatsHistogram.readStamped(spark, sketchDir)
+    if (hist.bins.isEmpty) return Map.empty
+    val meta = graft.operators.StatsSketch.lifecycle(spark, sketchDir)
+    if (meta.exact && hist.builtVersion >= meta.fullVersion) hist.bins
+    else Map.empty
+  }
 
   def ndvFor(spark: SparkSession, sketchDir: String): Option[Map[String, Double]] =
     statsFor(spark, sketchDir).map(_._1)
 
   /** Sidecar `num`-kind min/max strings whose rendering provably matches
     * `CatalogColumnStat`'s external format for the column's type
-    * (integral/date → plain integer of the stored value resp. epoch
-    * days; IEEE → decimal) — anything else is omitted, never guessed:
-    * an unparseable catalog min/max THROWS at estimation time, and a
-    * format mismatch (e.g. millis where micros are expected) would be
-    * silently wrong selectivity, the failure mode this library refuses.
+    * (integral → plain integer of the stored value; IEEE → decimal;
+    * date → ISO `yyyy-MM-dd` RENDERED from the sidecar's epoch-day
+    * integer, because the catalog's external date format is the ISO
+    * string, NOT the day count — `fromExternalString("10957", DateType)`
+    * silently parses as the year 10957, i.e. epoch day ~3.3M, which
+    * would make every date range estimate ~0 selectivity (ADVICE r14
+    * high) — anything else is omitted, never guessed: an unparseable
+    * catalog min/max THROWS at estimation time, and a format mismatch
+    * (e.g. millis where micros are expected) would be silently wrong
+    * selectivity, the failure mode this library refuses.
     */
   private def externalMinMax(
       dt: org.apache.spark.sql.types.DataType,
@@ -127,8 +169,11 @@ object PlanStats {
     import org.apache.spark.sql.types._
     if (kind != "num" || value.isEmpty) return None
     dt match {
-      case ByteType | ShortType | IntegerType | LongType | DateType =>
+      case ByteType | ShortType | IntegerType | LongType =>
         scala.util.Try(value.toLong).toOption.map(_ => value)
+      case DateType =>
+        scala.util.Try(
+          java.time.LocalDate.ofEpochDay(value.toLong).toString).toOption
       case FloatType | DoubleType =>
         scala.util.Try(value.toDouble).toOption.map(_ => value)
       case _ => None // timestamps/strings/decimals: rendering not pinned

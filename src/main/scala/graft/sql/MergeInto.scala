@@ -1229,10 +1229,18 @@ case class GraftAnalyzeHistogramCommand(path: String, cols: Seq[String])
     AttributeReference("column", StringType, nullable = false)(),
     AttributeReference("bins", IntegerType, nullable = false)())
 
-  override def run(session: SparkSession): Seq[Row] =
+  override def run(session: SparkSession): Seq[Row] = {
+    // stamp the bins with the version they describe — the read path's
+    // staleness guard refuses bins older than the last full ANALYZE or
+    // any bins once an update/delete window flipped the sketch inexact
+    val v = ParquetTable.currentVersion(session, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"analyze histogram: no versioned table at $path"))
     graft.operators.StatsHistogram.build(
-        ParquetTable.read(session, path), cols, GraftStats.dir(path))
+        ParquetTable.read(session, path), cols, GraftStats.dir(path),
+        version = v)
       .toSeq.sortBy(_._1).map { case (c, bins) => Row(c, bins.size) }
+  }
 }
 
 /** `SHOW STATISTICS graft.`p``: the per-column NDV estimates of the

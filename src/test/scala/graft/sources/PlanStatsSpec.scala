@@ -251,7 +251,8 @@ class PlanStatsSpec extends SparkSpec {
       assert(uniform < BigInt(n / 10),
         s"NDV-only should spread the mass uniformly, got $uniform")
       val bins = graft.operators.StatsHistogram.build(
-        ParquetTable.read(spark, path), Seq("k"), ParquetTable.statsDir(path))
+        ParquetTable.read(spark, path), Seq("k"), ParquetTable.statsDir(path),
+        version = ParquetTable.currentVersion(spark, path).get)
       assert(bins("k").count(b => b.lo <= 7 && 7 <= b.hi) >
         graft.operators.StatsHistogram.DefaultBins / 2,
         "the hot value must occupy most bins")
@@ -273,6 +274,91 @@ class PlanStatsSpec extends SparkSpec {
       s"ANALYZE graft.`$t2` COMPUTE HISTOGRAM FOR COLUMNS (k)").collect()
     assert(out.length === 1 && out.head.getString(0) === "k"
       && out.head.getInt(1) >= 2)
+  }
+
+  test("date min/max render in the catalog's ISO format, not epoch days") {
+    // the catalog's external date format is "yyyy-MM-dd"; feeding it the
+    // sidecar's epoch-day INTEGER would silently parse as year 10957 —
+    // min/max ~300× too large, every date range ~0 selectivity (ADVICE
+    // r14 high). Pin both the attached values and the estimate they buy.
+    val n = 4000
+    val epoch = java.time.LocalDate.of(2000, 1, 1).toEpochDay // 10957
+    val df = (0 until n).map(i =>
+      (i.toLong, java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(epoch + i % 400))))
+      .toDF("id", "d")
+    val path = versioned(df, "ps_date")
+    StatsSketch.analyze(spark, path, Seq("d"), ParquetTable.statsDir(path))
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val t = ParquetTable.read(spark, path)
+      val byName = t.queryExecution.optimizedPlan.stats.attributeStats
+        .toSeq.map { case (a, s) => a.name -> s }.toMap
+      // CatalogColumnStat stores date min/max as epoch-day ints
+      // INTERNALLY — fromExternalString must have round-tripped the ISO
+      // rendering back to the true day counts
+      assert(byName("d").min.contains(epoch.toInt),
+        s"date min mis-rendered: ${byName("d").min}")
+      assert(byName("d").max.contains((epoch + 399).toInt),
+        s"date max mis-rendered: ${byName("d").max}")
+      // a quarter-of-range date predicate estimates ~25%, not ~0
+      val quarter = t.filter(col("d") < lit(java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(epoch + 100))))
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(quarter >= BigInt(n / 8) && quarter <= BigInt(n / 2),
+        s"date range selectivity off: $quarter of $n")
+    }
+  }
+
+  test("histograms drop after an update/delete window and restore on rebuild") {
+    // the q149 lifecycle, extended to bins (VERDICT r14 item 2): an
+    // observed mutation window flips the sketch inexact → bins out
+    // (NDV stays, as the documented upper bound); a full re-ANALYZE
+    // blesses NDV again but NOT the pre-mutation bins (they describe a
+    // distribution that no longer exists); only a histogram REBUILD
+    // restores the tier.
+    val n = 20000
+    val pk = Seq("id")
+    val path = versioned((0 until n).map(i =>
+      (i.toLong, if (i % 10 != 0) 7L else 100L + i % 1000)).toDF("id", "k"),
+      "ps_hist_life")
+    val sk = ParquetTable.statsDir(path)
+    StatsSketch.analyze(spark, path, Seq("k"), sk)
+    graft.operators.StatsHistogram.build(ParquetTable.read(spark, path),
+      Seq("k"), sk, version = ParquetTable.currentVersion(spark, path).get)
+    def stats() = {
+      val s = ParquetTable.read(spark, path).queryExecution.optimizedPlan.stats
+      s.attributeStats.toSeq.collectFirst { case (a, st) if a.name == "k" => st }.get
+    }
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      assert(stats().histogram.isDefined, "fresh bins must attach")
+      // an UPDATE window: rewrite the hot key's rows — the distribution
+      // the bins describe is gone
+      ParquetTable.merge(spark, path,
+        (0 until n).filter(_ % 10 != 0).map(i => (i.toLong, 9999L)).toDF("id", "k"), pk)
+      StatsSketch.analyzeIncremental(spark, path, pk, sk)
+      assert(!StatsSketch.isExact(spark, sk))
+      val afterWindow = stats()
+      assert(afterWindow.histogram.isEmpty,
+        "bins must drop once the sketch is inexact")
+      assert(afterWindow.distinctCount.isDefined,
+        "NDV keeps serving as the documented upper bound")
+      // full re-ANALYZE: NDV exact again, but the old bins stay out
+      StatsSketch.analyze(spark, path, Seq("k"), sk)
+      assert(StatsSketch.isExact(spark, sk))
+      assert(stats().histogram.isEmpty,
+        "a full NDV re-ANALYZE must not resurrect pre-mutation bins")
+      // the restore: rebuild the histogram at the current version
+      graft.operators.StatsHistogram.build(ParquetTable.read(spark, path),
+        Seq("k"), sk, version = ParquetTable.currentVersion(spark, path).get)
+      val restored = stats()
+      assert(restored.histogram.isDefined, "rebuilt bins must re-attach")
+      // and they describe the POST-mutation distribution: 9999 is now
+      // the ~90% hot value
+      val hot = ParquetTable.read(spark, path).filter(col("k") === 9999L)
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      assert(hot >= BigInt((0.7 * 0.9 * n).toInt),
+        s"rebuilt bins should carry the new hot mass, got $hot")
+    }
   }
 
   test("the NDV cache refreshes across ANALYZE generations") {
