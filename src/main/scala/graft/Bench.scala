@@ -237,7 +237,7 @@ object Bench {
       // pressure (observed: /tmp at 100% mid-campaign doubling a
       // commit-bound query's wall)
       sweepScratch()
-      val mark = graft.tools.ShuffleBytes.mark()
+      val mark = graft.tools.ShuffleBytes.mark(spark)
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -246,7 +246,17 @@ object Bench {
       // listener bus, and that plumbing must never be inside the timer
       val t = (System.nanoTime() - t0) / 1e9
       if (ok) {
-        shuffle(name) = graft.tools.ShuffleBytes.since(spark, mark)
+        // single-flight attribution (VERDICT r14 item 4): a byte figure
+        // is stored only when nothing else overlapped the bracket — a
+        // contaminated sample is dropped LOUDLY (stderr), never written
+        // into the artifact as the query's own cost; an earlier clean
+        // sample, if any, stands
+        val (w, r, exclusive) =
+          graft.tools.ShuffleBytes.sinceExclusive(spark, mark)
+        if (exclusive) shuffle(name) = (w, r)
+        else System.err.println(
+          s"[bench] $name: shuffle bytes dropped (concurrent work " +
+            "overlapped the measurement bracket)")
         t
       } else Double.MaxValue
     }

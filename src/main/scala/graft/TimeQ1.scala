@@ -37,7 +37,7 @@ object TimeQ1 {
       })
     graft.tools.ShuffleBytes.install(spark)
     for (i <- 1 to reps) {
-      val m = graft.tools.ShuffleBytes.mark()
+      val m = graft.tools.ShuffleBytes.mark(spark)
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, d).count()
       val t = (System.nanoTime() - t0) / 1e9

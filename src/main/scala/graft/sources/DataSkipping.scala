@@ -97,34 +97,70 @@ object DataSkipping {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return
     val files = listParquetFiles(spark, dir)
-    val stats =
-      if (files.size <= 256) {
-        // local thread pool: no Spark-job overhead on the commit path
-        // (a sequential sweep cost commit-heavy workloads ~10 ms/file)
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.max(1, math.min(files.size, 16)))
-        try files.map { rel =>
-          rel -> pool.submit(new java.util.concurrent.Callable[FileStat] {
-            override def call(): FileStat =
-              fileStat(HadoopInputFile.fromPath(new Path(p, rel), conf))
-          })
-        }.map { case (rel, fut) => rel -> fut.get() }.toMap
-        finally pool.shutdown()
-      } else {
-        // cluster-wide sweep for genuinely wide commits (a clustered
-        // partitioned ingest can write thousands of one-file dirs)
-        val sconf = new SerConf(conf)
-        val dirStr = p.toString
-        spark.sparkContext
-          .parallelize(files, math.min(files.size, 256))
-          .map { rel =>
-            rel -> fileStat(HadoopInputFile.fromPath(
-              new Path(new Path(dirStr), rel), sconf.conf))
-          }.collect().toMap
-      }
+    val stats = census(spark, p, files)
     val out = fs.create(new Path(p, StatsFileName), true)
     try out.write(render(Option(schema), stats).getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Footer census: consolidated [[FileStat]]s for `files` (paths
+    * relative to `root`) — the metadata a catalog crawler reads: one
+    * footer open per file, zero data scanned. Local thread pool under
+    * 256 files (no Spark-job overhead on the commit path), cluster-wide
+    * sweep above (a clustered partitioned ingest can write thousands of
+    * one-file dirs).
+    */
+  private[sources] def census(spark: SparkSession, root: Path,
+      files: Seq[String]): Map[String, FileStat] = {
+    val p = root
+    val conf = spark.sessionState.newHadoopConf()
+    if (files.size <= 256) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(files.size, 16)))
+      try files.map { rel =>
+        rel -> pool.submit(new java.util.concurrent.Callable[FileStat] {
+          override def call(): FileStat =
+            fileStat(HadoopInputFile.fromPath(new Path(p, rel), conf))
+        })
+      }.map { case (rel, fut) => rel -> fut.get() }.toMap
+      finally pool.shutdown()
+    } else {
+      val sconf = new SerConf(conf)
+      val dirStr = p.toString
+      spark.sparkContext
+        .parallelize(files, math.min(files.size, 256))
+        .map { rel =>
+          rel -> fileStat(HadoopInputFile.fromPath(
+            new Path(new Path(dirStr), rel), sconf.conf))
+        }.collect().toMap
+    }
+  }
+
+  /** The parquet files a PLAIN (non-manifest) Spark read of `dir`
+    * scans, as (relative path, byte size): same recursion as
+    * [[listParquetFiles]] but skipping hidden (`_`/`.`-prefixed) path
+    * segments at EVERY level, mirroring Spark's own file-index
+    * visibility — so a versioned table's `_…` data/manifest/stats dirs
+    * stay out and a census over this listing covers exactly the rows a
+    * catalog `USING parquet LOCATION` table serves.
+    */
+  private[sources] def visibleParquetFiles(
+      spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val base = p.toUri.getPath
+    val buf = mutable.ArrayBuffer[(String, Long)]()
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet")) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+        if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+          buf += ((rel, st.getLen))
+      }
+    }
+    buf.toSeq.sortBy(_._1)
   }
 
   /** Relative paths of the parquet data files under `dir`. */

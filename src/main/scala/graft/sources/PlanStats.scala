@@ -180,6 +180,98 @@ object PlanStats {
     }
   }
 
+  /** One column's [[CatalogColumnStat]] from the shared ingredient set:
+    * sketch NDV (clamped to the row count — registers are max-only, so
+    * a sketch that outlived deletes upper-bounds current NDV), an exact
+    * null count when the metadata has one, min/max only through the
+    * PINNED renderings ([[externalMinMax]]; range ends attach only as a
+    * PAIR — a one-sided range would skew FilterEstimation's
+    * interpolation), and the staleness-gated histogram bins. Spark's
+    * `Histogram` models UNIFORM bin height; graft bins vary by up to
+    * one grid cell, so height is the mean — the residual error is
+    * cell-granularity, not distribution-shape.
+    */
+  private def columnStat(
+      dt: org.apache.spark.sql.types.DataType,
+      ndvEst: Double,
+      rows: Long,
+      nulls: Option[BigInt],
+      minMax: Option[(String, Option[(String, String)])],
+      bins: Option[Seq[graft.operators.StatsHistogram.Bin]]): CatalogColumnStat = {
+    val (mn, mx) = minMax match {
+      case Some((kind, Some((lo, hi)))) =>
+        (externalMinMax(dt, kind, lo), externalMinMax(dt, kind, hi))
+      case _ => (None, None)
+    }
+    val hist = bins.map { bs =>
+      org.apache.spark.sql.catalyst.plans.logical.Histogram(
+        bs.map(_.rows).sum.toDouble / bs.length,
+        bs.map(b =>
+          org.apache.spark.sql.catalyst.plans.logical.HistogramBin(
+            b.lo, b.hi, b.ndv)).toArray)
+    }
+    CatalogColumnStat(
+      distinctCount = Some(BigInt(math.round(math.min(ndvEst, rows.toDouble)))),
+      min = if (mn.isDefined && mx.isDefined) mn else None,
+      max = if (mn.isDefined && mx.isDefined) mx else None,
+      nullCount = nulls,
+      avgLen = None, maxLen = None,
+      histogram = hist)
+  }
+
+  /** Catalog statistics for a PLAIN parquet location carrying a sketch
+    * at its `_graft_stats` — the crawler tier (the reference's Glue
+    * crawler exists precisely to publish table statistics to the
+    * catalog layer, delta-lake.json:106-146): the catalog's external
+    * `clean_*` tables are plain `USING parquet LOCATION` entries with
+    * no statistics of their own, so until published the verbatim-SQL
+    * layer plans blind — a PARTITIONED catalog table without stats
+    * sizes at `spark.sql.defaultSizeInBytes` (Long.MaxValue: it can
+    * never broadcast) while path reads already plan under CBO.
+    *
+    * Ingredients: exact rows / per-column nulls / min-max from the
+    * location's own parquet FOOTERS over exactly the files a plain read
+    * serves (one footer open per file, zero data scanned — what a
+    * crawler reads; [[DataSkipping.visibleParquetFiles]] +
+    * [[DataSkipping.census]]), NDV and staleness-gated histograms from
+    * the sketch. Partition columns carry NDV only (their values live in
+    * dir names, not footers — nulls/min-max omitted, not guessed).
+    *
+    * Statistics describe the location AT PUBLISH TIME: out-of-band
+    * writes (`INSERT INTO`, a fresh merge) leave them stale-but-sound
+    * exactly like a crawler's — re-run
+    * [[graft.sources.Catalog.publishStatistics]] (the re-crawl) to
+    * refresh. Estimates only, never answers.
+    */
+  def forLocation(
+      spark: SparkSession,
+      location: String,
+      schemaTypes: Map[String, org.apache.spark.sql.types.DataType]):
+      Option[CatalogStatistics] = {
+    if (!enabled(spark)) return None
+    if (!ParquetTable.hasStats(spark, location)) return None
+    val (ndv, histograms) =
+      statsFor(spark, ParquetTable.statsDir(location)).getOrElse(return None)
+    val files = DataSkipping.visibleParquetFiles(spark, location)
+    if (files.isEmpty) return None // nothing a plain read serves: no claim
+    val census = DataSkipping.census(spark, new Path(location), files.map(_._1))
+    val perFile = files.map { case (rel, _) => census.get(rel) }
+    val rows = census.values.map(_.rows).sum
+    val colStats = ndv.flatMap { case (name, est) =>
+      schemaTypes.get(name).map { dt =>
+        name -> columnStat(dt, est, rows,
+          DataSkipping.combineNonNull(perFile, name)
+            .map(nn => BigInt(math.max(0L, rows - nn))),
+          DataSkipping.combineMinMax(perFile, name),
+          histograms.get(name).filter(_.nonEmpty))
+      }
+    }
+    Some(CatalogStatistics(
+      sizeInBytes = BigInt(files.map(_._2).sum),
+      rowCount = Some(BigInt(rows)),
+      colStats = colStats))
+  }
+
   /** Row-count-only statistics for ONE LEG of a merge-on-read chain:
     * the leg's exact sidecar row count with no column statistics (a
     * table-wide sketch says nothing about one leg). The union over legs
@@ -224,41 +316,16 @@ object PlanStats {
     // logical sketch name → this version's physical attribute name
     val (renames, drops) = ParquetTable.columnMapping(spark, tablePath, version)
     val toPhysical = renames.map(_.swap)
+    // the histogram tier (the reference's second query-layer stats
+    // conf, glue_etl.py:408): exact grid-granular equi-height bins give
+    // FilterEstimation real skew instead of 1/NDV uniformity
     val colStats = ndv.flatMap { case (logical, est) =>
       val physical = toPhysical.getOrElse(logical, logical)
       if (!schemaTypes.contains(physical) || drops.contains(physical)) None
-      else {
-        val distinct = BigInt(math.round(math.min(est, rows.toDouble)))
-        val nulls = nonNull(physical).map(nn => BigInt(math.max(0L, rows - nn)))
-        val dt = schemaTypes(physical)
-        val (mn, mx) = minMax(physical) match {
-          case Some((kind, Some((lo, hi)))) =>
-            (externalMinMax(dt, kind, lo), externalMinMax(dt, kind, hi))
-          case _ => (None, None)
-        }
-        // the histogram tier (the reference's second query-layer stats
-        // conf, glue_etl.py:408): exact grid-granular equi-height bins
-        // give FilterEstimation real skew instead of 1/NDV uniformity.
-        // Spark's Histogram models UNIFORM bin height; ours vary by up
-        // to one grid cell, so height is the mean — the residual error
-        // is cell-granularity, not distribution-shape
-        val hist = histograms.get(logical).filter(_.nonEmpty).map { bins =>
-          org.apache.spark.sql.catalyst.plans.logical.Histogram(
-            bins.map(_.rows).sum.toDouble / bins.length,
-            bins.map(b =>
-              org.apache.spark.sql.catalyst.plans.logical.HistogramBin(
-                b.lo, b.hi, b.ndv)).toArray)
-        }
-        Some(physical -> CatalogColumnStat(
-          distinctCount = Some(distinct),
-          // range ends attach only as a PAIR — a one-sided range would
-          // skew FilterEstimation's interpolation
-          min = if (mn.isDefined && mx.isDefined) mn else None,
-          max = if (mn.isDefined && mx.isDefined) mx else None,
-          nullCount = nulls,
-          avgLen = None, maxLen = None,
-          histogram = hist))
-      }
+      else Some(physical -> columnStat(schemaTypes(physical), est, rows,
+        nonNull(physical).map(nn => BigInt(math.max(0L, rows - nn))),
+        minMax(physical),
+        histograms.get(logical).filter(_.nonEmpty)))
     }
     Some(CatalogStatistics(
       // identical to what the bare relation reports, so CBO-off plans

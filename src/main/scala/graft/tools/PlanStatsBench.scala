@@ -73,7 +73,7 @@ object PlanStatsBench {
         else "other"
       var bytes = 0L
       val times = (0 to reps).map { _ =>
-        val m = ShuffleBytes.mark()
+        val m = ShuffleBytes.mark(spark)
         val t0 = System.nanoTime()
         query().head()
         val t = (System.nanoTime() - t0) / 1e9

@@ -138,7 +138,11 @@ object ScaleCheck {
   final case class Row(name: String, tSmall: Double, tBig: Double,
       ratio: Double, allowed: Option[Double], status: String,
       bSmall: Option[Long] = None, bBig: Option[Long] = None,
-      bRatio: Option[Double] = None, bStatus: String = "-")
+      bRatio: Option[Double] = None, bStatus: String = "-",
+      // the BYTE class's own allowance (ADVICE r14: the violation line
+      // must print the bound the bytes were judged against, which a
+      // future Linear bytes override can set apart from wall's)
+      bAllowed: Option[Double] = None)
 
   final case class Report(decades: Double, rows: Seq[Row]) {
     def violations: Seq[Row] =
@@ -234,21 +238,24 @@ object ScaleCheck {
           // the bytes gate: same allowance (linear data → at most
           // linear movement), clamped denominator (see ShuffleClampBytes),
           // with the documented threshold-crossers bytes-exempt
-          val (bRatio, bStatus) = (bs, bb) match {
+          val (bRatio, bStatus, bAllowed) = (bs, bb) match {
             case (Some(s), Some(b)) =>
               val r = b.toDouble / math.max(s, ShuffleClampBytes).toDouble
-              val st = declaredBytesClass(name, Linear(ceiling)) match {
-                case Exempt(reason) => s"EXEMPT ($reason)"
+              declaredBytesClass(name, Linear(ceiling)) match {
+                case Exempt(reason) =>
+                  (Some(r), s"EXEMPT ($reason)", None)
                 case Linear(bc) =>
-                  val bAllowed = math.pow(bc, decades)
-                  if (b < MinShuffleBytes) "SKIP (below byte floor)"
-                  else if (r <= bAllowed) "ok"
-                  else "FAIL"
+                  val ba = math.pow(bc, decades)
+                  val st =
+                    if (b < MinShuffleBytes) "SKIP (below byte floor)"
+                    else if (r <= ba) "ok"
+                    else "FAIL"
+                  (Some(r), st, Some(ba))
               }
-              (Some(r), st)
-            case _ => (None, "-")
+            case _ => (None, "-", None)
           }
-          Row(name, ts, tb, ratio, Some(allowed), status, bs, bb, bRatio, bStatus)
+          Row(name, ts, tb, ratio, Some(allowed), status, bs, bb, bRatio,
+            bStatus, bAllowed)
       }
     }
     Report(decades, rows)
@@ -269,7 +276,7 @@ object ScaleCheck {
         val wall = if (r.status == "FAIL")
           f"wall ${r.ratio}%.2fx > ${r.allowed.get}%.1fx" else ""
         val bytes = if (r.bStatus == "FAIL")
-          f"shuffle ${r.bRatio.get}%.2fx > ${r.allowed.get}%.1fx" else ""
+          f"shuffle ${r.bRatio.get}%.2fx > ${r.bAllowed.get}%.1fx" else ""
         s"OUT OF CLASS: ${r.name} ${Seq(wall, bytes).filter(_.nonEmpty).mkString("; ")}"
       }.mkString("\n"))
       sys.exit(1)

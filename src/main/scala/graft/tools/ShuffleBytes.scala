@@ -15,20 +15,36 @@ import org.apache.spark.sql.{GraftColumnBridge, SparkSession}
   * bytes beside seconds, and `ScaleCheck` gates their decade ratio the
   * same way it gates wall.
   *
-  * One listener per JVM, fed from task-end metrics; `mark()`/`since()`
-  * bracket a query. `since` drains the listener bus first — task-end
-  * events post asynchronously, and an undrained read right after an
-  * action misses the job's own tail.
+  * One listener per SparkContext, fed from task-end metrics (keyed by
+  * applicationId, so a stopped-and-recreated session re-installs
+  * instead of silently counting nothing — ADVICE r14);
+  * `mark()`/`since()` bracket a query. `since` drains the listener bus
+  * first — task-end events post asynchronously, and an undrained read
+  * right after an action misses the job's own tail.
+  *
+  * Attribution is process-wide, so a byte figure belongs to ONE query
+  * only when nothing else ran in the bracket. [[sinceExclusive]] checks
+  * the bracket's BOUNDARIES for that (VERDICT r14 item 4): work already
+  * in flight at `mark()` or still in flight after the drain — a leaked
+  * background streaming trigger, a parallel smoke query — by definition
+  * overlaps a boundary and is caught; async work the query itself
+  * started AND awaited (its own AvailableNow streams) finishes inside
+  * the bracket and stays attributable. A foreign job that both starts
+  * and finishes strictly inside the bracket is indistinguishable from
+  * query-spawned work without per-job ownership tags and is out of
+  * scope — the bench loop is single-threaded, so such a job has no
+  * launcher.
   */
 object ShuffleBytes {
 
   private val write = new LongAdder
   private val read = new LongAdder
-  @volatile private var installed = false
+  private val installedApps =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Install the accounting listener (idempotent, process-wide). */
+  /** Install the accounting listener (idempotent per SparkContext). */
   def install(spark: SparkSession): Unit = synchronized {
-    if (!installed) {
+    if (installedApps.add(spark.sparkContext.applicationId)) {
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
           val m = e.taskMetrics
@@ -38,13 +54,21 @@ object ShuffleBytes {
           }
         }
       })
-      installed = true
     }
   }
 
-  final case class Mark(write: Long, read: Long)
+  /** Jobs + streaming queries currently in flight on this session. */
+  private def inFlight(spark: SparkSession): Int =
+    spark.sparkContext.statusTracker.getActiveJobIds().length +
+      spark.streams.active.length
 
-  def mark(): Mark = Mark(write.sum(), read.sum())
+  final case class Mark(write: Long, read: Long, activeAtMark: Int)
+
+  def mark(spark: SparkSession): Mark =
+    Mark(write.sum(), read.sum(), inFlight(spark))
+
+  /** Legacy mark without the boundary snapshot (exclusivity unknown). */
+  def mark(): Mark = Mark(write.sum(), read.sum(), -1)
 
   /** (shuffle write bytes, shuffle read bytes) since `m`, after a bus
     * drain so the tail of the just-finished job is counted.
@@ -52,5 +76,17 @@ object ShuffleBytes {
   def since(spark: SparkSession, m: Mark): (Long, Long) = {
     GraftColumnBridge.drainListenerBus(spark)
     (write.sum() - m.write, read.sum() - m.read)
+  }
+
+  /** [[since]] plus the single-flight verdict: the third element is true
+    * only when the bracket was exclusively this caller's — nothing was
+    * in flight when the mark was taken (requires `mark(spark)`) and
+    * nothing is still in flight after the drain. Callers must DROP the
+    * byte figure when false: a contaminated figure silently read as the
+    * query's own cost is the failure mode this guard exists to refuse.
+    */
+  def sinceExclusive(spark: SparkSession, m: Mark): (Long, Long, Boolean) = {
+    val (w, r) = since(spark, m)
+    (w, r, m.activeAtMark == 0 && inFlight(spark) == 0)
   }
 }
