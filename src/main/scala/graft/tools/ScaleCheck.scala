@@ -108,21 +108,25 @@ object ScaleCheck {
     *     0 → 254 MB, changes-feed 235 → 4,658 MB (19.8×), every other
     *     phase 1–10× linear. Each crossing adds ~one table-image
     *     exchange exactly once.
+    *   - q25/q135: the SAME crossing class, mis-diagnosed in r14 as
+    *     fixture-driven bucket densification ("pairs ~SF²") and
+    *     re-measured in r15: gram buckets are provably scale-stable
+    *     (trigram Σcnt² = 100.01× at 100× data; cross-replica shingle
+    *     disjointness is ScaleGenSpec-pinned, so no perturbed-replica
+    *     fixture mode is needed — the affine cipher IS the
+    *     perturbation), and the byte growth is their internal
+    *     posting/sizes/vocab joins flipping broadcast→sort-merge
+    *     mid-decade (plan-measured sf1→sf10: q25 3×BHJ→3×SMJ,
+    *     27 MB→1,650 MB; q135 5×BHJ→5×SMJ, 100 MB→2,100 MB). Beyond
+    *     the crossing the bytes are linear in data.
     *
-    * All five stay wall-gated (measured 1.3–2.2×/decade, in class);
-    * the byte gate remains armed for the other 145 queries, where a
-    * lost broadcast has no such documented crossing to hide behind.
+    * All seven stay wall-gated (measured 1.3–4.2×/decade, in class);
+    * the byte gate remains armed for the other queries, where a lost
+    * broadcast has no such documented crossing to hide behind.
     */
   val bytesClasses: Map[String, ScaleClass] = Map(
-    // ScaleGen scales by REPLICATION, so every document is a literal
-    // near-dup of its replicas: gram/shingle bucket joins emit pairs,
-    // and pairs over r-replicated buckets grow ~r² BY FIXTURE
-    // CONSTRUCTION (the measured 103–131× over two decades ≈ the 100×
-    // pair model) — the engine faithfully shuffles a quadratically
-    // growing ANSWER. Real corpora don't densify clusters with scale;
-    // the banded/candidate-bounded designs are what cap the work there.
-    "q25" -> Exempt("pair-shaped output; replica fixture grows pairs ~SF²"),
-    "q135" -> Exempt("trigram join over replica-densified buckets; pairs ~SF²"),
+    "q25" -> Exempt("posting/sizes joins cross auto-broadcast mid-decade; buckets scale-stable"),
+    "q135" -> Exempt("vocab-table joins cross auto-broadcast mid-decade; buckets scale-stable"),
     "q37" -> Exempt("auto-broadcast crossing at sf0.1→sf1; linear after"),
     "q145" -> Exempt("stats-planner key-set broadcast crossing; linear after"),
     "q148" -> Exempt("stats-planner key-set broadcast crossing; linear after"),

@@ -62,6 +62,28 @@ class ScaleGenSpec extends SparkSpec {
     assert(w0.join(w1, "w").isEmpty)
   }
 
+  test("gram buckets are scale-stable: candidate-pair mass grows linearly") {
+    // the property the byte gate's honesty rests on (VERDICT r14 item
+    // 3): a shingle join's candidate-pair count is Σ_buckets C(cnt, 2),
+    // so if replicas shared grams, buckets would densify and pair mass
+    // would grow ~replicas² — the "SF² pairs" r14 blamed for q25/q135's
+    // byte ratios. The ciphers make cross-replica grams disjoint, so
+    // doubling the replicas must EXACTLY double the pair mass (measured
+    // at sf10 scale too: trigram Σcnt² = 100.01× at 100× data; the
+    // ratios r14 observed were auto-broadcast crossings, re-measured
+    // and reclassified this round — see SCALING.md §3m).
+    def pairMass(dir: String): Long = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(
+        graft.functions.TextFunctions.wordNGrams(col("text"), 3)).as("g"))
+      .groupBy("g").count()
+      // 2× the pair count — stays integral (never `/` on long columns)
+      .agg(sum(col("count") * (col("count") - 1))).head().getLong(0)
+    val six = java.nio.file.Files.createTempDirectory("scalegen-6").toString
+    ScaleGen.generate(spark, src, six, 6)
+    assert(pairMass(six) === pairMass(out) * 2,
+      "cross-replica gram sharing would densify buckets superlinearly")
+  }
+
   test("affine ciphers stay distinct past the caesar period (sf10 safety)") {
     // at replicas > 26 a pure caesar repeats (r and r+26 identical) —
     // the affine multiplier must keep replicas 0/26/52 pairwise disjoint

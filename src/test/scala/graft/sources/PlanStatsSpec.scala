@@ -361,6 +361,43 @@ class PlanStatsSpec extends SparkSpec {
     }
   }
 
+  test("the histogram DECIDES a plan: a hot-key filter refuses its broadcast") {
+    // the last gap between "statistic exists" and "statistic decides"
+    // (VERDICT r14 item 5, the reference's skew-join conf
+    // glue_etl.py:406): filtering on a 90%-mass key, NDV-only
+    // estimation prices the filter at rows/NDV (~0.1% here) — the
+    // filtered side looks broadcastable, and at scale that broadcast
+    // hydrates 90% of the table into the driver. The histogram's
+    // repeated singleton bins carry the real mass, and Spark's own
+    // JoinSelection flips to sort-merge. Plan-asserted both ways.
+    val n = 200000
+    val tPath = versioned((0 until n).map(i =>
+      (if (i % 10 != 0) 7L else 100L + i % 1000, i.toLong % 5000, hex(i)))
+      .toDF("k", "j", "pay"), "ps_decide_t")
+    val bigPath = versioned((0 until 400000).map(i =>
+      (i.toLong % 5000, hex(i))).toDF("j", "bpay"), "ps_decide_big")
+    StatsSketch.analyze(spark, tPath, Seq("k"), ParquetTable.statsDir(tPath))
+    StatsSketch.analyze(spark, bigPath, Seq("j"), ParquetTable.statsDir(bigPath))
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "1MB") {
+      def q(): DataFrame = ParquetTable.read(spark, tPath)
+        .filter(col("k") === 7).join(ParquetTable.read(spark, bigPath), "j")
+      val before = q()
+      assert(planOf(before).contains("BroadcastHashJoin"),
+        s"NDV-only pricing (~${n / 1000} rows) should broadcast the " +
+          s"filtered side:\n${planOf(before)}")
+      graft.operators.StatsHistogram.build(ParquetTable.read(spark, tPath),
+        Seq("k"), ParquetTable.statsDir(tPath),
+        version = ParquetTable.currentVersion(spark, tPath).get)
+      val after = q()
+      assert(planOf(after).contains("SortMergeJoin"),
+        s"the histogram's ~90% hot mass must refuse the broadcast:\n${planOf(after)}")
+      // the flip changes the plan, not the answer
+      assert(after.count() === before.count())
+    }
+  }
+
   test("the NDV cache refreshes across ANALYZE generations") {
     val path = versioned((0 until 1000).map(i => (i.toLong, i % 10))
       .toDF("id", "k"), "ps_cache")
