@@ -166,6 +166,33 @@ object Pipeline {
         partitioned = spec.partitionColumns.nonEmpty)
     }
 
+  /** The crawler state of the reference's Step Function
+    * (delta-lake.json:106-146: the Glue crawler runs AFTER the ETL
+    * state and publishes table statistics to the catalog the analysts
+    * query through): sketch each curated table's key columns and
+    * publish footer-exact rows/nulls/min-max + sketch NDV into its
+    * `clean_*` catalog entry, so the analyst layer plans under CBO.
+    * Registration is (re-)done first — idempotent — covering crawl-only
+    * invocations. A separate opt-in step exactly like the reference's
+    * (a crawler state, not part of the ETL job): cost is one scan per
+    * table per crawl, the crawler's own contract; tables maintained
+    * through versioned ANALYZE get the richer incremental lifecycle via
+    * StatsSketch directly. Returns the tables whose entries now carry
+    * statistics.
+    */
+  def crawl(spark: SparkSession, cfg: Config): Seq[String] =
+    CatalogNames.flatMap { case (t, table) =>
+      val spec = Schemas.all.find(_.name == t).get
+      val loc = tablePath(cfg, t)
+      graft.operators.StatsSketch.save(
+        ParquetTable.read(spark, loc),
+        (spec.primaryKey ++ spec.partitionColumns).distinct,
+        ParquetTable.statsDir(loc))
+      Catalog.registerExternal(spark, table, loc,
+        partitioned = spec.partitionColumns.nonEmpty, publishStats = false)
+      if (Catalog.publishStatistics(spark, table)) Some(table) else None
+    }
+
   /** Session-scoped view variant of the same surface — for read-only
     * consumers that must not touch the shared catalog. NOTE: a temp view
     * shadows the same-named catalog table in SQL resolution.

@@ -82,5 +82,25 @@ class PipelineSpec extends SparkSpec {
     assert(again("products").mergedRows === 2)
     assert(again("orders").mergedRows === 2)
     assert(again("order_items").mergedRows === 1)
+
+    // the crawler state (delta-lake.json:106-146): post-ETL, statistics
+    // reach the catalog entries the analysts query through — the
+    // Athena-layer SQL plans from exact row counts under CBO
+    val crawled = Pipeline.crawl(spark, cfg)
+    assert(crawled.toSet ===
+      Set("clean_products", "clean_orders", "clean_orders_items"))
+    val old = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = spark.table("clean_orders")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount === Some(BigInt(2)))
+      assert(stats.attributeStats.toSeq.exists { case (a, s) =>
+        a.name == "order_id" && s.distinctCount.contains(BigInt(2))
+      }, "pk NDV must reach the catalog entry")
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
   }
 }
