@@ -186,12 +186,22 @@ object StatsSketch {
 
   /** Build and persist a sketch: `dir/registers` + `dir/meta` pinning
     * (p, seed, base_hash, cols) so appends provably hash like the build.
+    *
+    * Any EXISTING histogram at the dir is deleted: a free-standing
+    * sketch has no version lifecycle, so re-saving is its whole
+    * re-baseline — bins built over the previous data would otherwise
+    * pass the unstamped guard (−1 ≥ −1) forever and serve a dead
+    * distribution beside the fresh counts (r15 review). Rebuild with
+    * [[StatsHistogram.build]] after the save when the tier is wanted.
     */
   def save(df: DataFrame, cols: Seq[String], dir: String,
       p: Int = DefaultPrecision, seed: Long = 4242L): Unit = {
     val spark = df.sparkSession
     sketch(df, cols, p, seed)
       .write.mode("overwrite").parquet(s"$dir/registers")
+    val hist = new org.apache.hadoop.fs.Path(s"$dir/histogram")
+    val fs = hist.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hist)) { fs.delete(hist, true); () }
     writeMeta(spark, dir, Meta(p, seed, cols, -1L, exact = true,
       fullVersion = -1L))
   }

@@ -64,19 +64,23 @@ object PlanStats {
   def enabled(spark: SparkSession): Boolean =
     spark.conf.get(Conf, "true") == "true"
 
-  /** sketch dir → (fingerprint, (per-column NDV estimate, per-column
-    * histogram bins)). The fingerprint is the stats files' (count, total
-    * length, max mtime) triple folded to a long — any analyze/
-    * analyzeIncremental/histogram build rewrites meta, appends
-    * registers, or republishes the histogram, so a stale entry cannot
-    * be served. Keyed by DIR with the fingerprint in the VALUE (ADVICE
-    * r14): a new generation REPLACES its predecessor's entry instead of
-    * accumulating beside it, so a long-lived session holds exactly one
-    * entry per table, not one per ANALYZE ever run.
+  /** sketch dir → (fingerprint, (per-column NDV estimate, stamped
+    * histogram bins, sketch lifecycle)). The fingerprint is the stats
+    * files' (count, total length, max mtime) triple folded to a long —
+    * any analyze/analyzeIncremental/histogram build rewrites meta,
+    * appends registers, or republishes the histogram, so a stale entry
+    * cannot be served. Keyed by DIR with the fingerprint in the VALUE
+    * (ADVICE r14): a new generation REPLACES its predecessor's entry
+    * instead of accumulating beside it, so a long-lived session holds
+    * exactly one entry per table, not one per ANALYZE ever run. The
+    * cache holds the RAW stamped bins + lifecycle — the per-read
+    * staleness guard ([[histogramsFor]]) depends on the version being
+    * READ, so it must run per call, not per generation.
     */
   private val ndvCache = new java.util.concurrent.ConcurrentHashMap[
     String,
-    (Long, (Map[String, Double], Map[String, Seq[graft.operators.StatsHistogram.Bin]]))]()
+    (Long, (Map[String, Double], graft.operators.StatsHistogram.Stamped,
+      graft.operators.StatsSketch.Lifecycle))]()
 
   private def fingerprint(spark: SparkSession, dir: String): Option[Long] = {
     val p = new Path(dir)
@@ -95,57 +99,74 @@ object PlanStats {
     Some(count * 1000003L ^ len * 2862933555777941757L ^ mtime)
   }
 
-  /** The stats dir's per-column NDV estimates and histogram bins
-    * (logical column names), via the generation cache. None when the
-    * sketch is absent or unreadable (never fails a read over a table
-    * whose stats dir is torn).
+  /** The stats dir's per-column NDV estimates, RAW stamped histogram
+    * bins and sketch lifecycle (logical column names), via the
+    * generation cache. None when the sketch is absent or unreadable
+    * (never fails a read over a table whose stats dir is torn). A
+    * cache HIT takes no lock — `compute` would serialize every
+    * concurrent planner of a hot table on one bin lock while a miss
+    * runs Spark jobs inside it.
     */
   def statsFor(spark: SparkSession, sketchDir: String): Option[
-      (Map[String, Double], Map[String, Seq[graft.operators.StatsHistogram.Bin]])] =
+      (Map[String, Double], graft.operators.StatsHistogram.Stamped,
+        graft.operators.StatsSketch.Lifecycle)] =
     fingerprint(spark, sketchDir).flatMap { fp =>
-      Option(ndvCache.compute(sketchDir, { (_, prev) =>
+      val hit = ndvCache.get(sketchDir)
+      if (hit != null && hit._1 == fp) Some(hit._2)
+      else Option(ndvCache.compute(sketchDir, { (_, prev) =>
         if (prev != null && prev._1 == fp) prev
         else try {
           val ndv = graft.operators.StatsSketch.estimate(spark, sketchDir)
             .select(col("column"), col("ndv_est")).collect()
             .map(r => r.getString(0) -> r.getDouble(1)).toMap
-          (fp, (ndv, histogramsIfValid(spark, sketchDir)))
+          (fp, (ndv,
+            graft.operators.StatsHistogram.readStamped(spark, sketchDir),
+            graft.operators.StatsSketch.lifecycle(spark, sketchDir)))
         } catch { case scala.util.control.NonFatal(_) => null }
       })).map(_._2)
     }
 
-  /** Histogram bins, gated by their staleness guard (VERDICT r14 item 2):
-    * bins describe the distribution AT THEIR BUILD VERSION, and unlike
-    * the NDV registers they are not mergeable — so they attach only
-    * while the sketch can vouch no update/delete has touched the rows
-    * they describe:
+  /** Histogram bins valid for READING snapshot `version` (−1 = a plain
+    * location with a free-standing sketch). Bins describe the
+    * distribution AT THEIR BUILD VERSION, and unlike the NDV registers
+    * they are not mergeable — so they attach only when (VERDICT r14
+    * item 2; r15 review):
     *
-    *   - sketch `exact` must be true (an observed update/delete window
-    *     flips it — from then on the bins describe a distribution that
-    *     may no longer exist, so they are DROPPED, exactly like q149's
-    *     NDV upper-bound discipline);
-    *   - the bins' `built_version` stamp must be ≥ the sketch's
-    *     `full_version` (the last full-ANALYZE version): a full
-    *     re-ANALYZE after mutations resets `exact` for NDV — it
-    *     rescanned — but it does NOT rebuild bins, so bins stamped
-    *     before it stay out until `ANALYZE … COMPUTE HISTOGRAM` runs
-    *     again (the restore; serving the pre-mutation bins as freshly
-    *     blessed would be the silent-wrongness this library refuses).
+    *   - sketch `exact` is true (an observed update/delete window flips
+    *     it — from then on the bins describe a distribution that may no
+    *     longer exist, so they are DROPPED, exactly like q149's NDV
+    *     upper-bound discipline);
+    *   - `built_version` ≥ the sketch's `full_version` (the last
+    *     full-ANALYZE version): a full re-ANALYZE after mutations
+    *     resets `exact` for NDV — it rescanned — but it does NOT
+    *     rebuild bins, so bins stamped before it stay out until
+    *     `ANALYZE … COMPUTE HISTOGRAM` runs again;
+    *   - `built_version` ≤ the version being READ: time travel below
+    *     the build version must not see bins describing a later
+    *     distribution (the NDV that rides along IS valid there — a
+    *     "values ever present" upper bound covers every earlier
+    *     snapshot; a distribution shape does not).
     *
-    * Append-only windows keep both conditions true: bins describe a
-    * subset of current rows, the documented staleness tolerance.
-    * Unstamped bins (built_version = −1) attach only to free-standing
-    * sketches (full_version = −1) — on a versioned table a histogram
-    * must declare which version it describes.
+    * The guard is as-of the sketch's covered version, like `isExact`
+    * itself: a window the sketch has not yet observed (a merge, a
+    * DELETE, a RESTORE commit landed after `last_version`) is presumed
+    * append-only until `analyzeIncremental` advances over it and
+    * flips `exact` — the same lazy-observation contract the NDV tier
+    * documents, with the same bound: estimates only, never answers.
+    * Append-only windows keep every condition true (bins describe a
+    * subset of current rows). Unstamped bins (built_version = −1)
+    * attach only to free-standing sketches (full_version = −1) — on a
+    * versioned table a histogram must declare which version it
+    * describes.
     */
-  private def histogramsIfValid(spark: SparkSession, sketchDir: String):
-      Map[String, Seq[graft.operators.StatsHistogram.Bin]] = {
-    val hist = graft.operators.StatsHistogram.readStamped(spark, sketchDir)
-    if (hist.bins.isEmpty) return Map.empty
-    val meta = graft.operators.StatsSketch.lifecycle(spark, sketchDir)
-    if (meta.exact && hist.builtVersion >= meta.fullVersion) hist.bins
+  private def histogramsFor(
+      stamped: graft.operators.StatsHistogram.Stamped,
+      meta: graft.operators.StatsSketch.Lifecycle,
+      version: Long): Map[String, Seq[graft.operators.StatsHistogram.Bin]] =
+    if (stamped.bins.nonEmpty && meta.exact &&
+        stamped.builtVersion >= meta.fullVersion &&
+        stamped.builtVersion <= version) stamped.bins
     else Map.empty
-  }
 
   def ndvFor(spark: SparkSession, sketchDir: String): Option[Map[String, Double]] =
     statsFor(spark, sketchDir).map(_._1)
@@ -250,8 +271,9 @@ object PlanStats {
       Option[CatalogStatistics] = {
     if (!enabled(spark)) return None
     if (!ParquetTable.hasStats(spark, location)) return None
-    val (ndv, histograms) =
+    val (ndv, stamped, lifecycle) =
       statsFor(spark, ParquetTable.statsDir(location)).getOrElse(return None)
+    val histograms = histogramsFor(stamped, lifecycle, version = -1L)
     val files = DataSkipping.visibleParquetFiles(spark, location)
     if (files.isEmpty) return None // nothing a plain read serves: no claim
     val census = DataSkipping.census(spark, new Path(location), files.map(_._1))
@@ -311,8 +333,9 @@ object PlanStats {
     if (!enabled(spark)) return None
     if (!ParquetTable.hasStats(spark, tablePath)) return None
     val rows = rowCount.getOrElse(return None)
-    val (ndv, histograms) =
+    val (ndv, stamped, lifecycle) =
       statsFor(spark, ParquetTable.statsDir(tablePath)).getOrElse(return None)
+    val histograms = histogramsFor(stamped, lifecycle, version)
     // logical sketch name → this version's physical attribute name
     val (renames, drops) = ParquetTable.columnMapping(spark, tablePath, version)
     val toPhysical = renames.map(_.swap)

@@ -1231,11 +1231,13 @@ case class GraftAnalyzeHistogramCommand(path: String, cols: Seq[String])
 
   override def run(session: SparkSession): Seq[Row] = {
     // stamp the bins with the version they describe — the read path's
-    // staleness guard refuses bins older than the last full ANALYZE or
-    // any bins once an update/delete window flipped the sketch inexact
-    val v = ParquetTable.currentVersion(session, path)
-      .getOrElse(throw new IllegalArgumentException(
-        s"analyze histogram: no versioned table at $path"))
+    // staleness guard refuses bins older than the last full ANALYZE,
+    // newer than the snapshot being read, or any bins once an
+    // update/delete window flipped the sketch inexact. A plain
+    // (non-versioned) location takes the free-standing tier (−1, the
+    // pre-r15 behavior of this verb): no lifecycle, bins valid until
+    // the next StatsSketch.save re-baseline deletes them
+    val v = ParquetTable.currentVersion(session, path).getOrElse(-1L)
     graft.operators.StatsHistogram.build(
         ParquetTable.read(session, path), cols, GraftStats.dir(path),
         version = v)

@@ -64,11 +64,18 @@ object ShuffleBytes {
 
   final case class Mark(write: Long, read: Long, activeAtMark: Int)
 
-  def mark(spark: SparkSession): Mark =
+  /** Snapshot the counters and the in-flight census. Drains the
+    * listener bus FIRST: job-start/task-end events post asynchronously,
+    * so without the drain a job launched milliseconds before the mark
+    * can be invisible to the status store (activeAtMark = 0, falsely
+    * exclusive) and its undrained pre-mark task-end bytes would inflate
+    * the bracket (r15 review). Callers time their work AFTER mark
+    * returns, so the drain is never inside a timed window.
+    */
+  def mark(spark: SparkSession): Mark = {
+    GraftColumnBridge.drainListenerBus(spark)
     Mark(write.sum(), read.sum(), inFlight(spark))
-
-  /** Legacy mark without the boundary snapshot (exclusivity unknown). */
-  def mark(): Mark = Mark(write.sum(), read.sum(), -1)
+  }
 
   /** (shuffle write bytes, shuffle read bytes) since `m`, after a bus
     * drain so the tail of the just-finished job is counted.

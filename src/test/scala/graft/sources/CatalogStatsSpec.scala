@@ -185,6 +185,41 @@ class CatalogStatsSpec extends SparkSpec {
     assert(stats.sizeInBytes === BigInt(fileBytes))
   }
 
+  test("a free-standing re-save deletes orphaned bins — no dead distributions") {
+    // a free-standing sketch has no version lifecycle, so re-saving IS
+    // its re-baseline: bins built over the previous data would pass the
+    // unstamped guard (−1 ≥ −1) forever beside fresh counts (r15
+    // review). StatsSketch.save must delete them; a rebuild restores.
+    val loc = tmpDir("cs_resave") + "/data"
+    (0 until 5000).map(i => (i.toLong, 7L)).toDF("id", "k")
+      .write.mode("overwrite").parquet(loc)
+    val sk = ParquetTable.statsDir(loc)
+    StatsSketch.save(spark.read.parquet(loc), Seq("k"), sk)
+    StatsHistogram.build(spark.read.parquet(loc), Seq("k"), sk)
+    Catalog.registerExternal(spark, "cs_resave_t", loc, partitioned = false)
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      def kStat() = tableStats("cs_resave_t").attributeStats.toSeq
+        .collectFirst { case (a, s) if a.name == "k" => s }.get
+      assert(kStat().histogram.isDefined)
+      // the location is rewritten out-of-band; the re-crawl re-saves
+      (0 until 5000).map(i => (i.toLong, 100L + i % 1000)).toDF("id", "k")
+        .write.mode("overwrite").parquet(loc)
+      StatsSketch.save(spark.read.parquet(loc), Seq("k"), sk)
+      spark.sessionState.catalog.refreshTable(
+        org.apache.spark.sql.catalyst.TableIdentifier("cs_resave_t"))
+      assert(Catalog.publishStatistics(spark, "cs_resave_t"))
+      val after = kStat()
+      assert(after.histogram.isEmpty,
+        "pre-rewrite bins must not survive the re-baseline")
+      assert(after.distinctCount.exists(_ > BigInt(500)),
+        "the fresh sketch's NDV must serve")
+      // the rebuild restores the tier over the NEW distribution
+      StatsHistogram.build(spark.read.parquet(loc), Seq("k"), sk)
+      assert(Catalog.publishStatistics(spark, "cs_resave_t"))
+      assert(kStat().histogram.isDefined)
+    }
+  }
+
   test("re-crawl refreshes after out-of-band INSERT INTO") {
     val df = (0 until 2000).map(i => (i.toLong, i % 10)).toDF("id", "k")
     val loc = curated(df, "cs_recrawl", Seq("k"))

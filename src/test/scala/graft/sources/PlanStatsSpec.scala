@@ -398,6 +398,38 @@ class PlanStatsSpec extends SparkSpec {
     }
   }
 
+  test("time travel below the build version refuses the bins, keeps NDV") {
+    // bins describe the distribution AT THEIR BUILD VERSION; a snapshot
+    // read BELOW that version must not plan from a later distribution
+    // (r15 review). The NDV riding along stays valid there — "values
+    // ever present" upper-bounds every earlier snapshot.
+    val n = 20000
+    val pk = Seq("id")
+    val path = versioned((0 until n).map(i => (i.toLong, 7L))
+      .toDF("id", "k"), "ps_tt")
+    val v1 = ParquetTable.currentVersion(spark, path).get
+    val sk = ParquetTable.statsDir(path)
+    // append a window whose distribution differs, then bless + build at v2
+    ParquetTable.merge(spark, path,
+      (n until 2 * n).map(i => (i.toLong, 100L + i % 1000)).toDF("id", "k"), pk)
+    val v2 = ParquetTable.currentVersion(spark, path).get
+    StatsSketch.analyze(spark, path, Seq("k"), sk)
+    graft.operators.StatsHistogram.build(ParquetTable.read(spark, path),
+      Seq("k"), sk, version = v2)
+    def statsAt(v: Long) = {
+      val s = ParquetTable.readAt(spark, path, v).queryExecution.optimizedPlan.stats
+      s.attributeStats.toSeq.collectFirst { case (a, st) if a.name == "k" => st }.get
+    }
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      assert(statsAt(v2).histogram.isDefined, "bins attach at their build version")
+      val old = statsAt(v1)
+      assert(old.histogram.isEmpty,
+        "v2-built bins must not describe the v1 snapshot")
+      assert(old.distinctCount.isDefined,
+        "the NDV upper bound stays valid below the build version")
+    }
+  }
+
   test("the NDV cache refreshes across ANALYZE generations") {
     val path = versioned((0 until 1000).map(i => (i.toLong, i % 10))
       .toDF("id", "k"), "ps_cache")
