@@ -62,9 +62,15 @@ object Catalog {
     val meta = spark.sessionState.catalog.getTableMetadata(id)
     val location = meta.location.toString
     val schemaTypes = meta.schema.fields.map(f => f.name -> f.dataType).toMap
-    PlanStats.forLocation(spark, location, schemaTypes) match {
-      case Some(cs) =>
-        spark.sessionState.catalog.alterTableStats(id, Some(cs))
+    // statistics are estimates only — a torn footer or unreadable stats
+    // dir must never fail the REGISTRATION it rides on (the queries over
+    // a genuinely corrupt file will fail on their own, with the real
+    // error); the entry simply keeps its previous stats, if any
+    val cs = try PlanStats.forLocation(spark, location, schemaTypes)
+      catch { case scala.util.control.NonFatal(_) => None }
+    cs match {
+      case Some(stats) =>
+        spark.sessionState.catalog.alterTableStats(id, Some(stats))
         true
       case None => false
     }

@@ -220,6 +220,27 @@ class CatalogStatsSpec extends SparkSpec {
     }
   }
 
+  test("a torn footer fails the crawl, never the registration") {
+    // statistics are estimates only: a corrupt data file must not make
+    // publishStatistics throw (registration rides on it by default) —
+    // the crawl reports false and the entry keeps its previous stats;
+    // queries over the corrupt file fail on their own with the real
+    // error
+    val df = (0 until 1000).map(i => (i.toLong, i % 5)).toDF("id", "k")
+    val loc = curated(df, "cs_torn", Seq("k"))
+    Catalog.registerExternal(spark, "cs_torn_t", loc, partitioned = false)
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      assert(tableStats("cs_torn_t").rowCount === Some(BigInt(1000)))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(loc, "zz-garbage.parquet"),
+        "not a parquet file".getBytes("UTF-8"))
+      assert(!Catalog.publishStatistics(spark, "cs_torn_t"),
+        "a torn footer must fail the crawl quietly, not throw")
+      assert(tableStats("cs_torn_t").rowCount === Some(BigInt(1000)),
+        "the entry keeps its previous statistics")
+    }
+  }
+
   test("re-crawl refreshes after out-of-band INSERT INTO") {
     val df = (0 until 2000).map(i => (i.toLong, i % 10)).toDF("id", "k")
     val loc = curated(df, "cs_recrawl", Seq("k"))
