@@ -151,6 +151,31 @@ object StatsSketch {
   private final case class Meta(p: Int, seed: Long, cols: Seq[String],
       lastVersion: Long, exact: Boolean, fullVersion: Long)
 
+  /** Driver-side meta cache: every [[readMetaFull]] was a full
+    * `spark.read.parquet(...).head()` — a Spark job per call, and the
+    * ANALYZE scenarios read the meta 4–6 times each (estimate, isExact,
+    * analyzeIncremental, append). Keyed by the meta dir's file listing
+    * (name:length:mtime per part file), so an external rewrite of the
+    * meta — another JVM's ANALYZE — invalidates the entry; writes
+    * through [[writeMeta]] refresh it directly. Metadata only, never
+    * query results (guide §1.2 step 2: per-task/driver overhead after
+    * the algorithm is right).
+    */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Meta)]()
+
+  /** None when the meta dir is missing — the uncached read then raises
+    * the same AnalysisException callers have always seen.
+    */
+  private def metaFingerprint(spark: SparkSession, dir: String): Option[String] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      Some(fs.listStatus(p).filter(_.isFile)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString("|"))
+    } catch { case _: java.io.FileNotFoundException => None }
+
   private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
     import spark.implicits._
     Seq((m.p, m.seed, "poly64", m.cols.mkString(","), m.lastVersion, m.exact,
@@ -158,9 +183,27 @@ object StatsSketch {
       .toDF("p", "seed", "base_hash", "cols", "last_version", "exact",
         "full_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    metaFingerprint(spark, dir).foreach(fp =>
+      metaCache.put(s"$dir/meta", (fp, m)))
+    ()
   }
 
   private def readMetaFull(spark: SparkSession, dir: String): Meta = {
+    val key = s"$dir/meta"
+    metaFingerprint(spark, dir) match {
+      case None => readMetaUncached(spark, dir) // missing dir: original error
+      case Some(fp) =>
+        val hit = metaCache.get(key)
+        if (hit != null && hit._1 == fp) hit._2
+        else {
+          val m = readMetaUncached(spark, dir)
+          metaCache.put(key, (fp, m))
+          m
+        }
+    }
+  }
+
+  private def readMetaUncached(spark: SparkSession, dir: String): Meta = {
     val r = spark.read.parquet(s"$dir/meta").head()
     val last = r.getLong(r.fieldIndex("last_version"))
     Meta(r.getInt(r.fieldIndex("p")), r.getLong(r.fieldIndex("seed")),
