@@ -59,11 +59,21 @@ object PageRank {
       .select(col("src"), col("dst"), (col("w") / col("__outw")).as("share")))
 
     var ranks = ckpt(nodes.withColumn("rank", lit(1.0 / n)))
+    // the dangling-node SET is iteration-invariant (it depends only on
+    // the edge list) — computed once instead of re-deriving the
+    // anti-join + distinct inside every iteration; when empty (every
+    // node has out-edges, the common dedup/trade-graph case) the
+    // per-iteration dangling job disappears entirely (dangling = 0.0,
+    // exactly the value the old aggregation returned)
+    val danglingIds = ckpt(nodes.join(share.select("src").distinct(),
+      nodes("id") === col("src"), "left_anti").select("id"))
+    val hasDangling = !danglingIds.isEmpty
     for (_ <- 1 to iterations) {
       // rank mass sitting on dangling nodes (no out-edges)
-      val dangling = ranks.join(share.select("src").distinct(),
-          ranks("id") === col("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+      val dangling =
+        if (!hasDangling) 0.0
+        else ranks.join(danglingIds, Seq("id"), "left_semi")
+          .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
       val contribs = share
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
@@ -76,6 +86,7 @@ object PageRank {
       ranks.unpersist()
       ranks = next
     }
+    danglingIds.unpersist()
     ranks
   }
 }

@@ -118,28 +118,35 @@ object ParagraphDedup {
       .withColumn("__fp",
         graft.functions.TextFunctions.normalizedFingerprint(col("para")))
     val probe = graft.operators.BloomJoin.mightContain(bloomBytes, col("__fp"))
-    val negatives = exploded.filter(!probe)
     val candidates = exploded.filter(probe)
     val seen = store.join(
       broadcast(candidates.select(col("__fp").as(fpCol)).distinct()),
       Seq(fpCol), "left_semi")
-    val confirmedUnseen = candidates.join(
-      broadcast(seen.select(col(fpCol).as("__fp"))), Seq("__fp"), "left_anti")
-    val kept = negatives.unionByName(confirmedUnseen)
-    val counts = exploded.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_paras_in"))
-    kept
+    // ONE pass over the exploded batch: mark each paragraph seen/unseen
+    // with a broadcast left join against the confirmed-seen set
+    // (bloom-negative fps cannot be in `seen` — seen ⊆ the bloom-positive
+    // candidates — so the mark equals the old negatives ∪ confirmedUnseen
+    // routing), then compute kept-text AND the total paragraph count in
+    // ONE aggregation. The previous formulation re-evaluated the
+    // explode+fingerprint scan once per branch (4×) and paid two
+    // groupBy shuffles plus a join to reunite them (guide §2.3/§2.4).
+    // distinct: a caller-supplied store with duplicate fps must not fan
+    // the left join out (the old semi/anti routing was fanout-immune)
+    val marked = exploded.join(
+      broadcast(seen.select(col(fpCol).as("__fp")).distinct()
+        .withColumn("__seen", lit(true))),
+      Seq("__fp"), "left")
+    marked
       .groupBy(col(idCol))
       .agg(
         array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          transform(array_sort(collect_list(
+            when(col("__seen").isNull, struct(col("pos"), col("para"))))),
             s => s("para")),
           paraSep).as("clean_text"),
-        count(lit(1)).as("n_paras_kept"))
-      .join(counts, Seq(idCol), "right")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_paras_in"),
-        coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"))
+        count(lit(1)).as("n_paras_in"),
+        count(when(col("__seen").isNull, lit(1))).as("n_paras_kept"))
+      .select(col(idCol), col("clean_text"), col("n_paras_in"),
+        col("n_paras_kept"))
   }
 }

@@ -362,15 +362,22 @@ object TextDedup {
     // within-batch keep-first, same as incrementalExactDedup
     val keep = withFp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
     val probe = BloomJoin.mightContain(bloomBytes, col("__fp"))
-    val definite = keep.filter(!probe)
     val candidates = keep.filter(probe)
     val seen = store.join(
       broadcast(candidates.select(col("__fp").as(fpCol)).distinct()),
       Seq(fpCol), "left_semi")
-    val confirmed = candidates.join(
+    // ONE pass decides novelty: anti-join the whole keep-set against the
+    // broadcast confirmed-seen set. Bloom-NEGATIVE rows cannot be in
+    // `seen` (seen ⊆ candidates = bloom-positives — this holds even for
+    // a stale filter), so the anti-join admits exactly
+    // definite-novel ∪ confirmed-novel. The previous
+    // definite ∪ confirmed union re-evaluated the within-batch keep-first
+    // aggregation once per branch (3× with the seen subtree); the store
+    // still never shuffles — the probe set and the seen set both
+    // broadcast (guide §2.4).
+    val novelIds = keep.join(
       broadcast(seen.select(col(fpCol).as("__fp"))), Seq("__fp"), "left_anti")
-    val novelIds = definite.select(col(idCol))
-      .unionByName(confirmed.select(col(idCol)))
+      .select(col(idCol))
     val novel = withFp.join(novelIds, Seq(idCol), "left_semi")
     (novel.drop("__fp"),
       novel.select(col("__fp").as(fpCol)).distinct())
