@@ -72,12 +72,23 @@ object BpeTrain {
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
+    // Lazy per-round checkpoints: each round is inherently sequential (the
+    // next replace needs the chosen pair), but the EAGER checkpoint paid a
+    // dedicated materialization job per round on top of the top-pair job —
+    // 2 jobs/merge. Marking the round's segs as a lazy localCheckpoint
+    // lets the NEXT round's top-pair aggregation materialize it as a side
+    // effect: 1 job/merge, same constant-size plan. The parent is only
+    // unpersisted AFTER an action ran on the child (the child's blocks
+    // exist by then — unpersisting earlier would strand a lazy checkpoint
+    // whose lineage was already truncated at the parent).
+    var prev: DataFrame = null
     while (rank <= nMerges && !exhausted) {
       val top = segs
         .select(explode(adjacentPairs(col("seg"))).as("pair"), col("freq"))
         .groupBy("pair").agg(sum("freq").as("f"))
         .orderBy(col("f").desc, col("pair").asc)
         .limit(1).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val pair = top(0).getString(0)
@@ -87,12 +98,14 @@ object BpeTrain {
         val next = segs.withColumn("seg",
           trim(replace(concat(lit(" "), col("seg"), lit(" ")),
             lit(s" $pair "), lit(s" $merged "))))
-          .localCheckpoint(true)
-        segs.unpersist()
+          .localCheckpoint(false)
+        prev = segs
         segs = next
         rank += 1
       }
     }
+    if (prev != null) prev.unpersist()
+    segs.unpersist()
     learned.toSeq.toDF("rank", "pair", "merged", "freq")
   }
 

@@ -221,25 +221,38 @@ object LmScore {
       .select(col(idCol), col("g.*"))
 
     // true bigram / unigram corpus counts (their own passes — the
-    // trigram stream under-counts each doc's edge grams)
+    // trigram stream under-counts each doc's edge grams). The count
+    // tables are vocab-bounded (model-sized, corpus-independent) so they
+    // localCheckpoint: without it every consumer branch re-ran its
+    // corpus tokenization pass — cBig + cBigCtx + cUni + totals each
+    // embedded one, ~6 corpus scans per scoring plan where 4 passes are
+    // the algorithm's true cost (guide §1.1 first-principles, §2.4).
+    // cBigCtx folds FROM cBig (grouped by (fa, fab) — exact: every
+    // occurrence is in exactly one (fa, fab) cell) instead of re-counting
+    // the corpus stream; totals folds from the checkpointed cUni.
     val bigIdx = when(n > 1, sequence(lit(1), n - 1)).otherwise(array())
     val big = tokenized.select(explode(transform(bigIdx, i => struct(
         xxhash64(element_at(t, i), element_at(t, i + 1)).as("fab"),
         xxhash64(element_at(t, i)).as("fa")))).as("b"))
       .select(col("b.*"))
-    val cBig = big.groupBy(col("fab")).agg(count(lit(1)).as("c23"))
-    val cBigCtx = big.groupBy(col("fa")).agg(count(lit(1)).as("c2"))
+    val cBigPairs = big.groupBy(col("fa"), col("fab"))
+      .agg(count(lit(1)).as("c23")).localCheckpoint(true)
+    val cBig = cBigPairs.groupBy(col("fab")).agg(sum(col("c23")).as("c23"))
+    val cBigCtx = cBigPairs.groupBy(col("fa")).agg(sum(col("c23")).as("c2"))
     val uni = tokenized.select(explode(t).as("w"))
       .select(xxhash64(col("w")).as("f"))
     val cUni = uni.groupBy(col("f")).agg(count(lit(1)).as("c3"))
+      .localCheckpoint(true)
     val totals = cUni.agg(sum(col("c3")).as("nn"), count(lit(1)).as("v"))
 
     // the P-table: one row per DISTINCT trigram (vocab-bounded); each
-    // count frame joins THIS table, never the corpus stream
+    // count frame joins THIS table, never the corpus stream. Checkpointed
+    // for the same reason: it feeds both the c12 fold and the pTable join.
     val triVocab = tri.groupBy(col("f123"))
       .agg(count(lit(1)).as("c123"),
         first(col("f12")).as("f12"), first(col("f23")).as("f23"),
         first(col("f2")).as("f2"), first(col("f3")).as("f3"))
+      .localCheckpoint(true)
     val c12 = triVocab.groupBy(col("f12")).agg(sum(col("c123")).as("c12"))
     val pTable = triVocab
       .join(c12, Seq("f12"))
