@@ -1742,24 +1742,35 @@ object ParquetTable {
           val resolvedSet = set.map(resolveSet(target, _, Nil, verb))
           // matched is captured BEFORE the commit: both frames evaluate
           // the (deterministic) predicate over the same immutable
-          // snapshot dirs, so they are exact complements
-          if (target.filter(condition).isEmpty) result = v // no-op
-          else {
-            val out = resolvedSet match {
-              case None => target.filter(!condition)
-              case Some(s) => applySet(target, condition, s)
+          // snapshot dirs, so they are exact complements. Persisted so
+          // the no-op probe and the cdf capture share one matched-slice
+          // scan (the rewrite itself must scan the full image anyway).
+          val matched = target.filter(condition)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (matched.isEmpty) result = v // no-op
+            else {
+              val out = resolvedSet match {
+                case None => target.filter(!condition)
+                case Some(s) => applySet(target, condition, s)
+              }
+              val nv = atomicReplace(spark, path, out, Nil)
+              if (cdf) writeChangeManifest(spark, path, nv,
+                captureRewrite(matched, resolvedSet))
+              result = nv
             }
-            val nv = atomicReplace(spark, path, out, Nil)
-            if (cdf) writeChangeManifest(spark, path, nv,
-              captureRewrite(target.filter(condition), resolvedSet))
-            result = nv
-          }
+          } finally { matched.unpersist(); () }
         case Some(entries) =>
           val partitionColumns = entries.head._1.split('/').toSeq.map(_.split('=')(0))
           val target = readVersion(spark, path, v)
           requireDeterministic(target, condition, set, verb)
+          // persisted: the affected-partition discovery and the cdf
+          // capture share one matched-slice scan (see the unpartitioned
+          // branch above)
           val matched = target.filter(condition)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val resolvedSet = set.map(resolveSet(target, _, partitionColumns, verb))
+          try {
           val affected = partitionDirsOf(matched, partitionColumns)
           if (affected.isEmpty) result = v // no-op
           else {
@@ -1818,6 +1829,7 @@ object ParquetTable {
               hadoopFs(spark, dd).delete(dd, true)
             }
           }
+          } finally { matched.unpersist(); () }
       }
     }
     result
@@ -2843,24 +2855,31 @@ object ParquetTable {
           dv.fold(withMeta)(d => withMeta.join(d, Seq(DvFileCol, DvIdxCol), "left_anti")))
       }.reduce(_.unionByName(_))
       requireDeterministic(snap.drop(DvFileCol, DvIdxCol), condition, None, "deleteVectors")
+      // matched is DELETE-SIZED (O(matched rows) is this verb's whole
+      // contract) — persist it so the no-op probe, the DV write and the
+      // cdf capture share ONE snapshot scan instead of three (guide §2.4;
+      // at 100 TB each re-evaluation was a full table scan)
       val matched = snap.filter(condition)
-      if (matched.isEmpty) result = v // no-op
-      else {
-        val dvName = s"$DvDirName/dv${System.currentTimeMillis()}_${System.nanoTime() % 1000000}"
-        matched.select(col(DvFileCol), col(DvIdxCol))
-          .write.mode(SaveMode.Overwrite).parquet(new Path(path, dvName).toString)
-        val content = manifestContent(spark, path, v)
-        if (commitVersion(spark, path, v + 1, content,
-            dv = dvDirs(spark, path, v) :+ dvName,
-            colmap = carriedColmap(spark, path, v))) {
-          if (cdf) writeChangeManifest(spark, path, v + 1,
-            matched.drop(DvFileCol, DvIdxCol).withColumn("_change_type", lit("delete")))
-          result = v + 1
-        } else { // lost the race: the winner may have changed what matches
-          val dd = new Path(path, dvName)
-          hadoopFs(spark, dd).delete(dd, true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (matched.isEmpty) result = v // no-op
+        else {
+          val dvName = s"$DvDirName/dv${System.currentTimeMillis()}_${System.nanoTime() % 1000000}"
+          matched.select(col(DvFileCol), col(DvIdxCol))
+            .write.mode(SaveMode.Overwrite).parquet(new Path(path, dvName).toString)
+          val content = manifestContent(spark, path, v)
+          if (commitVersion(spark, path, v + 1, content,
+              dv = dvDirs(spark, path, v) :+ dvName,
+              colmap = carriedColmap(spark, path, v))) {
+            if (cdf) writeChangeManifest(spark, path, v + 1,
+              matched.drop(DvFileCol, DvIdxCol).withColumn("_change_type", lit("delete")))
+            result = v + 1
+          } else { // lost the race: the winner may have changed what matches
+            val dd = new Path(path, dvName)
+            hadoopFs(spark, dd).delete(dd, true)
+          }
         }
-      }
+      } finally { matched.unpersist(); () }
     }
     result
   }

@@ -13,6 +13,29 @@ import org.apache.spark.sql.functions._
 
 object R15PlanDumps {
   def main(args: Array[String]): Unit = {
+    // mode 2: dump final formatted plans for named queries —
+    //   R15PlanDumps --queries <sfDir> <outDir> <suffix> <name1,name2,...>
+    if (args(0) == "--queries") {
+      val d = args(1); val outDir = args(2); val suffix = args(3)
+      val names = args(4).split(',').map(_.trim).filter(_.nonEmpty)
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      names.foreach { n =>
+        val plan = graft.SparkEntry.queries(n)(spark, d)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$outDir/${n}_$suffix.txt"),
+          plan.getBytes("UTF-8"))
+      }
+      spark.stop()
+      return
+    }
     val d = args(0)
     val out = args(1)
     val spark = SparkSession.builder().master("local[4]")
