@@ -165,10 +165,15 @@ object Bm25 {
     */
   private def requireConsistent(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val meta = spark.read.parquet(s"$dir/meta")
-    if (meta.columns.contains("n_postings")) {
-      val expected = meta.select(col("n_postings")).head.getLong(0)
-      val actual = spark.read.parquet(s"$dir/postings").count()
+    // meta through the cached 1-row reader and the postings count from
+    // parquet footers — the guard used to cost a meta job plus a
+    // scheduled column-less scan per probe call; footers carry the same
+    // exact row counts with zero jobs
+    val meta = SmallMeta.headRow(spark, s"$dir/meta")
+    if (meta.schema.fieldNames.contains("n_postings")) {
+      val expected = meta.getLong(meta.fieldIndex("n_postings"))
+      val actual = graft.sources.DataSkipping.footerRowCount(
+        spark, s"$dir/postings")
       require(actual == expected,
         s"BM25 index at $dir is torn: postings hold $actual rows but the " +
           s"meta marker committed $expected — an appendToIndex crashed " +
@@ -205,12 +210,13 @@ object Bm25 {
     require(dup.isEmpty, s"appendToIndex: doc_id ${dup.headOption.map(_.get(0))
       .getOrElse("")} is already indexed at $dir — BM25 statistics cannot " +
       "distinguish an update from a duplicate; delete-then-append or rebuild")
-    val oldMeta = spark.read.parquet(s"$dir/meta")
-    val oldN = oldMeta.select(col("n")).head().getDouble(0)
+    val oldMeta = SmallMeta.headRow(spark, s"$dir/meta")
+    val oldN = oldMeta.getDouble(oldMeta.fieldIndex("n"))
     val oldPostings =
-      if (oldMeta.columns.contains("n_postings"))
-        oldMeta.select(col("n_postings")).head().getLong(0)
-      else spark.read.parquet(s"$dir/postings").count() // pre-marker index
+      if (oldMeta.schema.fieldNames.contains("n_postings"))
+        oldMeta.getLong(oldMeta.fieldIndex("n_postings"))
+      else graft.sources.DataSkipping.footerRowCount(
+        spark, s"$dir/postings") // pre-marker index
     val nNew = newDocs.count().toDouble
     val toks = fpTokens(newDocs, "doc_id", col(docIdCol), tokens(col(textCol)))
     val tf = toks.groupBy(col("doc_id"), col("term"))

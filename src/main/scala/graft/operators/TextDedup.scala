@@ -206,7 +206,7 @@ object TextDedup {
   def winnowingIndexAppend(
       docs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
     val spark = docs.sparkSession
-    val p = spark.read.parquet(s"$dir/params").collect()(0)
+    val p = SmallMeta.headRow(spark, s"$dir/params")
     val (k, w) = (p.getInt(0), p.getInt(1))
     docs
       .select(col(idCol).as("hist_id"),
@@ -218,7 +218,7 @@ object TextDedup {
       batch: DataFrame, idCol: String, textCol: String, dir: String,
       minShared: Long = 2): DataFrame = {
     val spark = batch.sparkSession
-    val p = spark.read.parquet(s"$dir/params").collect()(0)
+    val p = SmallMeta.headRow(spark, s"$dir/params")
     val (k, w) = (p.getInt(0), p.getInt(1))
     batch
       .select(col(idCol),
@@ -568,7 +568,7 @@ object TextDedup {
   private def readIndexMeta(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int, Int, Long, String) = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = SmallMeta.headRow(spark, s"$dir/meta")
     val baseHash =
       if (meta.schema.fieldNames.contains("base_hash"))
         meta.getString(meta.fieldIndex("base_hash"))
