@@ -230,19 +230,25 @@ object LmScore {
     // cBigCtx folds FROM cBig (grouped by (fa, fab) — exact: every
     // occurrence is in exactly one (fa, fab) cell) instead of re-counting
     // the corpus stream; totals folds from the checkpointed cUni.
+    // LAZY checkpoints (ADVICE r15): the builder stays a pure plan
+    // constructor — materialization rides the caller's first action, so
+    // the count tables and the per-doc trigram stream read the source in
+    // the same epoch, and no Spark jobs run at plan-build time. (The
+    // executor-loss recompute forfeit is inherent to localCheckpoint
+    // either way.)
     val bigIdx = when(n > 1, sequence(lit(1), n - 1)).otherwise(array())
     val big = tokenized.select(explode(transform(bigIdx, i => struct(
         xxhash64(element_at(t, i), element_at(t, i + 1)).as("fab"),
         xxhash64(element_at(t, i)).as("fa")))).as("b"))
       .select(col("b.*"))
     val cBigPairs = big.groupBy(col("fa"), col("fab"))
-      .agg(count(lit(1)).as("c23")).localCheckpoint(true)
+      .agg(count(lit(1)).as("c23")).localCheckpoint(false)
     val cBig = cBigPairs.groupBy(col("fab")).agg(sum(col("c23")).as("c23"))
     val cBigCtx = cBigPairs.groupBy(col("fa")).agg(sum(col("c23")).as("c2"))
     val uni = tokenized.select(explode(t).as("w"))
       .select(xxhash64(col("w")).as("f"))
     val cUni = uni.groupBy(col("f")).agg(count(lit(1)).as("c3"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val totals = cUni.agg(sum(col("c3")).as("nn"), count(lit(1)).as("v"))
 
     // the P-table: one row per DISTINCT trigram (vocab-bounded); each
@@ -252,7 +258,7 @@ object LmScore {
       .agg(count(lit(1)).as("c123"),
         first(col("f12")).as("f12"), first(col("f23")).as("f23"),
         first(col("f2")).as("f2"), first(col("f3")).as("f3"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val c12 = triVocab.groupBy(col("f12")).agg(sum(col("c123")).as("c12"))
     val pTable = triVocab
       .join(c12, Seq("f12"))

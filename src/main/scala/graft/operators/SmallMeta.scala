@@ -11,11 +11,33 @@ import org.apache.spark.sql.{Row, SparkSession}
   * rebuild) invalidates the entry — the
   * [[graft.operators.StatsSketch]] metaCache discipline, shared.
   * Metadata only, never query results.
+  *
+  * Staleness bound (ADVICE r15): the fingerprint is only as fine as the
+  * filesystem's mtime granularity — a rewrite that preserves every part
+  * file's name AND length within one mtime tick is indistinguishable
+  * from no change. The persisted-index writers all stage fresh part
+  * files per write (new task UUIDs → new names), so in-repo writers
+  * always change the listing; the residual assumption, documented here,
+  * is single-writer-per-index for EXTERNAL writers that deliberately
+  * replay identical file names and lengths inside one mtime tick.
+  *
+  * The cache is bounded (LRU, [[MaxEntries]]) and keyed by the dir's
+  * normalized URI, so a long-lived serving JVM probing many index dirs
+  * (or one dir under several spellings) cannot grow it without bound.
   */
 private[graft] object SmallMeta {
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Row)]()
+  private val MaxEntries = 256
+
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, Row)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Row)]): Boolean =
+        size() > MaxEntries
+    })
+
+  private def cacheKey(dir: String): String =
+    new org.apache.hadoop.fs.Path(dir).toUri.toString
 
   private def fingerprint(spark: SparkSession, dir: String): Option[String] =
     try {
@@ -34,11 +56,12 @@ private[graft] object SmallMeta {
     fingerprint(spark, dir) match {
       case None => spark.read.parquet(dir).head() // missing: original error
       case Some(fp) =>
-        val hit = cache.get(dir)
+        val key = cacheKey(dir)
+        val hit = cache.get(key)
         if (hit != null && hit._1 == fp) hit._2
         else {
           val r = spark.read.parquet(dir).head()
-          cache.put(dir, (fp, r))
+          cache.put(key, (fp, r))
           r
         }
     }

@@ -156,13 +156,26 @@ object StatsSketch {
     * ANALYZE scenarios read the meta 4–6 times each (estimate, isExact,
     * analyzeIncremental, append). Keyed by the meta dir's file listing
     * (name:length:mtime per part file), so an external rewrite of the
-    * meta — another JVM's ANALYZE — invalidates the entry; writes
-    * through [[writeMeta]] refresh it directly. Metadata only, never
-    * query results (guide §1.2 step 2: per-task/driver overhead after
-    * the algorithm is right).
+    * meta — another JVM's ANALYZE — invalidates the entry. Writes
+    * through [[writeMeta]] INVALIDATE their entry rather than populate
+    * it (ADVICE r15: a fingerprint taken after our own write could
+    * belong to a concurrent writer's file set — the next read
+    * re-fingerprints and re-reads instead). Bounded LRU with normalized
+    * URI keys so a long-lived JVM probing many sketch dirs cannot grow
+    * it without bound. Metadata only, never query results (guide §1.2
+    * step 2: per-task/driver overhead after the algorithm is right).
+    * Same mtime-granularity staleness bound as
+    * [[graft.operators.SmallMeta]], documented there.
     */
-  private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Meta)]()
+  private val metaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, Meta)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Meta)]): Boolean =
+        size() > 256
+    })
+
+  private def metaCacheKey(dir: String): String =
+    new org.apache.hadoop.fs.Path(s"$dir/meta").toUri.toString
 
   /** None when the meta dir is missing — the uncached read then raises
     * the same AnalysisException callers have always seen.
@@ -183,13 +196,16 @@ object StatsSketch {
       .toDF("p", "seed", "base_hash", "cols", "last_version", "exact",
         "full_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    metaFingerprint(spark, dir).foreach(fp =>
-      metaCache.put(s"$dir/meta", (fp, m)))
+    // invalidate, never populate: a fingerprint listed right after our
+    // write could already reflect a concurrent writer's files, and
+    // caching OUR Meta against THEIR listing would serve stale state
+    // until the next external rewrite (ADVICE r15)
+    metaCache.remove(metaCacheKey(dir))
     ()
   }
 
   private def readMetaFull(spark: SparkSession, dir: String): Meta = {
-    val key = s"$dir/meta"
+    val key = metaCacheKey(dir)
     metaFingerprint(spark, dir) match {
       case None => readMetaUncached(spark, dir) // missing dir: original error
       case Some(fp) =>

@@ -1742,11 +1742,13 @@ object ParquetTable {
           val resolvedSet = set.map(resolveSet(target, _, Nil, verb))
           // matched is captured BEFORE the commit: both frames evaluate
           // the (deterministic) predicate over the same immutable
-          // snapshot dirs, so they are exact complements. Persisted so
-          // the no-op probe and the cdf capture share one matched-slice
-          // scan (the rewrite itself must scan the full image anyway).
+          // snapshot dirs, so they are exact complements. Persisted ONLY
+          // when cdf capture will re-read it (the no-op probe alone is a
+          // limit-1 job; caching the full matched slice for it would
+          // materialize a table-sized fraction to executor memory/disk
+          // for nothing — ADVICE r15).
           val matched = target.filter(condition)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          if (cdf) matched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             if (matched.isEmpty) result = v // no-op
             else {
@@ -1759,16 +1761,18 @@ object ParquetTable {
                 captureRewrite(matched, resolvedSet))
               result = nv
             }
-          } finally { matched.unpersist(); () }
+          } finally { if (cdf) matched.unpersist(); () }
         case Some(entries) =>
           val partitionColumns = entries.head._1.split('/').toSeq.map(_.split('=')(0))
           val target = readVersion(spark, path, v)
           requireDeterministic(target, condition, set, verb)
-          // persisted: the affected-partition discovery and the cdf
-          // capture share one matched-slice scan (see the unpartitioned
-          // branch above)
+          // persisted ONLY when the cdf capture will re-read the slice:
+          // without cdf the affected-partition discovery runs on the
+          // partition columns alone (column-pruned scan), and caching the
+          // full matched slice just to learn its partitions would put a
+          // table-sized fraction on executor memory/disk (ADVICE r15)
           val matched = target.filter(condition)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          if (cdf) matched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val resolvedSet = set.map(resolveSet(target, _, partitionColumns, verb))
           try {
           val affected = partitionDirsOf(matched, partitionColumns)
@@ -1829,7 +1833,7 @@ object ParquetTable {
               hadoopFs(spark, dd).delete(dd, true)
             }
           }
-          } finally { matched.unpersist(); () }
+          } finally { if (cdf) matched.unpersist(); () }
       }
     }
     result
