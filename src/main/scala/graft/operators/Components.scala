@@ -75,6 +75,14 @@ object Components {
         df => df.checkpoint(true)
       case None => df => df.localCheckpoint(true)
     }
+    // lazy variant for round bodies, where the convergence sum is a
+    // guaranteed-full first action (see the loop comment). Reliable
+    // checkpoints stay eager: their write is its own job after the
+    // first action either way, so laziness buys nothing there.
+    val lazyCkpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(_) => ckpt
+      case None => df => df.localCheckpoint(false)
+    }
     // symmetrize in ONE pass over `pairs` (explode to both directions):
     // a union of two selects would evaluate the pair-generator plan —
     // often an expensive join — twice
@@ -109,10 +117,18 @@ object Components {
       // path halving: replace each label by that label's own label
       val parents = propagated
         .select(col("id").as("__pid"), col("label").as("__plabel"))
-      val next = ckpt(propagated
+      // LAZY checkpoint: the convergence aggregation right below is
+      // always a FULL action over `next`, so materialization (and the
+      // lineage truncation) rides that job instead of paying a separate
+      // eager-checkpoint job per round — 2 jobs/round → 1, the BpeTrain
+      // r15 discipline. The round-entry `edges`/`labels` checkpoints
+      // stay eager: their first action can be partial (`isEmpty`, a
+      // caller's take), and a partially-materialized local checkpoint
+      // loses its uncomputed blocks.
+      val next = lazyCkpt(propagated
         .join(parents, propagated("label") === parents("__pid"), "left")
         .select(col("id"), coalesce(col("__plabel"), col("label")).as("label")))
-      // materialized + lineage truncated (see scaladoc)
+      // materialized + lineage truncated by the sum action (see scaladoc)
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next

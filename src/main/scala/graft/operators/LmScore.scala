@@ -136,8 +136,10 @@ object LmScore {
       .groupBy(col("f1"), col("f2")).agg(count(lit(1)).as("c2"))
     pairCounts.cache()
     try {
-      pairCounts.write.mode("overwrite").parquet(s"$dir/paircounts")
-      pairCounts.groupBy(col("f1")).agg(sum(col("c2")).as("c1"))
+      graft.sources.ParquetTable.sizedForWrite(pairCounts)
+        .write.mode("overwrite").parquet(s"$dir/paircounts")
+      graft.sources.ParquetTable.sizedForWrite(
+          pairCounts.groupBy(col("f1")).agg(sum(col("c2")).as("c1")))
         .write.mode("overwrite").parquet(s"$dir/ctxcounts")
       tokenizedOf(corpus, idCol, textCol)
         .select(explode(col("__t")).as("w")).filter(length(col("w")) > 0)

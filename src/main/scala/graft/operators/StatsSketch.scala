@@ -256,7 +256,11 @@ object StatsSketch {
   def save(df: DataFrame, cols: Seq[String], dir: String,
       p: Int = DefaultPrecision, seed: Long = 4242L): Unit = {
     val spark = df.sparkSession
-    sketch(df, cols, p, seed)
+    // register frames are ≤ m rows per column BY CONSTRUCTION (the
+    // groupBy's key space), a scale-independent bound — one file, not
+    // one per reduce partition: every estimate/analyze re-read pays the
+    // file count (guide §6)
+    sketch(df, cols, p, seed).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/registers")
     val hist = new org.apache.hadoop.fs.Path(s"$dir/histogram")
     val fs = hist.getFileSystem(spark.sessionState.newHadoopConf())
@@ -286,7 +290,7 @@ object StatsSketch {
     require(cols == meta.cols,
       s"statsSketch append: columns $cols conflict with the pinned " +
         s"column set ${meta.cols} at $dir")
-    sketch(newRows, cols, meta.p, meta.seed)
+    sketch(newRows, cols, meta.p, meta.seed).coalesce(1)
       .write.mode("append").parquet(s"$dir/registers")
   }
 
@@ -303,7 +307,7 @@ object StatsSketch {
     import spark.implicits._
     spark.createDataset(folded.toSeq.map(r =>
         (r.getString(0), r.getInt(1), r.getInt(2))))
-      .toDF("column", "bucket", "rank")
+      .toDF("column", "bucket", "rank").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/registers")
   }
 
@@ -382,6 +386,7 @@ object StatsSketch {
       .getOrElse(throw new IllegalArgumentException(
         s"analyze: no versioned table at $tablePath"))
     sketch(graft.sources.ParquetTable.read(spark, tablePath), cols, p, seed)
+      .coalesce(1) // register-bounded: ≤ m rows per column
       .write.mode("overwrite").parquet(s"$sketchDir/registers")
     writeMeta(spark, sketchDir, Meta(p, seed, cols, v, exact = true,
       fullVersion = v))
@@ -467,7 +472,7 @@ object StatsSketch {
           delta.filter(col("_change_type").isin("insert", "update_postimage"))
         else delta.filter(col("_change_type") =!= "delete")
       ).drop("_change_type")
-      sketch(upserts, meta.cols, meta.p, meta.seed)
+      sketch(upserts, meta.cols, meta.p, meta.seed).coalesce(1)
         .write.mode("append").parquet(s"$sketchDir/registers")
       writeMeta(spark, sketchDir,
         meta.copy(lastVersion = head, exact = meta.exact && appendOnly))

@@ -179,9 +179,9 @@ object TextDedup {
   def winnowingIndexSave(
       history: DataFrame, idCol: String, textCol: String, dir: String,
       k: Int = 3, w: Int = 4): Unit = {
-    history
-      .select(col(idCol).as("hist_id"),
-        explode(winnowingFingerprints(col(textCol), k, w)).as("fp"))
+    graft.sources.ParquetTable.sizedForWrite(history
+        .select(col(idCol).as("hist_id"),
+          explode(winnowingFingerprints(col(textCol), k, w)).as("fp")))
       .write.mode("overwrite").parquet(s"$dir/posting")
     history.sparkSession.createDataFrame(Seq((k, w)))
       .toDF("k", "w").coalesce(1)
@@ -208,9 +208,9 @@ object TextDedup {
     val spark = docs.sparkSession
     val p = SmallMeta.headRow(spark, s"$dir/params")
     val (k, w) = (p.getInt(0), p.getInt(1))
-    docs
-      .select(col(idCol).as("hist_id"),
-        explode(winnowingFingerprints(col(textCol), k, w)).as("fp"))
+    graft.sources.ParquetTable.sizedForWrite(docs
+        .select(col(idCol).as("hist_id"),
+          explode(winnowingFingerprints(col(textCol), k, w)).as("fp")))
       .write.mode("append").parquet(s"$dir/posting")
   }
 
@@ -550,9 +550,11 @@ object TextDedup {
       baseHash)
     rows.cache()
     try {
-      rows.select(col(idCol).as("hist_id"), col("band"), col("key"))
+      graft.sources.ParquetTable.sizedForWrite(
+          rows.select(col(idCol).as("hist_id"), col("band"), col("key")))
         .write.mode("overwrite").parquet(s"$dir/bands")
-      rows.select(col(idCol).as("hist_id"), col("sig")).distinct()
+      graft.sources.ParquetTable.sizedForWrite(
+          rows.select(col(idCol).as("hist_id"), col("sig")).distinct())
         .write.mode("overwrite").parquet(s"$dir/sigs")
       Seq((n, numHashes, bands, seed, baseHash))
         .toDF("n", "num_hashes", "bands", "seed", "base_hash")
@@ -596,9 +598,11 @@ object TextDedup {
       baseHash)
     rows.cache()
     try {
-      rows.select(col(idCol).as("hist_id"), col("band"), col("key"))
+      graft.sources.ParquetTable.sizedForWrite(
+          rows.select(col(idCol).as("hist_id"), col("band"), col("key")))
         .write.mode("append").parquet(s"$dir/bands")
-      rows.select(col(idCol).as("hist_id"), col("sig")).distinct()
+      graft.sources.ParquetTable.sizedForWrite(
+          rows.select(col(idCol).as("hist_id"), col("sig")).distinct())
         .write.mode("append").parquet(s"$dir/sigs")
     } finally { rows.unpersist(); () }
   }

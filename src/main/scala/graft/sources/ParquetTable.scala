@@ -333,16 +333,57 @@ object ParquetTable {
       df.repartition(exprs: _*)
     }
 
+  /** Target bytes per data file for image writes — the guide-§6 band
+    * (output files around 128 MB–1 GB, never one file per reduce
+    * partition regardless of size). `<= 0` disables the sizing.
+    */
+  val TargetFileBytesConf = "spark.graft.write.targetFileBytes"
+
+  private def targetFileBytes(spark: SparkSession): Long =
+    java.lang.Long.parseLong(spark.conf.get(
+      TargetFileBytesConf, String.valueOf(128L * 1024 * 1024)))
+
+  /** Size an UNPARTITIONED image write by the optimizer's byte estimate
+    * instead of inheriting the plan's reduce partitioning. Without this
+    * every commit writes `spark.sql.shuffle.partitions` files however
+    * small the image — the small-files tax (guide §6) is then paid on
+    * every later footer census, file listing and scan of the snapshot,
+    * and at cluster conf (thousands of shuffle partitions) a modest
+    * commit scatters thousands of KB-sized files. The estimate is the
+    * logical plan's sizeInBytes — for parquet scans that is the actual
+    * compressed input bytes, and filters/joins only ever round it UP
+    * (size-only visitor), so the derived count errs toward MORE files,
+    * never a starved write. `coalesce` (not `repartition`): no new
+    * exchange, it only fuses partitions of the final stage back to the
+    * last shuffle boundary, and it never RAISES a partition count — the
+    * moment estimate/target reaches the plan's own parallelism this is
+    * a no-op, so big images keep their reduce parallelism at scale.
+    */
+  private[graft] def sizedForWrite(df: DataFrame): DataFrame = {
+    val target = targetFileBytes(df.sparkSession)
+    if (target <= 0L) df
+    else {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val n = (est + target - 1) / target
+      // a huge estimate (join-product overshoot) means "keep the plan's
+      // own parallelism" — skip the coalesce entirely rather than fuse
+      if (n >= BigInt(1 << 15)) df else df.coalesce(n.toInt max 1)
+    }
+  }
+
   private def writePlain(
       df: DataFrame, path: String, partitionColumns: Seq[String],
       filesPerPartition: Int = 1,
-      writeOptions: Map[String, String] = Map.empty): Unit = {
+      writeOptions: Map[String, String] = Map.empty,
+      sizeAdaptive: Boolean = true): Unit = {
     // writer options land in THIS job's hadoop conf only (Spark's
     // newHadoopConfWithOptions), so parquet writer properties — bloom
     // filters, per-column settings — never leak into concurrent writes
     // through the shared SparkContext configuration (ADVICE r9 low)
-    val w = clusterByPartitions(df, partitionColumns, filesPerPartition)
-      .write.mode(SaveMode.Overwrite).options(writeOptions)
+    val out =
+      if (partitionColumns.isEmpty && sizeAdaptive) sizedForWrite(df)
+      else clusterByPartitions(df, partitionColumns, filesPerPartition)
+    val w = out.write.mode(SaveMode.Overwrite).options(writeOptions)
     (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
       .parquet(path)
   }
@@ -1544,7 +1585,8 @@ object ParquetTable {
             validateCommit(spark, path, dataDir, physicalNames = true)
             val dvName = s"$DvDirName/dv${System.currentTimeMillis()}_${System.nanoTime() % 1000000}"
             val dvPath = new Path(path, dvName)
-            matched.write.mode(SaveMode.Overwrite).parquet(dvPath.toString)
+            sizedForWrite(matched)
+              .write.mode(SaveMode.Overwrite).parquet(dvPath.toString)
             val hasMatches = !spark.read.parquet(dvPath.toString).isEmpty
             if (!hasMatches) hadoopFs(spark, dvPath).delete(dvPath, true)
             val newEntries = (entries ++ affected.map(_ -> dataDir)).sorted
@@ -2593,7 +2635,8 @@ object ParquetTable {
       // landed (an isEmpty pre-check would run the snapshot-join twice)
       val dvName = s"$DvDirName/dv${System.currentTimeMillis()}_${System.nanoTime() % 1000000}"
       val dvPath = new Path(path, dvName)
-      matched.write.mode(SaveMode.Overwrite).parquet(dvPath.toString)
+      sizedForWrite(matched)
+        .write.mode(SaveMode.Overwrite).parquet(dvPath.toString)
       val hasMatches = !spark.read.parquet(dvPath.toString).isEmpty
       if (!hasMatches) hadoopFs(spark, dvPath).delete(dvPath, true)
       val content = manifestContent(spark, path, v).trim + "\n" + dataDir
@@ -2869,7 +2912,7 @@ object ParquetTable {
         if (matched.isEmpty) result = v // no-op
         else {
           val dvName = s"$DvDirName/dv${System.currentTimeMillis()}_${System.nanoTime() % 1000000}"
-          matched.select(col(DvFileCol), col(DvIdxCol))
+          sizedForWrite(matched.select(col(DvFileCol), col(DvIdxCol)))
             .write.mode(SaveMode.Overwrite).parquet(new Path(path, dvName).toString)
           val content = manifestContent(spark, path, v)
           if (commitVersion(spark, path, v + 1, content,
@@ -2948,7 +2991,7 @@ object ParquetTable {
     */
   private def writeChangeManifest(
       spark: SparkSession, path: String, version: Long, changeRows: DataFrame): Unit =
-    changeRows.write.mode(SaveMode.Overwrite)
+    sizedForWrite(changeRows).write.mode(SaveMode.Overwrite)
       .parquet(changeManifestPath(path, version).toString)
 
   /** Per-commit change data feed — the Delta `table_changes` tier that the
@@ -3277,7 +3320,10 @@ object ParquetTable {
         df.write.mode(SaveMode.Overwrite).options(writeOptions)
           .partitionBy(partitionColumns: _*).parquet(ddPath)
       else
-        writePlain(df, ddPath, partitionColumns, filesPerPartition, writeOptions)
+        // maintenance images arrange their OWN layout (compact's fold,
+        // ZORDER's range slabs) — the adaptive sizing must not refuse it
+        writePlain(df, ddPath, partitionColumns, filesPerPartition,
+          writeOptions, sizeAdaptive = false)
       DataSkipping.writeStats(spark, ddPath, df.schema)
       validateCommit(spark, path, dataDir)
       // metadata-only entry derivation (lists the dirs the write produced)

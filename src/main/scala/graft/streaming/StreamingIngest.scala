@@ -290,7 +290,8 @@ object StreamingIngest {
         val cached = novel.cache() // two consumers: merge + fingerprints
         try {
           ParquetTable.merge(s, outPath, cached, Seq(idCol))
-          fps.write.mode("append").parquet(storePath)
+          ParquetTable.sizedForWrite(fps)
+            .write.mode("append").parquet(storePath)
         } finally cached.unpersist()
       }
       .start()
@@ -369,7 +370,8 @@ object StreamingIngest {
         val cachedFps = fps.cache() // two consumers: store append + bloom fold
         try {
           ParquetTable.merge(s, outPath, cachedNovel, Seq(idCol))
-          cachedFps.write.mode("append").parquet(storePath)
+          ParquetTable.sizedForWrite(cachedFps)
+            .write.mode("append").parquet(storePath)
           // fold the batch's novel fingerprints into the running filter:
           // a MICRO-BATCH-bounded collect of 8-byte hashes (never the
           // store), put through the same xxhash64 the probe side applies
@@ -447,7 +449,8 @@ object StreamingIngest {
           val fps = graft.operators.ParagraphDedup
             .paragraphFps(scrubbed, textCol, paraSep).cache()
           try {
-            fps.write.mode("append").parquet(storePath)
+            ParquetTable.sizedForWrite(fps)
+              .write.mode("append").parquet(storePath)
             val hashed = fps.select(xxhash64(col("fp")))
               .collect().map(_.getLong(0))
             if (hashed.nonEmpty) {
