@@ -259,8 +259,11 @@ object StatsSketch {
     // register frames are ≤ m rows per column BY CONSTRUCTION (the
     // groupBy's key space), a scale-independent bound — one file, not
     // one per reduce partition: every estimate/analyze re-read pays the
-    // file count (guide §6)
-    sketch(df, cols, p, seed).coalesce(1)
+    // file count (guide §6). repartition(1), NOT coalesce(1): coalesce
+    // would collapse the register fold's reduce stage to one task, while
+    // this keeps the aggregation parallel and moves only the ≤ m-row
+    // result through one extra (model-bounded) exchange
+    sketch(df, cols, p, seed).repartition(1)
       .write.mode("overwrite").parquet(s"$dir/registers")
     val hist = new org.apache.hadoop.fs.Path(s"$dir/histogram")
     val fs = hist.getFileSystem(spark.sessionState.newHadoopConf())
@@ -290,7 +293,7 @@ object StatsSketch {
     require(cols == meta.cols,
       s"statsSketch append: columns $cols conflict with the pinned " +
         s"column set ${meta.cols} at $dir")
-    sketch(newRows, cols, meta.p, meta.seed).coalesce(1)
+    sketch(newRows, cols, meta.p, meta.seed).repartition(1)
       .write.mode("append").parquet(s"$dir/registers")
   }
 
@@ -386,7 +389,7 @@ object StatsSketch {
       .getOrElse(throw new IllegalArgumentException(
         s"analyze: no versioned table at $tablePath"))
     sketch(graft.sources.ParquetTable.read(spark, tablePath), cols, p, seed)
-      .coalesce(1) // register-bounded: ≤ m rows per column
+      .repartition(1) // register-bounded: ≤ m rows per column
       .write.mode("overwrite").parquet(s"$sketchDir/registers")
     writeMeta(spark, sketchDir, Meta(p, seed, cols, v, exact = true,
       fullVersion = v))
@@ -472,7 +475,7 @@ object StatsSketch {
           delta.filter(col("_change_type").isin("insert", "update_postimage"))
         else delta.filter(col("_change_type") =!= "delete")
       ).drop("_change_type")
-      sketch(upserts, meta.cols, meta.p, meta.seed).coalesce(1)
+      sketch(upserts, meta.cols, meta.p, meta.seed).repartition(1)
         .write.mode("append").parquet(s"$sketchDir/registers")
       writeMeta(spark, sketchDir,
         meta.copy(lastVersion = head, exact = meta.exact && appendOnly))

@@ -361,9 +361,29 @@ object ParquetTable {
     */
   private[graft] def sizedForWrite(df: DataFrame): DataFrame = {
     val target = targetFileBytes(df.sparkSession)
-    if (target <= 0L) df
+    // a repartition/coalesce at the ROOT of the caller's plan (under
+    // row-preserving wrappers only) is a layout directive — "write
+    // exactly these partitions" — and the sizing must never silently
+    // override it. Deeper repartitions (e.g. a reader fanning a
+    // single-file scan out for compute) are NOT write-layout intent and
+    // stay subject to sizing.
+    @annotation.tailrec
+    def rootDirective(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project => rootDirective(pr.child)
+        case sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => rootDirective(sa.child)
+        case _ => false
+      }
+    if (target <= 0L || rootDirective(df.queryExecution.analyzed)) df
     else {
-      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      // ANALYZED plan stats, not optimized: the size-only visitor reads
+      // the same leaf bytes either way (filters/joins don't shrink the
+      // estimate without CBO), and asking for the optimized plan here
+      // would run the optimizer a SECOND time per commit — the write
+      // itself re-plans the coalesced tree (measured ~0.3-0.5 s per
+      // commit on merge-sized plans)
+      val est = df.queryExecution.analyzed.stats.sizeInBytes
       val n = (est + target - 1) / target
       // a huge estimate (join-product overshoot) means "keep the plan's
       // own parallelism" — skip the coalesce entirely rather than fuse
