@@ -104,12 +104,25 @@ object StatsSketch {
       p: Int = DefaultPrecision, seed: Long = 4242L): DataFrame = {
     require(cols.nonEmpty, "statsSketch: no columns requested")
     require(p >= 7 && p <= 18, s"statsSketch: precision $p outside [7, 18]")
+    // The hash chains are per-row CPU (two affine-square chains per
+    // column): an under-partitioned input — a small table written as a
+    // handful of byte-sized files — serializes them onto one core. Fan
+    // the PROJECTED columns out to the session parallelism first (the
+    // [[graft.queries.Tables]] fanOut discipline): on a real multi-file
+    // table the scan already yields >= parallelism splits and this is a
+    // no-op; when it fires, the extra exchange moves only the sketched
+    // columns of an input that is small by construction.
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    val projected = df.select(cols.map(col): _*)
+    val src =
+      if (projected.rdd.getNumPartitions < dp) projected.repartition(dp)
+      else projected
     val entries = cols.map { c =>
       val (bucket, rank) = bucketRank(col(c), p, seed)
       struct(lit(c).as("column"), bucket.cast("int").as("bucket"),
         rank.cast("int").as("rank"))
     }
-    df.select(explode(array(entries: _*)).as("e"))
+    src.select(explode(array(entries: _*)).as("e"))
       .select(col("e.column"), col("e.bucket"), col("e.rank"))
       .filter(col("rank").isNotNull)
       .groupBy(col("column"), col("bucket"))

@@ -359,6 +359,30 @@ object ParquetTable {
     * moment estimate/target reaches the plan's own parallelism this is
     * a no-op, so big images keep their reduce parallelism at scale.
     */
+  /** [[sizedForWrite]] for artifact writes whose PLAN embeds heavy
+    * per-row compute that the write itself is the first action to
+    * materialize (MinHash banding, tokenize+count index builds):
+    * `coalesce` would collapse that compute onto the output task count,
+    * an unbounded cost, so the file count is imposed by `repartition`
+    * AFTER the parallel compute instead — an extra exchange bounded by
+    * the bytes being written anyway, and skipped entirely (no exchange,
+    * no resize) when the target count wouldn't reduce the plan's own
+    * partitioning.
+    */
+  private[graft] def sizedForWriteShuffled(df: DataFrame): DataFrame = {
+    val target = targetFileBytes(df.sparkSession)
+    if (target <= 0L) df
+    else {
+      val est = df.queryExecution.analyzed.stats.sizeInBytes
+      val n = (est + target - 1) / target
+      if (n >= BigInt(1 << 15)) df
+      else {
+        val want = n.toInt max 1
+        if (want >= df.rdd.getNumPartitions) df else df.repartition(want)
+      }
+    }
+  }
+
   private[graft] def sizedForWrite(df: DataFrame): DataFrame = {
     val target = targetFileBytes(df.sparkSession)
     // a repartition/coalesce at the ROOT of the caller's plan (under
