@@ -343,46 +343,28 @@ object ParquetTable {
     java.lang.Long.parseLong(spark.conf.get(
       TargetFileBytesConf, String.valueOf(128L * 1024 * 1024)))
 
-  /** Size an UNPARTITIONED image write by the optimizer's byte estimate
-    * instead of inheriting the plan's reduce partitioning. Without this
-    * every commit writes `spark.sql.shuffle.partitions` files however
-    * small the image — the small-files tax (guide §6) is then paid on
-    * every later footer census, file listing and scan of the snapshot,
-    * and at cluster conf (thousands of shuffle partitions) a modest
-    * commit scatters thousands of KB-sized files. The estimate is the
-    * logical plan's sizeInBytes — for parquet scans that is the actual
-    * compressed input bytes, and filters/joins only ever round it UP
-    * (size-only visitor), so the derived count errs toward MORE files,
-    * never a starved write. `coalesce` (not `repartition`): no new
-    * exchange, it only fuses partitions of the final stage back to the
-    * last shuffle boundary, and it never RAISES a partition count — the
-    * moment estimate/target reaches the plan's own parallelism this is
-    * a no-op, so big images keep their reduce parallelism at scale.
+  /** Same policy as [[sizedForWrite]] — separate name kept for the
+    * call sites' intent documentation: artifact writes whose PLAN
+    * embeds heavy per-row compute that the write itself is the first
+    * action to materialize (MinHash banding, tokenize+count builds).
     */
-  /** [[sizedForWrite]] for artifact writes whose PLAN embeds heavy
-    * per-row compute that the write itself is the first action to
-    * materialize (MinHash banding, tokenize+count index builds):
-    * `coalesce` would collapse that compute onto the output task count,
-    * an unbounded cost, so the file count is imposed by `repartition`
-    * AFTER the parallel compute instead — an extra exchange bounded by
-    * the bytes being written anyway, and skipped entirely (no exchange,
-    * no resize) when the target count wouldn't reduce the plan's own
-    * partitioning.
-    */
-  private[graft] def sizedForWriteShuffled(df: DataFrame): DataFrame = {
-    val target = targetFileBytes(df.sparkSession)
-    if (target <= 0L) df
-    else {
-      val est = df.queryExecution.analyzed.stats.sizeInBytes
-      val n = (est + target - 1) / target
-      if (n >= BigInt(1 << 15)) df
-      else {
-        val want = n.toInt max 1
-        if (want >= df.rdd.getNumPartitions) df else df.repartition(want)
-      }
-    }
-  }
+  private[graft] def sizedForWriteShuffled(df: DataFrame): DataFrame =
+    sizedForWrite(df)
 
+  /** Size an UNPARTITIONED image/artifact write by the byte estimate
+    * instead of inheriting the plan's partitioning. Without this every
+    * commit writes `spark.sql.shuffle.partitions` files however small
+    * the image — the small-files tax (guide §6) is then paid on every
+    * later footer census, file listing and scan of the snapshot, and at
+    * cluster conf (thousands of shuffle partitions) a modest commit
+    * scatters thousands of KB-sized files. The estimate is the analyzed
+    * plan's sizeInBytes — for parquet scans the actual compressed input
+    * bytes; filters/joins only ever round it UP (size-only visitor), so
+    * the derived count errs toward MORE files, never a starved write.
+    * Fires only when the write would otherwise scatter tiny files, and
+    * resizes with a post-compute `repartition` — see the inline
+    * comments for why each of those choices is load-bearing.
+    */
   private[graft] def sizedForWrite(df: DataFrame): DataFrame = {
     val target = targetFileBytes(df.sparkSession)
     // a repartition/coalesce at the ROOT of the caller's plan (under
@@ -405,16 +387,43 @@ object ParquetTable {
       // the same leaf bytes either way (filters/joins don't shrink the
       // estimate without CBO), and asking for the optimized plan here
       // would run the optimizer a SECOND time per commit — the write
-      // itself re-plans the coalesced tree (measured ~0.3-0.5 s per
+      // itself re-plans the resized tree (measured ~0.3-0.5 s per
       // commit on merge-sized plans)
       val est = df.queryExecution.analyzed.stats.sizeInBytes
-      val n = (est + target - 1) / target
-      // a huge estimate (join-product overshoot) means "keep the plan's
-      // own parallelism" — skip the coalesce entirely rather than fuse
-      if (n >= BigInt(1 << 15)) df else df.coalesce(n.toInt max 1)
+      // Fire ONLY for a genuinely SMALL artifact — estimate at or under
+      // a quarter of one target file (32 MiB at the default). Such an
+      // artifact gains nothing from more files (openCost packing folds
+      // its sibling files into 1-2 scan splits either way) and loses a
+      // footer-census open + listing entry per file on every later
+      // read. Anything bigger keeps its native layout: the files ARE
+      // the downstream scan's split parallelism, and resizing them was
+      // measured (sf1, take 1 of this change) to serialize the next
+      // merge's join and the full-scan ANALYZE for seconds per commit —
+      // far more than the metadata it saved. Join-shaped plans (change
+      // manifests, DV slices) estimate as size PRODUCTS under the
+      // size-only visitor and therefore never fire — correct, if
+      // accidental: their consumers full-scan them.
+      if (est > target / 4) df
+      else
+        // `repartition`, DELIBERATELY not `coalesce`: coalesce imposes
+        // the file count by collapsing the plan's final stage, which
+        // serializes whatever compute lives there (measured at sf1: a
+        // coalesce(1)d merge ran its whole join+encode on one core —
+        // q57 3.5 s → 16.2 s, q148 17.6 s → 61.4 s). The repartition
+        // exchange moves only the bytes about to be written — by
+        // construction at most a quarter target file.
+        df.repartition(1)
     }
   }
 
+  // Images bigger than the [[sizedForWrite]] small-artifact bar keep
+  // their native reduce partitioning: the files ARE the downstream
+  // scan's split parallelism (measured at sf1 — resized images
+  // serialized the next merge's join). At cluster conf the production
+  // answer for image file sizing is AQE partition coalescing
+  // (advisoryPartitionSizeInBytes) right-sizing the reduce stage that
+  // feeds the write (SURVEY §4); the bench's AQE-off setting is a
+  // local-VM workaround, not a production recommendation.
   private def writePlain(
       df: DataFrame, path: String, partitionColumns: Seq[String],
       filesPerPartition: Int = 1,
