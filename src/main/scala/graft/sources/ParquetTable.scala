@@ -389,6 +389,21 @@ object ParquetTable {
       // would run the optimizer a SECOND time per commit — the write
       // itself re-plans the resized tree (measured ~0.3-0.5 s per
       // commit on merge-sized plans)
+      // A SHUFFLE-FREE plan (scan → project/filter → write) already
+      // writes bytes-proportional file counts — its partitioning IS the
+      // scan's splits — so packing it buys nothing and the repartition
+      // exchange is pure waste (measured on q57's fixture create at
+      // sf1: ~27 MB of parquet re-shuffled to produce the same one
+      // file the scan would have written). Only a plan with a
+      // shuffle-inducing operator scatters `spark.sql.shuffle.partitions`
+      // files regardless of size.
+      import org.apache.spark.sql.catalyst.plans.logical._
+      val scattersFiles = df.queryExecution.analyzed.exists {
+        case _: Join | _: Aggregate | _: Distinct | _: Deduplicate => true
+        case _: Window | _: Sort | _: RepartitionOperation => true
+        case _: Intersect | _: Except => true
+        case _ => false
+      }
       val est = df.queryExecution.analyzed.stats.sizeInBytes
       // Fire ONLY for a genuinely SMALL artifact — estimate at or under
       // a quarter of one target file (32 MiB at the default). Such an
@@ -403,7 +418,7 @@ object ParquetTable {
       // manifests, DV slices) estimate as size PRODUCTS under the
       // size-only visitor and therefore never fire — correct, if
       // accidental: their consumers full-scan them.
-      if (est > target / 4) df
+      if (!scattersFiles || est > target / 4) df
       else
         // `repartition`, DELIBERATELY not `coalesce`: coalesce imposes
         // the file count by collapsing the plan's final stage, which

@@ -125,6 +125,15 @@ object ScaleCheck {
     * broadcast has no such documented crossing to hide behind.
     */
   val bytesClasses: Map[String, ScaleClass] = Map(
+    // r16: the small-image packing exchange (ParquetTable.sizedForWrite,
+    // OPTIMIZATION_r16.md change 2) moves the image bytes it writes and
+    // fires only under the 32 MiB bar — q57's merge image sits under the
+    // bar at sf0.1 and above it at sf1, so the packing bytes appear in
+    // the denominator decade and not the numerator (measured 2.7 MB base
+    // + ~7 MB packing at sf0.1 vs 122 MB native at sf1 → 10.3×). The
+    // same absolute-threshold crossing class as the broadcast entries
+    // below; wall stays gated and in class.
+    "q57" -> Exempt("small-image packing exchange fires below the 32 MiB bar only at sf0.1; linear after the crossing"),
     "q25" -> Exempt("posting/sizes joins cross auto-broadcast mid-decade; buckets scale-stable"),
     "q135" -> Exempt("vocab-table joins cross auto-broadcast mid-decade; buckets scale-stable"),
     "q37" -> Exempt("auto-broadcast crossing at sf0.1→sf1; linear after"),
